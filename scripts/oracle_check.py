@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local pre-check that mimics the driver's DuckDB-oracle compare:
+reads each Verify output parquet + oracle_sql.json, runs the SQL in DuckDB
+with fixture tables registered as views, and compares schema + sorted rows.
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    pq = f"{outdir}/{name}"
+    if not os.path.isdir(pq):
+        print(f"FAIL {name}: no spark output dir"); fails += 1; continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{pq}/*.parquet')").fetchdf()
+    except Exception as ex:
+        print(f"FAIL {name}: read spark output: {ex}"); fails += 1; continue
+    try:
+        want = con.execute(sql).fetchdf()
+    except Exception as ex:
+        print(f"FAIL {name}: oracle sql error: {ex}"); fails += 1; continue
+    # driver sorts columns by name
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); fails += 1; continue
+    if got.dtypes.to_dict() != want.dtypes.to_dict():
+        print(f"WARN {name}: dtypes {got.dtypes.to_dict()} vs {want.dtypes.to_dict()}")
+    gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    if len(gs) != len(ws):
+        print(f"FAIL {name}: rows {len(gs)} vs {len(ws)}"); fails += 1; continue
+    eq = True
+    for c in gs.columns:
+        a, b = gs[c].tolist(), ws[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            same = (x == y) or (x is None and y is None) or \
+                (isinstance(x, float) and isinstance(y, float) and
+                 (x == y or (math.isnan(x) and math.isnan(y))))
+            if not same:
+                print(f"FAIL {name}: col {c} row {i}: {x!r} != {y!r}")
+                eq = False; break
+        if not eq: break
+    if eq:
+        print(f"OK   {name} ({len(gs)} rows)")
+    else:
+        fails += 1
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,394 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Fixtures, Tables}
+import graft.functions.Distances
+import graft.index.{Grid, GridConfig}
+import graft.operators.{Dedup, Knn, KnnJoin, Snapshot, TextAnalysis}
+import graft.oracle.DuckSql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2. Spark Column expressions and
+  * oracle SQL are generated from the same constants (`graft.core.Fixtures`,
+  * `graft.oracle.DuckSql`) with identical IEEE arithmetic, so the driver's
+  * hash compare matches exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Fixtures.{Dim, InvDiag64, Q64, Stopwords}
+
+  private val K = 10
+  /** Grid over the first 3 dims, 4 buckets each (64 cells) — fixture
+    * embeddings live in ~[-0.5, 0.5]; out-of-bounds clamps to edge cells. */
+  private[graft] val gridCfg =
+    GridConfig(dim = Dim, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Exact decimal-accumulated double sum: cast the INPUT to decimal at the
+    * column's natural scale (fixture money columns have 2 decimals,
+    * events.value has 3), sum exactly, cast back to double. Casting inputs
+    * (not products/sums of doubles) makes the result order-independent AND
+    * engine-independent — Spark's double→decimal goes through the shortest
+    * string repr while DuckDB rounds the binary expansion, and the two only
+    * agree when the true value has fewer decimals than the cast scale. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def dsumSql(e: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Σ price*(1-disc) in exact decimal arithmetic (scale-2 inputs → exact
+    * scale-4 products → exact sum → one double cast at the end). */
+  private def drevenue(price: Column, disc: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) *
+      (lit(1.0).cast(DecimalType(3, 2)) - disc.cast(DecimalType(18, 2)))).cast("double")
+  private def drevenueSql(price: String, disc: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST($disc AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def nWordsSql(t: String) = s"CAST(len(string_split($t, ' ')) AS INT)"
+  private def nStopSql(t: String) =
+    s"CAST(len(list_filter(string_split($t, ' '), w -> w IN $stopListSql)) AS INT)"
+
+  // ---------------------------------------------------------------- flagship
+
+  /** Flagship: filtered kNN on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Knn.bruteForce(emb(spark, "/root/testdata/sf0.001"),
+      Distances.squaredL2Lit(col("embedding"), Q64), K)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference surface: filtered kNN under 4 metrics (SURVEY §2.1 #1-2, #12-17)
+    "knn_l2_brute" -> ((s, d) =>
+      Knn.bruteForce(emb(s, d), Distances.squaredL2Lit(col("embedding"), Q64), K)),
+    "knn_l2_filtered" -> ((s, d) =>
+      Knn.bruteForce(emb(s, d), Distances.squaredL2Lit(col("embedding"), Q64), K,
+        pred = Some(col("label") === 3))),
+    "knn_l1" -> ((s, d) =>
+      Knn.bruteForce(emb(s, d), Distances.l1Lit(col("embedding"), Q64), K)),
+    "knn_linf" -> ((s, d) =>
+      Knn.bruteForce(emb(s, d), Distances.lInfLit(col("embedding"), Q64), K)),
+    "knn_mahalanobis" -> ((s, d) =>
+      Knn.bruteForce(emb(s, d), Distances.mahalanobisDiagLit(col("embedding"), Q64, InvDiag64), K)),
+    // pruned == brute (exactness of the widening loop; oracle is the brute SQL)
+    "knn_l2_pruned" -> ((s, d) =>
+      Knn.prunedSearchDf(s, Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, K)),
+    "knn_l2_pruned_filtered" -> ((s, d) =>
+      Knn.prunedSearchDf(s, Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, K,
+        pred = Some(col("label") === 3))),
+    // similarity search (north star): cosine top-k
+    "sim_cosine_topk" -> ((s, d) =>
+      emb(s, d)
+        .select(col("vec_id"), col("label"),
+          Distances.cosineSimLit(col("embedding"), Q64).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(K)),
+    // batch kNN join (SURVEY §2.1 #1 batch form)
+    "knn_join_l2" -> ((s, d) =>
+      KnnJoin.join(
+        emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        emb(s, d), k = 3, dim = Dim)
+        .orderBy(col("query_id"), col("rn"))),
+    // --- point ops / scans (SURVEY §2.1 #7-9)
+    "point_lookup" -> ((s, d) =>
+      emb(s, d).filter(col("vec_id") === 42).select(col("vec_id"), col("label"))),
+    "count_rows" -> ((s, d) =>
+      emb(s, d).agg(count(lit(1)).as("n_rows"))),
+    "full_scan" -> ((s, d) =>
+      emb(s, d).select(col("vec_id"), col("label")).orderBy(col("vec_id"))),
+    // --- grid index build invariant (SURVEY §2.1 #3/#8: Σ per-cell == total)
+    "index_cell_counts" -> ((s, d) =>
+      Grid.withCellId(emb(s, d), "embedding", gridCfg)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cell_id"))),
+    // --- CRUD snapshot algebra (SURVEY §2.1 #3-6)
+    "crud_insert" -> ((s, d) => {
+      val state = emb(s, d)
+      val inserts = state.orderBy(col("vec_id")).limit(10)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      labelSummary(Snapshot.insert(state, inserts))
+    }),
+    "crud_delete" -> ((s, d) => {
+      val state = emb(s, d)
+      labelSummary(Snapshot.delete(state, state.filter(col("vec_id") % 7 === 0), "vec_id"))
+    }),
+    "crud_update_position" -> ((s, d) => {
+      val state = emb(s, d)
+      val updates = state.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding",
+          concat(array(lit(0.5f)), slice(col("embedding"), 2, Dim - 1)))
+      val moved = Snapshot.updatePosition(state, updates, "vec_id", "embedding")
+      Knn.bruteForce(moved, Distances.squaredL2Lit(col("embedding"), Q64), 20)
+    }),
+    "crud_update_metadata" -> ((s, d) => {
+      val state = emb(s, d)
+      val updates = state.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), (col("label") + 100).as("label"))
+      labelSummary(Snapshot.updateMetadata(state, updates, "vec_id", "label"))
+    }),
+    "crud_upsert" -> ((s, d) => {
+      val state = emb(s, d)
+      val updates = state.filter(col("vec_id") < 10)
+        .withColumn("label", lit(999))
+        .unionByName(state.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+          .withColumn("vec_id", col("vec_id") + lit(2000000L)))
+      labelSummary(Snapshot.upsert(state, updates, "vec_id"))
+    }),
+    // --- relational coverage (SURVEY §2.2: joins/aggs/windows/set ops/dates/json)
+    "agg_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          dsum(col("l_discount")).as("sum_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "join_revenue_by_nation" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))),
+    "window_top_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "set_intersect_custkeys" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+        .intersect(Tables.customer(s, d).select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+    "anti_customers_without_orders" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    "date_orders_by_month" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("month"))),
+    "json_events_by_type" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast(LongType)).as("k_sum"),
+          dsum(col("value"), 3).as("v_sum"))
+        .orderBy(col("event_type"))),
+    "events_hourly_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("v_sum"))
+        .orderBy(col("hour_epoch"), col("event_type"))),
+    // --- text analysis (north star)
+    "text_features" -> ((s, d) =>
+      TextAnalysis.docFeatures(docs(s, d)).orderBy(col("doc_id"))),
+    // --- dedup (north star)
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactDupGroups(docs(s, d)).orderBy(col("content_hash"))),
+    "dedup_minhash_signatures" -> ((s, d) =>
+      Dedup.minHashSignature(docs(s, d).filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", shingleWidth = 3, numHashes = 8)
+        .orderBy(col("doc_id"))),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simHash(docs(s, d).filter(col("doc_id") % 20 === 0), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+    "dedup_jaccard_pairs" -> ((s, d) => {
+      val ws = docs(s, d).filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
+      val a = ws.as("a"); val b = ws.as("b")
+      a.join(b, col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          Dedup.jaccard(col("a.wset"), col("b.wset")).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_cosine_pairs" -> ((s, d) => {
+      val ve = emb(s, d).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val a = ve.as("a"); val b = ve.as("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  /** Small deterministic digest of a state snapshot: per-label count and
+    * id-sum (exact integer math). */
+  private def labelSummary(state: DataFrame): DataFrame =
+    state.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+      .orderBy(col("label"))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def knnSql(distExpr: String, k: Int, where: String = ""): String =
+    s"SELECT vec_id, label, $distExpr AS dist FROM embeddings $where ORDER BY dist ASC, vec_id ASC LIMIT $k"
+
+  private def labelSummarySql(fromSubquery: String): String =
+    s"SELECT label, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum FROM ($fromSubquery) GROUP BY label ORDER BY label"
+
+  def oracleSql: Map[String, String] = {
+    val e = "embedding"
+    val sq = DuckSql.squaredL2Lit(e, Q64)
+    val revenue = drevenueSql("l_extendedprice", "l_discount")
+    Map(
+      "knn_l2_brute" -> knnSql(sq, K),
+      "knn_l2_filtered" -> knnSql(sq, K, "WHERE label = 3"),
+      "knn_l1" -> knnSql(DuckSql.l1Lit(e, Q64), K),
+      "knn_linf" -> knnSql(DuckSql.lInfLit(e, Q64), K),
+      "knn_mahalanobis" -> knnSql(DuckSql.mahalanobisDiagLit(e, Q64, InvDiag64), K),
+      "knn_l2_pruned" -> knnSql(sq, K),
+      "knn_l2_pruned_filtered" -> knnSql(sq, K, "WHERE label = 3"),
+      "sim_cosine_topk" ->
+        s"SELECT vec_id, label, ${DuckSql.cosineSimLit(e, Q64)} AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT $K",
+      "knn_join_l2" -> {
+        val pd = DuckSql.squaredL2Cols("q_embedding", "embedding", Dim)
+        s"""SELECT query_id, vec_id, dist, CAST(rn AS INT) AS rn FROM (
+           |  SELECT query_id, vec_id, dist,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+           |  FROM (
+           |    SELECT q.vec_id AS query_id, d.vec_id AS vec_id, $pd AS dist
+           |    FROM (SELECT vec_id, embedding AS q_embedding FROM embeddings WHERE vec_id < 5) q
+           |    CROSS JOIN embeddings d
+           |  )
+           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      },
+      "point_lookup" -> "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",
+      "count_rows" -> "SELECT COUNT(*) AS n_rows FROM embeddings",
+      "full_scan" -> "SELECT vec_id, label FROM embeddings ORDER BY vec_id",
+      "index_cell_counts" ->
+        s"SELECT ${Grid.cellIdSql(e, gridCfg)} AS cell_id, COUNT(*) AS n FROM embeddings GROUP BY cell_id ORDER BY cell_id",
+      "crud_insert" -> labelSummarySql(
+        """SELECT vec_id, label FROM embeddings
+          |UNION ALL SELECT vec_id + 1000000 AS vec_id, label FROM (SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 10)""".stripMargin),
+      "crud_delete" -> labelSummarySql(
+        "SELECT vec_id, label FROM embeddings WHERE NOT (vec_id % 7 = 0)"),
+      "crud_update_position" -> {
+        val moved =
+          s"SELECT vec_id, label, CASE WHEN vec_id % 10 = 0 THEN [CAST(0.5 AS FLOAT)] || $e[2:$Dim] ELSE $e END AS $e FROM embeddings"
+        s"SELECT vec_id, label, $sq AS dist FROM ($moved) ORDER BY dist ASC, vec_id ASC LIMIT 20"
+      },
+      "crud_update_metadata" -> labelSummarySql(
+        "SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label + 100 ELSE label END AS label FROM embeddings"),
+      "crud_upsert" -> labelSummarySql(
+        """SELECT vec_id, label FROM embeddings WHERE NOT (vec_id < 10)
+          |UNION ALL SELECT vec_id, 999 AS label FROM embeddings WHERE vec_id < 10
+          |UNION ALL SELECT vec_id + 2000000 AS vec_id, label FROM embeddings WHERE vec_id >= 10 AND vec_id < 15""".stripMargin),
+      "agg_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsumSql("l_quantity")} AS sum_qty,
+           |  $revenue AS revenue,
+           |  ${dsumSql("l_discount")} AS sum_disc,
+           |  COUNT(*) AS n
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "join_revenue_by_nation" ->
+        s"""SELECT r_name, n_name, $revenue AS revenue, COUNT(*) AS n
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      "window_top_orders_per_customer" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          |  FROM orders
+          |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "set_intersect_custkeys" ->
+        "SELECT o_custkey AS custkey FROM orders INTERSECT SELECT c_custkey AS custkey FROM customer ORDER BY custkey",
+      "anti_customers_without_orders" ->
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+      "date_orders_by_month" ->
+        s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n,
+           |  ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+      "json_events_by_type" ->
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           |  ${dsumSql("value", 3)} AS v_sum
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_hourly_stats" ->
+        s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+           |  COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
+           |FROM events GROUP BY hour_epoch, event_type ORDER BY hour_epoch, event_type""".stripMargin,
+      "text_features" -> {
+        val nw = nWordsSql("text"); val ns = nStopSql("text")
+        s"""SELECT doc_id,
+           |  $nw AS n_words,
+           |  CAST(length(text) AS INT) AS n_chars,
+           |  CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_tokens_est,
+           |  $ns AS n_stopwords,
+           |  CASE WHEN (CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+           |  md5(lower(text)) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "dedup_exact_groups" ->
+        "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id FROM documents GROUP BY content_hash ORDER BY content_hash",
+      "dedup_minhash_signatures" -> {
+        val mins = Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.MinHashP}) AS mh_$j"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id, $mins
+           |FROM (
+           |  SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+           |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0)
+           |  )
+           |) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "dedup_simhash" -> {
+        val bitSums = (0 until 60).map { i =>
+          s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i"
+        }.mkString(",\n  ")
+        val sig = (0 until 60).map { i =>
+          s"(CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        s"""SELECT doc_id, ($sig) AS simhash FROM (
+           |  SELECT doc_id, $bitSums
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5LongSql("w")} AS h
+           |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 20 = 0)
+           |  ) GROUP BY doc_id
+           |) ORDER BY doc_id""".stripMargin
+      },
+      "dedup_jaccard_pairs" ->
+        """SELECT id_a, id_b, jac FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.wset, b.wset))) AS DOUBLE) AS jac
+          |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 100 = 0) a
+          |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 100 = 0) b
+          |    ON a.doc_id < b.doc_id
+          |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+      "dedup_cosine_pairs" -> {
+        val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
+        s"""SELECT id_a, id_b, cos_sim FROM (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cs AS cos_sim
+           |  FROM (SELECT vec_id, embedding AS a_embedding FROM embeddings WHERE vec_id % 25 = 0) a
+           |  JOIN (SELECT vec_id, embedding AS b_embedding FROM embeddings WHERE vec_id % 25 = 0) b
+           |    ON a.vec_id < b.vec_id
+           |) WHERE cos_sim >= 0.1 ORDER BY id_a, id_b""".stripMargin
+      }
+    )
+  }
 }

@@ -1,0 +1,22 @@
+package graft.core
+
+/** Deterministic, data-independent constants shared by the Spark queries and
+  * the DuckDB oracle SQL (both are generated from these same arrays, so the
+  * literals agree exactly).
+  */
+object Fixtures {
+  /** Embedding dimensionality of the fixture `embeddings` table. */
+  val Dim = 64
+
+  /** Fixed query vector for single-query kNN — same value range as the
+    * fixture embeddings (~[-0.3, 0.3]). */
+  val Q64: Array[Double] = Array.tabulate(Dim)(i => math.sin(i + 1.0) * 0.2)
+
+  /** Reciprocal diagonal of a synthetic covariance for Mahalanobis
+    * (reference stores the reciprocal diagonal too:
+    * vectordb/distance_metric.py:71-74). */
+  val InvDiag64: Array[Double] = Array.tabulate(Dim)(i => 1.0 / (1.0 + 0.05 * i))
+
+  /** English-ish stopword list for text analysis / language-ID heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for LLM-pipeline data curation (north-star
+  * extensions, BASELINE.json). Not present in the reference — built from
+  * the same relational primitives (SURVEY.md §2.2).
+  *
+  * Scale notes: exact dedup is a single hash-shuffle on a 16-byte digest
+  * (map-side partial aggregation applies); MinHash/SimHash candidate
+  * generation is linear scans + one shuffle on (band, signature) — never a
+  * cross join; only candidate pairs (a tiny fraction) get verified.
+  */
+object Dedup {
+
+  /** Stable 64-bit hash from md5 — identical in DuckDB via
+    * `('0x' || substr(md5(x),1,15))::BIGINT` (15 hex chars = 60 bits,
+    * non-negative, fits BIGINT in both engines). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  def md5LongSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Exact duplicate groups: content hash → group size + canonical (min) id. */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** Exact dedup: keep the min-id row of each identical-content group. */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Word w-shingles of a document (overlapping word n-grams), distinct. */
+  def shingles(textCol: Column, w: Int): Column = {
+    val words = split(textCol, " ")
+    // slide over word indices: shingle i = words[i..i+w-1] joined
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - w, lit(0))),
+          i => when(size(words) >= w, concat_ws(" ", slice(words, i + 1, lit(w))))),
+        s => s.isNotNull))
+  }
+
+  /** 32-bit stable hash from md5 (8 hex chars) — small enough that
+    * (a*h + b) with 30-bit coefficients never overflows a signed 64-bit
+    * int, in Spark OR DuckDB (DuckDB errors on BIGINT overflow). */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  def md5Int32Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** Deterministic universal-hash coefficients (a_j, b_j) for MinHash. */
+  def minHashCoeffs(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numHashes)(
+      (rnd.nextInt(1 << 30).toLong + 1L, rnd.nextInt(1 << 30).toLong))
+  }
+  val MinHashP = 2147483647L // 2^31 - 1
+
+  /** MinHash signatures: for each of `numHashes` permutations
+    * h_j(x) = (a_j * x + b_j) mod p over the 32-bit shingle hash, the min
+    * across the doc's shingles. Deterministic a/b from a fixed seed. */
+  def minHashSignature(docs: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleWidth)).as("shingle"))
+      .withColumn("h", md5Int32(col("shingle")))
+    val aggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinHashP))).as(s"mh_$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail.toSeq: _*)
+  }
+
+  /** LSH banding over minhash signatures: docs sharing any band land in the
+    * same bucket; same-bucket pairs are near-dup candidates. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh_$j")): _*).as("sig"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity between two token-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** SimHash: 64-bit signature where bit i is the sign of the sum over
+    * tokens of (+1 if bit i of token-hash set else -1). Near-dups have
+    * small Hamming distance. */
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", md5Long(col("w")))
+    val bitSums = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail.toSeq: _*)
+    val sig = (0 until 60).map { i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CRUD as snapshot algebra over immutable DataFrames — the batch
+  * re-expression of the reference's mutating API
+  * (insert: vectordb/kd_tree_database.py:262-270, delete: :278-283,
+  * update_position: :310-316, update_metadata: :324-328). Each op produces a
+  * NEW state DataFrame; the old snapshot stays valid, which also gives the
+  * reference's copy/immutability semantics (SURVEY.md §1.2) for free.
+  *
+  * Scale notes: deletes/upserts are key joins — Spark broadcasts the
+  * (small) mutation batch automatically under AQE, so the 100 TB state side
+  * never shuffles; inserts are a pure union (no shuffle at all).
+  */
+object Snapshot {
+
+  /** Batch insert = append. Caller assigns ids (monotonic id assignment for
+    * parity with the reference's counter: `row_number() + max(existing)`). */
+  def insert(state: DataFrame, rows: DataFrame): DataFrame =
+    state.unionByName(rows)
+
+  /** Batch delete by id. */
+  def delete(state: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    state.join(ids.select(idCol).distinct(), Seq(idCol), "left_anti")
+
+  /** Upsert: rows in `updates` replace same-id rows in `state`, new ids
+    * append. */
+  def upsert(state: DataFrame, updates: DataFrame, idCol: String): DataFrame =
+    state.join(updates.select(idCol).distinct(), Seq(idCol), "left_anti")
+      .unionByName(updates)
+
+  /** update_position: replace only the vector column for matched ids,
+    * keeping all other (metadata) columns from the old state — anti-join out
+    * the old rows, union the updated rows carrying old metadata
+    * (SURVEY.md §2.1 #5). */
+  def updatePosition(state: DataFrame, updates: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val replaced = state
+      .join(updates.select(col(idCol), col(vecCol).as("__new_vec")), Seq(idCol), "inner")
+      .withColumn(vecCol, col("__new_vec"))
+      .drop("__new_vec")
+    state.join(updates.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(replaced.select(state.columns.map(col).toSeq: _*))
+  }
+
+  /** update_metadata: left join + coalesce, vector untouched
+    * (SURVEY.md §2.1 #6). `updates` has (id, metaCol). */
+  def updateMetadata(state: DataFrame, updates: DataFrame, idCol: String, metaCol: String): DataFrame = {
+    val u = updates.select(col(idCol), col(metaCol).as("__new_meta"))
+    state.join(u, Seq(idCol), "left")
+      .withColumn(metaCol, coalesce(col("__new_meta"), col(metaCol)))
+      .drop("__new_meta")
+      .select(state.columns.map(col).toSeq: _*)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.core.Fixtures
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-pipeline curation (north-star
+  * extensions): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All built from codegen'd string/array
+  * functions — per-row, embarrassingly parallel, no shuffle until the
+  * (optional) final aggregation, so they stream over 100 TB of text.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (fixture text is single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  def nWords(text: Column): Column = size(words(text))
+
+  /** Count of stopword tokens — the basis of the language-ID heuristic. */
+  def nStopwords(text: Column, stops: Seq[String] = Fixtures.Stopwords): Column =
+    size(filter(words(text), w => w.isInCollection(stops)))
+
+  def stopwordRatio(text: Column): Column =
+    nStopwords(text).cast("double") / nWords(text).cast("double")
+
+  /** BPE-ish token estimate: whitespace tokens + ceil(chars/4) blended —
+    * the standard "~4 chars per token" heuristic, deterministic. */
+  def tokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / lit(4.0)).cast("long")
+
+  /** Mean word length (chars excluding separators / word count). */
+  def avgWordLen(text: Column): Column =
+    (length(text) - (nWords(text) - lit(1))).cast("double") / nWords(text).cast("double")
+
+  /** Quality score in [0,1]: blend of length saturation, stopword presence
+    * and word-length sanity — a deterministic stand-in for a trained
+    * classifier. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(10.0), lit(1.0))
+    val wlen = avgWordLen(text)
+    val wlenScore = when(wlen >= 3.0 && wlen <= 8.0, lit(1.0)).otherwise(lit(0.5))
+    (lenScore + stopScore + wlenScore) / lit(3.0)
+  }
+
+  /** n-gram-free language-ID heuristic: English stopword density. The
+    * fixture corpus is synthetic, so this pins the OPERATOR (deterministic
+    * classification), not linguistic accuracy. */
+  def langIdHeuristic(text: Column): Column =
+    when(stopwordRatio(text) >= 0.05, lit("en")).otherwise(lit("other"))
+
+  /** Content fingerprint: md5 of the lowercased text — used for exact-dup
+    * detection robust to case. A rolling/winnowing variant can be layered
+    * on the shingle machinery in [[Dedup.shingles]]. */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** Per-document feature table. */
+  def docFeatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      nWords(col(textCol)).as("n_words"),
+      length(col(textCol)).as("n_chars"),
+      tokenEstimate(col(textCol)).as("n_tokens_est"),
+      nStopwords(col(textCol)).as("n_stopwords"),
+      langIdHeuristic(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

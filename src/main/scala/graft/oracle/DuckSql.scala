@@ -1,0 +1,77 @@
+package graft.oracle
+
+/** Emits DuckDB SQL expression strings that compute EXACTLY the same IEEE
+  * double arithmetic as the Column expressions in `graft.functions.Distances`
+  * and `graft.index.Grid` — same casts, same operand order, same left-to-right
+  * association — so the driver's DuckDB-oracle hash compare matches
+  * bit-for-bit (SURVEY.md §7 "hard parts": float32 vectors, float64
+  * distances).
+  */
+object DuckSql {
+
+  /** Emit a double literal that DuckDB parses to the EXACT same double as
+    * Scala's. DuckDB types plain decimal literals as DECIMAL (arbitrary
+    * precision), which rounds high-precision values before the cast to
+    * DOUBLE — off by ULPs. A VARCHAR→DOUBLE cast is a correctly-rounded
+    * strtod of the shortest round-tripping repr, so it is bit-exact. */
+  def fmt(d: Double): String =
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+
+  def elem(col: String, i: Int): String = s"CAST($col[${i + 1}] AS DOUBLE)"
+
+  /** Σ (v_i - q_i)^2, left-assoc — mirrors Distances.squaredL2Lit. */
+  def squaredL2Lit(col: String, q: Array[Double]): String =
+    q.indices.map { i =>
+      val d = s"(${elem(col, i)} - (${fmt(q(i))}))"
+      s"($d * $d)"
+    }.mkString("(", " + ", ")")
+
+  def l1Lit(col: String, q: Array[Double]): String =
+    q.indices.map { i => s"ABS(${elem(col, i)} - (${fmt(q(i))}))" }
+      .mkString("(", " + ", ")")
+
+  def lInfLit(col: String, q: Array[Double]): String =
+    q.indices.map { i => s"ABS(${elem(col, i)} - (${fmt(q(i))}))" }
+      .mkString("GREATEST(", ", ", ")")
+
+  def mahalanobisDiagLit(col: String, q: Array[Double], invDiag: Array[Double]): String =
+    q.indices.map { i =>
+      val d = s"(${elem(col, i)} - (${fmt(q(i))}))"
+      s"(($d * $d) * (${fmt(invDiag(i))}))"
+    }.mkString("(", " + ", ")")
+
+  def dotLit(col: String, q: Array[Double]): String =
+    q.indices.map { i => s"(${elem(col, i)} * (${fmt(q(i))}))" }
+      .mkString("(", " + ", ")")
+
+  /** Mirrors Distances.cosineSimLit: dot / (sqrt(Σ v_i^2) * ||q||). */
+  def cosineSimLit(col: String, q: Array[Double]): String = {
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val vNormSq = q.indices.map { i => s"(${elem(col, i)} * ${elem(col, i)})" }
+      .mkString("(", " + ", ")")
+    s"(${dotLit(col, q)} / (SQRT($vNormSq) * (${fmt(qNorm)})))"
+  }
+
+  // ---- column vs column (pairwise) ----
+
+  def squaredL2Cols(a: String, b: String, dim: Int): String =
+    (0 until dim).map { i =>
+      val d = s"(${elem(a, i)} - ${elem(b, i)})"
+      s"($d * $d)"
+    }.mkString("(", " + ", ")")
+
+  def dotCols(a: String, b: String, dim: Int): String =
+    (0 until dim).map { i => s"(${elem(a, i)} * ${elem(b, i)})" }
+      .mkString("(", " + ", ")")
+
+  def cosineSimCols(a: String, b: String, dim: Int): String = {
+    def normSq(c: String) =
+      (0 until dim).map { i => s"(${elem(c, i)} * ${elem(c, i)})" }
+        .mkString("(", " + ", ")")
+    s"(${dotCols(a, b, dim)} / (SQRT(${normSq(a)}) * SQRT(${normSq(b)})))"
+  }
+
+  /** Table ref for a fixture table; the driver registers parquet files as
+    * views named after the table, but plain read_parquet also works. */
+  def table(name: String): String = name
+}

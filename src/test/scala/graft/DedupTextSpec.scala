@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("exact dedup: duplicated text collapses to one row, min id kept") {
+    val dup = docs.limit(2)
+      .unionByName(docs.limit(2).withColumn("doc_id", col("doc_id") + 1000000L))
+    val out = Dedup.exactDedup(dup)
+    assert(out.count() === 2)
+    assert(out.agg(max("doc_id")).collect()(0).getLong(0) < 1000000L)
+  }
+
+  test("shingles: n words -> n-w+1 distinct shingles (no dup words)") {
+    val df = Seq("a b c d e").toDF("text")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("s")).collect()(0).getSeq[String](0)
+    assert(sh.toSet === Set("a b c", "b c d", "c d e"))
+    val short = Seq("a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash: identical docs get identical signatures; signature within hash range") {
+    val two = docs.limit(1)
+      .unionByName(docs.limit(1).withColumn("doc_id", col("doc_id") + 7L))
+    val sig = Dedup.minHashSignature(two, "text", "doc_id", 3, 8).collect()
+    assert(sig.length === 2)
+    val a = (1 to 8).map(i => sig(0).getLong(i))
+    val b = (1 to 8).map(i => sig(1).getLong(i))
+    assert(a === b)
+    assert(a.forall(v => v >= 0 && v < Dedup.MinHashP))
+  }
+
+  test("lsh: identical docs are candidate pairs") {
+    val two = docs.limit(1)
+      .unionByName(docs.limit(1).withColumn("doc_id", col("doc_id") + 7L))
+    val sig = Dedup.minHashSignature(two, "text", "doc_id", 3, 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 8, 4).collect()
+    assert(pairs.length === 1)
+  }
+
+  test("simhash: identical docs identical sigs; hamming 0; different docs differ") {
+    val sub = docs.limit(3)
+    val sig = Dedup.simHash(sub.unionByName(sub.withColumn("doc_id", col("doc_id") + 100L)),
+      "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === sig(100L))
+    assert(sig(1L) === sig(101L))
+  }
+
+  test("jaccard: identical sets -> 1.0; disjoint -> 0.0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).collect().map(_.getDouble(0))
+    assert(j(0) === 1.0 && j(1) === 0.0)
+  }
+
+  test("text features: counts are consistent") {
+    val f = TextAnalysis.docFeatures(docs).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val nWords = r.getInt(r.fieldIndex("n_words"))
+      val nStop = r.getInt(r.fieldIndex("n_stopwords"))
+      assert(nWords > 0 && nStop >= 0 && nStop <= nWords)
+    }
+  }
+}
