@@ -3,7 +3,8 @@ package graft
 import graft.core.{Fixtures, Tables}
 import graft.functions.Distances
 import graft.index.{Grid, GridConfig}
-import graft.operators.{Dedup, Knn, KnnJoin, Snapshot, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, Dedup, Knn, KnnJoin, Snapshot, TextAnalysis}
 import graft.oracle.DuckSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -17,7 +18,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * hash compare matches exactly.
   */
 object SparkEntry {
-  import Fixtures.{Dim, InvDiag64, Q64, Stopwords}
+  import Fixtures.{Dim, InvDiag64, Planes16, Q64, Stopwords}
 
   private val K = 10
   /** Grid over the first 3 dims, 4 buckets each (64 cells) — fixture
@@ -220,6 +221,33 @@ object SparkEntry {
         .filter(col("jac") >= 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // --- ANN scale path (north star): IVF probe + vector-LSH near-dup
+    // ivf: approximate by construction at nprobe<nCentroids but fully
+    // deterministic; driver records a rows-only check (no oracle SQL —
+    // centroids are data-derived at runtime). Recall vs brute force is
+    // asserted in AnnSpec.
+    "ann_ivf_topk" -> ((s, d) => {
+      val db = emb(s, d)
+      val cents = Ann.sampleCentroids(db, 16)
+      Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
+    }),
+    "ann_lsh_neardup" -> ((s, d) =>
+      Ann.lshNearDupPairs(emb(s, d).filter(col("vec_id") % 5 === 0), Planes16, Dim, 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+    // --- multimodal plumbing (north star): binary payload + stub decode.
+    // Checksum/decode are JVM-side (mapPartitions) — rows-only check.
+    "media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
+        .toDF().orderBy(col("media_id"))),
+    // --- streaming-equivalent windowed aggregation (window() function; the
+    // streaming variant with watermark runs in StreamingSpec)
+    "stream_window_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("v_sum"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("v_sum"))
+        .orderBy(col("window_start"), col("event_type"))),
     "dedup_cosine_pairs" -> ((s, d) => {
       val ve = emb(s, d).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id"), col("embedding"))
@@ -380,6 +408,24 @@ object SparkEntry {
           |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 100 = 0) b
           |    ON a.doc_id < b.doc_id
           |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+      "ann_lsh_neardup" -> {
+        // sig = Σ 2^j over planes with dot(v, plane_j) >= 0; disjoint bits,
+        // so the arithmetic sum equals Spark's bitwiseOR fold.
+        def sigSql(c: String) = Planes16.zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN ${DuckSql.dotLit(c, p)} >= ${DuckSql.fmt(0.0)} THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString("(", " + ", ")")
+        val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
+        s"""SELECT id_a, id_b, cos_sim FROM (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cs AS cos_sim
+           |  FROM (SELECT vec_id, embedding AS a_embedding, ${sigSql("embedding")} AS sig FROM embeddings WHERE vec_id % 5 = 0) a
+           |  JOIN (SELECT vec_id, embedding AS b_embedding, ${sigSql("embedding")} AS sig FROM embeddings WHERE vec_id % 5 = 0) b
+           |    ON a.sig = b.sig AND a.vec_id < b.vec_id
+           |) WHERE cos_sim >= ${DuckSql.fmt(0.2)} ORDER BY id_a, id_b""".stripMargin
+      },
+      "stream_window_agg" ->
+        s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+           |  COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
+           |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
       "dedup_cosine_pairs" -> {
         val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
         s"""SELECT id_a, id_b, cos_sim FROM (

@@ -19,4 +19,11 @@ object Fixtures {
 
   /** English-ish stopword list for text analysis / language-ID heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Deterministic random hyperplanes for vector LSH (seeded; identical
+    * doubles feed both the Spark expressions and the oracle SQL literals). */
+  val Planes16: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(16)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video ride as opaque `BINARY`
+  * columns with typed metadata, processed per-partition in batches. The
+  * decode step is a clearly-marked deterministic STUB (no codec libraries
+  * in this environment); the Spark-side machinery — schema, batch shape,
+  * partition-parallel processing, feature schema — is real and tested, so a
+  * real decoder drops in by replacing [[stubDecode]] only.
+  *
+  * Scale: per-row independent work ⇒ embarrassingly parallel; binary
+  * payloads stay columnar in parquet; feature extraction streams partition
+  * by partition with no shuffle.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every binary payload. */
+  final case class MediaMeta(media_id: Long, kind: String, declaredBytes: Long)
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, width: Int, height: Int, n_frames: Int)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic fake "decode": derives pseudo width/height/frames from
+    * the payload bytes. STUB — replace with a real codec (e.g. javax.imageio
+    * / ffmpeg bindings) in production; signature and batch shape stay. */
+  def stubDecode(payload: Array[Byte], kind: String): (Int, Int, Int) = {
+    val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    val w = 16 + math.floorMod(h, 1024).toInt
+    val ht = 16 + math.floorMod(h >> 10, 1024).toInt
+    val frames = kind match {
+      case "video" => 1 + math.floorMod(h >> 20, 300).toInt
+      case "audio" => 1 + math.floorMod(h >> 20, 48000).toInt
+      case _ => 1
+    }
+    (w, ht, frames)
+  }
+
+  /** Partition-parallel feature extraction over (media_id, kind, payload)
+    * rows. Batch shape: one partition = one iterator pass, constant memory.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val checksum = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+          val (w, h, f) = stubDecode(payload, kind)
+          MediaFeatures(id, kind, payload.length.toLong, checksum, w, h, f)
+        }
+      }
+  }
+
+  /** Build a synthetic media table from the documents fixture (text bytes
+    * as payload) — exercises the binary plumbing end-to-end with real
+    * columnar binary data. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("kind"),
+      col("text").cast(BinaryType).as("payload"))
+
+  /** Frame sampling plan for video-ish payloads: every `stride`-th frame
+    * index — pure plan, no decode. */
+  def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.filter(_.kind == "video")
+      .select(col("media_id"), col("n_frames"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.Distances
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbor — the scale path for similarity search
+  * over 100 TB embedding stores, complementing the exact grid-pruned kNN
+  * (which degrades at high dimension; the fixture vectors are 64-dim where
+  * an equal-width grid over leading dims prunes poorly).
+  *
+  * Two public-textbook families:
+  *  - IVF (inverted-file): coarse-quantize every vector to its nearest
+  *    centroid; queries probe only the `nprobe` nearest centroid cells.
+  *    Centroids here are a deterministic data sample (k-means-free), kept
+  *    small and broadcast; the cell assignment is a codegen'd argmin
+  *    expression, the store is partitioned by `ivf_cell`, and a probe scans
+  *    nprobe/nCentroids of the data — file-level pruning at scale.
+  *  - Random-hyperplane LSH (vector SimHash): sign-bit signature over
+  *    deterministic hyperplanes; same-bucket vectors are near-dup
+  *    candidates verified by exact cosine — linear scan + one shuffle on
+  *    the signature, never a cross join.
+  */
+object Ann {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Signature column: bit j = 1 iff dot(v, plane_j) >= 0. */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(Distances.dotLit(v, p) >= 0.0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Near-dup candidate pairs: same LSH signature (all bits equal). For
+    * banded multi-probe, call with slices of the planes and union. */
+  def lshCandidatePairs(db: DataFrame, planes: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = db.select(col(idCol), col(vecCol))
+      .withColumn("lsh_sig", lshSignature(col(vecCol), planes))
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("lsh_sig"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("lsh_sig"))
+    a.join(b, Seq("lsh_sig")).filter(col("id_a") < col("id_b"))
+  }
+
+  /** Candidate pairs + exact cosine verification in one pass. */
+  def lshNearDupPairs(db: DataFrame, planes: Array[Array[Double]], dim: Int,
+      minCosine: Double): DataFrame =
+    lshCandidatePairs(db, planes)
+      .withColumn("cos_sim", Distances.cosineSimCols(col("vec_a"), col("vec_b"), dim))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic centroid pick: every (n/k)-th row by id — a uniform
+    * sample without randomness (stable across engines and runs). At scale,
+    * replace with sampled k-means|| over one pass; the interface is just
+    * the centroid array. */
+  def sampleCentroids(db: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val n = db.count()
+    val stride = math.max(1L, n / nCentroids)
+    db.filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
+  /** argmin-centroid assignment as a single codegen'd expression:
+    * array_min over (dist, idx) structs — struct ordering compares dist
+    * first, idx breaks ties deterministically. */
+  def ivfCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    val entries = centroids.zipWithIndex.map { case (c, j) =>
+      struct(Distances.squaredL2Lit(v, c).as("d"), lit(j).as("i"))
+    }
+    array_min(array(entries: _*)).getField("i")
+  }
+
+  /** Add the `ivf_cell` column (persist with partitionBy("ivf_cell")). */
+  def assign(db: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    db.withColumn("ivf_cell", ivfCell(col(vecCol), centroids))
+
+  /** ANN search: probe the nprobe nearest centroid cells, exact top-k
+    * inside them (TakeOrderedAndProject under the pruned scan). */
+  def search(assigned: DataFrame, centroids: Array[Array[Double]],
+      q: Array[Double], k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, j) => (Distances.squaredL2(q, c), j) }
+      .sortBy(identity).take(nprobe).map(_._2)
+    assigned
+      .filter(col("ivf_cell").isin(probeCells: _*))
+      .withColumn("dist", Distances.squaredL2Lit(col(vecCol), q))
+      .select(col(idCol), col("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -72,7 +72,7 @@ object Knn {
 
     val cellCounts: Map[Long, Long] = cellCountsCache.getOrElse {
       indexed.groupBy("cell_id").count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
     }
     if (cellCounts.isEmpty) return Seq.empty // empty DB → empty result (tests:70-77)
 

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.index.{Grid, GridConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest for the vector store and the events table.
+  * The reference is strictly batch-synchronous (SURVEY.md §2.2 streaming:
+  * none), so this is the engine's streaming extension: micro-batch appends
+  * via `foreachBatch` running the same snapshot algebra as the batch path,
+  * plus watermarked windowed aggregation over event streams.
+  *
+  * Scale: `foreachBatch` appends are cell-bucketed before the write, so the
+  * persisted store stays partition-pruned; the windowed aggregate is
+  * incremental state in the streaming state store (no full recompute).
+  */
+object StreamingIngest {
+
+  /** Micro-batch append of vector rows into a cell-partitioned parquet
+    * store — each batch is bucketed with the same `cellId` expression as
+    * the batch index build, so readers get identical pruning. */
+  def vectorIngest(stream: DataFrame, cfg: GridConfig, storePath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("cell_id", Grid.cellId(col("embedding"), cfg))
+          .repartition(col("cell_id"))
+          .write.mode("append").partitionBy("cell_id").parquet(storePath)
+      }
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * per (window, event_type) counts and value sums; late rows beyond the
+    * watermark are dropped. */
+  def windowedEventStats(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("v_sum"))
+
+  /** Run a streaming query over a bounded source to completion (test/demo
+    * helper: `processAllAvailable` drains everything then returns). */
+  def runToCompletion(writer: DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.core.{Fixtures, Tables}
+import graft.functions.Distances
+import graft.operators.{Ann, Knn}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpecBase {
+  import Fixtures._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  test("IVF: full probe (nprobe = nCentroids) is exact") {
+    val cents = Ann.sampleCentroids(emb, 8)
+    val assigned = Ann.assign(emb, cents).cache()
+    val ivf = Ann.search(assigned, cents, Q64, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Knn.bruteForce(emb, Distances.squaredL2Lit(col("embedding"), Q64), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
+  test("IVF: partial probe achieves reasonable recall@10") {
+    val cents = Ann.sampleCentroids(emb, 16)
+    val assigned = Ann.assign(emb, cents).cache()
+    val ivf = Ann.search(assigned, cents, Q64, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Knn.bruteForce(emb, Distances.squaredL2Lit(col("embedding"), Q64), 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ivf & brute).size / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("IVF cell assignment covers all rows exactly once") {
+    val cents = Ann.sampleCentroids(emb, 8)
+    val assigned = Ann.assign(emb, cents)
+    assert(assigned.count() === emb.count())
+    val cells = assigned.select("ivf_cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
+  test("LSH: identical vectors always collide; near-dup pairs verified by cosine") {
+    val dup = emb.limit(5)
+      .unionByName(emb.limit(5).withColumn("vec_id", col("vec_id") + 10000L))
+    val pairs = Ann.lshNearDupPairs(dup, Planes16, Dim, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each of the 5 originals pairs with its copy
+    assert(pairs.length >= 5)
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 10000L)))
+    }
+  }
+
+  test("LSH signature is deterministic and bucket join never cross-joins different sigs") {
+    val sigA = emb.select(Ann.lshSignature(col("embedding"), Planes16)).collect().map(_.getLong(0))
+    val sigB = emb.select(Ann.lshSignature(col("embedding"), Planes16)).collect().map(_.getLong(0))
+    assert(sigA.sameElements(sigB))
+  }
+}

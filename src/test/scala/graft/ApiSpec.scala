@@ -1,0 +1,77 @@
+package graft
+
+import graft.api.{L1, SquaredL2, VectorDatabase}
+import graft.core.{Fixtures, Tables}
+import org.apache.spark.sql.functions._
+
+/** The reference VectorDatabase contract exercised through the typed facade
+  * (reference: vectordb/database.py:18-64, tests/test_kd_tree_database.py). */
+class ApiSpec extends SparkSpecBase {
+  import Fixtures._
+
+  private lazy val db = VectorDatabase.fromDataFrame(
+    spark, Tables.embeddings(spark, sfDir), SparkEntry.gridCfg)
+
+  test("dim / count / treeDepth accessors") {
+    assert(db.dim === 64)
+    assert(db.count() === 500)
+    assert(db.treeDepth === 3)
+  }
+
+  test("insert assigns fresh monotonic ids; old snapshot unchanged") {
+    val rows = Tables.embeddings(spark, sfDir).limit(3).drop("vec_id")
+    val (db2, ids) = db.insert(rows)
+    assert(db2.count() === 503)
+    assert(db.count() === 500)
+    val assigned = ids.collect().map(_.getLong(0)).sorted
+    assert(assigned.toSeq === Seq(500L, 501L, 502L)) // maxId 499 → next 500
+  }
+
+  test("getEntry finds a row; missing id is None (kd_tree_database.py:272-276)") {
+    assert(db.getEntry(42L).isDefined)
+    assert(db.getEntry(999999L).isEmpty)
+  }
+
+  test("delete removes; kNN no longer finds it") {
+    val row = db.getEntry(7L).get
+    val q = row.getSeq[Float](row.fieldIndex("embedding")).map(_.toDouble).toArray
+    val before = db.findKNearestNeighbors(q, 1)
+    assert(before.head.vec_id === 7L && before.head.dist === 0.0)
+    val db2 = db.delete(Seq(7L))
+    assert(db2.count() === 499)
+    val after = db2.findKNearestNeighbors(q, 1)
+    assert(after.head.vec_id !== 7L)
+  }
+
+  test("updatePosition moves a vector to a new cell and kNN finds it there") {
+    val updates = db.state.filter(col("vec_id") === 11)
+      .drop("cell_id")
+      .withColumn("embedding", array((0 until 64).map(_ => lit(0.55f)): _*))
+    val db2 = db.updatePosition(updates)
+    val res = db2.findKNearestNeighbors(Array.fill(64)(0.55), 1)
+    assert(res.head.vec_id === 11L)
+    assert(res.head.dist < 1e-10)
+  }
+
+  test("findKNearestNeighbors honors filter and non-default metric") {
+    val res = db.findKNearestNeighbors(Q64, 5, filter = Some(col("label") === 2),
+      metric = Some(L1))
+    assert(res.size === 5)
+    assert(res.forall(_.label === 2))
+    // matches brute force under L1
+    val brute = operators.Knn.bruteForce(db.scan(),
+      functions.Distances.l1Lit(col("embedding"), Q64), 5, pred = Some(col("label") === 2))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(res.map(n => (n.vec_id, n.dist)) === brute)
+  }
+
+  test("save/load round-trips through cell-partitioned parquet") {
+    val path = java.nio.file.Files.createTempDirectory("graftdb").toString + "/store"
+    db.save(path)
+    val db2 = VectorDatabase.load(spark, path, SparkEntry.gridCfg)
+    assert(db2.count() === db.count())
+    val res = db2.findKNearestNeighbors(Q64, 3)
+    val orig = db.findKNearestNeighbors(Q64, 3)
+    assert(res.map(_.vec_id) === orig.map(_.vec_id))
+  }
+}
