@@ -4,7 +4,7 @@ import graft.core.{Fixtures, Tables}
 import graft.functions.Distances
 import graft.index.{Grid, GridConfig}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Dedup, Knn, KnnJoin, Snapshot, TextAnalysis}
+import graft.operators.{Ann, AsOfJoin, Dedup, Knn, KnnJoin, Snapshot, TextAnalysis}
 import graft.oracle.DuckSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -201,6 +201,24 @@ object SparkEntry {
     // --- text analysis (north star)
     "text_features" -> ((s, d) =>
       TextAnalysis.docFeatures(docs(s, d)).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.avgWordLen(col("text")).as("avg_word_len"))
+        .orderBy(col("doc_id"))),
+    "text_winnow_fingerprints" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(docs(s, d).filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"), col("fp"))),
+    // --- as-of join (SURVEY §2.2 joins row: point-in-time enrichment)
+    "asof_join_events_orders" -> ((s, d) =>
+      AsOfJoin.asOf(
+        Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        keyL = "user_id", keyR = "o_custkey", timeL = "ts", timeR = "o_orderdate",
+        payloadR = Seq("o_orderkey", "o_totalprice"), tiebreakR = "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))),
     // --- dedup (north star)
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactDupGroups(docs(s, d)).orderBy(col("content_hash"))),
@@ -211,6 +229,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHash(docs(s, d).filter(col("doc_id") % 20 === 0), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    "dedup_minhash_lsh_pairs" -> ((s, d) =>
+      Dedup.minHashLshNearDupPairs(docs(s, d),
+          "text", "doc_id", shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_jaccard_pairs" -> ((s, d) => {
       val ws = docs(s, d).filter(col("doc_id") % 100 === 0)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
@@ -232,7 +254,8 @@ object SparkEntry {
       Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
     }),
     "ann_lsh_neardup" -> ((s, d) =>
-      Ann.lshNearDupPairs(emb(s, d).filter(col("vec_id") % 5 === 0), Planes16, Dim, 0.2)
+      Ann.lshBandedNearDupPairs(emb(s, d).filter(col("vec_id") % 5 === 0), Planes16, Dim,
+          bandBits = 4, minCosine = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
     // --- multimodal plumbing (north star): binary payload + stub decode.
     // Checksum/decode are JVM-side (mapPartitions) — rows-only check.
@@ -371,6 +394,85 @@ object SparkEntry {
            |  md5(lower(text)) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin
       },
+      "text_quality" -> {
+        val nw = nWordsSql("text"); val ns = nStopSql("text")
+        s"""SELECT doc_id,
+           |  ((LEAST(chars / 500.0, 1.0) + LEAST((nsd / nwd) * 10.0, 1.0))
+           |    + CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality,
+           |  awl AS avg_word_len
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS chars,
+           |    CAST($nw AS DOUBLE) AS nwd,
+           |    CAST($ns AS DOUBLE) AS nsd,
+           |    CAST(length(text) - ($nw - 1) AS DOUBLE) / CAST($nw AS DOUBLE) AS awl
+           |  FROM documents
+           |) ORDER BY doc_id""".stripMargin
+      },
+      "text_winnow_fingerprints" ->
+        """SELECT doc_id, fp FROM (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(hs) >= 5 THEN list_distinct(list_transform(range(0, len(hs) - 4), j -> list_min(hs[j+1:j+5])))
+          |         WHEN len(hs) > 0 THEN [list_min(hs)]
+          |         ELSE CAST([] AS BIGINT[]) END) AS fp
+          |  FROM (
+          |    SELECT doc_id, list_filter(
+          |      list_transform(range(0, greatest(len(w) - 4, 0) + 1),
+          |        i -> CASE WHEN len(w) >= 4 THEN CAST(('0x' || substr(md5(array_to_string(w[i+1:i+4], ' ')), 1, 8)) AS BIGINT) END),
+          |      h -> h IS NOT NULL) AS hs
+          |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0)
+          |  )
+          |) ORDER BY doc_id, fp""".stripMargin,
+      "asof_join_events_orders" ->
+        """SELECT event_id, user_id, event_type, o_orderkey, o_totalprice FROM (
+          |  SELECT event_id, user_id, event_type, side,
+          |    last_value(pk IGNORE NULLS) OVER w AS o_orderkey,
+          |    last_value(pv IGNORE NULLS) OVER w AS o_totalprice
+          |  FROM (
+          |    SELECT event_id, user_id AS k, ts AS t, 1 AS side, CAST(NULL AS BIGINT) AS tb,
+          |           user_id, event_type, CAST(NULL AS BIGINT) AS pk, CAST(NULL AS DOUBLE) AS pv
+          |    FROM events
+          |    UNION ALL
+          |    SELECT CAST(NULL AS BIGINT), o_custkey, o_orderdate, 0, o_orderkey,
+          |           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), o_orderkey, o_totalprice
+          |    FROM orders
+          |  )
+          |  WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |) WHERE side = 1 ORDER BY event_id""".stripMargin,
+      "dedup_minhash_lsh_pairs" -> {
+        val mins = Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.MinHashP}) AS mh_$j"
+        }.mkString(",\n    ")
+        val bandSelects = (0 until 4).map { b =>
+          val keyExpr = (b * 2 until b * 2 + 2).map(j => s"CAST(mh_$j AS VARCHAR)")
+            .mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $keyExpr AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val ssetExpr = "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
+        s"""WITH sig AS (
+           |  SELECT doc_id, $mins
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+           |      SELECT doc_id, unnest($ssetExpr) AS shingle
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |    )
+           |  ) GROUP BY doc_id
+           |), buckets AS (
+           |  $bandSelects
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), sets AS (
+           |  SELECT doc_id, $ssetExpr AS sset
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |)
+           |SELECT id_a, id_b, jac FROM (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
+           |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
+           |) WHERE jac >= ${DuckSql.fmt(0.5)} ORDER BY id_a, id_b""".stripMargin
+      },
       "dedup_exact_groups" ->
         "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id FROM documents GROUP BY content_hash ORDER BY content_hash",
       "dedup_minhash_signatures" -> {
@@ -409,18 +511,29 @@ object SparkEntry {
           |    ON a.doc_id < b.doc_id
           |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
       "ann_lsh_neardup" -> {
-        // sig = Σ 2^j over planes with dot(v, plane_j) >= 0; disjoint bits,
-        // so the arithmetic sum equals Spark's bitwiseOR fold.
-        def sigSql(c: String) = Planes16.zipWithIndex.map { case (p, j) =>
-          s"(CASE WHEN ${DuckSql.dotLit(c, p)} >= ${DuckSql.fmt(0.0)} THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        }.mkString("(", " + ", ")")
-        val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
-        s"""SELECT id_a, id_b, cos_sim FROM (
-           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cs AS cos_sim
-           |  FROM (SELECT vec_id, embedding AS a_embedding, ${sigSql("embedding")} AS sig FROM embeddings WHERE vec_id % 5 = 0) a
-           |  JOIN (SELECT vec_id, embedding AS b_embedding, ${sigSql("embedding")} AS sig FROM embeddings WHERE vec_id % 5 = 0) b
-           |    ON a.sig = b.sig AND a.vec_id < b.vec_id
-           |) WHERE cos_sim >= ${DuckSql.fmt(0.2)} ORDER BY id_a, id_b""".stripMargin
+        // Band sig = Σ 2^j over the band's planes with dot(v, plane_j) >= 0
+        // (j is the LOCAL bit index, matching Ann.lshSignature on the plane
+        // slice); disjoint bits, so the sum equals Spark's bitwiseOR fold.
+        def bandSigSql(c: String, b: Int) =
+          Planes16.slice(b * 4, b * 4 + 4).zipWithIndex.map { case (p, j) =>
+            s"(CASE WHEN ${DuckSql.dotLit(c, p)} >= ${DuckSql.fmt(0.0)} THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }.mkString("(", " + ", ")")
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT vec_id, $b AS band, ${bandSigSql("embedding", b)} AS sig FROM embeddings WHERE vec_id % 5 = 0"
+        }.mkString("\n  UNION ALL ")
+        val cs = DuckSql.cosineSimCols("ea.embedding", "eb.embedding", Dim)
+        s"""WITH buckets AS (
+           |  $bandSelects
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+           |)
+           |SELECT id_a, id_b, cos_sim FROM (
+           |  SELECT id_a, id_b, $cs AS cos_sim
+           |  FROM cand
+           |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+           |  JOIN embeddings eb ON eb.vec_id = cand.id_b
+           |) WHERE cos_sim >= ${DuckSql.fmt(0.35)} ORDER BY id_a, id_b""".stripMargin
       },
       "stream_window_agg" ->
         s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,

@@ -54,6 +54,32 @@ object Ann {
       .filter(col("cos_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
 
+  /** Banded LSH near-dup: split `planes` into bands of `bandBits`; vectors
+    * colliding in ANY band are candidates (OR-amplification — recall rises
+    * with band count, candidate volume with 2^-bandBits), deduped on the
+    * pair key, then verified by exact cosine. Candidate generation is a
+    * linear scan + one shuffle on (band, sig) — never a cross join. At
+    * 100 TB use 8–16 bits/band so random collisions stay rare; 4 bits here
+    * keeps the 500-row fixture non-degenerate. */
+  def lshBandedNearDupPairs(db: DataFrame, planes: Array[Array[Double]], dim: Int,
+      bandBits: Int, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bandCols = planes.grouped(bandBits).toArray.zipWithIndex.map { case (ps, b) =>
+      struct(lit(b).as("band"), lshSignature(col(vecCol), ps).as("sig"))
+    }
+    val buckets = db
+      .select(col(idCol), col(vecCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("band"), col("sig"))
+    val b = buckets.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim", Distances.cosineSimCols(col("vec_a"), col("vec_b"), dim))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   // ------------------------------------------------------------------- IVF
 
   /** Deterministic centroid pick: every (n/k)-th row by id — a uniform

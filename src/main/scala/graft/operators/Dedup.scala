@@ -101,6 +101,39 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Full MinHash-LSH near-dup pipeline (shingle → minhash → band →
+    * bucket-join → exact-Jaccard verify), engine-portable: band keys are
+    * the concatenated minhash values of the band (not murmur3), so the
+    * DuckDB oracle reproduces them exactly.
+    *
+    * Scale: candidate generation is linear scans + ONE shuffle on
+    * (band, key); only same-bucket pairs (a vanishing fraction at 100 TB)
+    * reach the exact-Jaccard verification join. Never a cross join.
+    */
+  def minHashLshNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sig = minHashSignature(docs, textCol, idCol, shingleWidth, numHashes)
+    val rpb = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (b * rpb until (b + 1) * rpb).map(j => col(s"mh_$j")): _*).as("bkey"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sets = docs.select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("set_a"), col("set_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of (+1 if bit i of token-hash set else -1). Near-dups have
     * small Hamming distance. */

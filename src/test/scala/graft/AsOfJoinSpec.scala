@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, 100L, ts("2024-01-01 10:00:00")), // after r1
+    (2L, 100L, ts("2024-01-01 12:00:00")), // exactly at r2 -> r2 visible
+    (3L, 100L, ts("2024-01-01 09:00:00")), // before any right row -> null
+    (4L, 200L, ts("2024-01-02 00:00:00")), // other key
+    (5L, 300L, ts("2024-01-01 10:00:00"))  // key with no right rows -> null
+  ).toDF("eid", "k", "t")
+
+  private lazy val right = Seq(
+    (10L, 100L, ts("2024-01-01 09:30:00"), 1.0),
+    (11L, 100L, ts("2024-01-01 12:00:00"), 2.0),
+    (12L, 100L, ts("2024-01-01 12:00:00"), 3.0), // same time as 11: max tiebreak (12) wins
+    (20L, 200L, ts("2024-01-01 23:00:00"), 4.0)
+  ).toDF("rid", "rk", "rt", "payload")
+
+  private lazy val result = AsOfJoin.asOf(left, right,
+      keyL = "k", keyR = "rk", timeL = "t", timeR = "rt",
+      payloadR = Seq("rid", "payload"), tiebreakR = "rid")
+    .select("eid", "rid", "payload").collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+  test("asof picks the latest right row at or before left time") {
+    assert(result(1L) == 10L)
+    assert(result(4L) == 20L)
+  }
+
+  test("right row at exactly the left time is visible; max tiebreak wins ties") {
+    assert(result(2L) == 12L)
+  }
+
+  test("no preceding right row (or unseen key) attaches null") {
+    assert(result(3L) == -1L)
+    assert(result(5L) == -1L)
+  }
+
+  test("attached payload fields come from the same right row (struct atomicity)") {
+    val full = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+      Seq("rid", "payload"), "rid")
+    val row = full.filter(col("eid") === 2L).select("rid", "payload").head()
+    assert(row.getLong(0) == 12L && row.getDouble(1) == 3.0)
+  }
+}

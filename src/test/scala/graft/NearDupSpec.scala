@@ -1,0 +1,58 @@
+package graft
+
+import graft.core.Fixtures
+import graft.operators.{Ann, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** New near-dup / fingerprint operators: banded vector LSH, full
+  * MinHash-LSH pipeline, winnowing fingerprints. */
+class NearDupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash-lsh pipeline: exact dup always pairs; near-dup found; unrelated not") {
+    val pairs = Dedup.minHashLshNearDupPairs(docs, "text", "doc_id",
+        shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))      // identical docs: all bands collide, jac = 1
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dups share most shingles
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: identical docs share all fingerprints; overlap detected; local to content") {
+    val fps = TextAnalysis.winnowFingerprints(docs, k = 4, win = 5)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) == fps(4L))
+    assert((fps(1L) & fps(2L)).nonEmpty)        // shared prefix run -> shared fingerprint
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
+  test("winnowing: short doc (fewer shingles than window) still fingerprints") {
+    val short = Seq((9L, "just five words right here")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(short, k = 4, win = 5).collect()
+    assert(fps.length >= 1)
+  }
+
+  test("banded LSH: identical vectors collide in every band; verified pairs meet threshold") {
+    val v = Array.fill(Fixtures.Dim)(0.3f)
+    val w = Array.tabulate(Fixtures.Dim)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val db = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Ann.lshBandedNearDupPairs(db, Fixtures.Planes16, Fixtures.Dim,
+        bandBits = 4, minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("banded LSH pairs are deduped across bands (no duplicate pair rows)") {
+    val v = Array.fill(Fixtures.Dim)(0.5f)
+    val db = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
+    val rows = Ann.lshBandedNearDupPairs(db, Fixtures.Planes16, Fixtures.Dim, 4, 0.5).collect()
+    assert(rows.length == 1)
+  }
+}
