@@ -4,7 +4,7 @@ import graft.core.{Fixtures, Tables}
 import graft.functions.Distances
 import graft.index.{Grid, GridConfig}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, AsOfJoin, Dedup, Knn, KnnJoin, Snapshot, TextAnalysis}
+import graft.operators.{Ann, AsOfJoin, Dedup, Knn, KnnJoin, KnnTopK, Snapshot, TextAnalysis}
 import graft.oracle.DuckSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -95,6 +95,12 @@ object SparkEntry {
         emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
         emb(s, d), k = 3, dim = Dim)
         .orderBy(col("query_id"), col("rn"))),
+    // skew-safe variant: bounded top-k Aggregator (map-side partial top-k)
+    "knn_join_l2_agg" -> ((s, d) =>
+      KnnTopK.join(
+        emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        emb(s, d), k = 3, dim = Dim)
+        .orderBy(col("query_id"), col("rn"))),
     // --- point ops / scans (SURVEY §2.1 #7-9)
     "point_lookup" -> ((s, d) =>
       emb(s, d).filter(col("vec_id") === 42).select(col("vec_id"), col("label"))),
@@ -160,6 +166,32 @@ object SparkEntry {
         .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("r_name"), col("n_name"))),
+    // rollup: partial-aggregate-friendly subtotal lattice (null grouping
+    // slots replaced with a sentinel so both engines emit identical rows)
+    "agg_rollup_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+    // range join: orders against a tiny literal band table — broadcast
+    // nested-loop on the range predicate, then aggregate per band. The
+    // small side is O(bands); at 100 TB the big side streams map-side.
+    "range_join_price_bands" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("b0_lt50k", 0.0, 50000.0), ("b1_50k_100k", 50000.0, 100000.0),
+        ("b2_100k_200k", 100000.0, 200000.0), ("b3_ge200k", 200000.0, 1e18))
+        .toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("band"))
+    }),
     "window_top_orders_per_customer" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -302,6 +334,18 @@ object SparkEntry {
     val e = "embedding"
     val sq = DuckSql.squaredL2Lit(e, Q64)
     val revenue = drevenueSql("l_extendedprice", "l_discount")
+    val knnJoinSql = {
+      val pd = DuckSql.squaredL2Cols("q_embedding", "embedding", Dim)
+      s"""SELECT query_id, vec_id, dist, CAST(rn AS INT) AS rn FROM (
+         |  SELECT query_id, vec_id, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, d.vec_id AS vec_id, $pd AS dist
+         |    FROM (SELECT vec_id, embedding AS q_embedding FROM embeddings WHERE vec_id < 5) q
+         |    CROSS JOIN embeddings d
+         |  )
+         |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+    }
     Map(
       "knn_l2_brute" -> knnSql(sq, K),
       "knn_l2_filtered" -> knnSql(sq, K, "WHERE label = 3"),
@@ -312,18 +356,8 @@ object SparkEntry {
       "knn_l2_pruned_filtered" -> knnSql(sq, K, "WHERE label = 3"),
       "sim_cosine_topk" ->
         s"SELECT vec_id, label, ${DuckSql.cosineSimLit(e, Q64)} AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT $K",
-      "knn_join_l2" -> {
-        val pd = DuckSql.squaredL2Cols("q_embedding", "embedding", Dim)
-        s"""SELECT query_id, vec_id, dist, CAST(rn AS INT) AS rn FROM (
-           |  SELECT query_id, vec_id, dist,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
-           |  FROM (
-           |    SELECT q.vec_id AS query_id, d.vec_id AS vec_id, $pd AS dist
-           |    FROM (SELECT vec_id, embedding AS q_embedding FROM embeddings WHERE vec_id < 5) q
-           |    CROSS JOIN embeddings d
-           |  )
-           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
-      },
+      "knn_join_l2" -> knnJoinSql,
+      "knn_join_l2_agg" -> knnJoinSql,
       "point_lookup" -> "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",
       "count_rows" -> "SELECT COUNT(*) AS n_rows FROM embeddings",
       "full_scan" -> "SELECT vec_id, label FROM embeddings ORDER BY vec_id",
@@ -360,6 +394,19 @@ object SparkEntry {
            |JOIN nation ON c_nationkey = n_nationkey
            |JOIN region ON n_regionkey = r_regionkey
            |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      "agg_rollup_pricing" ->
+        s"""SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
+           |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+      "range_join_price_bands" ->
+        s"""SELECT band, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders
+           |JOIN (VALUES ('b0_lt50k', ${DuckSql.fmt(0.0)}, ${DuckSql.fmt(50000.0)}),
+           |             ('b1_50k_100k', ${DuckSql.fmt(50000.0)}, ${DuckSql.fmt(100000.0)}),
+           |             ('b2_100k_200k', ${DuckSql.fmt(100000.0)}, ${DuckSql.fmt(200000.0)}),
+           |             ('b3_ge200k', ${DuckSql.fmt(200000.0)}, ${DuckSql.fmt(1e18)})) AS bands(band, lo, hi)
+           |  ON o_totalprice >= lo AND o_totalprice < hi
+           |GROUP BY band ORDER BY band""".stripMargin,
       "window_top_orders_per_customer" ->
         """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,

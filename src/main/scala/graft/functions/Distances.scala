@@ -30,51 +30,75 @@ object Distances {
 
   private def e(v: Column, i: Int): Column = element_at(v, i + 1).cast(DoubleType)
 
-  // ---- column vs literal query vector ----
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
-  def squaredL2Lit(v: Column, q: Array[Double]): Column =
-    q.indices.map { i => val d = e(v, i) - lit(q(i)); d * d }.reduce(_ + _)
+  private def vmLit(v: Column, m: String, q: Array[Double], w: Array[Double] = null): Column =
+    toCol(VecMetricLit(toExpr(v), m, q, w))
+  private def vmCols(a: Column, b: Column, m: String, dim: Int): Column =
+    toCol(VecMetricCols(toExpr(a), toExpr(b), m, dim))
 
-  def l1Lit(v: Column, q: Array[Double]): Column =
-    q.indices.map { i => abs(e(v, i) - lit(q(i))) }.reduce(_ + _)
+  // ---- column vs literal query vector (native loop expressions; the
+  // unrolled Column forms below are kept as the in-suite parity oracle) ----
 
-  def lInfLit(v: Column, q: Array[Double]): Column = {
-    val terms = q.indices.map { i => abs(e(v, i) - lit(q(i))) }
-    greatest(terms: _*)
-  }
+  def squaredL2Lit(v: Column, q: Array[Double]): Column = vmLit(v, VecMetric.SqL2, q)
+
+  def l1Lit(v: Column, q: Array[Double]): Column = vmLit(v, VecMetric.L1, q)
+
+  def lInfLit(v: Column, q: Array[Double]): Column = vmLit(v, VecMetric.LInf, q)
 
   def mahalanobisDiagLit(v: Column, q: Array[Double], invDiag: Array[Double]): Column =
-    q.indices.map { i => val d = e(v, i) - lit(q(i)); d * d * lit(invDiag(i)) }.reduce(_ + _)
+    vmLit(v, VecMetric.Maha, q, invDiag)
 
-  def dotLit(v: Column, q: Array[Double]): Column =
-    q.indices.map { i => e(v, i) * lit(q(i)) }.reduce(_ + _)
+  def dotLit(v: Column, q: Array[Double]): Column = vmLit(v, VecMetric.Dot, q)
 
   /** Cosine similarity (not distance): dot / (||a|| * ||q||). */
-  def cosineSimLit(v: Column, q: Array[Double]): Column = {
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val vNormSq = q.indices.map { i => e(v, i) * e(v, i) }.reduce(_ + _)
-    dotLit(v, q) / (sqrt(vNormSq) * lit(qNorm))
-  }
+  def cosineSimLit(v: Column, q: Array[Double]): Column = vmLit(v, VecMetric.Cosine, q)
 
   // ---- column vs column (pairwise / join form) ----
 
   def squaredL2Cols(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map { i => val d = e(a, i) - e(b, i); d * d }.reduce(_ + _)
+    vmCols(a, b, VecMetric.SqL2, dim)
 
-  def l1Cols(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map { i => abs(e(a, i) - e(b, i)) }.reduce(_ + _)
+  def l1Cols(a: Column, b: Column, dim: Int): Column = vmCols(a, b, VecMetric.L1, dim)
 
-  def lInfCols(a: Column, b: Column, dim: Int): Column =
-    greatest((0 until dim).map { i => abs(e(a, i) - e(b, i)) }: _*)
+  def lInfCols(a: Column, b: Column, dim: Int): Column = vmCols(a, b, VecMetric.LInf, dim)
 
-  def dotCols(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map { i => e(a, i) * e(b, i) }.reduce(_ + _)
+  def dotCols(a: Column, b: Column, dim: Int): Column = vmCols(a, b, VecMetric.Dot, dim)
 
-  def cosineSimCols(a: Column, b: Column, dim: Int): Column = {
+  def cosineSimCols(a: Column, b: Column, dim: Int): Column =
+    vmCols(a, b, VecMetric.Cosine, dim)
+
+  // ---- unrolled Column forms (reference implementation for parity tests;
+  // identical IEEE association to the native expressions above) ----
+
+  def squaredL2LitUnrolled(v: Column, q: Array[Double]): Column =
+    q.indices.map { i => val d = e(v, i) - lit(q(i)); d * d }.reduce(_ + _)
+
+  def l1LitUnrolled(v: Column, q: Array[Double]): Column =
+    q.indices.map { i => abs(e(v, i) - lit(q(i))) }.reduce(_ + _)
+
+  def lInfLitUnrolled(v: Column, q: Array[Double]): Column =
+    greatest(q.indices.map { i => abs(e(v, i) - lit(q(i))) }: _*)
+
+  def mahalanobisDiagLitUnrolled(v: Column, q: Array[Double], invDiag: Array[Double]): Column =
+    q.indices.map { i => val d = e(v, i) - lit(q(i)); d * d * lit(invDiag(i)) }.reduce(_ + _)
+
+  def cosineSimLitUnrolled(v: Column, q: Array[Double]): Column = {
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val vNormSq = q.indices.map { i => e(v, i) * e(v, i) }.reduce(_ + _)
+    val dot = q.indices.map { i => e(v, i) * lit(q(i)) }.reduce(_ + _)
+    dot / (sqrt(vNormSq) * lit(qNorm))
+  }
+
+  def cosineSimColsUnrolled(a: Column, b: Column, dim: Int): Column = {
     val na = (0 until dim).map { i => e(a, i) * e(a, i) }.reduce(_ + _)
     val nb = (0 until dim).map { i => e(b, i) * e(b, i) }.reduce(_ + _)
-    dotCols(a, b, dim) / (sqrt(na) * sqrt(nb))
+    val dot = (0 until dim).map { i => e(a, i) * e(b, i) }.reduce(_ + _)
+    dot / (sqrt(na) * sqrt(nb))
   }
+
+  def squaredL2ColsUnrolled(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map { i => val d = e(a, i) - e(b, i); d * d }.reduce(_ + _)
 
   // ---- generic-dim fallbacks (dim not known at plan time) ----
   // Higher-order functions: not whole-stage-codegen'd but still native.

@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for vector distances: a tight codegen'd loop
+  * over a float array instead of a 64-term unrolled expression tree.
+  *
+  * Why: the unrolled Column form (Distances.*Lit) builds dim×terms
+  * expression nodes — for LSH signatures that is 16 planes × 64 dims ≈ 1k
+  * nodes per row, which bloats the generated method past JIT-friendly size
+  * and dominates planning time. The loop form generates O(1) code per
+  * metric and stays inside whole-stage codegen.
+  *
+  * Parity: accumulation is strictly left-to-right over dimensions, float
+  * elements widened to double before arithmetic — bit-identical to both
+  * the unrolled Column form and the DuckDB oracle SQL emitted by
+  * `graft.oracle.DuckSql` (same association, same casts).
+  *
+  * Null semantics: null array, short array, or any null element → null
+  * result (the unrolled form propagates element nulls the same way).
+  */
+object VecMetric {
+  val SqL2 = "sql2"; val L1 = "l1"; val LInf = "linf"
+  val Maha = "maha"; val Dot = "dot"; val Cosine = "cosine"
+
+  private[functions] def checkArrayOfFloat(dt: DataType, side: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side must be ARRAY<FLOAT>, got ${other.catalogString}")
+    }
+
+  /** Shared inner-loop body (Java source) for a metric over precomputed
+    * `double d = v_i - w_i` style terms. `va`/`vb` are element accessors. */
+  private[functions] def loopBody(metric: String, s1: String, s2: String,
+      va: String, vb: String, wRef: String): String = metric match {
+    case SqL2   => s"double d = $va - $vb; $s1 += d * d;"
+    case L1     => s"$s1 += Math.abs($va - $vb);"
+    case LInf   => s"$s1 = Math.max($s1, Math.abs($va - $vb));"
+    case Maha   => s"double d = $va - $vb; $s1 += d * d * $wRef;"
+    case Dot    => s"$s1 += $va * $vb;"
+    case Cosine => s"$s1 += $va * $vb; $s2 += $va * $va;"
+    case other  => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+}
+
+/** dist(vector column, literal query vector). For Cosine, `aux` is the
+  * precomputed query norm ||q|| (driver-side, once). For Maha, `w` is the
+  * reciprocal covariance diagonal. */
+case class VecMetricLit(child: Expression, metric: String, q: Array[Double],
+    w: Array[Double] = null) extends UnaryExpression {
+
+  private val n = q.length
+  private lazy val qNorm = math.sqrt(q.map(x => x * x).sum)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMetric.checkArrayOfFloat(child.dataType, "vector")
+  override protected def withNewChildInternal(newChild: Expression): VecMetricLit =
+    copy(child = newChild)
+  override def prettyName: String = s"vec_${metric}_lit"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < n) return null
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    import VecMetric._
+    metric match {
+      case SqL2 =>
+        var s = 0.0; i = 0
+        while (i < n) { val d = arr.getFloat(i).toDouble - q(i); s += d * d; i += 1 }; s
+      case L1 =>
+        var s = 0.0; i = 0
+        while (i < n) { s += math.abs(arr.getFloat(i).toDouble - q(i)); i += 1 }; s
+      case LInf =>
+        var m = 0.0; i = 0
+        while (i < n) { m = math.max(m, math.abs(arr.getFloat(i).toDouble - q(i))); i += 1 }; m
+      case Maha =>
+        var s = 0.0; i = 0
+        while (i < n) { val d = arr.getFloat(i).toDouble - q(i); s += d * d * w(i); i += 1 }; s
+      case Dot =>
+        var s = 0.0; i = 0
+        while (i < n) { s += arr.getFloat(i).toDouble * q(i); i += 1 }; s
+      case Cosine =>
+        var dot = 0.0; var vn = 0.0; i = 0
+        while (i < n) {
+          val v = arr.getFloat(i).toDouble
+          dot += v * q(i); vn += v * v; i += 1
+        }
+        dot / (math.sqrt(vn) * qNorm)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("qvec", q, "double[]")
+    val wRef = if (w != null) ctx.addReferenceObj("wvec", w, "double[]") else "null"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val s1 = ctx.freshName("s1")
+      val s2 = ctx.freshName("s2")
+      val ok = ctx.freshName("ok")
+      val va = s"((double) $arr.getFloat($i))"
+      val body = VecMetric.loopBody(metric, s1, s2, va, s"$qRef[$i]", s"$wRef[$i]")
+      val finish = metric match {
+        case VecMetric.Cosine =>
+          s"${ev.value} = $s1 / (Math.sqrt($s2) * ${java.lang.Double.toString(qNorm)});"
+        case _ => s"${ev.value} = $s1;"
+      }
+      s"""
+         |boolean $ok = $arr.numElements() >= $n;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($arr.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s1 = 0.0;
+         |  double $s2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $body
+         |  }
+         |  $finish
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+/** dist(vector column, vector column) over a known dim — the kNN-join /
+  * pair-verification form. */
+case class VecMetricCols(left: Expression, right: Expression, metric: String,
+    dim: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VecMetric.checkArrayOfFloat(left.dataType, "left vector")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VecMetric.checkArrayOfFloat(right.dataType, "right vector")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecMetricCols = copy(left = newLeft, right = newRight)
+  override def prettyName: String = s"vec_${metric}_cols"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() < dim || y.numElements() < dim) return null
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    import VecMetric._
+    metric match {
+      case SqL2 =>
+        var s = 0.0; i = 0
+        while (i < dim) { val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble; s += d * d; i += 1 }; s
+      case L1 =>
+        var s = 0.0; i = 0
+        while (i < dim) { s += math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble); i += 1 }; s
+      case LInf =>
+        var m = 0.0; i = 0
+        while (i < dim) { m = math.max(m, math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble)); i += 1 }; m
+      case Dot =>
+        var s = 0.0; i = 0
+        while (i < dim) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }; s
+      case Cosine =>
+        // dot / (sqrt(||a||^2) * sqrt(||b||^2)) with each sum left-to-right,
+        // matching Distances.cosineSimCols / DuckSql.cosineSimCols exactly.
+        var dot = 0.0; var na = 0.0; var nb = 0.0; i = 0
+        while (i < dim) {
+          val u = x.getFloat(i).toDouble; val v = y.getFloat(i).toDouble
+          dot += u * v; na += u * u; nb += v * v; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val i = ctx.freshName("i")
+      val s1 = ctx.freshName("s1")
+      val s2 = ctx.freshName("s2")
+      val s3 = ctx.freshName("s3")
+      val ok = ctx.freshName("ok")
+      val u = s"((double) $xa.getFloat($i))"
+      val v = s"((double) $ya.getFloat($i))"
+      val body = metric match {
+        case VecMetric.Cosine => s"double u = $u; double v = $v; $s1 += u * v; $s2 += u * u; $s3 += v * v;"
+        case m => VecMetric.loopBody(m, s1, s2, u, v, "0.0")
+      }
+      val finish = metric match {
+        case VecMetric.Cosine => s"${ev.value} = $s1 / (Math.sqrt($s2) * Math.sqrt($s3));"
+        case _ => s"${ev.value} = $s1;"
+      }
+      s"""
+         |boolean $ok = $xa.numElements() >= $dim && $ya.numElements() >= $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($xa.isNullAt($i) || $ya.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s1 = 0.0;
+         |  double $s2 = 0.0;
+         |  double $s3 = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $body
+         |  }
+         |  $finish
+         |}
+       """.stripMargin
+    })
+  }
+}

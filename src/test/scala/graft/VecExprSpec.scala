@@ -1,0 +1,83 @@
+package graft
+
+import graft.core.Fixtures
+import graft.functions.Distances
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Native loop expressions (VecMetricLit/Cols) must be bit-identical to
+  * the unrolled Column forms — same left-to-right IEEE accumulation — on
+  * real fixture vectors. This is the in-suite guard behind the DuckDB
+  * oracle parity of every distance-based query. */
+class VecExprSpec extends SparkSpecBase {
+  import Fixtures.{Dim, InvDiag64, Q64}
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def assertBitEqual(df: DataFrame, a: Column, b: Column, name: String): Unit = {
+    val bad = df.select(a.as("x"), b.as("y"))
+      .filter(col("x") =!= col("y") ||
+        col("x").isNull =!= col("y").isNull)
+      .count()
+    assert(bad == 0, s"$name: $bad rows differ between native and unrolled")
+  }
+
+  test("lit metrics: native == unrolled bit-for-bit on fixture vectors") {
+    val v = col("embedding")
+    assertBitEqual(emb, Distances.squaredL2Lit(v, Q64),
+      Distances.squaredL2LitUnrolled(v, Q64), "squaredL2Lit")
+    assertBitEqual(emb, Distances.l1Lit(v, Q64),
+      Distances.l1LitUnrolled(v, Q64), "l1Lit")
+    assertBitEqual(emb, Distances.lInfLit(v, Q64),
+      Distances.lInfLitUnrolled(v, Q64), "lInfLit")
+    assertBitEqual(emb, Distances.mahalanobisDiagLit(v, Q64, InvDiag64),
+      Distances.mahalanobisDiagLitUnrolled(v, Q64, InvDiag64), "mahalanobisDiagLit")
+    assertBitEqual(emb, Distances.cosineSimLit(v, Q64),
+      Distances.cosineSimLitUnrolled(v, Q64), "cosineSimLit")
+  }
+
+  test("cols metrics: native == unrolled bit-for-bit on fixture pairs") {
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")),
+        col("ia") % 7 === col("ib") % 7 && col("ia") < col("ib"))
+      .limit(5000)
+    assertBitEqual(pairs,
+      Distances.squaredL2Cols(col("va"), col("vb"), Dim),
+      Distances.squaredL2ColsUnrolled(col("va"), col("vb"), Dim), "squaredL2Cols")
+    assertBitEqual(pairs,
+      Distances.cosineSimCols(col("va"), col("vb"), Dim),
+      Distances.cosineSimColsUnrolled(col("va"), col("vb"), Dim), "cosineSimCols")
+  }
+
+  test("null handling: short array and null element yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array.fill(Dim)(0.1f))),
+      (2L, Some(Array.fill(Dim - 1)(0.1f))), // short
+      (3L, None)                             // null array
+    ).toDF("id", "embedding")
+    val out = df.select(col("id"), Distances.squaredL2Lit(col("embedding"), Q64).as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(1L) && out(2L) && out(3L))
+  }
+
+  test("interpreted eval matches codegen (eval through filter on literal row)") {
+    // Forcing the interpreted path: evaluate via Dataset.filter on a
+    // non-codegen context is brittle; instead compare eval() directly.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.{VecMetric, VecMetricLit}
+    val vec = Array.tabulate(Dim)(i => (0.01f * i) - 0.3f)
+    val arr = ArrayData.toArrayData(vec)
+    val row = org.apache.spark.sql.catalyst.InternalRow(arr)
+    val ref = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val expected = {
+      var s = 0.0
+      vec.indices.foreach { i => val d = vec(i).toDouble - Q64(i); s += d * d }
+      s
+    }
+    val got = VecMetricLit(ref, VecMetric.SqL2, Q64).eval(row).asInstanceOf[Double]
+    assert(got == expected)
+  }
+}
