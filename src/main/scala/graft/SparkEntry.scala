@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * hash compare matches exactly.
   */
 object SparkEntry {
-  import Fixtures.{Dim, InvDiag64, Planes16, Q64, Stopwords}
+  import Fixtures.{Dim, InvDiag64, InvFull8, Planes16, Q64, Stopwords}
 
   private val K = 10
+  private val Q8 = Q64.take(8)
   /** Grid over the first 3 dims, 4 buckets each (64 cells) — fixture
     * embeddings live in ~[-0.5, 0.5]; out-of-bounds clamps to edge cells. */
   private[graft] val gridCfg =
@@ -76,6 +77,12 @@ object SparkEntry {
       Knn.bruteForce(emb(s, d), Distances.lInfLit(col("embedding"), Q64), K)),
     "knn_mahalanobis" -> ((s, d) =>
       Knn.bruteForce(emb(s, d), Distances.mahalanobisDiagLit(col("embedding"), Q64, InvDiag64), K)),
+    // full-covariance Mahalanobis over an 8-dim slice (keeps the oracle SQL
+    // at 64 terms; the operator itself is dim-generic — see VecExprSpec)
+    "knn_mahalanobis_full" -> ((s, d) =>
+      Knn.bruteForce(
+        emb(s, d).withColumn("embedding", slice(col("embedding"), 1, 8)),
+        Distances.mahalanobisFullLit(col("embedding"), Q8, InvFull8), K)),
     // pruned == brute (exactness of the widening loop; oracle is the brute SQL)
     "knn_l2_pruned" -> ((s, d) =>
       Knn.prunedSearchDf(s, Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, K)),
@@ -303,6 +310,19 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("window_start"),
           col("event_type"), col("n"), col("v_sum"))
         .orderBy(col("window_start"), col("event_type"))),
+    // gap-based sessionization (batch form; the flatMapGroupsWithState
+    // streaming form is proven equal in SessionizeSpec)
+    "sessionize_events" -> ((s, d) =>
+      graft.streaming.Sessionize.batch(Tables.events(s, d), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_idx"))),
+    // grid depth pick from row count — the reference's get_tree_depth analog
+    // (tree depth there grows from leaf overflow; here it is derived from
+    // count / targetLeafSize, SURVEY §2.1 #10)
+    "index_tree_depth" -> ((s, d) =>
+      emb(s, d).agg(count(lit(1)).as("n"))
+        .select(col("n"),
+          least(greatest(ceil(log(greatest(floor(col("n") / 50.0), lit(1.0))) / log(lit(4.0))), lit(1.0)), lit(64.0))
+            .cast("int").as("depth"))),
     "dedup_cosine_pairs" -> ((s, d) => {
       val ve = emb(s, d).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id"), col("embedding"))
@@ -352,6 +372,10 @@ object SparkEntry {
       "knn_l1" -> knnSql(DuckSql.l1Lit(e, Q64), K),
       "knn_linf" -> knnSql(DuckSql.lInfLit(e, Q64), K),
       "knn_mahalanobis" -> knnSql(DuckSql.mahalanobisDiagLit(e, Q64, InvDiag64), K),
+      "knn_mahalanobis_full" ->
+        s"""SELECT vec_id, label, ${DuckSql.mahalanobisFullLit("e8", Q8, InvFull8)} AS dist
+           |FROM (SELECT vec_id, label, embedding[1:8] AS e8 FROM embeddings)
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
       "knn_l2_pruned" -> knnSql(sq, K),
       "knn_l2_pruned_filtered" -> knnSql(sq, K, "WHERE label = 3"),
       "sim_cosine_topk" ->
@@ -586,6 +610,26 @@ object SparkEntry {
         s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
            |  COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
            |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+      "sessionize_events" ->
+        s"""SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           |  MIN(tse) AS session_start, MAX(tse) AS session_end,
+           |  COUNT(*) AS n_events, ${dsumSql("value", 3)} AS v_sum
+           |FROM (
+           |  SELECT user_id, value, tse,
+           |    SUM(CASE WHEN prev IS NOT NULL AND tse - prev > 1800 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY tse ASC, event_id ASC
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           |  FROM (
+           |    SELECT user_id, event_id, value, (epoch_ns(ts) // 1000000000) AS tse,
+           |      LAG((epoch_ns(ts) // 1000000000)) OVER (PARTITION BY user_id
+           |        ORDER BY (epoch_ns(ts) // 1000000000) ASC, event_id ASC) AS prev
+           |    FROM events
+           |  )
+           |) GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+      "index_tree_depth" ->
+        """SELECT CAST(n AS BIGINT) AS n,
+          |  CAST(LEAST(GREATEST(CEIL(ln(GREATEST(FLOOR(n / 50.0), 1.0)) / ln(4.0)), 1.0), 64.0) AS INT) AS depth
+          |FROM (SELECT COUNT(*) AS n FROM embeddings)""".stripMargin,
       "dedup_cosine_pairs" -> {
         val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
         s"""SELECT id_a, id_b, cos_sim FROM (

@@ -26,4 +26,22 @@ object Fixtures {
     val rnd = new scala.util.Random(7)
     Array.fill(16)(Array.fill(Dim)(rnd.nextGaussian()))
   }
+
+  /** Deterministic SPD inverse covariance over the first 8 dims, row-major
+    * flattened — the full-matrix Mahalanobis demo (reference supports full
+    * covariance via np.linalg.solve per pair, distance_metric.py:78-80; we
+    * pre-build the inverse once, driver-side). Sinv = A'A + I. */
+  val InvFull8: Array[Double] = {
+    val n = 8
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(n, n)(rnd.nextGaussian() * 0.3)
+    val s = Array.ofDim[Double](n * n)
+    for (i <- 0 until n; j <- 0 until n) {
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += a(k)(i) * a(k)(j); k += 1 }
+      s(i * n + j) = acc + (if (i == j) 1.0 else 0.0)
+    }
+    s
+  }
 }

@@ -51,6 +51,12 @@ object Distances {
 
   def dotLit(v: Column, q: Array[Double]): Column = vmLit(v, VecMetric.Dot, q)
 
+  /** Full-covariance Mahalanobis d' Sinv d. `invCovFlat` is the row-major
+    * flattened inverse covariance, factorized ONCE on the driver (the
+    * reference re-solves per pair — distance_metric.py:78-80). */
+  def mahalanobisFullLit(v: Column, q: Array[Double], invCovFlat: Array[Double]): Column =
+    vmLit(v, VecMetric.MahaFull, q, invCovFlat)
+
   /** Cosine similarity (not distance): dot / (||a|| * ||q||). */
   def cosineSimLit(v: Column, q: Array[Double]): Column = vmLit(v, VecMetric.Cosine, q)
 
@@ -136,6 +142,20 @@ object Distances {
   def mahalanobisDiag(a: Array[Double], b: Array[Double], invDiag: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d * invDiag(i); i += 1 }
+    s
+  }
+  /** Same accumulation order (i-outer, j-inner) as VecMetricLit(MahaFull). */
+  def mahalanobisFull(a: Array[Double], b: Array[Double], sinvFlat: Array[Double]): Double = {
+    val n = a.length
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) { d(i) = a(i) - b(i); i += 1 }
+    var s = 0.0; i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) { s += d(i) * sinvFlat(i * n + j) * d(j); j += 1 }
+      i += 1
+    }
     s
   }
 }

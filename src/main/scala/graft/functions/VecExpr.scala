@@ -27,6 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 object VecMetric {
   val SqL2 = "sql2"; val L1 = "l1"; val LInf = "linf"
   val Maha = "maha"; val Dot = "dot"; val Cosine = "cosine"
+  /** Full-covariance Mahalanobis: w is the ROW-MAJOR FLATTENED inverse
+    * covariance (n²); d' Sinv d accumulated i-outer, j-inner. */
+  val MahaFull = "mahafull"
 
   private[functions] def checkArrayOfFloat(dt: DataType, side: String): TypeCheckResult =
     dt match {
@@ -95,6 +98,17 @@ case class VecMetricLit(child: Expression, metric: String, q: Array[Double],
           dot += v * q(i); vn += v * v; i += 1
         }
         dot / (math.sqrt(vn) * qNorm)
+      case MahaFull =>
+        val d = new Array[Double](n)
+        i = 0
+        while (i < n) { d(i) = arr.getFloat(i).toDouble - q(i); i += 1 }
+        var s = 0.0; i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { s += d(i) * w(i * n + j) * d(j); j += 1 }
+          i += 1
+        }
+        s
     }
   }
 
@@ -107,11 +121,32 @@ case class VecMetricLit(child: Expression, metric: String, q: Array[Double],
       val s2 = ctx.freshName("s2")
       val ok = ctx.freshName("ok")
       val va = s"((double) $arr.getFloat($i))"
-      val body = VecMetric.loopBody(metric, s1, s2, va, s"$qRef[$i]", s"$wRef[$i]")
-      val finish = metric match {
-        case VecMetric.Cosine =>
-          s"${ev.value} = $s1 / (Math.sqrt($s2) * ${java.lang.Double.toString(qNorm)});"
-        case _ => s"${ev.value} = $s1;"
+      val compute = metric match {
+        case VecMetric.MahaFull =>
+          val dArr = ctx.freshName("dArr")
+          val j = ctx.freshName("j")
+          s"""double[] $dArr = new double[$n];
+             |for (int $i = 0; $i < $n; $i++) { $dArr[$i] = $va - $qRef[$i]; }
+             |double $s1 = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  for (int $j = 0; $j < $n; $j++) {
+             |    $s1 += $dArr[$i] * $wRef[$i * $n + $j] * $dArr[$j];
+             |  }
+             |}
+             |${ev.value} = $s1;""".stripMargin
+        case m =>
+          val body = VecMetric.loopBody(m, s1, s2, va, s"$qRef[$i]", s"$wRef[$i]")
+          val finish = m match {
+            case VecMetric.Cosine =>
+              s"${ev.value} = $s1 / (Math.sqrt($s2) * ${java.lang.Double.toString(qNorm)});"
+            case _ => s"${ev.value} = $s1;"
+          }
+          s"""double $s1 = 0.0;
+             |double $s2 = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $body
+             |}
+             |$finish""".stripMargin
       }
       s"""
          |boolean $ok = $arr.numElements() >= $n;
@@ -123,12 +158,7 @@ case class VecMetricLit(child: Expression, metric: String, q: Array[Double],
          |if (!$ok) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $s1 = 0.0;
-         |  double $s2 = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $body
-         |  }
-         |  $finish
+         |  $compute
          |}
        """.stripMargin
     })

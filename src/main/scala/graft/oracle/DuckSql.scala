@@ -40,6 +40,17 @@ object DuckSql {
       s"(($d * $d) * (${fmt(invDiag(i))}))"
     }.mkString("(", " + ", ")")
 
+  /** d' Sinv d, ROW-MAJOR left-assoc — term order and ((d_i * s) * d_j)
+    * grouping mirror VecMetricLit(MahaFull)'s loops exactly. */
+  def mahalanobisFullLit(col: String, q: Array[Double], sinvFlat: Array[Double]): String = {
+    val n = q.length
+    (for (i <- 0 until n; j <- 0 until n) yield {
+      val di = s"(${elem(col, i)} - (${fmt(q(i))}))"
+      val dj = s"(${elem(col, j)} - (${fmt(q(j))}))"
+      s"(($di * (${fmt(sinvFlat(i * n + j))})) * $dj)"
+    }).mkString("(", " + ", ")")
+  }
+
   def dotLit(col: String, q: Array[Double]): String =
     q.indices.map { i => s"(${elem(col, i)} * (${fmt(q(i))}))" }
       .mkString("(", " + ", ")")

@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.Tables
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.StreamEv
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class SessionizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Gap = 30
+
+  private lazy val fixtureEvents =
+    Tables.events(spark, sfDir).select("user_id", "event_id", "ts", "value")
+
+  private lazy val batchResult =
+    Sessionize.batch(fixtureEvents, Gap)
+      .orderBy("user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+
+  test("batch sessionization: sessions are gap-separated and cover all events") {
+    val total = batchResult.map(_._5).sum
+    assert(total == fixtureEvents.count())
+    // within a user, consecutive sessions are separated by > gap
+    batchResult.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._4 > Gap * 60L)
+        case _ =>
+      }
+    }
+    // session bounds are ordered
+    assert(batchResult.forall(s => s._3 <= s._4))
+  }
+
+  test("streaming flatMapGroupsWithState equals batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = fixtureEvents
+      .collect()
+      .map(r => StreamEv(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(e => e.ts.getTime)
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val maxTs = evs.map(_.ts.getTime).max
+    // sentinel far-future event for a fake user: advances the watermark past
+    // every open session's timeout so all real sessions close.
+    val sentinel = StreamEv(-1L, Long.MaxValue, new Timestamp(maxTs + 86400L * 1000L), 0.0)
+
+    val stream = MemoryStream[StreamEv]
+    val q = Sessionize.streaming(stream.toDS(), Gap)
+      .writeStream.format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      stream.addData(Seq(sentinel)); q.processAllAvailable()
+      // one more batch so the timeout (triggered by the advanced watermark) fires
+      stream.addData(Seq(sentinel.copy(event_id = Long.MaxValue - 1,
+        ts = new Timestamp(maxTs + 2 * 86400L * 1000L)))); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(streamed.toSeq == batchResult.toSeq)
+  }
+}

@@ -49,6 +49,23 @@ class VecExprSpec extends SparkSpecBase {
       Distances.cosineSimColsUnrolled(col("va"), col("vb"), Dim), "cosineSimCols")
   }
 
+  test("full-covariance mahalanobis: codegen equals driver-side loop bit-for-bit") {
+    import Fixtures.InvFull8
+    val q8 = Q64.take(8)
+    val rows = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("e8"))
+      .withColumn("d", Distances.mahalanobisFullLit(col("e8"), q8, InvFull8))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val expected = Distances.mahalanobisFull(v, q8, InvFull8)
+      assert(r.getDouble(2) == expected, s"vec ${r.getLong(0)}")
+    }
+    // SPD: distance to self is 0, to others > 0
+    val self = Distances.mahalanobisFull(q8, q8, InvFull8)
+    assert(self == 0.0)
+  }
+
   test("null handling: short array and null element yield null") {
     import spark.implicits._
     val df = Seq(
