@@ -70,6 +70,34 @@ object Multimodal {
         .otherwise("video")).as("kind"),
       col("text").cast(BinaryType).as("payload"))
 
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize: deterministic strided byte-resample of the payload to a
+    * targetW×targetH "pixel" grid (1 byte/px). STUB for a real scaler —
+    * the binary-in/binary-out partition-parallel plumbing (what survives a
+    * real codec swap) is the tested part. Output payload is exactly
+    * targetW*targetH bytes; empty inputs produce a zero grid. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val n = targetW * targetH
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val out = new Array[Byte](n)
+          if (payload.nonEmpty) {
+            var i = 0
+            while (i < n) {
+              out(i) = payload(((i.toLong * payload.length) / n).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(id, kind, targetW, targetH, out)
+        }
+      }
+  }
+
   /** Frame sampling plan for video-ish payloads: every `stride`-th frame
     * index — pure plan, no decode. */
   def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {

@@ -111,6 +111,37 @@ object Ann {
       vecCol: String = "embedding"): DataFrame =
     db.withColumn("ivf_cell", ivfCell(col(vecCol), centroids))
 
+  /** One distributed Lloyd (k-means) step: each centroid moves to the mean
+    * of its assigned vectors. posexplode + groupBy(cell, pos) avg — partial
+    * aggregation map-side, k×dim rows to the driver; cells that lost all
+    * rows keep their old centroid. The scale path to real IVF training:
+    * iterate a handful of times over a sample, then [[assign]] the full
+    * 100 TB store once. */
+  def lloydStep(assigned: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val means = assigned
+      .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("ivf_cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .collect()
+    val out = centroids.map(_.clone)
+    means.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    out
+  }
+
+  /** Mean squared distance to the assigned centroid — the k-means objective
+    * (diagnostic; Lloyd steps must not increase it). */
+  def objective(assigned: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): Double = {
+    val distToOwn = centroids.zipWithIndex.tail.foldLeft(
+      when(col("ivf_cell") === 0, Distances.squaredL2Lit(col(vecCol), centroids(0)))) {
+      case (acc, (c, j)) => acc.when(col("ivf_cell") === j, Distances.squaredL2Lit(col(vecCol), c))
+    }
+    assigned.agg(avg(distToOwn)).head().getDouble(0)
+  }
+
   /** ANN search: probe the nprobe nearest centroid cells, exact top-k
     * inside them (TakeOrderedAndProject under the pruned scan). */
   def search(assigned: DataFrame, centroids: Array[Array[Double]],

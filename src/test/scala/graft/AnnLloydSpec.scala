@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+class AnnLloydSpec extends SparkSpecBase {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("lloyd step never increases the k-means objective and empty cells keep centroids") {
+    val c0 = Ann.sampleCentroids(emb, 8)
+    val obj0 = Ann.objective(Ann.assign(emb, c0), c0)
+    val c1 = Ann.lloydStep(Ann.assign(emb, c0), c0)
+    val obj1 = Ann.objective(Ann.assign(emb, c1), c1)
+    assert(obj1 <= obj0 + 1e-9, s"objective rose: $obj0 -> $obj1")
+    val c2 = Ann.lloydStep(Ann.assign(emb, c1), c1)
+    val obj2 = Ann.objective(Ann.assign(emb, c2), c2)
+    assert(obj2 <= obj1 + 1e-9)
+  }
+
+  test("refined centroids keep the IVF probe exact at full nprobe") {
+    val c0 = Ann.sampleCentroids(emb, 8)
+    val c1 = Ann.lloydStep(Ann.assign(emb, c0), c0)
+    val q = graft.core.Fixtures.Q64
+    val full = Ann.search(Ann.assign(emb, c1), c1, q, k = 10, nprobe = 8).collect()
+    val brute = emb
+      .select(col("vec_id"),
+        graft.functions.Distances.squaredL2Lit(col("embedding"), q).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()
+    assert(full.map(_.getLong(0)).toSeq == brute.map(_.getLong(0)).toSeq)
+  }
+
+  test("resize emits exactly targetW*targetH bytes, deterministically") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(20))
+    val out1 = Multimodal.resize(media, 8, 4).collect().sortBy(_.media_id)
+    val out2 = Multimodal.resize(media, 8, 4).collect().sortBy(_.media_id)
+    assert(out1.length == 20)
+    assert(out1.forall(r => r.payload.length == 32 && r.width == 8 && r.height == 4))
+    assert(out1.zip(out2).forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
+}
