@@ -230,6 +230,19 @@ object SparkEntry {
           sum(get_json_object(col("props"), "$.k").cast(LongType)).as("k_sum"),
           dsum(col("value"), 3).as("v_sum"))
         .orderBy(col("event_type"))),
+    // two-phase salted aggregation (skewed-key pattern): bit-exact equal to
+    // the direct groupBy — the oracle IS the direct form
+    "agg_salted_events_by_type" -> ((s, d) =>
+      graft.operators.SaltedAgg.aggregate(
+        Tables.events(s, d), keys = Seq("event_type"),
+        salt = col("event_id"), saltBuckets = 16,
+        phase1 = Seq(
+          "n" -> count(lit(1)),
+          "v_sum" -> sum(col("value").cast(DecimalType(18, 3)))),
+        phase2 = Seq(
+          "n" -> (c => sum(c)),
+          "v_sum" -> (c => sum(c).cast("double"))))
+        .orderBy(col("event_type"))),
     "events_hourly_stats" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(
@@ -449,6 +462,9 @@ object SparkEntry {
         s"""SELECT event_type, COUNT(*) AS n,
            |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            |  ${dsumSql("value", 3)} AS v_sum
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "agg_salted_events_by_type" ->
+        s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "events_hourly_stats" ->
         s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
