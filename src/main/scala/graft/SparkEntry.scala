@@ -212,6 +212,17 @@ object SparkEntry {
       Tables.orders(s, d).select(col("o_custkey").as("custkey"))
         .intersect(Tables.customer(s, d).select(col("c_custkey").as("custkey")))
         .orderBy(col("custkey"))),
+    // customers with a 200k+ order but no 300k+ order (non-empty difference)
+    "set_except_custkeys" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("custkey"))
+        .except(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+    "agg_count_distinct" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))),
     "anti_customers_without_orders" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
@@ -452,6 +463,12 @@ object SparkEntry {
           |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
       "set_intersect_custkeys" ->
         "SELECT o_custkey AS custkey FROM orders INTERSECT SELECT c_custkey AS custkey FROM customer ORDER BY custkey",
+      "set_except_custkeys" ->
+        s"""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(200000.0)}
+           |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(300000.0)}
+           |ORDER BY custkey""".stripMargin,
+      "agg_count_distinct" ->
+        "SELECT COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders FROM orders",
       "anti_customers_without_orders" ->
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
       "date_orders_by_month" ->

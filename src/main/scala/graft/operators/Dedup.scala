@@ -113,7 +113,13 @@ object Dedup {
   def minHashLshNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // Persist the signature table: the bucket self-join's build side is a
+    // BroadcastExchange, so exchange reuse can NOT share the md5+minhash
+    // subtree between the two sides — without the persist it runs twice.
+    // k×9 longs per doc: tiny relative to the corpus; Spark's ContextCleaner
+    // drops it when the plan is garbage-collected.
     val sig = minHashSignature(docs, textCol, idCol, shingleWidth, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rpb = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
