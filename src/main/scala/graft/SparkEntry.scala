@@ -493,6 +493,7 @@ object SparkEntry {
            |  $nw AS n_words,
            |  CAST(length(text) AS INT) AS n_chars,
            |  CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_tokens_est,
+           |  CAST(len(regexp_extract_all(text, '${TextAnalysis.TokenRegex}')) AS INT) AS n_tokens_re,
            |  $ns AS n_stopwords,
            |  CASE WHEN (CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
            |  md5(lower(text)) AS fingerprint

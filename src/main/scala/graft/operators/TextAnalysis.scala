@@ -29,6 +29,13 @@ object TextAnalysis {
   def tokenEstimate(text: Column): Column =
     ceil(length(text).cast("double") / lit(4.0)).cast("long")
 
+  /** BPE-ish regex token split: letter runs, digit runs, and single
+    * non-space symbols — the shape of a byte-pair pre-tokenizer's coarse
+    * split (identical semantics in Java regex and DuckDB RE2 for these
+    * classes). */
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountRegex(text: Column): Column = regexp_count(text, lit(TokenRegex))
+
   /** Mean word length (chars excluding separators / word count). */
   def avgWordLen(text: Column): Column =
     (length(text) - (nWords(text) - lit(1))).cast("double") / nWords(text).cast("double")
@@ -98,6 +105,7 @@ object TextAnalysis {
       nWords(col(textCol)).as("n_words"),
       length(col(textCol)).as("n_chars"),
       tokenEstimate(col(textCol)).as("n_tokens_est"),
+      tokenCountRegex(col(textCol)).as("n_tokens_re"),
       nStopwords(col(textCol)).as("n_stopwords"),
       langIdHeuristic(col(textCol)).as("lang_pred"),
       fingerprint(col(textCol)).as("fingerprint"))

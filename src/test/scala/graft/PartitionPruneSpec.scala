@@ -1,0 +1,57 @@
+package graft
+
+import graft.api.VectorDatabase
+import graft.index.GridConfig
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The 100 TB claim behind the grid index: a cell-partitioned store turns
+  * candidate-cell predicates into FILE-LEVEL pruning — the scan must read
+  * strictly fewer files/partitions than the full store holds. */
+class PartitionPruneSpec extends SparkSpecBase {
+
+  private lazy val storePath = {
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val cfg = GridConfig(dim = 64, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
+    val db = VectorDatabase.fromDataFrame(spark,
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), cfg)
+    db.save(path)
+    path
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.queryExecution.toRdd.count() // drive THIS plan so its metrics populate
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+  }
+
+  test("cell predicate becomes a partition filter and skips files") {
+    val full = spark.read.parquet(storePath)
+    val nCells = full.select("cell_id").distinct().count()
+    assert(nCells > 3, s"store must span several cells, got $nCells")
+
+    val prunedDf = full.filter(col("cell_id").isin(0, 1))
+    val scan = scanOf(prunedDf)
+    assert(scan.partitionFilters.nonEmpty, "cell predicate must be a partition filter")
+    val filesRead = scan.metrics("numFiles").value
+    val filesTotal = scanOf(full).metrics("numFiles").value
+    assert(filesRead < filesTotal,
+      s"pruned scan read $filesRead of $filesTotal files — no pruning happened")
+  }
+
+  test("kNN over the loaded partitioned store equals brute force") {
+    val cfg = GridConfig(dim = 64, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
+    val db = VectorDatabase.load(spark, storePath, cfg)
+    val q = graft.core.Fixtures.Q64
+    val viaStore = db.findKNearestNeighbors(q, 10).map(n => (n.vec_id, n.dist))
+    val brute = graft.operators.Knn.bruteForce(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        graft.functions.Distances.squaredL2Lit(col("embedding"), q), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaStore == brute)
+  }
+}
