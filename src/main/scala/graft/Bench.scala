@@ -20,9 +20,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up outside the timed region: one small end-to-end run.
+    // Warm-up outside the timed region: one small end-to-end run (JIT +
+    // codegen paths) and a footer-deep read of every fixture table so the
+    // first measured query isn't charged for cold file-cache I/O.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    graft.core.Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

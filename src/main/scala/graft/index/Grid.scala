@@ -96,6 +96,19 @@ object Grid {
     math.min(cfg.partsPerDim - 1L, math.max(0L, b)).toInt
   }
 
+  /** Driver-side cell id of a vector — same math as the [[cellId]] Column. */
+  def cellOf(v: Array[Double], cfg: GridConfig): Long = {
+    var c = 0L
+    var d = 0
+    var p = 1L
+    while (d < cfg.gridDims) {
+      c += bucketOf(v(d), cfg).toLong * p
+      p *= cfg.partsPerDim
+      d += 1
+    }
+    c
+  }
+
   /** Decode cell id back into per-dim bucket indices. */
   def decode(cellId: Long, cfg: GridConfig): Array[Int] = {
     val out = new Array[Int](cfg.gridDims)

@@ -41,6 +41,16 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v_sum"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("v_sum"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen, with
+    * state bounded by the watermark (Spark's dropDuplicatesWithinWatermark
+    * — the streaming face of the exact-dedup north-star operator). At-least-
+    * once sources become exactly-once-per-key downstream while the state
+    * store holds only keys younger than the watermark. */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Run a streaming query over a bounded source to completion (test/demo
     * helper: `processAllAvailable` drains everything then returns). */
   def runToCompletion(writer: DataStreamWriter[org.apache.spark.sql.Row]): Unit = {

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.Distances
+import graft.index.{Grid, GridConfig}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties for the driver-side math that the pruning
+  * correctness rests on (SURVEY §5: add property-based tests the reference
+  * lacks). Spark-side equivalence is covered by RandomizedSpec/VecExprSpec;
+  * these pin the pure-Scala invariants over the full generator space. */
+class PropertySpec extends SparkSpecBase {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(200)
+  private def check(p: Prop, name: String): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val dimGen = Gen.choose(1, 16)
+  private def vecGen(dim: Int): Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](dim, Gen.choose(-10.0, 10.0))
+
+  test("metric axioms: non-negativity, identity, symmetry (squared L2, L1, Linf)") {
+    val p = Prop.forAll(dimGen.flatMap(d => vecGen(d).flatMap(a => vecGen(d).map((a, _))))) {
+      case (a, b) =>
+        val fns = Seq[(Array[Double], Array[Double]) => Double](
+          Distances.squaredL2, Distances.l1, Distances.lInf)
+        fns.forall { f =>
+          f(a, b) >= 0.0 && f(a, a) == 0.0 && f(a, b) == f(b, a)
+        }
+    }
+    check(p, "metric axioms")
+  }
+
+  test("plane lower bound never exceeds the true distance to any point in the cell") {
+    // For a random query and a random in-bounds point, the bound of the
+    // point's own cell must be <= the true distance (admissibility — the
+    // invariant the widening loop's stop rule depends on).
+    val gen = for {
+      dim <- Gen.choose(1, 6)
+      parts <- Gen.choose(2, 5)
+      gdims <- Gen.choose(1, dim)
+      q <- vecGen(dim)
+      v <- Gen.containerOfN[Array, Double](dim, Gen.choose(-1.0, 1.0))
+    } yield (GridConfig(dim, -1.0, 1.0, parts, gdims), q, v)
+    val p = Prop.forAll(gen) { case (cfg, q, v) =>
+      val cell = Grid.cellOf(v, cfg)
+      val bound = Grid.cellLowerBoundSqL2(q, cell, cfg)
+      val dist = Distances.squaredL2(q, v)
+      bound <= dist + 1e-9
+    }
+    check(p, "bound admissibility")
+  }
+
+  test("cellOf is total and stable over [lower,upper] plus out-of-bounds points") {
+    val gen = for {
+      dim <- Gen.choose(1, 6)
+      parts <- Gen.choose(2, 5)
+      gdims <- Gen.choose(1, dim)
+      v <- Gen.containerOfN[Array, Double](dim, Gen.choose(-3.0, 3.0))
+    } yield (GridConfig(dim, -1.0, 1.0, parts, gdims), v)
+    val p = Prop.forAll(gen) { case (cfg, v) =>
+      val c = Grid.cellOf(v, cfg)
+      c >= 0 && c < cfg.numCells && c == Grid.cellOf(v, cfg)
+    }
+    check(p, "cellOf totality")
+  }
+}
