@@ -30,6 +30,13 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** Spread a small-but-CPU-heavy input across all cores. The fixture
+    * parquet files are single-row-group (one split), so md5/shingle-heavy
+    * per-row stages would otherwise serialize on ONE task; at 100 TB inputs
+    * arrive in thousands of splits and this is a cheap pass-through. */
+  private def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Exact decimal-accumulated double sum: cast the INPUT to decimal at the
     * column's natural scale (fixture money columns have 2 decimals,
     * events.value has 3), sum exactly, cast back to double. Casting inputs
@@ -263,14 +270,14 @@ object SparkEntry {
         .orderBy(col("hour_epoch"), col("event_type"))),
     // --- text analysis (north star)
     "text_features" -> ((s, d) =>
-      TextAnalysis.docFeatures(docs(s, d)).orderBy(col("doc_id"))),
+      TextAnalysis.docFeatures(par(s, docs(s, d))).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      par(s, docs(s, d)).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.avgWordLen(col("text")).as("avg_word_len"))
         .orderBy(col("doc_id"))),
     "text_winnow_fingerprints" -> ((s, d) =>
-      TextAnalysis.winnowFingerprints(docs(s, d).filter(col("doc_id") % 10 === 0))
+      TextAnalysis.winnowFingerprints(par(s, docs(s, d).filter(col("doc_id") % 10 === 0)))
         .orderBy(col("doc_id"), col("fp"))),
     // --- as-of join (SURVEY §2.2 joins row: point-in-time enrichment)
     "asof_join_events_orders" -> ((s, d) =>
@@ -284,18 +291,39 @@ object SparkEntry {
         .orderBy(col("event_id"))),
     // --- dedup (north star)
     "dedup_exact_groups" -> ((s, d) =>
-      Dedup.exactDupGroups(docs(s, d)).orderBy(col("content_hash"))),
+      Dedup.exactDupGroups(par(s, docs(s, d))).orderBy(col("content_hash"))),
     "dedup_minhash_signatures" -> ((s, d) =>
-      Dedup.minHashSignature(docs(s, d).filter(col("doc_id") % 20 === 0),
+      Dedup.minHashSignature(par(s, docs(s, d).filter(col("doc_id") % 20 === 0)),
           "text", "doc_id", shingleWidth = 3, numHashes = 8)
         .orderBy(col("doc_id"))),
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simHash(docs(s, d).filter(col("doc_id") % 20 === 0), "text", "doc_id")
+      Dedup.simHash(par(s, docs(s, d).filter(col("doc_id") % 20 === 0)), "text", "doc_id")
         .orderBy(col("doc_id"))),
     "dedup_minhash_lsh_pairs" -> ((s, d) =>
-      Dedup.minHashLshNearDupPairs(docs(s, d),
+      Dedup.minHashLshNearDupPairs(par(s, docs(s, d)),
           "text", "doc_id", shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    // winnow-fingerprint edges → connected components → canonical doc per
+    // duplicate cluster (the last step of a dedup pipeline)
+    "dedup_cluster_canonical" -> ((s, d) => {
+      // persist: the self-join's broadcast side cannot share the md5-heavy
+      // fingerprint subtree with the probe side (same pattern as the
+      // MinHash-LSH signature persist)
+      val fps = TextAnalysis.winnowFingerprints(par(s, docs(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      Dedup.connectedComponents(edges).orderBy(col("id"))
+    }),
+    // deterministic hash-mod sampling (portable: md5-derived bucket, not
+    // engine-specific rand/hash) — the reproducible-subset primitive
+    "sample_documents_hashmod" -> ((s, d) =>
+      docs(s, d)
+        .filter(pmod(Dedup.md5Int32(col("doc_id").cast("string")), lit(100)) < 10)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     "dedup_jaccard_pairs" -> ((s, d) => {
       val ws = docs(s, d).filter(col("doc_id") % 100 === 0)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
@@ -317,13 +345,13 @@ object SparkEntry {
       Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
     }),
     "ann_lsh_neardup" -> ((s, d) =>
-      Ann.lshBandedNearDupPairs(emb(s, d).filter(col("vec_id") % 5 === 0), Planes16, Dim,
+      Ann.lshBandedNearDupPairs(par(s, emb(s, d).filter(col("vec_id") % 5 === 0)), Planes16, Dim,
           bandBits = 4, minCosine = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
     // --- multimodal plumbing (north star): binary payload + stub decode.
     // Checksum/decode are JVM-side (mapPartitions) — rows-only check.
     "media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, d)))
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(par(s, docs(s, d))))
         .toDF().orderBy(col("media_id"))),
     // --- streaming-equivalent windowed aggregation (window() function; the
     // streaming variant with watermark runs in StreamingSpec)
@@ -607,6 +635,35 @@ object SparkEntry {
            |  ) GROUP BY doc_id
            |) ORDER BY doc_id""".stripMargin
       },
+      "dedup_cluster_canonical" -> {
+        val winnowFps =
+          """SELECT doc_id, unnest(
+            |    CASE WHEN len(hs) >= 5 THEN list_distinct(list_transform(range(0, len(hs) - 4), j -> list_min(hs[j+1:j+5])))
+            |         WHEN len(hs) > 0 THEN [list_min(hs)]
+            |         ELSE CAST([] AS BIGINT[]) END) AS fp
+            |  FROM (
+            |    SELECT doc_id, list_filter(
+            |      list_transform(range(0, greatest(len(w) - 4, 0) + 1),
+            |        i -> CASE WHEN len(w) >= 4 THEN CAST(('0x' || substr(md5(array_to_string(w[i+1:i+4], ' ')), 1, 8)) AS BIGINT) END),
+            |      h -> h IS NOT NULL) AS hs
+            |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            |  )""".stripMargin
+        s"""WITH RECURSIVE fps AS (
+           |  $winnowFps
+           |), edges AS (
+           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |), sym AS (
+           |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM sym
+           |  UNION
+           |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+           |)
+           |SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id ORDER BY id""".stripMargin
+      },
+      "sample_documents_hashmod" ->
+        "SELECT doc_id, n_chars FROM documents WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10 ORDER BY doc_id",
       "dedup_jaccard_pairs" ->
         """SELECT id_a, id_b, jac FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

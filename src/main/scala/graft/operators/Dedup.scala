@@ -140,6 +140,55 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Connected components over a near-dup pair table (min-label
+    * propagation): every node converges to the smallest doc id reachable
+    * from it — the canonical representative of its duplicate cluster. The
+    * missing last step of every dedup pipeline: pairs → clusters → keep
+    * one per cluster.
+    *
+    * Scale: each iteration is one join + one aggregation on the edge list
+    * (both shuffles on node id); `localCheckpoint` truncates the iterative
+    * lineage so plans stay constant-size. Rounds needed = component
+    * diameter — near-dup clusters are clique-ish, so a handful. */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 15): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+
+    // One min-label hop: label := min(label, min over in-neighbors' labels).
+    def hop(l: DataFrame): DataFrame = {
+      val nbrMin = sym.join(l.select(col("id").as("nid"), col("label").as("nlab")),
+          col("src") === col("nid"))
+        .groupBy(col("dst")).agg(min(col("nlab")).as("nlabel"))
+      l.join(nbrMin, l("id") === nbrMin("dst"), "left")
+        .select(l("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+    // Labels only decrease, so an unchanged (exact decimal) sum == fixpoint
+    // — one cheap aggregate instead of a change-detection join.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // two hops per materialization: halves the checkpoint/scheduling
+      // overhead, which dominates over the (tiny) label table's data cost
+      labels = hop(hop(labels)).localCheckpoint(true)
+      val s = labelSum(labels)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    require(done, s"connectedComponents did not converge in ${2 * maxIter} hops")
+    labels.withColumnRenamed("label", "canonical")
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of (+1 if bit i of token-hash set else -1). Near-dups have
     * small Hamming distance. */

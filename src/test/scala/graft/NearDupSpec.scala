@@ -49,6 +49,17 @@ class NearDupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connected components: chain, star, and singleton-pair merge to min-id canonical") {
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+  }
+
   test("banded LSH pairs are deduped across bands (no duplicate pair rows)") {
     val v = Array.fill(Fixtures.Dim)(0.5f)
     val db = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
