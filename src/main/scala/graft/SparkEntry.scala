@@ -230,6 +230,14 @@ object SparkEntry {
       Tables.orders(s, d).agg(
         countDistinct(col("o_custkey")).as("n_custs"),
         count(lit(1)).as("n_orders"))),
+    // sketch aggregates (HLL++ distinct, quantile summary) — engine-specific
+    // sketches have no DuckDB-exact oracle, so the driver records a
+    // rows-only check; exactness bounds are asserted in SketchSpec
+    "agg_sketches" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"))),
     "anti_customers_without_orders" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
