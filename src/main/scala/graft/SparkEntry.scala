@@ -269,6 +269,23 @@ object SparkEntry {
           "n" -> (c => sum(c)),
           "v_sum" -> (c => sum(c).cast("double"))))
         .orderBy(col("event_type"))),
+    // MapType path: JSON object -> map -> explode to (key, value) rows
+    "json_kv_explode" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))).as(Seq("key", "value")))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v_sum"))
+        .orderBy(col("key"))),
+    "agg_cube_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"))
+        .orderBy(col("rf"), col("ls"))),
     "events_hourly_stats" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(
@@ -519,6 +536,14 @@ object SparkEntry {
       "agg_salted_events_by_type" ->
         s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "json_kv_explode" ->
+        """SELECT key, COUNT(*) AS n,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS v_sum
+          |FROM (SELECT unnest(json_keys(props)) AS key, props FROM events)
+          |GROUP BY key ORDER BY key""".stripMargin,
+      "agg_cube_pricing" ->
+        """SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls, COUNT(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
       "events_hourly_stats" ->
         s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
            |  COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum

@@ -144,6 +144,29 @@ object Distances {
     while (i < a.length) { val d = a(i) - b(i); s += d * d * invDiag(i); i += 1 }
     s
   }
+  /** Driver-side SPD matrix inverse (Gauss-Jordan with partial pivoting) —
+    * factorize the covariance ONCE here, then broadcast the flat inverse to
+    * [[mahalanobisFullLit]] (the reference re-solves per pair,
+    * distance_metric.py:78-80). Input and output are row-major flattened. */
+  def invertSPD(mFlat: Array[Double], n: Int): Array[Double] = {
+    require(mFlat.length == n * n, "matrix must be n*n")
+    val a = Array.tabulate(n, 2 * n) { (i, j) =>
+      if (j < n) mFlat(i * n + j) else if (j - n == i) 1.0 else 0.0
+    }
+    for (c <- 0 until n) {
+      val pivot = (c until n).maxBy(r => math.abs(a(r)(c)))
+      require(math.abs(a(pivot)(c)) > 1e-12, "matrix is singular")
+      val tmp = a(c); a(c) = a(pivot); a(pivot) = tmp
+      val pv = a(c)(c)
+      for (j <- 0 until 2 * n) a(c)(j) /= pv
+      for (r <- 0 until n if r != c) {
+        val f = a(r)(c)
+        if (f != 0.0) for (j <- 0 until 2 * n) a(r)(j) -= f * a(c)(j)
+      }
+    }
+    Array.tabulate(n * n)(k => a(k / n)(n + k % n))
+  }
+
   /** Same accumulation order (i-outer, j-inner) as VecMetricLit(MahaFull). */
   def mahalanobisFull(a: Array[Double], b: Array[Double], sinvFlat: Array[Double]): Double = {
     val n = a.length

@@ -1,0 +1,76 @@
+package graft
+
+import graft.core.{Fixtures, Tables}
+import graft.functions.Distances
+import graft.operators.{AsOfJoin, Knn, KnnTopK}
+import graft.streaming.Sessionize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape contracts: the scale claims in the operator docs (single
+  * shuffle, broadcast-only joins, shuffle-free top-k, map-side partial
+  * top-k) asserted against the physical plan, so a regression that
+  * silently adds a shuffle or flips a join to sort-merge fails loudly.
+  * AQE is disabled inside this suite only, to make exchange counts
+  * deterministic at plan time. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def withoutAqe[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  private def shuffles(p: SparkPlan): Int = p.collect { case e: ShuffleExchangeExec => e }.size
+
+  test("brute kNN: zero shuffles, distributed top-k (TakeOrderedAndProject)") {
+    withoutAqe {
+      val p = planOf(Knn.bruteForce(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        Distances.squaredL2Lit(col("embedding"), Fixtures.Q64), 10))
+      assert(shuffles(p) == 0)
+      assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size == 1)
+    }
+  }
+
+  test("as-of join: exactly ONE shuffle (union+window, no range join)") {
+    withoutAqe {
+      val p = planOf(AsOfJoin.asOf(
+        Tables.events(spark, sfDir).select("event_id", "ts", "user_id"),
+        Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_orderdate"),
+        "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey"))
+      assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}")
+    }
+  }
+
+  test("batch sessionization: exactly ONE shuffle (groupBy reuses the window's partitioning)") {
+    withoutAqe {
+      val p = planOf(Sessionize.batch(Tables.events(spark, sfDir)))
+      assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}")
+    }
+  }
+
+  test("star join: all dimensions broadcast, no sort-merge join") {
+    withoutAqe {
+      val p = planOf(SparkEntry.queries("join_revenue_by_nation")(spark, sfDir))
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.size == 4)
+    }
+  }
+
+  test("aggregator kNN join: partial+final object hash aggregate (map-side top-k)") {
+    withoutAqe {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val p = planOf(KnnTopK.join(
+        emb.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("embedding")),
+        emb, k = 3, dim = Fixtures.Dim))
+      val aggs = p.collect { case a: ObjectHashAggregateExec => a }
+      assert(aggs.size == 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
+    }
+  }
+}

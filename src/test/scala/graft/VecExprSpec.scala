@@ -66,6 +66,26 @@ class VecExprSpec extends SparkSpecBase {
     assert(self == 0.0)
   }
 
+  test("invertSPD: M * M^-1 == I within tolerance; pipeline with mahalanobisFull is sane") {
+    val n = 6
+    val rnd = new scala.util.Random(3)
+    val a = Array.fill(n, n)(rnd.nextGaussian())
+    // SPD: A'A + I
+    val m = Array.tabulate(n * n) { k =>
+      val (i, j) = (k / n, k % n)
+      (0 until n).map(r => a(r)(i) * a(r)(j)).sum + (if (i == j) 1.0 else 0.0)
+    }
+    val inv = Distances.invertSPD(m, n)
+    for (i <- 0 until n; j <- 0 until n) {
+      val prod = (0 until n).map(k => m(i * n + k) * inv(k * n + j)).sum
+      assert(math.abs(prod - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)=$prod")
+    }
+    // d' Sinv d with the true inverse: positive for d != 0
+    val d1 = Array.fill(n)(rnd.nextGaussian())
+    val zero = new Array[Double](n)
+    assert(Distances.mahalanobisFull(d1, zero, inv) > 0.0)
+  }
+
   test("null handling: short array and null element yield null") {
     import spark.implicits._
     val df = Seq(
