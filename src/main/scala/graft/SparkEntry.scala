@@ -269,6 +269,15 @@ object SparkEntry {
           "n" -> (c => sum(c)),
           "v_sum" -> (c => sum(c).cast("double"))))
         .orderBy(col("event_type"))),
+    // pivot: long -> wide with an explicit value list (no extra pass to
+    // discover values; DuckDB mirror is portable conditional aggregation)
+    "pivot_event_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day_epoch"))),
     // MapType path: JSON object -> map -> explode to (key, value) rows
     "json_kv_explode" -> ((s, d) =>
       Tables.events(s, d)
@@ -536,6 +545,13 @@ object SparkEntry {
       "agg_salted_events_by_type" ->
         s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "pivot_event_counts" -> {
+        val cols = Seq("click", "error", "purchase", "signup", "view")
+          .map(t => s"COUNT(*) FILTER (event_type = '$t') AS \"$t\"").mkString(",\n  ")
+        s"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           |  $cols
+           |FROM events GROUP BY day_epoch ORDER BY day_epoch""".stripMargin
+      },
       "json_kv_explode" ->
         """SELECT key, COUNT(*) AS n,
           |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS v_sum
