@@ -10,6 +10,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 /** Native Catalyst expressions for vector distances: a tight codegen'd loop
   * over a float array instead of a 64-term unrolled expression tree.
   *
+  * Metric semantics mirror the reference exactly (reference:
+  * vectordb/distance_metric.py): SqL2 is SQUARED L2, no sqrt (:57-60); L1
+  * (:107-112); LInf/Chebyshev (:95-104); Maha takes the reciprocal diagonal
+  * (:71-74); MahaFull is d'·Sinv·d with the inverse factorized once
+  * driver-side instead of the reference's per-pair np.linalg.solve (:78-80).
+  *
   * Why: the unrolled Column form (Distances.*Lit) builds dim×terms
   * expression nodes — for LSH signatures that is 16 planes × 64 dims ≈ 1k
   * nodes per row, which bloats the generated method past JIT-friendly size

@@ -102,11 +102,15 @@ object Knn {
     var acc: Seq[Neighbor] = Seq.empty
     var done = false
     while (!done && scanned < ranked.length) {
-      // Take at least enough new cells that unfiltered counts reach k, and
-      // at least double the scanned prefix to bound the number of rounds.
+      // Each round is a full Spark job (scan + top-k + collect), so round
+      // count dominates latency. First round: take cells covering ≥ 8k rows
+      // (filters and boundary effects make exactly-k too optimistic — one
+      // extra cell is far cheaper than another round). Later rounds: double
+      // the scanned prefix, so total rounds stay O(log cells).
       var take = scanned
       var cum = 0L
-      while (take < ranked.length && (cum < k || take < math.max(scanned * 2, scanned + 1))) {
+      val target = math.max(8L * k, 1L)
+      while (take < ranked.length && (cum < target || take < math.max(scanned * 2, scanned + 1))) {
         cum += ranked(take)._3
         take += 1
       }
