@@ -130,6 +130,14 @@ final class VectorDatabase private (
       cellBound = m.cellBound, distExpr = Some(m.dist(col("embedding"), q)))
   }
 
+  /** Batch kNN join: k nearest stored vectors for EVERY query row — the
+    * cluster-scale form of [[findKNearestNeighbors]] (SURVEY §2.1 #1
+    * batch-of-queries). Skew-safe bounded top-k aggregation under the hood. */
+  def knnJoin(queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id"): DataFrame =
+    graft.operators.KnnTopK.join(queries, state.drop("cell_id"), k, cfg.dim,
+      queryIdCol = queryIdCol)
+
   /** Persist cell-partitioned for file-level pruning at scale. */
   def save(path: String): Unit =
     state.repartition(col("cell_id")).write.mode("overwrite")
