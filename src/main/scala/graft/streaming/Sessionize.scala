@@ -22,6 +22,13 @@ import scala.math.BigDecimal.RoundingMode
   * Time is floored to epoch SECONDS in both forms (and in the DuckDB
   * oracle) so gap comparisons are engine-exact despite ns-precision input.
   * Sums are accumulated in scale-3 decimal, matching the batch dsum.
+  *
+  * Late-data caveat: `flatMapGroupsWithState` does NOT auto-drop rows older
+  * than the watermark — an event arriving after its session already closed
+  * on timeout starts a NEW session rather than merging, so the streaming
+  * form can split what the batch form merges. Set `watermarkDelay` to the
+  * source's real out-of-orderness bound; within that bound the two forms
+  * agree (pinned by SessionizeSpec).
   */
 object Sessionize {
 

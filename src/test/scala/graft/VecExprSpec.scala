@@ -98,6 +98,21 @@ class VecExprSpec extends SparkSpecBase {
     assert(!out(1L) && out(2L) && out(3L))
   }
 
+  test("dynamic-dim fallbacks (zip_with/aggregate) equal the fixed-dim native forms") {
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")),
+        col("ia") + 1 === col("ib"))
+    assertBitEqual(pairs,
+      Distances.squaredL2Dyn(col("va"), col("vb")),
+      Distances.squaredL2Cols(col("va"), col("vb"), Dim), "squaredL2Dyn")
+    assertBitEqual(pairs,
+      Distances.l1Dyn(col("va"), col("vb")),
+      Distances.l1Cols(col("va"), col("vb"), Dim), "l1Dyn")
+    assertBitEqual(pairs,
+      Distances.lInfDyn(col("va"), col("vb")),
+      Distances.lInfCols(col("va"), col("vb"), Dim), "lInfDyn")
+  }
+
   test("interpreted eval matches codegen (eval through filter on literal row)") {
     // Forcing the interpreted path: evaluate via Dataset.filter on a
     // non-codegen context is brittle; instead compare eval() directly.
