@@ -1,0 +1,71 @@
+package graft
+
+import graft.index.{Grid, GridConfig}
+import graft.functions.Distances
+import graft.operators.{Ann, Knn}
+import graft.core.Fixtures
+import org.apache.spark.sql.functions._
+
+/** Scale probe (manual main, not part of the driver contract): amplify the
+  * sf0.1 embeddings 200x (~1M vectors, 64-dim), build the cell-partitioned
+  * store, and run the search paths end-to-end — evidence that the pruning /
+  * LSH / IVF designs execute at two orders of magnitude above the gated
+  * fixtures, not just in documentation. */
+object ScaleProbe extends App {
+  val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[32]").config("spark.sql.shuffle.partitions", "64")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+  def t[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+  }
+  val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+  val nBase = base.count()
+  // jittered copies to ~1M rows: deterministic per-copy offset keeps the
+  // geometry realistic; jitter arithmetic stays FLOAT (the store schema)
+  val reps = math.max(1L, 1000000L / nBase)
+  val big = base.crossJoin(spark.range(reps).toDF("rep"))
+    .select(
+      (col("vec_id") * reps + col("rep")).as("vec_id"),
+      transform(col("embedding"),
+        x => (x + (pmod(col("rep") * 37, lit(100)).cast("double") - 50.0) / 5000.0).cast("float"))
+        .as("embedding"),
+      col("label"))
+  val cfg = GridConfig(dim = Fixtures.Dim, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
+  val store = "/tmp/graft_scale_store"
+  t(s"build+write store (${nBase * reps} rows)") {
+    Grid.withCellId(big, "embedding", cfg)
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(store)
+  }
+  val indexed = spark.read.parquet(store)
+  val counts = t("cell counts (index stats)") {
+    indexed.groupBy("cell_id").count().collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+  }
+  t("pruned kNN k=10 (warm 2nd run)") {
+    Knn.prunedSearch(indexed, cfg, Fixtures.Q64, 10, cellCountsCache = Some(counts))
+  }
+  val pruned = t("pruned kNN k=10") {
+    Knn.prunedSearch(indexed, cfg, Fixtures.Q64, 10, cellCountsCache = Some(counts))
+  }
+  val brute = t("brute kNN k=10") {
+    Knn.bruteForce(indexed, Distances.squaredL2Lit(col("embedding"), Fixtures.Q64), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+  }
+  assert(pruned.map(n => (n.vec_id, n.dist)) == brute, "pruned != brute at scale")
+  println("SCALE pruned == brute: OK")
+  t("banded LSH near-dup (0.1% sample)") {
+    Ann.lshBandedNearDupPairs(
+      indexed.filter(pmod(col("vec_id"), lit(1000)) === 0), Fixtures.Planes16,
+      Fixtures.Dim, bandBits = 4, minCosine = 0.35).count()
+  }
+  val cents = t("IVF centroids + lloyd step") {
+    val c0 = Ann.sampleCentroids(indexed, 64)
+    Ann.lloydStep(Ann.assign(indexed, c0), c0)
+  }
+  t("IVF probe nprobe=8") {
+    Ann.search(Ann.assign(indexed, cents), cents, Fixtures.Q64, 10, nprobe = 8).collect()
+  }
+  spark.stop()
+}

@@ -171,6 +171,77 @@ case class VecMetricLit(child: Expression, metric: String, q: Array[Double],
   }
 }
 
+/** argmin over a broadcast centroid table: index j minimizing squared L2
+  * (first minimum wins ties — same as struct-ordering array_min on
+  * (dist, idx)). One codegen'd k×dim loop per row; the struct-array
+  * formulation it replaces fell out of codegen and evaluated interpreted —
+  * 100× slower at 1M rows (found by ScaleProbe). */
+case class VecArgMinL2(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val k = centroids.length
+  private val dim = if (k > 0) centroids(0).length else 0
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMetric.checkArrayOfFloat(child.dataType, "vector")
+  override protected def withNewChildInternal(newChild: Expression): VecArgMinL2 =
+    copy(child = newChild)
+  override def prettyName: String = "vec_argmin_l2"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      var s = 0.0
+      i = 0
+      while (i < dim) { val d = arr.getFloat(i).toDouble - c(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val ok = ctx.freshName("ok")
+      s"""
+         |boolean $ok = $arr.numElements() >= $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($arr.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double d = ((double) $arr.getFloat($i)) - $cRef[$j][$i];
+         |      $s += d * d;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $best = $j; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+  }
+}
+
 /** dist(vector column, vector column) over a known dim — the kNN-join /
   * pair-verification form. */
 case class VecMetricCols(left: Expression, right: Expression, metric: String,

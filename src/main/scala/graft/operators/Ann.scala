@@ -96,14 +96,14 @@ object Ann {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
-  /** argmin-centroid assignment as a single codegen'd expression:
-    * array_min over (dist, idx) structs — struct ordering compares dist
-    * first, idx breaks ties deterministically. */
+  /** argmin-centroid assignment as a single codegen'd k×dim loop
+    * ([[graft.functions.VecArgMinL2]]). The previous struct-array
+    * `array_min` formulation left whole-stage codegen and evaluated
+    * interpreted — ~100× slower at 1M rows (caught by ScaleProbe). */
   def ivfCell(v: Column, centroids: Array[Array[Double]]): Column = {
-    val entries = centroids.zipWithIndex.map { case (c, j) =>
-      struct(Distances.squaredL2Lit(v, c).as("d"), lit(j).as("i"))
-    }
-    array_min(array(entries: _*)).getField("i")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.VecArgMinL2(ColumnBridge.expression(v), centroids))
   }
 
   /** Add the `ivf_cell` column (persist with partitionBy("ivf_cell")). */
