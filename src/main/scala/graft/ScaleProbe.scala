@@ -60,6 +60,22 @@ object ScaleProbe extends App {
       indexed.filter(pmod(col("vec_id"), lit(1000)) === 0), Fixtures.Planes16,
       Fixtures.Dim, bandBits = 4, minCosine = 0.35).count()
   }
+  // Text near-dup at 100k replicated docs: exact-dedup FIRST collapses the
+  // replicas, keeping LSH's bucket cliques linear. (LSH directly on the
+  // replicated corpus would enumerate ~C(200,2) pairs per document —
+  // millions of candidates that all verify at jaccard 1.0.)
+  val docsBase = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  val nDocs = docsBase.count()
+  val docReps = math.max(1L, 100000L / nDocs)
+  val bigDocs = docsBase.crossJoin(spark.range(docReps).toDF("rep"))
+    .select((col("doc_id") * docReps + col("rep")).as("doc_id"), col("text"))
+    .repartition(64)
+  t(s"exact-dedup ${nDocs * docReps} replicated docs") {
+    println(s"SCALE   canonical docs: " + graft.operators.Dedup.exactDedup(bigDocs).count())
+  }
+  t("near-dup pipeline (exact first, then LSH)") {
+    graft.operators.Dedup.nearDupPipeline(bigDocs).count()
+  }
   val cents = t("IVF centroids + lloyd step") {
     val c0 = Ann.sampleCentroids(indexed, 64)
     Ann.lloydStep(Ann.assign(indexed, c0), c0)

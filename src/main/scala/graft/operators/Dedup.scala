@@ -140,6 +140,19 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Full near-dup pipeline in the order that survives real corpora:
+    * EXACT dedup first (hash-group to one canonical row per identical
+    * text), THEN MinHash-LSH near-dup pairing on the survivors. Skipping
+    * the exact pass is a scale cliff: replicated documents form n-cliques
+    * in every LSH bucket, exploding candidate pairs quadratically
+    * (1000 copies of one doc = 499 500 candidate pairs that all verify at
+    * jaccard 1.0 — demonstrated in ScaleProbe). */
+  def nearDupPipeline(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleWidth: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    minHashLshNearDupPairs(exactDedup(docs, textCol, idCol),
+      textCol, idCol, shingleWidth, numHashes, bands, threshold)
+
   /** Connected components over a near-dup pair table (min-label
     * propagation): every node converges to the smallest doc id reachable
     * from it — the canonical representative of its duplicate cluster. The

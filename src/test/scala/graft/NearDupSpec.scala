@@ -49,6 +49,18 @@ class NearDupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupPipeline: exact replicas collapse first, only true near-dups pair") {
+    val corpus = docs.unionByName(
+      docs.filter($"doc_id" === 1L).withColumn("doc_id", lit(100L))) // replica of 1
+    val pairs = Dedup.nearDupPipeline(corpus, "text", "doc_id",
+        shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // replicas (1,100) and (1,4) were removed by exact dedup, so no pair
+    // touches 100 or 4; the genuine near-dup pair (1,2) survives
+    assert(!pairs.exists(p => p._1 == 100L || p._2 == 100L || p._1 == 4L || p._2 == 4L))
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("connected components: chain, star, and singleton-pair merge to min-id canonical") {
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
