@@ -68,7 +68,8 @@ object Knn {
       pred: Option[Column] = None,
       cellBound: (Array[Double], Long, GridConfig) => Double = Grid.cellLowerBoundSqL2,
       distExpr: Option[Column] = None,
-      cellCountsCache: Option[Map[Long, Long]] = None): Seq[Neighbor] = {
+      cellCountsCache: Option[Map[Long, Long]] = None,
+      bruteForceThreshold: Long = 200000L): Seq[Neighbor] = {
 
     val cellCounts: Map[Long, Long] = cellCountsCache.getOrElse {
       indexed.groupBy("cell_id").count().collect()
@@ -82,6 +83,23 @@ object Knn {
       .sortBy { case (cell, b, _) => (b, cell) }
 
     val dist = distExpr.getOrElse(Distances.squaredL2Lit(col("embedding"), q))
+
+    // Cost-based path choice: below the threshold, one codegen'd full scan
+    // is cheaper than the widening loop's multiple scan+collect jobs (the
+    // per-job overhead, not the data, dominates small stores). Above it,
+    // candidate-cell pruning skips whole files. Same exact result either
+    // way — the specs pin pruned ≡ brute with bruteForceThreshold = 0.
+    if (cellCounts.values.sum <= bruteForceThreshold) {
+      val filtered = pred.map(indexed.filter).getOrElse(indexed)
+      return filtered
+        .withColumn("dist", dist)
+        .select(col("vec_id"), col("label"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(k)
+        .collect()
+        .map(r => Neighbor(r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSeq
+    }
 
     def scanCells(cells: Seq[Long]): Seq[Neighbor] = {
       val base = indexed.filter(col("cell_id").isin(cells: _*))
@@ -129,9 +147,11 @@ object Knn {
       cfg: GridConfig,
       q: Array[Double],
       k: Int,
-      pred: Option[Column] = None): DataFrame = {
+      pred: Option[Column] = None,
+      bruteForceThreshold: Long = 200000L): DataFrame = {
     import spark.implicits._
-    val rows = prunedSearch(indexed, cfg, q, k, pred)
+    val rows = prunedSearch(indexed, cfg, q, k, pred,
+      bruteForceThreshold = bruteForceThreshold)
     spark.createDataset(rows).toDF()
   }
 }

@@ -49,7 +49,8 @@ class KnnSpec extends SparkSpecBase {
       val brute = Knn.bruteForce(emb, dist, 10, pred = pred).collect()
         .map(r => (r.getLong(0), r.getDouble(2)))
       val pruned = Knn.prunedSearch(indexed, cfg, Q64, 10, pred = pred,
-        cellBound = bound, distExpr = Some(dist)).map(n => (n.vec_id, n.dist))
+        cellBound = bound, distExpr = Some(dist),
+        bruteForceThreshold = 0L).map(n => (n.vec_id, n.dist))
       assert(pruned === brute.toSeq, s"metric=$name pred=$pred")
     }
   }

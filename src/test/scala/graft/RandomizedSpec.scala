@@ -52,7 +52,8 @@ class RandomizedSpec extends SparkSpecBase {
       val indexed = Grid.withCellId(df, "embedding", cfg)
       val q = Array.fill(dim)(rnd.nextDouble() * 2.4 - 1.2)
       val k = 1 + rnd.nextInt(rows.length + 2)
-      val pruned = Knn.prunedSearchDf(spark, indexed, cfg, q, k)
+      val pruned = Knn.prunedSearchDf(spark, indexed, cfg, q, k,
+        bruteForceThreshold = 0L)
         .select("vec_id").as[Long].collect().toSeq
       val brute = Knn.bruteForce(df, Distances.squaredL2Lit(col("embedding"), q), k)
         .select("vec_id").as[Long].collect().toSeq
