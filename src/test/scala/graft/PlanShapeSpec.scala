@@ -63,6 +63,18 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("rank<=k window filter triggers Spark's native WindowGroupLimit pushdown") {
+    // This is WHY no custom top-k LogicalPlan/Strategy is needed for the
+    // window idiom (SURVEY §4): InferWindowGroupLimit already bounds
+    // per-group state before the sort — pin that it stays in the plan.
+    withoutAqe {
+      val p = planOf(SparkEntry.queries("window_top_orders_per_customer")(spark, sfDir))
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }.nonEmpty, "WindowGroupLimitExec missing — rank-limit pushdown regressed")
+    }
+  }
+
   test("aggregator kNN join: partial+final object hash aggregate (map-side top-k)") {
     withoutAqe {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
