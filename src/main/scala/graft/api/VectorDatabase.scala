@@ -147,13 +147,15 @@ final class VectorDatabase private (
 object VectorDatabase {
   /** Build from an existing id'd DataFrame (vec_id, embedding, metadata...). */
   def fromDataFrame(spark: SparkSession, df: DataFrame, cfg: GridConfig,
-      metric: Metric = SquaredL2): VectorDatabase = {
+      metric: Metric = SquaredL2, validate: Boolean = true): VectorDatabase = {
+    val checked =
+      if (validate) Grid.requireDim(df, "embedding", cfg.dim) else df
     val indexed =
-      if (df.columns.contains("cell_id"))
+      if (checked.columns.contains("cell_id"))
         // partitionBy round-trips infer the partition column as INT —
         // normalize back to the LongType the index math uses
-        df.withColumn("cell_id", col("cell_id").cast("long"))
-      else df.withColumn("cell_id", Grid.cellId(col("embedding"), cfg))
+        checked.withColumn("cell_id", col("cell_id").cast("long"))
+      else checked.withColumn("cell_id", Grid.cellId(col("embedding"), cfg))
     val maxId = indexed.agg(max("vec_id")).collect()(0) match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)

@@ -89,6 +89,18 @@ object Grid {
   def withCellId(df: DataFrame, vecCol: String, cfg: GridConfig): DataFrame =
     df.withColumn("cell_id", cellId(col(vecCol), cfg))
 
+  /** Runtime dimension validation on ingest (the reference asserts vector
+    * shape on insert, kd_tree_database.py:84-85). Implemented as a FILTER
+    * whose predicate raises on a wrong-sized or null vector — a filter
+    * cannot be pruned away like an unused check column would be;
+    * `assert_true` returns null on success so the predicate is always
+    * true for valid rows. */
+  def requireDim(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.filter(coalesce(
+      assert_true(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+        lit(s"ingest validation: $vecCol must be a non-null vector of dim $dim")),
+      lit(true)))
+
   // ---- driver-side math (candidate-cell ranking for pruned search) ----
 
   def bucketOf(x: Double, cfg: GridConfig): Int = {

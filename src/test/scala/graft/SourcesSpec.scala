@@ -1,0 +1,52 @@
+package graft
+
+import graft.api.VectorRecord
+import graft.index.Grid
+import org.apache.spark.sql.functions._
+
+/** Sources/sinks beyond parquet (SURVEY §2.2 scans row) + typed Dataset
+  * facade + ingest validation. */
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("CSV round-trip preserves rows and schema (with header + explicit schema)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs.select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG").csv(dir)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).head().getLong(0) ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+  }
+
+  test("JSON-lines round-trip preserves rows including the text column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    assert(back.select(md5(col("text"))).distinct().count() ==
+      docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("typed Dataset[VectorRecord] round-trips through the encoder") {
+    val ds = spark.read.parquet(s"$sfDir/embeddings.parquet").as[VectorRecord]
+    val filtered = ds.filter(_.label == 3).map(r => r.copy(vec_id = r.vec_id + 1))
+    val n = filtered.count()
+    assert(n > 0 && n == spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label") === 3).count())
+  }
+
+  test("ingest validation raises on wrong-dim vectors and passes good ones") {
+    val good = Seq((1L, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
+    assert(Grid.requireDim(good, "embedding", 4).count() == 1)
+    val bad = Seq((1L, Array.fill(3)(0.1f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] { Grid.requireDim(bad, "embedding", 4).count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(e => e.getMessage != null && e.getMessage.contains("ingest validation")))
+  }
+}
