@@ -171,6 +171,7 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    if (labels.isEmpty) return labels.withColumnRenamed("label", "canonical")
 
     // One min-label hop: label := min(label, min over in-neighbors' labels).
     def hop(l: DataFrame): DataFrame = {

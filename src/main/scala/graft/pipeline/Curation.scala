@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition every LLM pipeline
+  * runs over raw text, built entirely from this engine's operators —
+  * quality/language gate → exact dedup → near-dup clustering → keep one
+  * canonical doc per cluster. Returns the curated corpus plus a funnel
+  * report (rows surviving each stage) for observability.
+  *
+  * Scale shape: two linear scans (features, exact hash), the banded LSH
+  * shuffle, and the component loop over the (tiny) near-dup edge list —
+  * no stage is quadratic in the corpus.
+  */
+object Curation {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      lang: String = "en",
+      shingleWidth: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      nearDupThreshold: Double = 0.5)
+
+  /** @return (curated docs with quality metadata, stage → surviving rows) */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+      textCol: String = "text", idCol: String = "doc_id"): (DataFrame, Seq[(String, Long)]) = {
+    val funnel = Seq.newBuilder[(String, Long)]
+    funnel += "input" -> docs.count()
+
+    // 1. quality + language gate (per-row, shuffle-free)
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality && col("lang_pred") === cfg.lang)
+    funnel += "quality_lang_gate" -> gated.count()
+
+    // 2. exact dedup (one hash shuffle)
+    val exact = Dedup.exactDedup(gated, textCol, idCol)
+    funnel += "exact_dedup" -> exact.count()
+
+    // 3. near-dup pairs on the survivors (banded MinHash-LSH, verified)
+    val pairs = Dedup.minHashLshNearDupPairs(exact, textCol, idCol,
+      cfg.shingleWidth, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+
+    // 4. cluster and keep the canonical (min-id) member of each cluster
+    val clusters = Dedup.connectedComponents(pairs)
+    val dropIds = clusters.filter(col("id") =!= col("canonical")).select(col("id"))
+    val curated = exact.join(dropIds, exact(idCol) === dropIds("id"), "left_anti")
+    funnel += "near_dup_dedup" -> curated.count()
+
+    (curated, funnel.result())
+  }
+}

@@ -61,6 +61,11 @@ class NearDupSpec extends SparkSpecBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("connected components on an empty edge list returns an empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("connected components: chain, star, and singleton-pair merge to min-id canonical") {
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
