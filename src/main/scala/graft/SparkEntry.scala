@@ -109,6 +109,13 @@ object SparkEntry {
         emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
         emb(s, d), k = 3, dim = Dim)
         .orderBy(col("query_id"), col("rn"))),
+    // scale variant: per-query candidate cells + geometric widening (no
+    // |Q|×|db| cross product) — exact, same oracle as the cross form
+    "knn_join_l2_cells" -> ((s, d) =>
+      graft.operators.KnnCellJoin.join(
+        emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, k = 3)
+        .orderBy(col("query_id"), col("rn"))),
     // skew-safe variant: bounded top-k Aggregator (map-side partial top-k)
     "knn_join_l2_agg" -> ((s, d) =>
       KnnTopK.join(
@@ -468,6 +475,7 @@ object SparkEntry {
         s"SELECT vec_id, label, ${DuckSql.cosineSimLit(e, Q64)} AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT $K",
       "knn_join_l2" -> knnJoinSql,
       "knn_join_l2_agg" -> knnJoinSql,
+      "knn_join_l2_cells" -> knnJoinSql,
       "point_lookup" -> "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",
       "count_rows" -> "SELECT COUNT(*) AS n_rows FROM embeddings",
       "full_scan" -> "SELECT vec_id, label FROM embeddings ORDER BY vec_id",

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.Distances
+import graft.index.{Grid, GridConfig}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact batch kNN join with per-query candidate-cell pruning — the scale
+  * form of [[KnnJoin]]: instead of |Q| × |db| distances (broadcast cross),
+  * each query joins only the db cells inside its current search box, and
+  * unfinished queries widen their box geometrically.
+  *
+  * Exactness: the box `[q − s, q + s]` per gridded dim contains every
+  * point within L2 distance `s` of `q` (any point outside has some
+  * |coord diff| > s, hence squared distance > s²). So once a query holds
+  * k hits with kth squared distance ≤ s², nothing outside the box can
+  * beat them — the same admissible-bound argument as the single-query
+  * widening loop (SURVEY §4 O1), vectorized over the query set.
+  *
+  * Scale: per round, ONE equi-join on cell_id between the (small,
+  * broadcastable) exploded query×cells side and the cell-partitioned
+  * store — file-level pruning applies; rounds are O(log diameter); the
+  * finished-query set leaves the loop, so later (expensive, wide-box)
+  * rounds run on the stragglers only.
+  */
+object KnnCellJoin {
+
+  /** All cell ids intersecting the per-dim bucket box of `[q−s, q+s]`,
+    * as ONE Column expression (flattened cross-product of per-dim bucket
+    * ranges — gridDims is plan-time constant). */
+  private[operators] def cellsInBox(v: Column, cfg: GridConfig, s: Double): Column = {
+    def bucketOfExpr(x: Column): Column =
+      least(lit(cfg.partsPerDim - 1L),
+        greatest(lit(0L),
+          floor(((x - lit(cfg.lower)) / lit(cfg.upper - cfg.lower)) * lit(cfg.partsPerDim.toDouble))))
+    val ranges = (0 until cfg.gridDims).map { d =>
+      val q = element_at(v, d + 1).cast("double")
+      sequence(bucketOfExpr(q - lit(s)), bucketOfExpr(q + lit(s)))
+    }
+    // fold dims into flat cell ids: acc × nextDimRange
+    ranges.zipWithIndex.tail.foldLeft(ranges.head) { case (acc, (rng, d)) =>
+      val p = math.pow(cfg.partsPerDim.toDouble, d.toDouble).toLong
+      flatten(transform(acc, c => transform(rng, b => c + b * lit(p))))
+    }
+  }
+
+  def join(queries: DataFrame, indexedDb: DataFrame, cfg: GridConfig, k: Int,
+      queryIdCol: String = "query_id", dbIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val qs0 = queries.select(col(queryIdCol), col(vecCol).as("q_embedding"))
+      .localCheckpoint(true)
+    var s = cfg.width // start at one cell width
+    var remaining = qs0
+    var acc: Option[DataFrame] = None
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist").asc, col(dbIdCol).asc)
+
+    // The box of THIS query covers every grid cell (so its round-result is
+    // definitionally final — also the escape hatch for < k total rows and
+    // far-out-of-bounds queries whose kth bound can never certify).
+    def coversAll(v: Column, radius: Double): Column =
+      (0 until cfg.gridDims).map { d =>
+        val q = element_at(v, d + 1).cast("double")
+        (q - lit(radius) <= lit(cfg.lower)) && (q + lit(radius) >= lit(cfg.upper))
+      }.reduce(_ && _)
+
+    while (!remaining.isEmpty) {
+      val cand = remaining
+        .withColumn("cell_id", explode(cellsInBox(col("q_embedding"), cfg, s)))
+      val topk = broadcast(cand).join(indexedDb, "cell_id")
+        .withColumn("dist", Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col(queryIdCol), col(dbIdCol), col("dist"), col("rn"))
+        .localCheckpoint(true)
+      // DONE: k hits with kth dist <= s² (nothing outside the box can beat
+      // them), or the box already spans every cell.
+      val certified = topk.groupBy(col(queryIdCol))
+        .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
+        .filter(col("n") === k && col("kth") <= lit(s * s))
+        .select(col(queryIdCol))
+      val fullCover = remaining.filter(coversAll(col("q_embedding"), s))
+        .select(col(queryIdCol))
+      val finishedIds = certified.unionByName(fullCover).distinct()
+      val taken = topk.join(finishedIds, queryIdCol)
+      acc = Some(acc.map(_.unionByName(taken)).getOrElse(taken).localCheckpoint(true))
+      remaining = remaining.join(finishedIds, Seq(queryIdCol), "left_anti")
+        .localCheckpoint(true)
+      s *= 4
+    }
+    acc.getOrElse(spark.emptyDataFrame)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.core.Fixtures
+import graft.index.{Grid, GridConfig}
+import graft.operators.{KnnCellJoin, KnnJoin}
+import org.apache.spark.sql.functions._
+
+class KnnCellJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(99)
+
+  test("cell-pruned batch kNN join equals the broadcast-cross join on the fixture") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cfg = SparkEntry.gridCfg
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaCells = KnnCellJoin.join(queries, Grid.withCellId(emb, "embedding", cfg), cfg, k = 4)
+      .orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val viaCross = KnnJoin.join(queries, emb, k = 4, dim = Fixtures.Dim)
+      .orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(viaCells.toSeq == viaCross.toSeq)
+  }
+
+  test("cell-pruned join is exact on random data incl. out-of-bounds queries and k > |db| (5 trials)") {
+    for (trial <- 1 to 5) {
+      val dim = 2 + rnd.nextInt(3)
+      val cfg = GridConfig(dim = dim, lower = -1.0, upper = 1.0,
+        partsPerDim = 2 + rnd.nextInt(3), gridDims = 1 + rnd.nextInt(dim))
+      val n = 1 + rnd.nextInt(40)
+      val db = (0L until n.toLong).map(i =>
+        (i, Array.fill(dim)((rnd.nextDouble() * 2.4 - 1.2).toFloat)))
+        .toDF("vec_id", "embedding")
+      val k = 1 + rnd.nextInt(n + 3) // may exceed |db|
+      val queries = (100L until 104L).map(i =>
+        (i, Array.fill(dim)((rnd.nextDouble() * 4.0 - 2.0).toFloat))) // often OOB
+        .toDF("query_id", "embedding")
+      val viaCells = KnnCellJoin.join(queries,
+          Grid.withCellId(db, "embedding", cfg), cfg, k)
+        .orderBy("query_id", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaCross = KnnJoin.join(queries, db, k, dim)
+        .orderBy("query_id", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(viaCells == viaCross, s"trial $trial cfg=$cfg n=$n k=$k")
+    }
+  }
+}
