@@ -55,6 +55,22 @@ object ScaleProbe extends App {
   }
   assert(pruned.map(n => (n.vec_id, n.dist)) == brute, "pruned != brute at scale")
   println("SCALE pruned == brute: OK")
+  // kNN JOIN comparison in the cell join's regime: LOW-dim fully-gridded
+  // data (at 64 dims with 3 gridded, no box short of everything certifies
+  // the full-dim kth distance — curse of dimensionality; that regime
+  // belongs to KnnTopK/IVF/LSH, see KnnCellJoin docs).
+  val cfg4 = GridConfig(dim = 4, lower = -0.6, upper = 0.6, partsPerDim = 8, gridDims = 4)
+  val db4 = Grid.withCellId(
+    big.select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding")),
+    "embedding", cfg4).localCheckpoint(true)
+  val probeQueries4 = db4.filter(pmod(col("vec_id"), lit(10000)) === 7)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+  t("cell-pruned kNN join 4-dim (100 q x 1M db)") {
+    graft.operators.KnnCellJoin.join(probeQueries4, db4, cfg4, k = 10).count()
+  }
+  t("cross kNN join 4-dim (100 q x 1M db)") {
+    graft.operators.KnnTopK.join(probeQueries4, db4, k = 10, dim = 4).count()
+  }
   t("banded LSH near-dup (0.1% sample)") {
     Ann.lshBandedNearDupPairs(
       indexed.filter(pmod(col("vec_id"), lit(1000)) === 0), Fixtures.Planes16,

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * store — file-level pruning applies; rounds are O(log diameter); the
   * finished-query set leaves the loop, so later (expensive, wide-box)
   * rounds run on the stragglers only.
+  *
+  * Dimensionality regime (measured in ScaleProbe): certification compares
+  * the FULL-dim kth distance against the gridded-dims box, so when most
+  * of the distance lives in ungridded dims (e.g. 64-dim vectors, 3
+  * gridded) no box short of everything certifies and the loop degenerates
+  * to a full scan plus round overhead — use [[KnnTopK]] (exact) or
+  * [[Ann]] (IVF/LSH, approximate) there. In low-dim fully-gridded data
+  * (geo, PCA'd embeddings) the first rounds certify and the join touches
+  * a small cell fraction.
   */
 object KnnCellJoin {
 
@@ -54,7 +63,6 @@ object KnnCellJoin {
     var s = cfg.width // start at one cell width
     var remaining = qs0
     var acc: Option[DataFrame] = None
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist").asc, col(dbIdCol).asc)
 
     // The box of THIS query covers every grid cell (so its round-result is
     // definitionally final — also the escape hatch for < k total rows and
@@ -68,11 +76,16 @@ object KnnCellJoin {
     while (!remaining.isEmpty) {
       val cand = remaining
         .withColumn("cell_id", explode(cellsInBox(col("q_embedding"), cfg, s)))
-      val topk = broadcast(cand).join(indexedDb, "cell_id")
-        .withColumn("dist", Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select(col(queryIdCol), col(dbIdCol), col("dist"), col("rn"))
+      // bounded top-k AGGREGATOR, not a window: the shuffle carries ≤ k
+      // rows per query per map task — a window would shuffle and sort
+      // EVERY candidate pair (measured 7× slower at 1M rows in ScaleProbe)
+      val topk = KnnTopK.topK(
+          broadcast(cand).join(indexedDb, "cell_id")
+            .select(col(queryIdCol).as("query_id"), col(dbIdCol).as("vec_id"),
+              Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim).as("dist")),
+          k)
+        .withColumnRenamed("query_id", queryIdCol)
+        .withColumnRenamed("vec_id", dbIdCol)
         .localCheckpoint(true)
       // DONE: k hits with kth dist <= s² (nothing outside the box can beat
       // them), or the box already spans every cell.

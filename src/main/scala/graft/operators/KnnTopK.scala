@@ -43,22 +43,29 @@ object KnnTopK {
       else buf
   }
 
-  /** Same contract as [[KnnJoin.join]] (broadcast queries × db, squared L2),
-    * aggregated instead of window-ranked. */
-  def join(queries: DataFrame, db: DataFrame, k: Int, dim: Int,
-      queryIdCol: String = "query_id", dbIdCol: String = "vec_id"): DataFrame = {
-    val spark = db.sparkSession
+  /** Bounded top-k over an arbitrary candidate set (columns query_id,
+    * vec_id, dist) — the shuffle carries ≤ k rows per query per map task
+    * instead of every candidate. */
+  def topK(cands: DataFrame, k: Int): DataFrame = {
+    val spark = cands.sparkSession
     import spark.implicits._
-    val qs = queries.select(col(queryIdCol).as("query_id"), col("embedding").as("q_embedding"))
-    val cands = db.crossJoin(broadcast(qs))
-      .select(col("query_id"), col(dbIdCol).as("vec_id"),
-        Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
-      .as[Cand]
-    cands.groupByKey(_.query_id)
+    cands.select(col("query_id"), col("vec_id"), col("dist")).as[Cand]
+      .groupByKey(_.query_id)
       .agg(new TopKAgg(k).toColumn.name("topk"))
       .flatMap { case (qid, arr) =>
         arr.zipWithIndex.map { case (n, i) => Result(qid, n.id, n.dist, i + 1) }
       }
       .toDF()
+  }
+
+  /** Same contract as [[KnnJoin.join]] (broadcast queries × db, squared L2),
+    * aggregated instead of window-ranked. */
+  def join(queries: DataFrame, db: DataFrame, k: Int, dim: Int,
+      queryIdCol: String = "query_id", dbIdCol: String = "vec_id"): DataFrame = {
+    val qs = queries.select(col(queryIdCol).as("query_id"), col("embedding").as("q_embedding"))
+    val cands = db.crossJoin(broadcast(qs))
+      .select(col("query_id"), col(dbIdCol).as("vec_id"),
+        Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
+    topK(cands, k)
   }
 }
