@@ -99,5 +99,11 @@ object ScaleProbe extends App {
   t("IVF probe nprobe=8") {
     Ann.search(Ann.assign(indexed, cents), cents, Fixtures.Q64, 10, nprobe = 8).collect()
   }
+  t("IVF batch join (100 q x 1M db, nprobe=8/64)") {
+    Ann.ivfJoin(probeQueries4.withColumnRenamed("embedding", "q64")
+        .join(indexed.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+        .select(col("query_id"), col("embedding")),
+      Ann.assign(indexed, cents), cents, k = 10, nprobe = 8).count()
+  }
   spark.stop()
 }

@@ -385,6 +385,16 @@ object SparkEntry {
       val cents = Ann.sampleCentroids(db, 16)
       Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
     }),
+    // batch ANN join: every query probes its nprobe nearest IVF cells
+    // (approximate by construction; recall pinned in AnnLloydSpec → rows-only)
+    "ann_ivf_join" -> ((s, d) => {
+      val db = emb(s, d)
+      val cents = Ann.sampleCentroids(db, 16)
+      Ann.ivfJoin(
+        db.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        Ann.assign(db, cents), cents, k = 3, nprobe = 4)
+        .orderBy(col("query_id"), col("rn"))
+    }),
     "ann_lsh_neardup" -> ((s, d) =>
       Ann.lshBandedNearDupPairs(par(s, emb(s, d).filter(col("vec_id") % 5 === 0)), Planes16, Dim,
           bandBits = 4, minCosine = 0.35)

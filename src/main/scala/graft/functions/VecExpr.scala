@@ -242,6 +242,96 @@ case class VecArgMinL2(child: Expression, centroids: Array[Array[Double]])
   }
 }
 
+/** The `n` nearest centroid indexes by squared L2, ascending (ties by
+  * lower index) — the multi-probe companion of [[VecArgMinL2]] for batch
+  * IVF: each query row probes its `nprobe` best cells. Codegen'd k×dim
+  * loop with an insertion-sorted n-slot buffer (n is small). */
+case class VecArgTopNL2(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+
+  private val k = centroids.length
+  private val dim = if (k > 0) centroids(0).length else 0
+  private val nn = math.min(n, k)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMetric.checkArrayOfFloat(child.dataType, "vector")
+  override protected def withNewChildInternal(newChild: Expression): VecArgTopNL2 =
+    copy(child = newChild)
+  override def prettyName: String = "vec_argtopn_l2"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    val bestD = Array.fill(nn)(Double.MaxValue)
+    val bestI = Array.fill(nn)(-1)
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      var s = 0.0
+      i = 0
+      while (i < dim) { val d = arr.getFloat(i).toDouble - c(i); s += d * d; i += 1 }
+      if (s < bestD(nn - 1)) {
+        var p = nn - 1
+        while (p > 0 && bestD(p - 1) > s) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = s; bestI(p) = j
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bestI.filter(_ >= 0))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val p = ctx.freshName("p")
+      val s = ctx.freshName("s"); val bd = ctx.freshName("bd"); val bi = ctx.freshName("bi")
+      val ok = ctx.freshName("ok"); val cnt = ctx.freshName("cnt"); val out = ctx.freshName("out")
+      s"""
+         |boolean $ok = $arr.numElements() >= $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($arr.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $bd = new double[$nn];
+         |  int[] $bi = new int[$nn];
+         |  java.util.Arrays.fill($bd, Double.MAX_VALUE);
+         |  java.util.Arrays.fill($bi, -1);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double d = ((double) $arr.getFloat($i)) - $cRef[$j][$i];
+         |      $s += d * d;
+         |    }
+         |    if ($s < $bd[$nn - 1]) {
+         |      int $p = $nn - 1;
+         |      while ($p > 0 && $bd[$p - 1] > $s) {
+         |        $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |      }
+         |      $bd[$p] = $s; $bi[$p] = $j;
+         |    }
+         |  }
+         |  int $cnt = 0;
+         |  for (int $p = 0; $p < $nn; $p++) if ($bi[$p] >= 0) $cnt++;
+         |  int[] $out = new int[$cnt];
+         |  for (int $p = 0; $p < $cnt; $p++) $out[$p] = $bi[$p];
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+}
+
 /** dist(vector column, vector column) over a known dim — the kNN-join /
   * pair-verification form. */
 case class VecMetricCols(left: Expression, right: Expression, metric: String,

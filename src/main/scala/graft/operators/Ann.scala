@@ -142,6 +142,30 @@ object Ann {
     assigned.agg(avg(distToOwn)).head().getDouble(0)
   }
 
+  /** Batch ANN join via IVF — the 100 TB similarity-search workhorse:
+    * every query row probes only its `nprobe` nearest centroid cells
+    * (codegen'd [[graft.functions.VecArgTopNL2]]), joins the
+    * cell-partitioned store on `ivf_cell`, and ranks through the bounded
+    * top-k aggregator. Cost per query ≈ nprobe/nCentroids of the store;
+    * approximate by construction — recall vs the exact join is pinned in
+    * AnnSpec-style tests, and rises with nprobe. */
+  def ivfJoin(queries: DataFrame, assignedDb: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nprobe: Int,
+      queryIdCol: String = "query_id", dbIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val probeCells = ColumnBridge.column(graft.functions.VecArgTopNL2(
+      ColumnBridge.expression(col("q_embedding")), centroids, nprobe))
+    val qs = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_embedding"))
+      .withColumn("ivf_cell", explode(probeCells))
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    KnnTopK.topK(
+      broadcast(qs).join(assignedDb, "ivf_cell")
+        .select(col("query_id"), col(dbIdCol).as("vec_id"),
+          Distances.squaredL2Cols(col("q_embedding"), col(vecCol), dim).as("dist")),
+      k)
+  }
+
   /** ANN search: probe the nprobe nearest centroid cells, exact top-k
     * inside them (TakeOrderedAndProject under the pruned scan). */
   def search(assigned: DataFrame, centroids: Array[Array[Double]],

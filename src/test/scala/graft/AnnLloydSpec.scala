@@ -5,6 +5,7 @@ import graft.operators.Ann
 import org.apache.spark.sql.functions._
 
 class AnnLloydSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
@@ -29,6 +30,37 @@ class AnnLloydSpec extends SparkSpecBase {
         graft.functions.Distances.squaredL2Lit(col("embedding"), q).as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc).limit(10).collect()
     assert(full.map(_.getLong(0)).toSeq == brute.map(_.getLong(0)).toSeq)
+  }
+
+  test("ivfJoin at full probe equals the exact kNN join; partial probe has decent recall") {
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cents = Ann.sampleCentroids(emb, 8)
+    val assigned = Ann.assign(emb, cents)
+    val exact = graft.operators.KnnTopK.join(queries, emb, k = 10, dim = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val full = Ann.ivfJoin(queries, assigned, cents, k = 10, nprobe = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full probe must be exact")
+    val partial = Ann.ivfJoin(queries, assigned, cents, k = 10, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (partial & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 with nprobe=3 was $recall")
+  }
+
+  test("VecArgTopNL2 returns the n nearest centroid indexes in ascending distance order") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cents = Ann.sampleCentroids(emb, 6)
+    val topn = ColumnBridge.column(graft.functions.VecArgTopNL2(
+      ColumnBridge.expression(col("embedding")), cents, 3))
+    val rows = emb.limit(50).select(col("embedding"), topn.as("cells")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble).toArray
+      val expected = cents.zipWithIndex
+        .map { case (c, j) => (graft.functions.Distances.squaredL2(v, c), j) }
+        .sortBy(identity).take(3).map(_._2).toSeq
+      assert(r.getSeq[Int](1) == expected)
+    }
   }
 
   test("resize emits exactly targetW*targetH bytes, deterministically") {
