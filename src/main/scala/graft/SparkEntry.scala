@@ -309,6 +309,12 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("v_sum"))
         .orderBy(col("hour_epoch"), col("event_type"))),
+    // batch embedding (north star): feature-hashing text embedder, sparse
+    // form (exact integer sums — oracle-portable)
+    "embed_feature_hash" -> ((s, d) =>
+      graft.operators.Embed.featureHashSparse(
+          par(s, docs(s, d).filter(col("doc_id") % 10 === 0)), dim = 64)
+        .orderBy(col("doc_id"), col("idx"))),
     // --- text analysis (north star)
     "text_features" -> ((s, d) =>
       TextAnalysis.docFeatures(par(s, docs(s, d))).orderBy(col("doc_id"))),
@@ -594,6 +600,17 @@ object SparkEntry {
            |  md5(lower(text)) AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin
       },
+      "embed_feature_hash" ->
+        s"""SELECT doc_id, idx, CAST(SUM(sign) AS BIGINT) AS val FROM (
+           |  SELECT doc_id, (h % 64) AS idx,
+           |    CASE WHEN CAST(FLOOR(h / 64.0) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sign
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5Int32Sql("w")} AS h
+           |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |          FROM documents WHERE doc_id % 10 = 0)
+           |  )
+           |) GROUP BY doc_id, idx HAVING CAST(SUM(sign) AS BIGINT) <> 0
+           |ORDER BY doc_id, idx""".stripMargin,
       "text_quality" -> {
         val nw = nWordsSql("text"); val ns = nStopSql("text")
         s"""SELECT doc_id,
