@@ -144,7 +144,11 @@ case class VecMetricLit(child: Expression, metric: String, q: Array[Double],
           val body = VecMetric.loopBody(m, s1, s2, va, s"$qRef[$i]", s"$wRef[$i]")
           val finish = m match {
             case VecMetric.Cosine =>
-              s"${ev.value} = $s1 / (Math.sqrt($s2) * ${java.lang.Double.toString(qNorm)});"
+              // Bit-exact and always-valid Java: a decimal literal would be
+              // invalid source for NaN/Infinity qNorm (Janino compile fail →
+              // silent codegen fallback).
+              val qnBits = java.lang.Double.doubleToRawLongBits(qNorm)
+              s"${ev.value} = $s1 / (Math.sqrt($s2) * Double.longBitsToDouble(${qnBits}L));"
             case _ => s"${ev.value} = $s1;"
           }
           s"""double $s1 = 0.0;
@@ -332,10 +336,21 @@ case class VecArgTopNL2(child: Expression, centroids: Array[Array[Double]], n: I
   }
 }
 
+object VecMetricCols {
+  import VecMetric._
+  val supported: Set[String] = Set(SqL2, L1, LInf, Dot, Cosine)
+}
+
 /** dist(vector column, vector column) over a known dim — the kNN-join /
   * pair-verification form. */
 case class VecMetricCols(left: Expression, right: Expression, metric: String,
     dim: Int) extends BinaryExpression {
+
+  // Maha/MahaFull need a weight vector this form doesn't carry; rejecting
+  // them here keeps nullSafeEval (throws) and doGenCode (would silently
+  // emit d*d*0.0) from ever diverging.
+  require(VecMetricCols.supported.contains(metric),
+    s"VecMetricCols supports ${VecMetricCols.supported.mkString("/")}, got $metric")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -29,12 +29,17 @@ object Embed {
       .filter(col("val") =!= 0)
   }
 
-  /** Dense form: ARRAY<FLOAT> of length `dim`, ready for Grid/Knn/Ann. */
+  /** Dense form: ARRAY<FLOAT> of length `dim`, ready for Grid/Knn/Ann.
+    * Every input doc yields a row — docs whose sparse form is empty (null
+    * text, or all contributions cancel to 0) get the zero vector rather
+    * than silently vanishing from downstream index/kNN stages. */
   def featureHashDense(docs: DataFrame, dim: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sparse = featureHashSparse(docs, dim, textCol, idCol)
-    sparse.groupBy(col(idCol))
+    val entries = sparse.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("idx"), col("val")))).as("m"))
+    docs.select(col(idCol)).distinct()
+      .join(entries, Seq(idCol), "left")
       .select(col(idCol),
         transform(sequence(lit(0L), lit(dim - 1L)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("float")).as("embedding"))

@@ -58,7 +58,11 @@ object KnnCellJoin {
       queryIdCol: String = "query_id", dbIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    val qs0 = queries.select(col(queryIdCol), col(vecCol).as("q_embedding"))
+    // Query-side dim validation (the reference asserts vector shape on every
+    // call, kd_tree_database.py:84-85): a null or short query embedding would
+    // otherwise vanish from cellsInBox/coversAll and loop forever.
+    val qs0 = Grid.requireDim(queries, vecCol, cfg.dim)
+      .select(col(queryIdCol), col(vecCol).as("q_embedding"))
       .localCheckpoint(true)
     var s = cfg.width // start at one cell width
     var remaining = qs0
@@ -73,7 +77,12 @@ object KnnCellJoin {
         (q - lit(radius) <= lit(cfg.lower)) && (q + lit(radius) >= lit(cfg.upper))
       }.reduce(_ && _)
 
-    while (!remaining.isEmpty) {
+    // Widening cap: any finite in-bounds query certifies or full-covers by
+    // s ≥ diameter; beyond 4× diameter only NaN components (comparisons all
+    // false → never covers) or absurdly far out-of-bounds queries remain.
+    // Those get exact brute-force results below instead of looping forever.
+    val maxS = 4.0 * (cfg.upper - cfg.lower)
+    while (!remaining.isEmpty && s <= maxS) {
       val cand = remaining
         .withColumn("cell_id", explode(cellsInBox(col("q_embedding"), cfg, s)))
       // bounded top-k AGGREGATOR, not a window: the shuffle carries ≤ k
@@ -101,6 +110,19 @@ object KnnCellJoin {
       remaining = remaining.join(finishedIds, Seq(queryIdCol), "left_anti")
         .localCheckpoint(true)
       s *= 4
+    }
+    // Escape hatch for stragglers the box logic can never certify: exact
+    // brute force — always correct, and no more work than the all-cells box
+    // they were widening toward.
+    if (!remaining.isEmpty) {
+      val taken = KnnTopK.topK(
+          indexedDb.crossJoin(broadcast(remaining))
+            .select(col(queryIdCol).as("query_id"), col(dbIdCol).as("vec_id"),
+              Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim).as("dist")),
+          k)
+        .withColumnRenamed("query_id", queryIdCol)
+        .withColumnRenamed("vec_id", dbIdCol)
+      acc = Some(acc.map(_.unionByName(taken)).getOrElse(taken))
     }
     acc.getOrElse(spark.emptyDataFrame)
   }

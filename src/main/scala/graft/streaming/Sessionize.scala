@@ -91,8 +91,14 @@ object Sessionize {
         val open = runs.lastOption.getOrElse(Nil)
         val out = closed.zipWithIndex.map { case (b, i) => close(user, st.nextIdx + i, b) }
         state.update(SessState(open, st.nextIdx + closed.length))
-        if (open.nonEmpty)
-          state.setTimeoutTimestamp((open.last._1 + gapSec) * 1000L + 1000L)
+        if (open.nonEmpty) {
+          // Clamp above the current watermark: setTimeoutTimestamp THROWS on
+          // a timestamp ≤ watermark, so a batch whose open session already
+          // ended more than gap+delay ago (late-ish data) would otherwise
+          // kill the query instead of timing out on the next trigger.
+          val proposed = (open.last._1 + gapSec) * 1000L + 1000L
+          state.setTimeoutTimestamp(math.max(proposed, state.getCurrentWatermarkMs() + 1000L))
+        }
         out.iterator
       }
     }

@@ -31,6 +31,17 @@ class EmbedSpec extends SparkSpecBase {
     assert(dv(0) == dv(1))
   }
 
+  test("dense form emits a zero vector for null-text docs instead of dropping the row") {
+    val dim = 8
+    val in = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val dense = Embed.featureHashDense(in, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(dense.keySet == Set(1L, 2L, 3L)) // pre-fix: doc 2 vanished (ADVICE r1)
+    assert(dense(2L).forall(_ == 0f) && dense(2L).length == dim)
+    assert(dense(1L).exists(_ != 0f))
+  }
+
   test("embed -> index -> kNN: a duplicated document is its own nearest neighbor at dist 0") {
     val dim = 16
     val corpus = docs.limit(30).unionByName(

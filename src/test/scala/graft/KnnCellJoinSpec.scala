@@ -24,6 +24,34 @@ class KnnCellJoinSpec extends SparkSpecBase {
     assert(viaCells.toSeq == viaCross.toSeq)
   }
 
+  test("NaN-component query terminates via the brute-force escape; null/short query embeddings throw") {
+    val cfg = GridConfig(dim = 2, lower = -1.0, upper = 1.0, partsPerDim = 4, gridDims = 2)
+    val db = (0L until 10L).map(i => (i, Array(i.toFloat / 10f, i.toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val indexed = Grid.withCellId(db, "embedding", cfg)
+
+    // NaN comparisons are all false, so neither certification nor coversAll
+    // can ever fire — pre-fix this looped forever (ADVICE r1, medium).
+    val nanQ = Seq((100L, Array(Float.NaN, 0.2f)), (101L, Array(0.5f, 0.5f)))
+      .toDF("query_id", "embedding")
+    val out = KnnCellJoin.join(nanQ, indexed, cfg, k = 3)
+      .orderBy("query_id", "rn").collect()
+    assert(out.count(_.getLong(0) == 100L) == 3) // NaN query still yields k rows
+    assert(out.count(_.getLong(0) == 101L) == 3)
+    // the finite query must be exact
+    val expect = db.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map { case (id, v) =>
+        val d0 = v(0).toDouble - 0.5; val d1 = v(1).toDouble - 0.5
+        (id, d0 * d0 + d1 * d1)
+      }.sortBy(x => (x._2, x._1)).take(3).map(_._1).toSeq
+    assert(out.filter(_.getLong(0) == 101L).map(_.getLong(1)).toSeq == expect)
+
+    val badQ = Seq((200L, Array(0.1f))).toDF("query_id", "embedding")
+    intercept[Exception] {
+      KnnCellJoin.join(badQ, indexed, cfg, k = 2).collect()
+    }
+  }
+
   test("cell-pruned join is exact on random data incl. out-of-bounds queries and k > |db| (5 trials)") {
     for (trial <- 1 to 5) {
       val dim = 2 + rnd.nextInt(3)

@@ -67,4 +67,37 @@ class SessionizeSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(streamed.toSeq == batchResult.toSeq)
   }
+
+  test("event far below the watermark does not crash the query (timeout clamped)") {
+    // Pre-fix, setTimeoutTimestamp threw IllegalArgumentException when the
+    // proposed timeout (last event + gap) was not above the watermark — one
+    // sufficiently late event killed the whole streaming query (ADVICE r1).
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * 1000L
+    def ev(user: Long, id: Long, offMs: Long) =
+      StreamEv(user, id, new Timestamp(base + offMs), 1.0)
+    val day = 86400L * 1000L
+
+    // The crash window needs the SPARK-40925 two-watermark gap: the late
+    // filter uses the PREVIOUS batch's watermark, state eviction the current
+    // one. No-data micro-batches would close that gap between addData calls.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val stream = MemoryStream[StreamEv]
+    val q = Sessionize.streaming(stream.toDS(), Gap)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq(ev(1L, 1L, 10 * day))); q.processAllAvailable() // after: watermark = base+10d
+      // passes the late filter (prev wm = 0) but proposed timeout << eviction wm
+      stream.addData(Seq(ev(2L, 2L, 0L))); q.processAllAvailable()
+      stream.addData(Seq(ev(1L, 3L, 20 * day))); q.processAllAvailable() // advance wm past clamp
+      stream.addData(Seq(ev(1L, 4L, 30 * day))); q.processAllAvailable() // clamped timeout fires
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+
+    val u2 = spark.table("sess_late").filter(col("user_id") === 2L).collect()
+    assert(u2.length == 1 && u2.head.getLong(4) == 1L)
+  }
 }

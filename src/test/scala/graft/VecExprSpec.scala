@@ -132,4 +132,33 @@ class VecExprSpec extends SparkSpecBase {
     val got = VecMetricLit(ref, VecMetric.SqL2, Q64).eval(row).asInstanceOf[Double]
     assert(got == expected)
   }
+
+  test("cosine codegen survives NaN / overflowing query norms (no Janino fallback)") {
+    // Pre-fix, qNorm was embedded as a decimal literal: "NaN"/"Infinity" is
+    // invalid Java, and the silent whole-stage fallback hid it. With
+    // fallback disabled a compile failure aborts the query instead.
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, Array.fill(Dim)(0.5f))).toDF("id", "embedding")
+      val qNaN = Array.tabulate(Dim)(i => if (i == 0) Double.NaN else 0.1)
+      val qInf = Array.fill(Dim)(1e200) // norm overflows to Infinity
+      val out = df.select(
+          Distances.cosineSimLit(col("embedding"), qNaN).as("a"),
+          Distances.cosineSimLit(col("embedding"), qInf).as("b"))
+        .head()
+      assert(out.getDouble(0).isNaN)                       // x / (norm * NaN)
+      assert(out.getDouble(1) == 0.0 || out.getDouble(1).isNaN) // finite/Inf
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("VecMetricCols rejects metrics needing weights at construction") {
+    import graft.functions.{VecMetric, VecMetricCols}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val b = BoundReference(1, ArrayType(FloatType), nullable = true)
+    intercept[IllegalArgumentException] { VecMetricCols(a, b, VecMetric.Maha, 4) }
+    intercept[IllegalArgumentException] { VecMetricCols(a, b, VecMetric.MahaFull, 4) }
+  }
 }
