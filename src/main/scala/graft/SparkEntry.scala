@@ -4,7 +4,7 @@ import graft.core.{Fixtures, Tables}
 import graft.functions.Distances
 import graft.index.{Grid, GridConfig}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, AsOfJoin, Dedup, Knn, KnnJoin, KnnTopK, Snapshot, TextAnalysis}
+import graft.operators.{Ann, AsOfJoin, Dedup, Knn, KnnJoin, KnnTopK, SaltedJoin, Snapshot, TextAnalysis}
 import graft.oracle.DuckSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -441,7 +441,129 @@ object SparkEntry {
           Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
         .orderBy(col("id_a"), col("id_b"))
-    })
+    }),
+    // --- round-2 relational widening
+    // TPC-H Q3 shape: selective filters on all three tables reach the scans
+    // (PushedFilters), the small filtered customer side broadcasts, and the
+    // final top-10 plans as TakeOrderedAndProject (no full sort).
+    "join_q3_shipping" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+    // 3-way star join over the two previously-unused dims (part, supplier)
+    "join_parts_by_brand" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"),
+          countDistinct(col("s_nationkey")).as("n_supp_nations"))
+        .orderBy(col("p_brand"))),
+    // salted shuffle join (skew pattern): bit-exact equal to the plain
+    // join — the oracle IS the plain form
+    "join_salted_events_customers" -> ((s, d) =>
+      SaltedJoin.join(Tables.events(s, d), Tables.customer(s, d),
+          "user_id", "c_custkey", salt = col("event_id"), saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("v_sum"))
+        .orderBy(col("c_mktsegment"))),
+    // explicit grouping-sets lattice (beyond rollup/cube): the two 1-dim
+    // marginals plus the grand total, no (rf, ls) cross cells
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+    // exact interpolated percentiles (sort-based; the sketch variant is
+    // agg_sketches) — IEEE-exact: both engines compute p*(n-1) and
+    // interpolate in double
+    "agg_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    // fixed-width histogram: one scan, integer bucket arithmetic
+    "agg_histogram_prices" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(least(lit(9L), floor(col("o_totalprice") / lit(50000.0))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("bucket"))),
+    // rolling 3-order revenue per customer (frame-bounded window; decimal
+    // accumulation keeps the sums order- and engine-exact)
+    "window_rolling_revenue" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("roll_sum3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    // deterministic stratified sample: ≤20 rows per stratum by md5 order
+    // (portable, rerun-stable — no rand())
+    "sample_stratified_events" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(Dedup.md5Int32(col("event_id").cast("string")).asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("event_type"), col("rk"), col("event_id"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+    // corpus-level document frequency: top 20 non-stopword terms
+    "text_top_terms" -> ((s, d) =>
+      par(s, docs(s, d))
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+        .filter(col("term") =!= "" && !col("term").isin(Stopwords: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(20)),
+    // per-doc top TF-IDF term; scored as tf/df (idf-monotone per doc and
+    // IEEE-division-exact in both engines — no transcendental ln drift)
+    "text_tfidf_top_term" -> ((s, d) => {
+      val terms = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+      tf.join(df_, "term")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"))
+    }),
+    // forward as-of: each event's NEXT order at-or-after its timestamp
+    "asof_join_forward" -> ((s, d) =>
+      AsOfJoin.asOf(
+        Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        keyL = "user_id", keyR = "o_custkey", timeL = "ts", timeR = "o_orderdate",
+        payloadR = Seq("o_orderkey", "o_totalprice"), tiebreakR = "o_orderkey",
+        direction = "forward")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id")))
   )
 
   /** Small deterministic digest of a state snapshot: per-label count and
@@ -813,7 +935,94 @@ object SparkEntry {
            |  JOIN (SELECT vec_id, embedding AS b_embedding FROM embeddings WHERE vec_id % 25 = 0) b
            |    ON a.vec_id < b.vec_id
            |) WHERE cos_sim >= 0.1 ORDER BY id_a, id_b""".stripMargin
-      }
+      },
+      "join_q3_shipping" ->
+        s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, $revenue AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE l_shipdate > TIMESTAMP '1998-01-01'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |  AND c_mktsegment = 'BUILDING'
+           |GROUP BY l_orderkey, orderdate
+           |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+      "join_parts_by_brand" ->
+        s"""SELECT p_brand, $revenue AS revenue, COUNT(*) AS n,
+           |  COUNT(DISTINCT s_nationkey) AS n_supp_nations
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      "join_salted_events_customers" ->
+        s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "agg_grouping_sets" ->
+        s"""SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
+           |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+           |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY rf, ls""".stripMargin,
+      "agg_percentiles" ->
+        s"""SELECT l_returnflag,
+           |  quantile_cont(l_quantity, ${DuckSql.fmt(0.5)}) AS p50_qty,
+           |  quantile_cont(l_quantity, ${DuckSql.fmt(0.9)}) AS p90_qty,
+           |  COUNT(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "agg_histogram_prices" ->
+        s"""SELECT CAST(LEAST(9, FLOOR(o_totalprice / ${DuckSql.fmt(50000.0)})) AS INT) AS bucket,
+           |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "window_rolling_revenue" ->
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum3
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "sample_stratified_events" ->
+        s"""SELECT event_type, CAST(rk AS INT) AS rk, event_id FROM (
+           |  SELECT event_type, event_id,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type
+           |      ORDER BY ${Dedup.md5Int32Sql("CAST(event_id AS VARCHAR)")} ASC, event_id ASC) AS rk
+           |  FROM events
+           |) WHERE rk <= 20 ORDER BY event_type, rk""".stripMargin,
+      "text_top_terms" -> {
+        s"""SELECT term, COUNT(*) AS df FROM (
+           |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM documents
+           |) WHERE term <> '' AND term NOT IN $stopListSql
+           |GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""".stripMargin
+      },
+      "text_tfidf_top_term" ->
+        """WITH terms AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |  FROM documents WHERE doc_id % 20 = 0
+          |), tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY doc_id, term
+          |), df AS (
+          |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+          |)
+          |SELECT doc_id, term, tf, df FROM (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY (CAST(tf.tf AS DOUBLE) / df.df) DESC, tf.term ASC) AS rk
+          |  FROM tf JOIN df ON tf.term = df.term
+          |) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+      "asof_join_forward" ->
+        """SELECT event_id, user_id, event_type, o_orderkey, o_totalprice FROM (
+          |  SELECT event_id, user_id, event_type, side,
+          |    first_value(pk IGNORE NULLS) OVER w AS o_orderkey,
+          |    first_value(pv IGNORE NULLS) OVER w AS o_totalprice
+          |  FROM (
+          |    SELECT event_id, user_id AS k, ts AS t, 0 AS side, CAST(NULL AS BIGINT) AS tb,
+          |           user_id, event_type, CAST(NULL AS BIGINT) AS pk, CAST(NULL AS DOUBLE) AS pv
+          |    FROM events
+          |    UNION ALL
+          |    SELECT CAST(NULL AS BIGINT), o_custkey, o_orderdate, 1, o_orderkey,
+          |           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), o_orderkey, o_totalprice
+          |    FROM orders
+          |  )
+          |  WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC
+          |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          |) WHERE side = 0 ORDER BY event_id""".stripMargin
     )
   }
 }

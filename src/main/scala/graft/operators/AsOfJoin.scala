@@ -6,52 +6,69 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) join — a whole-operator extension the reference
-  * lacks (SURVEY.md §2.2 joins row): for each left row, attach the most
-  * recent right row with the same key whose event time is at or before the
-  * left row's time.
+  * lacks (SURVEY.md §2.2 joins row): for each left row, attach the nearest
+  * right row with the same key at or before ("backward", the default) or at
+  * or after ("forward") the left row's event time.
   *
   * Scale design: NOT a range/theta join (which Spark would execute as a
   * key-equality join followed by a per-key filter+rank, quadratic in rows
   * per key) but a single union + window pass — tag both sides, sort within
-  * each key by (time, side, tiebreak), and carry the right payload forward
-  * with `last(_, ignoreNulls = true)`. One shuffle on the key, O(n log n)
-  * per partition, no intermediate blow-up — survives 100 TB with AQE
-  * handling key skew. The payload travels as ONE struct column so every
+  * each key by (time, side, tiebreak), and carry the right payload across
+  * with `last`/`first(_, ignoreNulls = true)`. One shuffle on the key,
+  * O(n log n) per partition, no intermediate blow-up — survives 100 TB with
+  * AQE handling key skew. The payload travels as ONE struct column so every
   * attached field comes from the same right row. Ties at the same
-  * timestamp resolve right-before-left (a right row at exactly t is
-  * visible) and among right rows by ascending `tiebreakR`, so the last in
-  * window order (max tiebreak) wins — deterministic for oracle parity.
+  * timestamp resolve right-visible-to-left (a right row at exactly t
+  * matches in both directions); among right rows sharing (key, time) the
+  * max `tiebreakR` wins backward and the min wins forward — deterministic
+  * for oracle parity.
   */
 object AsOfJoin {
 
-  /** @param payloadR right columns to attach (must not collide with left names)
-    * @param tiebreakR right column ordering rows that share (key, time);
-    *                  the max-tiebreak row wins. Required for determinism.
+  /** @param payloadR  right columns to attach (must not collide with left names)
+    * @param tiebreakR right column ordering rows that share (key, time).
+    *                  Required for determinism.
+    * @param direction "backward" (most recent right row ≤ t) or "forward"
+    *                  (earliest right row ≥ t)
     */
   def asOf(left: DataFrame, right: DataFrame,
            keyL: String, keyR: String,
            timeL: String, timeR: String,
-           payloadR: Seq[String], tiebreakR: String): DataFrame = {
+           payloadR: Seq[String], tiebreakR: String,
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+    // Window order puts the right rows on the visible side of the left row
+    // at equal timestamps: backward → right (0) sorts before left (1) and
+    // the frame looks back; forward → left (0) before right (1), frame
+    // looks ahead.
+    val (leftSide, rightSide) = if (backward) (1, 0) else (0, 1)
     val leftCols = left.columns.toSeq
     val payloadType = StructType(payloadR.map(c => right.schema(c)))
     val l = left
       .withColumn("__key", col(keyL)).withColumn("__t", col(timeL))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__tb", lit(null).cast(right.schema(tiebreakR).dataType))
       .withColumn("__r", lit(null).cast(payloadType))
     val r = right
       .withColumn("__key", col(keyR)).withColumn("__t", col(timeR))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .withColumn("__tb", col(tiebreakR))
       .withColumn("__r", struct(payloadR.map(col): _*))
       .select((Seq("__key", "__t", "__side", "__tb", "__r").map(col) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val w = Window.partitionBy(col("__key"))
+    val ordered = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (backward) ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carry =
+      if (backward) last(col("__r"), ignoreNulls = true).over(w)
+      else first(col("__r"), ignoreNulls = true).over(w)
     l.unionByName(r, allowMissingColumns = false)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__asof", carry)
+      .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
         payloadR.map(c => col(s"__asof.$c").as(c)): _*)
   }

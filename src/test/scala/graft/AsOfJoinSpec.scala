@@ -51,4 +51,25 @@ class AsOfJoinSpec extends SparkSpecBase {
     val row = full.filter(col("eid") === 2L).select("rid", "payload").head()
     assert(row.getLong(0) == 12L && row.getDouble(1) == 3.0)
   }
+
+  private lazy val forward = AsOfJoin.asOf(left, right,
+      keyL = "k", keyR = "rk", timeL = "t", timeR = "rt",
+      payloadR = Seq("rid", "payload"), tiebreakR = "rid",
+      direction = "forward")
+    .select("eid", "rid").collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+  test("forward asof picks the earliest right row at or after left time") {
+    assert(forward(1L) == 11L) // 10:00 -> next right at 12:00, min tiebreak wins
+    assert(forward(3L) == 10L) // 09:00 -> 09:30
+  }
+
+  test("forward: right row at exactly the left time is visible; min tiebreak wins ties") {
+    assert(forward(2L) == 11L)
+  }
+
+  test("forward: no following right row (or unseen key) attaches null") {
+    assert(forward(4L) == -1L) // 2024-01-02 is after the last key-200 right row
+    assert(forward(5L) == -1L)
+  }
 }

@@ -85,4 +85,29 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(aggs.size == 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
     }
   }
+
+  test("Q3-shape join: filters pushed to scans, broadcast dim, top-10 as TakeOrderedAndProject") {
+    withoutAqe {
+      val p = planOf(SparkEntry.queries("join_q3_shipping")(spark, sfDir))
+      assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size == 1,
+        "top-10 must plan as distributed TakeOrderedAndProject, not a global sort")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "filtered customer side must broadcast")
+      val scans = p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.exists(f =>
+          f.output.exists(_.name == "l_shipdate") && f.dataFilters.nonEmpty),
+        "l_shipdate filter must reach the lineitem scan")
+    }
+  }
+
+  test("forward as-of join: exactly ONE shuffle (mirror of backward)") {
+    withoutAqe {
+      val p = planOf(AsOfJoin.asOf(
+        Tables.events(spark, sfDir).select("event_id", "ts", "user_id"),
+        Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_orderdate"),
+        "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey",
+        direction = "forward"))
+      assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}")
+    }
+  }
 }
