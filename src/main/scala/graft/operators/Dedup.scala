@@ -164,11 +164,22 @@ object Dedup {
     * lineage so plans stay constant-size. Rounds needed = component
     * diameter — near-dup clusters are clique-ish, so a handful. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 15): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 15,
+      driverThreshold: Long = 500000): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().localCheckpoint(true)
+    // Cost-based path choice (same pattern as Knn's bruteForceThreshold):
+    // the near-dup edge set is tiny relative to the corpus — edges exist
+    // only BETWEEN near-duplicate docs — so even a 100 TB corpus usually
+    // yields a graph that fits on the driver, where path-compressed
+    // union-find finishes in milliseconds instead of a multi-job loop.
+    // Above the threshold, fall through to the distributed min-label
+    // propagation (covered by specs with driverThreshold = 0).
+    val nEdges = sym.count()
+    if (nEdges > 0 && nEdges <= driverThreshold)
+      return unionFindDriver(sym, edges.sparkSession)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     if (labels.isEmpty) return labels.withColumnRenamed("label", "canonical")
@@ -201,6 +212,31 @@ object Dedup {
     }
     require(done, s"connectedComponents did not converge in ${2 * maxIter} hops")
     labels.withColumnRenamed("label", "canonical")
+  }
+
+  /** Driver-side union-find over a collected symmetric edge list; canonical
+    * label = min id per component (identical contract to the distributed
+    * loop). */
+  private def unionFindDriver(sym: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sym.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by min keeps roots = component minima
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "canonical")
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over

@@ -66,15 +66,32 @@ class NearDupSpec extends SparkSpecBase {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
-  test("connected components: chain, star, and singleton-pair merge to min-id canonical") {
+  test("connected components: chain, star, and singleton-pair merge to min-id canonical (both paths)") {
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
       .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(edges)
+    // default = driver union-find; driverThreshold = 0 forces the
+    // distributed min-label loop — contract must be identical
+    for (threshold <- Seq(500000L, 0L)) {
+      val cc = Dedup.connectedComponents(edges, driverThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), s"threshold=$threshold")
+      assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L), s"threshold=$threshold")
+      assert(Seq(20L, 21L).forall(cc(_) == 20L), s"threshold=$threshold")
+    }
+  }
+
+  test("connected components: driver union-find equals distributed loop on a random graph") {
+    val rnd = new scala.util.Random(17)
+    val n = 200
+    val edges = (1 to 300).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
-    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
-    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    val viaLoop = Dedup.connectedComponents(edges, driverThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
   }
 
   test("banded LSH pairs are deduped across bands (no duplicate pair rows)") {
