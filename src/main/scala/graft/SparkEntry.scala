@@ -553,6 +553,23 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"))
         .orderBy(col("doc_id"))
     }),
+    // keyed interval join (batch form of the stream-stream join; the
+    // watermarked streaming form is proven equivalent in StreamJoinSpec).
+    // Timestamps floored to epoch seconds so both engines band identically.
+    "interval_join_click_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_seconds(col("ts").cast("long")).as("t_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          timestamp_seconds(col("ts").cast("long")).as("t_purchase"))
+      graft.streaming.StreamJoin.batch(clicks, purchases,
+          "user_id", "p_user", "t_click", "t_purchase", windowSec = 1800)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (col("t_purchase").cast("long") - col("t_click").cast("long")).as("gap_s"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
     // forward as-of: each event's NEXT order at-or-after its timestamp
     "asof_join_forward" -> ((s, d) =>
       AsOfJoin.asOf(
@@ -1006,6 +1023,13 @@ object SparkEntry {
           |      ORDER BY (CAST(tf.tf AS DOUBLE) / df.df) DESC, tf.term ASC) AS rk
           |  FROM tf JOIN df ON tf.term = df.term
           |) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+      "interval_join_click_purchase" ->
+        """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
+          |  (tp - tc) AS gap_s
+          |FROM (SELECT event_id, user_id, (epoch_ns(ts) // 1000000000) AS tc FROM events WHERE event_type = 'click') c
+          |JOIN (SELECT event_id, user_id, (epoch_ns(ts) // 1000000000) AS tp FROM events WHERE event_type = 'purchase') p
+          |  ON c.user_id = p.user_id AND tp >= tc AND tp <= tc + 1800
+          |ORDER BY click_id, purchase_id""".stripMargin,
       "asof_join_forward" ->
         """SELECT event_id, user_id, event_type, o_orderkey, o_totalprice FROM (
           |  SELECT event_id, user_id, event_type, side,
