@@ -105,5 +105,38 @@ object ScaleProbe extends App {
         .select(col("query_id"), col("embedding")),
       Ann.assign(indexed, cents), cents, k = 10, nprobe = 8).count()
   }
+  // Distributed connected components above the driver threshold: a 1M-node
+  // random-ish graph (each node linked to node/2 → one giant component per
+  // power-of-two chain) forces the min-label loop path at scale.
+  t("distributed CC (1M nodes, loop path)") {
+    val ccEdges = spark.range(1L, 1000000L)
+      .select(col("id").as("id_a"), (col("id") / 2).cast("long").as("id_b"))
+    val cc = graft.operators.Dedup.connectedComponents(
+      ccEdges.toDF(), driverThreshold = 0, maxIter = 15)
+    val distinctLabels = cc.select("canonical").distinct().count()
+    assert(distinctLabels == 1L, s"expected 1 component, got $distinctLabels")
+  }
+  // Salted join on a power-law key: 1M facts, 90% on one hot key — the
+  // shuffle spreads the hot key over saltBuckets reducers.
+  t("salted join (1M skewed facts x 10k dim)") {
+    val facts = spark.range(1000000L)
+      .select(col("id").as("row_id"),
+        when(pmod(col("id"), lit(10)) =!= 0, lit(7L))
+          .otherwise(pmod(col("id"), lit(10000))).as("k"))
+    val dim = spark.range(10000L).select(col("id").as("dk"), (col("id") * 2).as("payload"))
+    val n = graft.operators.SaltedJoin.join(
+      facts.toDF(), dim.toDF(), "k", "dk", salt = col("row_id"), saltBuckets = 32).count()
+    assert(n == 1000000L, s"salted join lost rows: $n")
+  }
+  // Forward as-of at 1M x 1M: one shuffle, window pass.
+  t("as-of join forward (1M x 1M)") {
+    val left = spark.range(1000000L).select(col("id").as("eid"),
+      pmod(col("id"), lit(50000)).as("k"), (col("id") * 7 % 1000000).as("t"))
+    val right = spark.range(1000000L).select(
+      pmod(col("id"), lit(50000)).as("rk"), (col("id") * 13 % 1000000).as("rt"),
+      col("id").as("payload"))
+    graft.operators.AsOfJoin.asOf(left.toDF(), right.toDF(),
+      "k", "rk", "t", "rt", Seq("payload"), "payload", direction = "forward").count()
+  }
   spark.stop()
 }
