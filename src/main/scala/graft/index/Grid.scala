@@ -89,6 +89,25 @@ object Grid {
   def withCellId(df: DataFrame, vecCol: String, cfg: GridConfig): DataFrame =
     df.withColumn("cell_id", cellId(col(vecCol), cfg))
 
+  /** Batch analog of the reference's leaf-overflow split
+    * (kd_tree_database.py:98-102: a leaf exceeding max_leaf_size
+    * redistributes into children one level deeper): when the row count
+    * calls for a deeper grid than the state was bucketed with, re-bucket
+    * every row at the new depth in one pass and return the widened config.
+    * No-op (same state, same cfg) while the current depth suffices — call
+    * it after large insert batches. At 100 TB the rewrite is one
+    * repartition-by-cell job, amortized over the batch that tripped it. */
+  def maintain(state: DataFrame, cfg: GridConfig, targetLeafSize: Long,
+      vecCol: String = "embedding"): (DataFrame, GridConfig) = {
+    val n = state.count()
+    val depth = depthFor(n, targetLeafSize, cfg.partsPerDim, cfg.dim)
+    if (depth <= cfg.gridDims) (state, cfg)
+    else {
+      val cfg2 = cfg.copy(gridDims = depth)
+      (state.withColumn("cell_id", cellId(col(vecCol), cfg2)), cfg2)
+    }
+  }
+
   /** Runtime dimension validation on ingest (the reference asserts vector
     * shape on insert, kd_tree_database.py:84-85). Implemented as a FILTER
     * whose predicate raises on a wrong-sized or null vector — a filter

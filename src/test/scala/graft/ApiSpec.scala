@@ -65,6 +65,25 @@ class ApiSpec extends SparkSpecBase {
     assert(res.map(n => (n.vec_id, n.dist)) === brute)
   }
 
+  test("Grid.maintain deepens the grid when cells overflow (leaf-split analog)") {
+    import graft.index.{Grid, GridConfig}
+    val cfg1 = SparkEntry.gridCfg.copy(gridDims = 1)
+    val state = Grid.withCellId(Tables.embeddings(spark, sfDir), "embedding", cfg1)
+    // 500 rows, target 10/cell: 4 cells at depth 1 can't hold it → deepen
+    val (state2, cfg2) = Grid.maintain(state, cfg1, targetLeafSize = 10)
+    assert(cfg2.gridDims > cfg1.gridDims)
+    // invariant: re-bucketing moves rows between cells, never loses them
+    assert(state2.count() == 500)
+    assert(state2.groupBy("cell_id").count().agg(sum("count")).head().getLong(0) == 500)
+    // cell ids are consistent with the new config
+    val recomputed = state2.filter(
+      col("cell_id") =!= Grid.cellId(col("embedding"), cfg2)).count()
+    assert(recomputed == 0)
+    // and a sufficient grid is a no-op
+    val (state3, cfg3) = Grid.maintain(state2, cfg2, targetLeafSize = 10)
+    assert(cfg3 == cfg2 && (state3 eq state2))
+  }
+
   test("save/load round-trips through cell-partitioned parquet") {
     val path = java.nio.file.Files.createTempDirectory("graftdb").toString + "/store"
     db.save(path)
