@@ -105,6 +105,18 @@ object ScaleProbe extends App {
         .select(col("query_id"), col("embedding")),
       Ann.assign(indexed, cents), cents, k = 10, nprobe = 8).count()
   }
+  // PQ at 1M rows: train on a 2k hash-ordered sample, codegen'd encode of
+  // the full store, ADC scan + exact re-rank.
+  val pqModel = t("PQ train (m=16, ksub=32)") {
+    graft.operators.Pq.train(indexed, Fixtures.Dim, m = 16, ksub = 32)
+  }
+  val pqEncoded = t("PQ encode 1M rows") {
+    val e = graft.operators.Pq.encode(indexed, pqModel).localCheckpoint(true)
+    e
+  }
+  t("PQ ADC search + refine (k=10)") {
+    graft.operators.Pq.search(pqEncoded, pqModel, Fixtures.Q64, 10).collect()
+  }
   // Distributed connected components above the driver threshold: a 1M-node
   // random-ish graph (each node linked to node/2 → one giant component per
   // power-of-two chain) forces the min-label loop path at scale.

@@ -401,6 +401,13 @@ object SparkEntry {
         Ann.assign(db, cents), cents, k = 3, nprobe = 4)
         .orderBy(col("query_id"), col("rn"))
     }),
+    // PQ + ADC + exact re-rank (approximate by construction; codebooks are
+    // data-derived — rows-only check, recall pinned in PqSpec)
+    "ann_pq_topk" -> ((s, d) => {
+      val db = emb(s, d)
+      val model = graft.operators.Pq.train(db, Dim, m = 16, ksub = 32)
+      graft.operators.Pq.search(graft.operators.Pq.encode(db, model), model, Q64, K)
+    }),
     "ann_lsh_neardup" -> ((s, d) =>
       Ann.lshBandedNearDupPairs(par(s, emb(s, d).filter(col("vec_id") % 5 === 0)), Planes16, Dim,
           bandBits = 4, minCosine = 0.35)

@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.{Fixtures, Tables}
+import graft.functions.Distances
+import graft.operators.{Knn, Pq}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpecBase {
+  import Fixtures.{Dim, Q64}
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val model = Pq.train(emb, Dim, m = 16, ksub = 32)
+  private lazy val encoded = Pq.encode(emb, model).persist()
+
+  test("training is deterministic and shapes are right") {
+    val again = Pq.train(emb, Dim, m = 16, ksub = 32)
+    assert(model.codebooks.length == 16)
+    assert(model.codebooks.forall(_.length == 32))
+    assert(model.codebooks.forall(_.forall(_.length == 4)))
+    assert(model.codebooks.flatten.flatten.toSeq == again.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("encode: every code is the true argmin of its subspace (vs driver recompute)") {
+    val rows = encoded.select(col("vec_id"), col("embedding"), col("pq_codes"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val codes = r.getSeq[Int](2)
+      (0 until model.m).foreach { j =>
+        val sub = v.slice(j * model.dsub, (j + 1) * model.dsub)
+        val dists = model.codebooks(j).map { cb =>
+          sub.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        assert(codes(j) == dists.indexOf(dists.min),
+          s"vec ${r.getLong(0)} subspace $j")
+      }
+    }
+  }
+
+  test("ADC column distance equals the driver-side LUT sum") {
+    val lut = Pq.adcTable(Q64, model)
+    val rows = encoded
+      .select(col("pq_codes"), Pq.adcDist(col("pq_codes"), lut).as("adc"))
+      .limit(100).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val expect = (0 until model.m).map(j => lut(j)(codes(j))).sum
+      assert(r.getDouble(1) == expect)
+    }
+  }
+
+  test("PQ search with refine reaches high recall vs brute force") {
+    val k = 10
+    val brute = Knn.bruteForce(emb, Distances.squaredL2Lit(col("embedding"), Q64), k)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Pq.search(encoded, model, Q64, k, refine = 100)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect pq).size.toDouble / k
+    assert(recall >= 0.8, s"recall $recall < 0.8 (pq=$pq brute=$brute)")
+  }
+
+  test("adc approximates true distance (rank correlation sanity)") {
+    // The ADC distance of a vector to ITSELF-as-codes is the quantization
+    // error — must be far below the distance to a far-away query.
+    val lutSelf = Pq.adcTable(
+      emb.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toArray, model)
+    val selfAdc = encoded.filter(col("vec_id") === 0)
+      .select(Pq.adcDist(col("pq_codes"), lutSelf)).head().getDouble(0)
+    val farAdc = encoded.filter(col("vec_id") === 1)
+      .select(Pq.adcDist(col("pq_codes"), lutSelf)).head().getDouble(0)
+    assert(selfAdc < farAdc)
+  }
+}
