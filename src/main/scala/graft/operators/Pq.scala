@@ -123,4 +123,22 @@ object Pq {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVFPQ: the composition of both scale paths — IVF cell pruning picks
+    * WHICH rows to look at (partition pruning on a store written
+    * `partitionBy("ivf_cell")`), the ADC code scan decides HOW CHEAPLY to
+    * look at each (no float math until re-rank). At 100 TB: nprobe/nlist of
+    * the corpus read, m ints per row scanned, `refine` vectors touched. */
+  def ivfPqSearch(encodedAssigned: DataFrame, centroids: Array[Array[Double]],
+      model: PqModel, q: Array[Double], k: Int, nprobe: Int,
+      refine: Int = 100, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { val x = q(d) - c(d); s += x * x; d += 1 }
+      (s, i)
+    }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    search(encodedAssigned.filter(col("ivf_cell").isin(cells.toSeq: _*)),
+      model, q, k, refine, idCol, vecCol)
+  }
 }

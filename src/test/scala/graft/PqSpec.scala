@@ -59,6 +59,24 @@ class PqSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall < 0.8 (pq=$pq brute=$brute)")
   }
 
+  test("IVFPQ composition: probed-cell ADC search still finds the neighborhood") {
+    import graft.operators.Ann
+    val cents = Ann.sampleCentroids(emb, 8)
+    val both = Ann.assign(encoded, cents)
+    val k = 10
+    // with ALL cells probed, IVFPQ degenerates to plain PQ search — exact match
+    val allCells = Pq.ivfPqSearch(both, cents, model, Q64, k, nprobe = 8, refine = 100)
+      .collect().map(_.getLong(0)).toSeq
+    val plainPq = Pq.search(encoded, model, Q64, k, refine = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(allCells == plainPq)
+    // with nprobe=3 of 8, recall vs plain PQ stays useful
+    val probed = Pq.ivfPqSearch(both, cents, model, Q64, k, nprobe = 3, refine = 100)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (probed intersect plainPq.toSet).size.toDouble / k
+    assert(recall >= 0.5, s"ivfpq recall vs pq $recall")
+  }
+
   test("adc approximates true distance (rank correlation sanity)") {
     // The ADC distance of a vector to ITSELF-as-codes is the quantization
     // error — must be far below the distance to a far-away query.
