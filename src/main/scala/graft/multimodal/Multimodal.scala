@@ -120,6 +120,32 @@ object Multimodal {
       }
   }
 
+  final case class MediaEmbedding(media_id: Long, kind: String, embedding: Array[Float])
+
+  /** Media → vector bridge into the similarity engine: a deterministic
+    * byte-histogram embedding (normalized `dim`-bucket histogram of the
+    * payload). STUB for a learned visual/audio encoder — what survives the
+    * swap is the shape: binary in, `ARRAY<FLOAT>` out, partition-parallel,
+    * feeding the same Grid/Knn/Ann/Pq stack as text embeddings (near-dup
+    * images cluster because their byte distributions match). */
+  def embedMedia(media: DataFrame, dim: Int = 64): Dataset[MediaEmbedding] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val counts = new Array[Int](dim)
+          var i = 0
+          while (i < payload.length) {
+            counts(math.floorMod(payload(i).toInt, dim)) += 1
+            i += 1
+          }
+          val n = math.max(1, payload.length).toFloat
+          MediaEmbedding(id, kind, counts.map(_ / n))
+        }
+      }
+  }
+
   /** Frame sampling plan for video-ish payloads: every `stride`-th frame
     * index — pure plan, no decode. */
   def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {

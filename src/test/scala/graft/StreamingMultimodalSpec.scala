@@ -65,6 +65,25 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     assert(feats.filter(col("kind") === "video").count() > 0)
   }
 
+  test("multimodal: media embedding feeds the similarity engine (dup payload = own NN at dist 0)") {
+    // duplicate one payload under a fresh id — the byte-histogram embedding
+    // must make it its own nearest neighbor through the standard kNN stack
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val media = Multimodal.mediaFromDocuments(docs)
+      .unionByName(Multimodal.mediaFromDocuments(
+        docs.filter(col("doc_id") === 3).withColumn("doc_id", lit(9999L))))
+    val emb = Multimodal.embedMedia(media, dim = 64).toDF()
+      .select(col("media_id").as("vec_id"), col("embedding"), lit(0).as("label"))
+    assert(emb.count() == 41)
+    val q = emb.filter(col("vec_id") === 9999L)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val top2 = graft.operators.Knn.bruteForce(emb,
+        graft.functions.Distances.squaredL2Lit(col("embedding"), q), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(top2.map(_._1).toSet == Set(3L, 9999L), s"got ${top2.toSeq}")
+    assert(top2.forall(_._2 == 0.0))
+  }
+
   test("multimodal: frame sampling plan only covers video with stride steps") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir).limit(30))
     val feats = Multimodal.extractFeatures(media)
