@@ -103,6 +103,14 @@ object SparkEntry {
           Distances.cosineSimLit(col("embedding"), Q64).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(K)),
+    // max-inner-product search (the Dot metric end-to-end; retrieval-style
+    // scoring where magnitude matters, unlike cosine)
+    "sim_dot_topk" -> ((s, d) =>
+      emb(s, d)
+        .select(col("vec_id"), col("label"),
+          Distances.dotLit(col("embedding"), Q64).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id").asc)
+        .limit(K)),
     // batch kNN join (SURVEY §2.1 #1 batch form)
     "knn_join_l2" -> ((s, d) =>
       KnnJoin.join(
@@ -635,6 +643,8 @@ object SparkEntry {
       "knn_l2_pruned_filtered" -> knnSql(sq, K, "WHERE label = 3"),
       "sim_cosine_topk" ->
         s"SELECT vec_id, label, ${DuckSql.cosineSimLit(e, Q64)} AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT $K",
+      "sim_dot_topk" ->
+        s"SELECT vec_id, label, ${DuckSql.dotLit(e, Q64)} AS dot FROM embeddings ORDER BY dot DESC, vec_id ASC LIMIT $K",
       "knn_join_l2" -> knnJoinSql,
       "knn_join_l2_agg" -> knnJoinSql,
       "knn_join_l2_cells" -> knnJoinSql,
