@@ -43,6 +43,24 @@ class PartitionPruneSpec extends SparkSpecBase {
       s"pruned scan read $filesRead of $filesTotal files — no pruning happened")
   }
 
+  test("joining the store on cell_id against a filtered dim triggers dynamic partition pruning") {
+    // The runtime analog of the isin-literal test above: when the candidate
+    // cells come from a JOIN (e.g. "cells whose stats say they are hot"),
+    // Catalyst's DPP injects the dim-side values as a runtime partition
+    // filter — at 100 TB the fact scan still skips files even though no
+    // literal cell list exists at plan time.
+    val full = spark.read.parquet(storePath)
+    val interesting = spark.range(64)
+      .select(col("id").cast("int").as("cell_id"), (col("id") % 7).as("w"))
+      .filter(col("w") === 0)
+    val joined = full.join(interesting, "cell_id")
+    joined.queryExecution.toRdd.count()
+    // AQE nests the scan inside query stages; assert on the full plan string
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in the plan:\n$planStr")
+  }
+
   test("kNN over the loaded partitioned store equals brute force") {
     val cfg = GridConfig(dim = 64, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
     val db = VectorDatabase.load(spark, storePath, cfg)
