@@ -56,7 +56,7 @@ object KnnCellJoin {
 
   def join(queries: DataFrame, indexedDb: DataFrame, cfg: GridConfig, k: Int,
       queryIdCol: String = "query_id", dbIdCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", bruteForceThreshold: Long = 200000L): DataFrame = {
     val spark = queries.sparkSession
     // Query-side dim validation (the reference asserts vector shape on every
     // call, kd_tree_database.py:84-85): a null or short query embedding would
@@ -64,6 +64,19 @@ object KnnCellJoin {
     val qs0 = Grid.requireDim(queries, vecCol, cfg.dim)
       .select(col(queryIdCol), col(vecCol).as("q_embedding"))
       .localCheckpoint(true)
+    // Cost-based path choice (same rule as Knn.prunedSearch): below the
+    // threshold the widening loop's per-round jobs cost more than one
+    // aggregator cross join; above it, cell pruning skips most of the db
+    // per query. Identical results either way (specs pin threshold = 0).
+    if (indexedDb.count() <= bruteForceThreshold) {
+      return KnnTopK.topK(
+          indexedDb.crossJoin(broadcast(qs0))
+            .select(col(queryIdCol).as("query_id"), col(dbIdCol).as("vec_id"),
+              Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim).as("dist")),
+          k)
+        .withColumnRenamed("query_id", queryIdCol)
+        .withColumnRenamed("vec_id", dbIdCol)
+    }
     var s = cfg.width // start at one cell width
     var remaining = qs0
     var acc: Option[DataFrame] = None

@@ -15,7 +15,8 @@ class KnnCellJoinSpec extends SparkSpecBase {
     val cfg = SparkEntry.gridCfg
     val queries = emb.filter(col("vec_id") < 6)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val viaCells = KnnCellJoin.join(queries, Grid.withCellId(emb, "embedding", cfg), cfg, k = 4)
+    val viaCells = KnnCellJoin.join(queries, Grid.withCellId(emb, "embedding", cfg), cfg, k = 4,
+        bruteForceThreshold = 0)
       .orderBy("query_id", "rn")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val viaCross = KnnJoin.join(queries, emb, k = 4, dim = Fixtures.Dim)
@@ -34,7 +35,7 @@ class KnnCellJoinSpec extends SparkSpecBase {
     // can ever fire — pre-fix this looped forever (ADVICE r1, medium).
     val nanQ = Seq((100L, Array(Float.NaN, 0.2f)), (101L, Array(0.5f, 0.5f)))
       .toDF("query_id", "embedding")
-    val out = KnnCellJoin.join(nanQ, indexed, cfg, k = 3)
+    val out = KnnCellJoin.join(nanQ, indexed, cfg, k = 3, bruteForceThreshold = 0)
       .orderBy("query_id", "rn").collect()
     assert(out.count(_.getLong(0) == 100L) == 3) // NaN query still yields k rows
     assert(out.count(_.getLong(0) == 101L) == 3)
@@ -48,7 +49,7 @@ class KnnCellJoinSpec extends SparkSpecBase {
 
     val badQ = Seq((200L, Array(0.1f))).toDF("query_id", "embedding")
     intercept[Exception] {
-      KnnCellJoin.join(badQ, indexed, cfg, k = 2).collect()
+      KnnCellJoin.join(badQ, indexed, cfg, k = 2, bruteForceThreshold = 0).collect()
     }
   }
 
@@ -66,7 +67,7 @@ class KnnCellJoinSpec extends SparkSpecBase {
         (i, Array.fill(dim)((rnd.nextDouble() * 4.0 - 2.0).toFloat))) // often OOB
         .toDF("query_id", "embedding")
       val viaCells = KnnCellJoin.join(queries,
-          Grid.withCellId(db, "embedding", cfg), cfg, k)
+          Grid.withCellId(db, "embedding", cfg), cfg, k, bruteForceThreshold = 0)
         .orderBy("query_id", "rn")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val viaCross = KnnJoin.join(queries, db, k, dim)
