@@ -552,6 +552,16 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term").asc)
         .limit(20)),
+    // exact heavy hitters (per-partition Misra-Gries superset + exact
+    // recount — groupBy only ever sees the tiny candidate set)
+    "text_heavy_terms" -> ((s, d) => {
+      val terms = par(s, docs(s, d))
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      graft.operators.Freq.heavyHitters(terms, "term", minShare = 0.005)
+        .withColumnRenamed("key", "term")
+        .orderBy(col("term"))
+    }),
     // per-doc top TF-IDF term; scored as tf/df (idf-monotone per doc and
     // IEEE-division-exact in both engines — no transcendental ln drift)
     "text_tfidf_top_term" -> ((s, d) => {
@@ -1025,6 +1035,16 @@ object SparkEntry {
            |) WHERE term <> '' AND term NOT IN $stopListSql
            |GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""".stripMargin
       },
+      "text_heavy_terms" ->
+        """WITH terms AS (
+          |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+          |), nonempty AS (
+          |  SELECT term FROM terms WHERE term <> ''
+          |)
+          |SELECT term, COUNT(*) AS n FROM nonempty
+          |GROUP BY term
+          |HAVING COUNT(*) >= CEIL(CAST('0.005' AS DOUBLE) * (SELECT COUNT(*) FROM nonempty))
+          |ORDER BY term""".stripMargin,
       "text_tfidf_top_term" ->
         """WITH terms AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters via per-partition Misra-Gries + exact recount — the
+  * frequent-items primitive of a training-data pipeline (dominant boilerplate
+  * strings, hot tokens, over-represented sources).
+  *
+  * Why not plain groupBy+HAVING at 100 TB: the full groupBy shuffles EVERY
+  * distinct key (possibly billions) to count items of which only a handful
+  * matter. Here each partition keeps a Misra-Gries summary of capacity
+  * ⌈1/minShare⌉ — by the pigeonhole argument any item with global share ≥
+  * minShare has share ≥ minShare in at least one partition, and Misra-Gries
+  * with capacity k surfaces every item with partition share > 1/(k+1) — so
+  * the union of per-partition candidates is a SUPERSET of the true heavy
+  * hitters. A second pass recounts only the candidates (a broadcast
+  * semi-join, tiny) and filters exactly: no approximation in the result,
+  * shuffle carries O(partitions × k) candidate rows + the exact counts of
+  * O(k) keys.
+  */
+object Freq {
+
+  /** Items of `keyCol` with count ≥ minShare × total, with exact counts.
+    * Output: (key, n), one row per heavy hitter. */
+  def heavyHitters(df: DataFrame, keyCol: String, minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, s"minShare must be in (0,1], got $minShare")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = math.max(1, math.ceil(1.0 / minShare).toInt)
+    val keys = df.select(col(keyCol).cast("string")).filter(col(keyCol).isNotNull)
+    // phase 1: per-partition Misra-Gries candidate generation
+    val candidates = keys.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        if (counters.contains(x)) counters(x) += 1
+        else if (counters.size < k) counters(x) = 1
+        else {
+          // decrement-all step; drop zeroed counters
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key =>
+            val v = counters(key) - 1
+            if (v == 0) dead += key else counters(key) = v
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.distinct().toDF("key")
+    // phase 2: exact recount of the (tiny) candidate set only
+    val total = keys.count()
+    val threshold = math.ceil(minShare * total).toLong
+    keys.toDF("key")
+      .join(broadcast(candidates), "key")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+}

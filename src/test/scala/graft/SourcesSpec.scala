@@ -31,6 +31,24 @@ class SourcesSpec extends SparkSpecBase {
       docs.select(md5(col("text"))).distinct().count())
   }
 
+  test("ORC round-trip preserves rows incl. the float-array embedding column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == emb.count())
+    assert(back.schema("embedding").dataType == emb.schema("embedding").dataType)
+    // vectors survive bit-exactly: same top-k under the same query
+    val q = graft.core.Fixtures.Q64
+    val a = graft.operators.Knn.bruteForce(back,
+      graft.functions.Distances.squaredL2Lit(col("embedding"), q), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = graft.operators.Knn.bruteForce(emb,
+      graft.functions.Distances.squaredL2Lit(col("embedding"), q), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+
   test("typed Dataset[VectorRecord] round-trips through the encoder") {
     val ds = spark.read.parquet(s"$sfDir/embeddings.parquet").as[VectorRecord]
     val filtered = ds.filter(_.label == 3).map(r => r.copy(vec_id = r.vec_id + 1))
