@@ -139,8 +139,13 @@ final class VectorDatabase private (
       queryIdCol = queryIdCol)
 
   /** Persist cell-partitioned for file-level pruning at scale. */
+  /** Cell-partitioned parquet (candidate-cell pruning = file skipping) with
+    * rows id-sorted inside each partition, so parquet vec_id min/max stats
+    * let point lookups and id-range deletes skip whole row groups too. */
   def save(path: String): Unit =
-    state.repartition(col("cell_id")).write.mode("overwrite")
+    state.repartition(col("cell_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
       .partitionBy("cell_id").parquet(path)
 }
 

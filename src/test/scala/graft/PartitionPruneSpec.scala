@@ -61,6 +61,39 @@ class PartitionPruneSpec extends SparkSpecBase {
       s"expected a dynamicpruning partition filter in the plan:\n$planStr")
   }
 
+  test("runtime Bloom-filter join pruning fires on non-partition join keys") {
+    // cell_id pruning covers the partition column; for joins on ORDINARY
+    // columns (vec_id enrichments at 100 TB) Spark's runtime bloom filter
+    // pushes a membership test from the selective side into the big scan.
+    // Fixture sizes sit below the default creation thresholds, so force
+    // them to 0 for the plan assertion.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // applicationSideScanSizeThreshold is a MINIMUM app-side size (10GB
+      // default) — drop it so fixture-sized scans qualify; the creation-side
+      // threshold is a MAXIMUM and the dim already sits under it
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only injects when the application side shuffles (a
+      // broadcast join would make the filter pointless) — tiny fixtures
+      // would broadcast, so force a shuffle join
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val big = spark.read.parquet(storePath)
+      val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("label") === 3).select(col("vec_id").as("sel_id"))
+      val joined = big.join(dim, col("vec_id") === col("sel_id"))
+      val planStr = joined.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("bloom_filter_agg") || planStr.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n$planStr")
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("kNN over the loaded partitioned store equals brute force") {
     val cfg = GridConfig(dim = 64, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
     val db = VectorDatabase.load(spark, storePath, cfg)
