@@ -118,11 +118,14 @@ object SparkEntry {
         emb(s, d), k = 3, dim = Dim)
         .orderBy(col("query_id"), col("rn"))),
     // scale variant: per-query candidate cells + geometric widening (no
-    // |Q|×|db| cross product) — exact, same oracle as the cross form
+    // |Q|×|db| cross product) — exact, same oracle as the cross form.
+    // threshold 0: the declared query must exercise the loop it is named
+    // for (production callers keep the cost-based default)
     "knn_join_l2_cells" -> ((s, d) =>
       graft.operators.KnnCellJoin.join(
         emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
-        Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, k = 3)
+        Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, k = 3,
+        bruteForceThreshold = 0)
         .orderBy(col("query_id"), col("rn"))),
     // skew-safe variant: bounded top-k Aggregator (map-side partial top-k)
     "knn_join_l2_agg" -> ((s, d) =>

@@ -138,7 +138,6 @@ final class VectorDatabase private (
     graft.operators.KnnTopK.join(queries, state.drop("cell_id"), k, cfg.dim,
       queryIdCol = queryIdCol)
 
-  /** Persist cell-partitioned for file-level pruning at scale. */
   /** Cell-partitioned parquet (candidate-cell pruning = file skipping) with
     * rows id-sorted inside each partition, so parquet vec_id min/max stats
     * let point lookups and id-range deletes skip whole row groups too. */

@@ -39,6 +39,14 @@ object AsOfJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val backward = direction == "backward"
+    // Null-time semantics: "t ≤/≥ null" matches nothing, but Spark's window
+    // order is NULLS FIRST, which would park a null-time left row where it
+    // sees the whole partition (and make a null-time right row visible to
+    // every left). Split them out: null-time right rows never match, and
+    // null-time left rows pass through with a null payload.
+    val leftNullT = left.filter(col(timeL).isNull)
+    val left0 = left.filter(col(timeL).isNotNull)
+    val right0 = right.filter(col(timeR).isNotNull)
     // Window order puts the right rows on the visible side of the left row
     // at equal timestamps: backward → right (0) sorts before left (1) and
     // the frame looks back; forward → left (0) before right (1), frame
@@ -46,12 +54,12 @@ object AsOfJoin {
     val (leftSide, rightSide) = if (backward) (1, 0) else (0, 1)
     val leftCols = left.columns.toSeq
     val payloadType = StructType(payloadR.map(c => right.schema(c)))
-    val l = left
+    val l = left0
       .withColumn("__key", col(keyL)).withColumn("__t", col(timeL))
       .withColumn("__side", lit(leftSide))
       .withColumn("__tb", lit(null).cast(right.schema(tiebreakR).dataType))
       .withColumn("__r", lit(null).cast(payloadType))
-    val r = right
+    val r = right0
       .withColumn("__key", col(keyR)).withColumn("__t", col(timeR))
       .withColumn("__side", lit(rightSide))
       .withColumn("__tb", col(tiebreakR))
@@ -66,10 +74,13 @@ object AsOfJoin {
     val carry =
       if (backward) last(col("__r"), ignoreNulls = true).over(w)
       else first(col("__r"), ignoreNulls = true).over(w)
-    l.unionByName(r, allowMissingColumns = false)
+    val matched = l.unionByName(r, allowMissingColumns = false)
       .withColumn("__asof", carry)
       .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
         payloadR.map(c => col(s"__asof.$c").as(c)): _*)
+    matched.unionByName(
+      leftNullT.select(leftCols.map(col) ++
+        payloadR.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
   }
 }

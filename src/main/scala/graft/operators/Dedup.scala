@@ -175,10 +175,14 @@ object Dedup {
     // only BETWEEN near-duplicate docs — so even a 100 TB corpus usually
     // yields a graph that fits on the driver, where path-compressed
     // union-find finishes in milliseconds instead of a multi-job loop.
-    // Above the threshold, fall through to the distributed min-label
-    // propagation (covered by specs with driverThreshold = 0).
+    // Above the threshold — or for non-long id columns, which the driver
+    // path's primitive union-find can't carry — fall through to the
+    // type-generic distributed min-label propagation (covered by specs
+    // with driverThreshold = 0).
+    val longIds = sym.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
     val nEdges = sym.count()
-    if (nEdges > 0 && nEdges <= driverThreshold)
+    if (longIds && nEdges > 0 && nEdges <= driverThreshold)
       return unionFindDriver(sym, edges.sparkSession)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)

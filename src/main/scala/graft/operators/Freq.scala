@@ -28,7 +28,13 @@ object Freq {
     val spark = df.sparkSession
     import spark.implicits._
     val k = math.max(1, math.ceil(1.0 / minShare).toInt)
+    // Materialize the key column once: the candidate scan, the total count,
+    // and the recount must all see the SAME rows (a nondeterministic source
+    // — sample(), unordered ids — re-scanned per phase would break the
+    // superset guarantee), and it saves re-running an expensive lineage
+    // three times. Only the single projected column is stored.
     val keys = df.select(col(keyCol).cast("string")).filter(col(keyCol).isNotNull)
+      .localCheckpoint(true)
     // phase 1: per-partition Misra-Gries candidate generation
     val candidates = keys.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]

@@ -64,19 +64,21 @@ object KnnCellJoin {
     val qs0 = Grid.requireDim(queries, vecCol, cfg.dim)
       .select(col(queryIdCol), col(vecCol).as("q_embedding"))
       .localCheckpoint(true)
-    // Cost-based path choice (same rule as Knn.prunedSearch): below the
-    // threshold the widening loop's per-round jobs cost more than one
-    // aggregator cross join; above it, cell pruning skips most of the db
-    // per query. Identical results either way (specs pin threshold = 0).
-    if (indexedDb.count() <= bruteForceThreshold) {
-      return KnnTopK.topK(
-          indexedDb.crossJoin(broadcast(qs0))
+    // Exact aggregator cross join over a query subset — the fast path for
+    // small stores AND the escape hatch for uncertifiable stragglers.
+    def bruteOn(qs: DataFrame): DataFrame =
+      KnnTopK.topK(
+          indexedDb.crossJoin(broadcast(qs))
             .select(col(queryIdCol).as("query_id"), col(dbIdCol).as("vec_id"),
               Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim).as("dist")),
           k)
         .withColumnRenamed("query_id", queryIdCol)
         .withColumnRenamed("vec_id", dbIdCol)
-    }
+    // Cost-based path choice (same rule as Knn.prunedSearch): below the
+    // threshold the widening loop's per-round jobs cost more than one
+    // aggregator cross join; above it, cell pruning skips most of the db
+    // per query. Identical results either way (specs pin threshold = 0).
+    if (indexedDb.count() <= bruteForceThreshold) return bruteOn(qs0)
     var s = cfg.width // start at one cell width
     var remaining = qs0
     var acc: Option[DataFrame] = None
@@ -128,13 +130,7 @@ object KnnCellJoin {
     // brute force — always correct, and no more work than the all-cells box
     // they were widening toward.
     if (!remaining.isEmpty) {
-      val taken = KnnTopK.topK(
-          indexedDb.crossJoin(broadcast(remaining))
-            .select(col(queryIdCol).as("query_id"), col(dbIdCol).as("vec_id"),
-              Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim).as("dist")),
-          k)
-        .withColumnRenamed("query_id", queryIdCol)
-        .withColumnRenamed("vec_id", dbIdCol)
+      val taken = bruteOn(remaining)
       acc = Some(acc.map(_.unionByName(taken)).getOrElse(taken))
     }
     acc.getOrElse(spark.emptyDataFrame)

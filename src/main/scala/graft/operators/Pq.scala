@@ -45,13 +45,17 @@ object Pq {
       .limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty store")
+    // fewer sample vectors than requested centroids → smaller codebooks
+    // (codes stay valid; Array.tabulate over ksub would index past cents)
+    val k = math.min(ksub, sample.length)
     val codebooks = Array.tabulate(m) { j =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      var cents = sub.take(ksub).map(_.clone)
+      var cents = sub.take(k).map(_.clone)
       var it = 0
       while (it < iters) {
-        val sums = Array.fill(ksub)(new Array[Double](dsub))
-        val counts = new Array[Long](ksub)
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
         sub.foreach { v =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
@@ -65,7 +69,7 @@ object Pq {
           while (i < dsub) { sums(best)(i) += v(i); i += 1 }
           counts(best) += 1
         }
-        cents = Array.tabulate(ksub) { c =>
+        cents = Array.tabulate(k) { c =>
           if (counts(c) == 0) cents(c)
           else Array.tabulate(dsub)(i => sums(c)(i) / counts(c))
         }
@@ -73,7 +77,7 @@ object Pq {
       }
       cents
     }
-    PqModel(m, ksub, dsub, codebooks)
+    PqModel(m, k, dsub, codebooks)
   }
 
   /** `pq_codes` column: array<int> of length m, code j = argmin centroid of
@@ -106,9 +110,12 @@ object Pq {
     }.reduce(_ + _)
 
   /** PQ top-k with exact re-rank: scan codes with the ADC distance, keep
-    * the best `refine` candidates (distributed TakeOrderedAndProject over
-    * ints+doubles only — the float vectors never move), then re-rank those
-    * few by exact squared L2. */
+    * the best `refine` candidates via distributed TakeOrderedAndProject,
+    * then re-rank those few by exact squared L2. The candidate rows carry
+    * their vectors, but the shuffle is bounded at `refine` rows PER
+    * PARTITION (≈ refine × dim × 4 B, kilobytes) — far cheaper than the
+    * alternative of re-scanning the corpus to re-attach vectors to the
+    * winning ids. */
   def search(encoded: DataFrame, model: PqModel, q: Array[Double], k: Int,
       refine: Int = 100, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -24,12 +24,15 @@ object SaltedJoin {
 
   /** @param salt deterministic per-row expression on the probe side with
     *             high cardinality (an id column, NOT rand() — reruns and
-    *             retries must route rows identically)
+    *             retries must route rows identically). Routed through
+    *             murmur `hash()` so any type works and null salts land in
+    *             a bucket instead of nulling the join condition (which
+    *             would silently DROP the row vs the plain join).
     */
   def join(probe: DataFrame, build: DataFrame, probeKey: String, buildKey: String,
       salt: Column, saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 2, "salting needs at least 2 buckets")
-    val p = probe.withColumn("__salt_p", pmod(salt, lit(saltBuckets)))
+    val p = probe.withColumn("__salt_p", pmod(hash(salt), lit(saltBuckets)))
     val b = build.withColumn("__salt_b",
       explode(lit((0 until saltBuckets).toArray)))
     p.join(b, p("__salt_p") === b("__salt_b") && col(probeKey) === col(buildKey))

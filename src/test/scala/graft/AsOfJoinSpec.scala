@@ -72,4 +72,21 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(forward(4L) == -1L) // 2024-01-02 is after the last key-200 right row
     assert(forward(5L) == -1L)
   }
+
+  test("null event times: left gets null payload, null-time right rows never match (both directions)") {
+    // Spark windows sort NULLS FIRST, which un-guarded would let a
+    // null-time left row see the whole partition (forward) and a null-time
+    // right row attach to every left (backward).
+    val lNull = left.unionByName(Seq((6L, 100L, null.asInstanceOf[Timestamp])).toDF("eid", "k", "t"))
+    val rNull = right.unionByName(Seq((30L, 100L, null.asInstanceOf[Timestamp], 9.0)).toDF("rid", "rk", "rt", "payload"))
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin.asOf(lNull, rNull, "k", "rk", "t", "rt",
+          Seq("rid", "payload"), "rid", direction = dir)
+        .select("eid", "rid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(out.size == 6, s"$dir: every left row must appear exactly once")
+      assert(out(6L) == -1L, s"$dir: null-time left must attach null")
+      assert(!out.values.exists(_ == 30L), s"$dir: null-time right must never match")
+    }
+  }
 }
