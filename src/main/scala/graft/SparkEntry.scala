@@ -581,6 +581,32 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("df"))
         .orderBy(col("doc_id"))
     }),
+    // left outer join: every customer appears, orderless customers with
+    // zero counts (coalesce makes the aggregate null-free in both engines)
+    "join_left_outer_customer_orders" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+        .orderBy(col("c_custkey"))),
+    // full outer join over two aggregated event slices: keys exclusive to
+    // either side survive with nulls coalesced to sentinels
+    "join_full_outer_daily_types" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_c"))
+        .agg(count(lit(1)).as("n_clicks"))
+      val purchases = ev.filter(col("event_type") === "purchase" && col("value") > 50.0)
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_p"))
+        .agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purchases, col("day_c") === col("day_p"), "full_outer")
+        .select(
+          coalesce(col("day_c"), col("day_p")).as("day_epoch"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("day_epoch"))
+    }),
     // keyed interval join (batch form of the stream-stream join; the
     // watermarked streaming form is proven equivalent in StreamJoinSpec).
     // Timestamps floored to epoch seconds so both engines band identically.
@@ -1063,6 +1089,21 @@ object SparkEntry {
           |      ORDER BY (CAST(tf.tf AS DOUBLE) / df.df) DESC, tf.term ASC) AS rk
           |  FROM tf JOIN df ON tf.term = df.term
           |) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+      "join_left_outer_customer_orders" ->
+        s"""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+           |  COALESCE(${dsumSql("o_totalprice")}, ${DuckSql.fmt(0.0)}) AS sum_price
+           |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+      "join_full_outer_daily_types" ->
+        s"""SELECT COALESCE(day_c, day_p) AS day_epoch,
+           |  COALESCE(n_clicks, 0) AS n_clicks,
+           |  COALESCE(n_purchases, 0) AS n_purchases
+           |FROM (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_c, COUNT(*) AS n_clicks
+           |      FROM events WHERE event_type = 'click' GROUP BY day_c) c
+           |FULL OUTER JOIN (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_p, COUNT(*) AS n_purchases
+           |      FROM events WHERE event_type = 'purchase' AND value > ${DuckSql.fmt(50.0)} GROUP BY day_p) p
+           |  ON day_c = day_p
+           |ORDER BY day_epoch""".stripMargin,
       "interval_join_click_purchase" ->
         """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
           |  (tp - tc) AS gap_s

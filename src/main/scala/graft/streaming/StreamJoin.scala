@@ -27,23 +27,30 @@ import org.apache.spark.sql.functions._
 object StreamJoin {
 
   /** Left/right column sets must be disjoint. `windowSec` is inclusive on
-    * both ends: tR ∈ [tL, tL + windowSec]. */
+    * both ends: tR ∈ [tL, tL + windowSec]. `joinType`: "inner" or
+    * "left_outer". */
   def batch(left: DataFrame, right: DataFrame,
       keyL: String, keyR: String, timeL: String, timeR: String,
-      windowSec: Long): DataFrame =
+      windowSec: Long, joinType: String = "inner"): DataFrame =
     left.join(right,
       col(keyL) === col(keyR) &&
         col(timeR) >= col(timeL) &&
-        col(timeR) <= col(timeL) + expr(s"INTERVAL $windowSec SECONDS"))
+        col(timeR) <= col(timeL) + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
 
-  /** Streaming inner join; `delay` bounds each side's out-of-orderness
-    * (e.g. "10 seconds"). Append-mode output. */
+  /** Streaming join; `delay` bounds each side's out-of-orderness (e.g.
+    * "10 seconds"). Append-mode output. For "left_outer", an unmatched
+    * left row is emitted with null right columns once the right watermark
+    * passes t + window (+ delay) and no match can still arrive — the
+    * state bound is what makes outer results FINAL on an infinite
+    * stream, which no batch engine can express. */
   def streaming(left: DataFrame, right: DataFrame,
       keyL: String, keyR: String, timeL: String, timeR: String,
-      windowSec: Long, delay: String): DataFrame =
+      windowSec: Long, delay: String, joinType: String = "inner"): DataFrame =
     left.withWatermark(timeL, delay).join(
       right.withWatermark(timeR, delay),
       col(keyL) === col(keyR) &&
         col(timeR) >= col(timeL) &&
-        col(timeR) <= col(timeL) + expr(s"INTERVAL $windowSec SECONDS"))
+        col(timeR) <= col(timeL) + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
 }

@@ -60,4 +60,45 @@ class StreamJoinSpec extends SparkSpecBase {
     assert(streamed == expected,
       s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
   }
+
+  test("stream-stream LEFT OUTER interval join equals batch once the watermark finalizes unmatched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * 1000L
+    def ev(id: Long, user: Long, offSec: Long) = Ev(id, user, new Timestamp(base + offSec * 1000L))
+    // user 1: click 10 matched by purchase 11 within 30 min; click 12 unmatched
+    // user 2: click 20 unmatched (purchase 21 arrives after the window)
+    val clicks = Seq(ev(10L, 1L, 0), ev(12L, 1L, 10000), ev(20L, 2L, 0))
+    val purchases = Seq(ev(11L, 1L, 600), ev(21L, 2L, 4000))
+
+    def lhs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id").as("click_id"), col("user_id"), col("ts").as("t_click"))
+    def rhs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("t_purchase"))
+
+    val expected = StreamJoin.batch(lhs(clicks.toDF()), rhs(purchases.toDF()),
+        "user_id", "p_user", "t_click", "t_purchase", 1800, joinType = "left_outer")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(expected == Set((10L, 11L), (12L, -1L), (20L, -1L)))
+
+    val cStream = MemoryStream[Ev]
+    val pStream = MemoryStream[Ev]
+    val q = StreamJoin.streaming(lhs(cStream.toDF()), rhs(pStream.toDF()),
+        "user_id", "p_user", "t_click", "t_purchase", 1800, "10 seconds", joinType = "left_outer")
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("sj_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cStream.addData(clicks); pStream.addData(purchases); q.processAllAvailable()
+      // watermark far past every click's t+window finalizes the unmatched rows
+      cStream.addData(Seq(ev(-1L, -1L, 864000))); pStream.addData(Seq(ev(-2L, -1L, 864000)))
+      q.processAllAvailable()
+      cStream.addData(Seq(ev(-3L, -1L, 2 * 864000))); pStream.addData(Seq(ev(-4L, -1L, 2 * 864000)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sj_outer").filter(col("click_id") >= 0)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+  }
 }
