@@ -296,6 +296,34 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy(col("day_epoch"))),
+    // unpivot (melt): the wide pivot result back to long form — Spark's
+    // native unpivot plans as a single Expand, no shuffle
+    "unpivot_event_counts" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("day_epoch")), types.map(col).toArray, "event_type", "n")
+        .orderBy(col("day_epoch"), col("event_type"))
+    }),
+    // time-series densification: an hourly spine per day joined against
+    // observed counts — silent gaps become explicit zero rows (resample)
+    "events_hourly_dense" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        unix_timestamp(date_trunc("hour", min(col("ts")))).as("t0"),
+        unix_timestamp(date_trunc("hour", max(col("ts")))).as("t1"))
+      val spine = bounds.select(
+        explode(sequence(col("t0"), col("t1"), lit(3600L))).as("hour_epoch"))
+      val counts = ev.filter(col("event_type") === "purchase")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("he"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, col("hour_epoch") === col("he"), "left_outer")
+        .select(col("hour_epoch"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour_epoch"))
+    }),
     // MapType path: JSON object -> map -> explode to (key, value) rows
     "json_kv_explode" -> ((s, d) =>
       Tables.events(s, d)
@@ -771,6 +799,29 @@ object SparkEntry {
            |  $cols
            |FROM events GROUP BY day_epoch ORDER BY day_epoch""".stripMargin
       },
+      "unpivot_event_counts" -> {
+        val unions = Seq("click", "error", "purchase", "signup", "view").map { t =>
+          s"SELECT day_epoch, '$t' AS event_type, COUNT(*) FILTER (event_type = '$t') AS n FROM ev GROUP BY day_epoch"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH ev AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, event_type FROM events)
+           |SELECT day_epoch, event_type, n FROM (
+           |  $unions
+           |) ORDER BY day_epoch, event_type""".stripMargin
+      },
+      "events_hourly_dense" ->
+        """WITH bounds AS (
+          |  SELECT CAST(epoch(date_trunc('hour', min(ts))) AS BIGINT) AS t0,
+          |         CAST(epoch(date_trunc('hour', max(ts))) AS BIGINT) AS t1
+          |  FROM events
+          |), spine AS (
+          |  SELECT unnest(generate_series(t0, t1, 3600)) AS hour_epoch FROM bounds
+          |), counts AS (
+          |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS he, COUNT(*) AS n
+          |  FROM events WHERE event_type = 'purchase' GROUP BY he
+          |)
+          |SELECT hour_epoch, COALESCE(n, 0) AS n
+          |FROM spine LEFT OUTER JOIN counts ON hour_epoch = he
+          |ORDER BY hour_epoch""".stripMargin,
       "json_kv_explode" ->
         """SELECT key, COUNT(*) AS n,
           |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS v_sum
