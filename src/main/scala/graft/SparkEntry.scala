@@ -575,6 +575,27 @@ object SparkEntry {
         .select(col("event_type"), col("rk"), col("event_id"))
         .orderBy(col("event_type"), col("rk"))
     }),
+    // overlapping word-window chunking (chunk → embed → index is the
+    // standard long-doc pipeline; stride < width gives overlap)
+    "text_chunks" -> ((s, d) => {
+      val width = 50
+      val stride = 25
+      val ws = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      ws.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), greatest(ceil((size(col("w")) - lit(width)) / lit(stride.toDouble)), lit(0)).cast("int")),
+            i => concat_ws(" ", slice(col("w"), i * stride + 1, lit(width))))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    // digit redaction (PII-scrub shape): every digit run → '#'; md5 of the
+    // scrubbed text keeps the compare compact
+    "text_redact_digits" -> ((s, d) =>
+      par(s, docs(s, d)).select(col("doc_id"),
+          md5(regexp_replace(col("text"), "[0-9]+", "#")).as("redacted_md5"))
+        .orderBy(col("doc_id"))),
     // corpus-level document frequency: top 20 non-stopword terms
     "text_top_terms" -> ((s, d) =>
       par(s, docs(s, d))
@@ -1115,6 +1136,17 @@ object SparkEntry {
            |) WHERE term <> '' AND term NOT IN $stopListSql
            |GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""".stripMargin
       },
+      "text_chunks" ->
+        """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          |  md5(array_to_string(w[i*25+1 : i*25+50], ' ')) AS chunk_md5
+          |FROM (
+          |  SELECT doc_id, w,
+          |    unnest(range(0, CAST(GREATEST(CEIL((len(w) - 50) / 25.0), 0) AS BIGINT) + 1)) AS i
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0)
+          |)
+          |ORDER BY doc_id, chunk_idx""".stripMargin,
+      "text_redact_digits" ->
+        "SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5 FROM documents ORDER BY doc_id",
       "text_heavy_terms" ->
         """WITH terms AS (
           |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
