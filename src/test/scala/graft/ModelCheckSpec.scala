@@ -37,6 +37,89 @@ class ModelCheckSpec extends SparkSpecBase {
     }
   }
 
+  test("forward as-of join equals the per-row scan model on random data with ties (5 trials)") {
+    for (trial <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val left = (0 until 100).map { i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, 1000L + rnd.nextInt(50) * 10L)
+      }
+      val right = (0 until 60).map { j =>
+        (j.toLong, rnd.nextInt(nKeys + 1).toLong, 1000L + rnd.nextInt(50) * 10L, rnd.nextDouble())
+      }
+      val lDf = left.map { case (e, k, t) => (e, k, new Timestamp(t * 1000)) }.toDF("eid", "k", "t")
+      val rDf = right.map { case (r, k, t, v) => (r, k, new Timestamp(t * 1000), v) }
+        .toDF("rid", "rk", "rt", "v")
+      val got = AsOfJoin.asOf(lDf, rDf, "k", "rk", "t", "rt", Seq("rid", "v"), "rid",
+          direction = "forward")
+        .select("eid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // model: min (t, rid) among right rows with same key, t >= left t
+      val model = left.map { case (e, k, t) =>
+        val cands = right.filter(r => r._2 == k && r._3 >= t)
+        e -> (if (cands.isEmpty) -1L else cands.minBy(r => (r._3, r._1))._1)
+      }.toMap
+      assert(got == model, s"trial $trial")
+    }
+  }
+
+  test("salted join equals the plain join on random keyed data incl. null keys (5 trials)") {
+    import graft.operators.SaltedJoin
+    for (trial <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(20)
+      val fact = (0 until 300).map { i =>
+        (i.toLong, if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Long]
+                   else java.lang.Long.valueOf(rnd.nextInt(nKeys).toLong))
+      }.toDF("row_id", "k")
+      val dim = (0 until nKeys).map(k => (k.toLong, s"d$k")).toDF("dk", "name")
+      val buckets = 2 + rnd.nextInt(15)
+      val salted = SaltedJoin.join(fact, dim, "k", "dk", col("row_id"), buckets)
+        .select("row_id", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val plain = fact.join(dim, col("k") === col("dk"))
+        .select("row_id", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(salted == plain, s"trial $trial buckets=$buckets")
+    }
+  }
+
+  test("interval join equals the filtered cross model on random data (5 trials)") {
+    import graft.streaming.StreamJoin
+    for (trial <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val windowSec = 10L + rnd.nextInt(100)
+      def side(n: Int) = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, 1000L + rnd.nextInt(300))
+      }
+      val ls = side(60); val rs = side(60)
+      val lDf = ls.map { case (e, k, t) => (e, k, new Timestamp(t * 1000)) }.toDF("lid", "lk", "lt")
+      val rDf = rs.map { case (e, k, t) => (e, k, new Timestamp(t * 1000)) }.toDF("rid", "rk", "rt")
+      val got = StreamJoin.batch(lDf, rDf, "lk", "rk", "lt", "rt", windowSec)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val model = (for {
+        (le, lk, lt) <- ls
+        (re, rk, rt) <- rs
+        if lk == rk && rt >= lt && rt <= lt + windowSec
+      } yield (le, re)).sorted
+      assert(got == model, s"trial $trial window=$windowSec")
+    }
+  }
+
+  test("heavy hitters equals groupBy-HAVING on random zipf-ish data (5 trials)") {
+    import graft.operators.Freq
+    for (trial <- 1 to 5) {
+      val vals = (0 until 2000).map { _ =>
+        val z = rnd.nextInt(100) + 1
+        s"v${100 / z}" // zipf-ish: small ids frequent
+      }
+      val minShare = 0.01 + rnd.nextDouble() * 0.2
+      val df = spark.createDataset(vals).toDF("k").repartition(1 + rnd.nextInt(8))
+      val got = Freq.heavyHitters(df, "k", minShare)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val threshold = math.ceil(minShare * vals.size).toLong
+      val model = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= threshold)
+      assert(got == model, s"trial $trial minShare=$minShare")
+    }
+  }
+
   test("batch sessionization equals the sort-and-split model (5 trials)") {
     val gapMin = 30
     for (trial <- 1 to 5) {
