@@ -77,6 +77,21 @@ class PqSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"ivfpq recall vs pq $recall")
   }
 
+  test("training clamps the codebook to the sample size; empty store is a clear error") {
+    import spark.implicits._
+    val tiny = (0L until 5L).map(i => (i, Array.fill(8)(i.toFloat / 10f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val m = Pq.train(tiny, dim = 8, m = 2, ksub = 16) // only 5 sample vectors
+    assert(m.ksub == 5 && m.codebooks.forall(_.length == 5))
+    // encode + search still work end-to-end on the clamped model
+    val out = Pq.search(Pq.encode(tiny, m), m,
+      Array.fill(8)(0.0), k = 2, refine = 5).collect()
+    assert(out.length == 2)
+    intercept[IllegalArgumentException] {
+      Pq.train(tiny.filter(col("vec_id") < 0), dim = 8, m = 2)
+    }
+  }
+
   test("adc approximates true distance (rank correlation sanity)") {
     // The ADC distance of a vector to ITSELF-as-codes is the quantization
     // error — must be far below the distance to a far-away query.
