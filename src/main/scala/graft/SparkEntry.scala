@@ -451,6 +451,13 @@ object SparkEntry {
       Ann.lshBandedNearDupPairs(par(s, emb(s, d).filter(col("vec_id") % 5 === 0)), Planes16, Dim,
           bandBits = 4, minCosine = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
+    // end-to-end curation: quality/lang gate → exact dedup → LSH near-dup
+    // clustering → canonical keep. The WHOLE pipeline is oracle-checked —
+    // the DuckDB mirror composes the proven per-stage SQL fragments.
+    "pipeline_curation" -> ((s, d) => {
+      val (curated, _) = graft.pipeline.Curation.curate(par(s, docs(s, d)))
+      curated.select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // --- multimodal plumbing (north star): binary payload + stub decode.
     // Checksum/decode are JVM-side (mapPartitions) — rows-only check.
     "media_features" -> ((s, d) =>
@@ -1012,6 +1019,66 @@ object SparkEntry {
            |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
            |)
            |SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id ORDER BY id""".stripMargin
+      },
+      "pipeline_curation" -> {
+        val nw = nWordsSql("text"); val ns = nStopSql("text")
+        val mins = Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.MinHashP}) AS mh_$j"
+        }.mkString(",\n    ")
+        val bandSelects = (0 until 4).map { b =>
+          val keyExpr = (b * 2 until b * 2 + 2).map(j => s"CAST(mh_$j AS VARCHAR)")
+            .mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $keyExpr AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val ssetExpr = "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
+        s"""WITH RECURSIVE gated AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT doc_id, text,
+           |      ((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+           |        + LEAST((CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) * 10.0, 1.0))
+           |       + CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality,
+           |      CASE WHEN (CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+           |    FROM (SELECT doc_id, text,
+           |            CAST(length(text) - ($nw - 1) AS DOUBLE) / CAST($nw AS DOUBLE) AS awl
+           |          FROM documents)
+           |  ) WHERE quality >= ${DuckSql.fmt(0.3)} AND lang_pred = 'en'
+           |), exact AS (
+           |  SELECT doc_id, text FROM gated
+           |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
+           |), words_t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM exact
+           |), sig AS (
+           |  SELECT doc_id, $mins
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+           |      SELECT doc_id, unnest($ssetExpr) AS shingle FROM words_t
+           |    )
+           |  ) GROUP BY doc_id
+           |), buckets AS (
+           |  $bandSelects
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), sets AS (
+           |  SELECT doc_id, $ssetExpr AS sset FROM words_t
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM (
+           |    SELECT id_a, id_b,
+           |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
+           |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
+           |  ) WHERE jac >= ${DuckSql.fmt(0.5)}
+           |), sym AS (
+           |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM sym
+           |  UNION
+           |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+           |), clusters AS (
+           |  SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id
+           |)
+           |SELECT doc_id FROM exact
+           |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> canonical)
+           |ORDER BY doc_id""".stripMargin
       },
       "sample_documents_hashmod" ->
         "SELECT doc_id, n_chars FROM documents WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10 ORDER BY doc_id",
