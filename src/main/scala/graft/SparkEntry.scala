@@ -455,7 +455,8 @@ object SparkEntry {
     // clustering → canonical keep. The WHOLE pipeline is oracle-checked —
     // the DuckDB mirror composes the proven per-stage SQL fragments.
     "pipeline_curation" -> ((s, d) => {
-      val (curated, _) = graft.pipeline.Curation.curate(par(s, docs(s, d)))
+      val (curated, _) = graft.pipeline.Curation.curate(par(s, docs(s, d)),
+        withFunnel = false)
       curated.select(col("doc_id")).orderBy(col("doc_id"))
     }),
     // --- multimodal plumbing (north star): binary payload + stub decode.

@@ -24,22 +24,31 @@ object Curation {
       bands: Int = 4,
       nearDupThreshold: Double = 0.5)
 
-  /** @return (curated docs with quality metadata, stage → surviving rows) */
+  /** @param withFunnel false skips the per-stage counts (4 extra jobs) —
+    *                    use for fire-and-forget runs where only the curated
+    *                    output matters
+    * @return (curated docs with quality metadata, stage → surviving rows;
+    *         empty when withFunnel is false) */
   def curate(docs: DataFrame, cfg: Config = Config(),
-      textCol: String = "text", idCol: String = "doc_id"): (DataFrame, Seq[(String, Long)]) = {
+      textCol: String = "text", idCol: String = "doc_id",
+      withFunnel: Boolean = true): (DataFrame, Seq[(String, Long)]) = {
     val funnel = Seq.newBuilder[(String, Long)]
-    funnel += "input" -> docs.count()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      if (withFunnel) funnel += name -> df.count()
+      df
+    }
+    stage("input", docs)
 
     // 1. quality + language gate (per-row, shuffle-free)
-    val gated = docs
+    val gated = stage("quality_lang_gate", docs
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col(textCol)))
-      .filter(col("quality") >= cfg.minQuality && col("lang_pred") === cfg.lang)
-    funnel += "quality_lang_gate" -> gated.count()
+      .filter(col("quality") >= cfg.minQuality && col("lang_pred") === cfg.lang))
 
-    // 2. exact dedup (one hash shuffle)
-    val exact = Dedup.exactDedup(gated, textCol, idCol)
-    funnel += "exact_dedup" -> exact.count()
+    // 2. exact dedup (one hash shuffle); materialized once — the survivors
+    // feed BOTH the LSH candidate pass and the final anti-join
+    val exact = stage("exact_dedup",
+      Dedup.exactDedup(gated, textCol, idCol).localCheckpoint(true))
 
     // 3. near-dup pairs on the survivors (banded MinHash-LSH, verified)
     val pairs = Dedup.minHashLshNearDupPairs(exact, textCol, idCol,
@@ -48,8 +57,8 @@ object Curation {
     // 4. cluster and keep the canonical (min-id) member of each cluster
     val clusters = Dedup.connectedComponents(pairs)
     val dropIds = clusters.filter(col("id") =!= col("canonical")).select(col("id"))
-    val curated = exact.join(dropIds, exact(idCol) === dropIds("id"), "left_anti")
-    funnel += "near_dup_dedup" -> curated.count()
+    val curated = stage("near_dup_dedup",
+      exact.join(dropIds, exact(idCol) === dropIds("id"), "left_anti"))
 
     (curated, funnel.result())
   }
