@@ -45,10 +45,13 @@ object Curation {
       .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col(textCol)))
       .filter(col("quality") >= cfg.minQuality && col("lang_pred") === cfg.lang))
 
-    // 2. exact dedup (one hash shuffle); materialized once — the survivors
-    // feed BOTH the LSH candidate pass and the final anti-join
+    // 2. exact dedup (one hash shuffle); cached once — the survivors feed
+    // BOTH the LSH candidate pass and the final anti-join. persist (not
+    // localCheckpoint): lazy, spillable, and the lineage survives executor
+    // loss; freed by the ContextCleaner with the returned plan.
     val exact = stage("exact_dedup",
-      Dedup.exactDedup(gated, textCol, idCol).localCheckpoint(true))
+      Dedup.exactDedup(gated, textCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // 3. near-dup pairs on the survivors (banded MinHash-LSH, verified)
     val pairs = Dedup.minHashLshNearDupPairs(exact, textCol, idCol,
