@@ -572,6 +572,18 @@ object SparkEntry {
             .cast("double").as("roll_sum3"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
+    // ntile quantile bucketing per month (integer window arithmetic —
+    // engine-exact; partitioned so no global sort at scale)
+    "window_ntile_price_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("month"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("month"), col("quartile"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("month"), col("quartile"))
+    }),
     // deterministic stratified sample: ≤20 rows per stratum by md5 order
     // (portable, rerun-stable — no rand())
     "sample_stratified_events" -> ((s, d) => {
@@ -1191,6 +1203,14 @@ object SparkEntry {
           |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum3
           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "window_ntile_price_quartiles" ->
+        s"""SELECT month, quartile, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM (
+           |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, o_totalprice,
+           |    CAST(NTILE(4) OVER (PARTITION BY date_trunc('month', o_orderdate)
+           |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT) AS quartile
+           |  FROM orders
+           |) GROUP BY month, quartile ORDER BY month, quartile""".stripMargin,
       "sample_stratified_events" ->
         s"""SELECT event_type, CAST(rk AS INT) AS rk, event_id FROM (
            |  SELECT event_type, event_id,
