@@ -140,6 +140,24 @@ object ScaleProbe extends App {
       facts.toDF(), dim.toDF(), "k", "dk", salt = col("row_id"), saltBuckets = 32).count()
     assert(n == 1000000L, s"salted join lost rows: $n")
   }
+  // Heavy hitters on 5M zipf-ish rows: the candidate shuffle carries only
+  // O(partitions × 1/minShare) rows, recount joins a broadcast candidate set.
+  t("heavy hitters (5M rows, minShare 1%)") {
+    val zipf = spark.range(5000000L)
+      .select(concat(lit("v"), (lit(100L) / (pmod(col("id") * 2654435761L, lit(100L)) + 1L)).cast("long").cast("string")).as("k"))
+    val hh = graft.operators.Freq.heavyHitters(zipf, "k", 0.01).collect()
+    assert(hh.nonEmpty && hh.map(_.getLong(1)).sum <= 5000000L)
+  }
+  // Keyed interval join at 1M x 1M: equi-join on the key + band filter.
+  t("interval join (1M x 1M, 60s band)") {
+    val l = spark.range(1000000L).select(col("id").as("lid"),
+      pmod(col("id"), lit(20000)).as("lk"),
+      timestamp_seconds(lit(1700000000L) + pmod(col("id") * 7, lit(86400))).as("lt"))
+    val r = spark.range(1000000L).select(col("id").as("rid"),
+      pmod(col("id"), lit(20000)).as("rk"),
+      timestamp_seconds(lit(1700000000L) + pmod(col("id") * 13, lit(86400))).as("rt"))
+    graft.streaming.StreamJoin.batch(l, r, "lk", "rk", "lt", "rt", 60L).count()
+  }
   // Forward as-of at 1M x 1M: one shuffle, window pass.
   t("as-of join forward (1M x 1M)") {
     val left = spark.range(1000000L).select(col("id").as("eid"),
