@@ -62,6 +62,39 @@ object SparkEntry {
   private def nStopSql(t: String) =
     s"CAST(len(list_filter(string_split($t, ' '), w -> w IN $stopListSql)) AS INT)"
 
+  // Shared MinHash/LSH SQL fragments (mirrors of Dedup.minHashSignature /
+  // minHashLshNearDupPairs with the default 8 hashes / 4 bands / width-3
+  // shingles) — single source for every oracle that embeds the pipeline.
+  /** min-hash aggregate list: `MIN((h*a + b) % P) AS mh_j`. */
+  private def minsSql: String =
+    Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.MinHashP}) AS mh_$j"
+    }.mkString(",\n    ")
+  /** banded bucket rows over a `sig` CTE: (doc_id, band, bkey). */
+  private def bandSelectsSql: String =
+    (0 until 4).map { b =>
+      val keyExpr = (b * 2 until b * 2 + 2).map(j => s"CAST(mh_$j AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $keyExpr AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+  /** distinct width-3 word shingles of a split-words column `w`. */
+  private val ssetSql =
+    "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
+  /** quality score + lang_pred over a relation providing (doc_id, text). */
+  private def qualityGateSql(minQuality: Double, lang: String): String = {
+    val nw = nWordsSql("text"); val ns = nStopSql("text")
+    s"""SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      ((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |        + LEAST((CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) * 10.0, 1.0))
+       |       + CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality,
+       |      CASE WHEN (CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+       |    FROM (SELECT doc_id, text,
+       |            CAST(length(text) - ($nw - 1) AS DOUBLE) / CAST($nw AS DOUBLE) AS awl
+       |          FROM documents)
+       |  ) WHERE quality >= ${DuckSql.fmt(minQuality)} AND lang_pred = '$lang'""".stripMargin
+  }
+
   // ---------------------------------------------------------------- flagship
 
   /** Flagship: filtered kNN on sf0.001; driver smoke-checks rows > 0. */
@@ -944,53 +977,39 @@ object SparkEntry {
           |  WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC
           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |) WHERE side = 1 ORDER BY event_id""".stripMargin,
-      "dedup_minhash_lsh_pairs" -> {
-        val mins = Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
-          s"MIN((h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.MinHashP}) AS mh_$j"
-        }.mkString(",\n    ")
-        val bandSelects = (0 until 4).map { b =>
-          val keyExpr = (b * 2 until b * 2 + 2).map(j => s"CAST(mh_$j AS VARCHAR)")
-            .mkString(" || '_' || ")
-          s"SELECT doc_id, $b AS band, $keyExpr AS bkey FROM sig"
-        }.mkString("\n  UNION ALL ")
-        val ssetExpr = "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
+      "dedup_minhash_lsh_pairs" ->
         s"""WITH sig AS (
-           |  SELECT doc_id, $mins
+           |  SELECT doc_id, $minsSql
            |  FROM (
            |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
-           |      SELECT doc_id, unnest($ssetExpr) AS shingle
+           |      SELECT doc_id, unnest($ssetSql) AS shingle
            |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
            |    )
            |  ) GROUP BY doc_id
            |), buckets AS (
-           |  $bandSelects
+           |  $bandSelectsSql
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |), sets AS (
-           |  SELECT doc_id, $ssetExpr AS sset
+           |  SELECT doc_id, $ssetSql AS sset
            |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
            |)
            |SELECT id_a, id_b, jac FROM (
            |  SELECT id_a, id_b,
            |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
            |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
-           |) WHERE jac >= ${DuckSql.fmt(0.5)} ORDER BY id_a, id_b""".stripMargin
-      },
+           |) WHERE jac >= ${DuckSql.fmt(0.5)} ORDER BY id_a, id_b""".stripMargin,
       "dedup_exact_groups" ->
         "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id FROM documents GROUP BY content_hash ORDER BY content_hash",
-      "dedup_minhash_signatures" -> {
-        val mins = Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
-          s"MIN((h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.MinHashP}) AS mh_$j"
-        }.mkString(",\n  ")
-        s"""SELECT doc_id, $mins
+      "dedup_minhash_signatures" ->
+        s"""SELECT doc_id, $minsSql
            |FROM (
            |  SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
-           |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           |    SELECT doc_id, unnest($ssetSql) AS shingle
            |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0)
            |  )
-           |) GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      },
+           |) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dedup_simhash" -> {
         val bitSums = (0 until 60).map { i =>
           s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i"
@@ -1034,46 +1053,27 @@ object SparkEntry {
            |SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id ORDER BY id""".stripMargin
       },
       "pipeline_curation" -> {
-        val nw = nWordsSql("text"); val ns = nStopSql("text")
-        val mins = Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
-          s"MIN((h * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.MinHashP}) AS mh_$j"
-        }.mkString(",\n    ")
-        val bandSelects = (0 until 4).map { b =>
-          val keyExpr = (b * 2 until b * 2 + 2).map(j => s"CAST(mh_$j AS VARCHAR)")
-            .mkString(" || '_' || ")
-          s"SELECT doc_id, $b AS band, $keyExpr AS bkey FROM sig"
-        }.mkString("\n  UNION ALL ")
-        val ssetExpr = "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
         s"""WITH RECURSIVE gated AS (
-           |  SELECT doc_id, text FROM (
-           |    SELECT doc_id, text,
-           |      ((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-           |        + LEAST((CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) * 10.0, 1.0))
-           |       + CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality,
-           |      CASE WHEN (CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
-           |    FROM (SELECT doc_id, text,
-           |            CAST(length(text) - ($nw - 1) AS DOUBLE) / CAST($nw AS DOUBLE) AS awl
-           |          FROM documents)
-           |  ) WHERE quality >= ${DuckSql.fmt(0.3)} AND lang_pred = 'en'
+           |  ${qualityGateSql(0.3, "en")}
            |), exact AS (
            |  SELECT doc_id, text FROM gated
            |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
            |), words_t AS (
            |  SELECT doc_id, string_split(text, ' ') AS w FROM exact
            |), sig AS (
-           |  SELECT doc_id, $mins
+           |  SELECT doc_id, $minsSql
            |  FROM (
            |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
-           |      SELECT doc_id, unnest($ssetExpr) AS shingle FROM words_t
+           |      SELECT doc_id, unnest($ssetSql) AS shingle FROM words_t
            |    )
            |  ) GROUP BY doc_id
            |), buckets AS (
-           |  $bandSelects
+           |  $bandSelectsSql
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |), sets AS (
-           |  SELECT doc_id, $ssetExpr AS sset FROM words_t
+           |  SELECT doc_id, $ssetSql AS sset FROM words_t
            |), edges AS (
            |  SELECT id_a AS src, id_b AS dst FROM (
            |    SELECT id_a, id_b,

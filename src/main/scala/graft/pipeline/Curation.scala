@@ -28,7 +28,11 @@ object Curation {
     *                    use for fire-and-forget runs where only the curated
     *                    output matters
     * @return (curated docs with quality metadata, stage → surviving rows;
-    *         empty when withFunnel is false) */
+    *         empty when withFunnel is false)
+    * @note each call caches the exact-dedup survivors (and the LSH
+    *       signature table inside the near-dup pass) until the returned
+    *       plan is garbage-collected — repeated invocations in one session
+    *       hold one cache per live plan */
   def curate(docs: DataFrame, cfg: Config = Config(),
       textCol: String = "text", idCol: String = "doc_id",
       withFunnel: Boolean = true): (DataFrame, Seq[(String, Long)]) = {
