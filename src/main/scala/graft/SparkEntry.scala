@@ -726,6 +726,101 @@ object SparkEntry {
           (col("t_purchase").cast("long") - col("t_click").cast("long")).as("gap_s"))
         .orderBy(col("click_id"), col("purchase_id"))
     }),
+    // --- round-3: subquery shapes (scalar, correlated, EXISTS)
+    // uncorrelated scalar subquery: orders above the global mean price.
+    // Exact threshold algebra: price > sum/n ⇔ price·n > sum, kept in
+    // decimal so no double-division drift between engines. The single-row
+    // aggregate broadcasts (scalar subqueries plan the same way).
+    "subquery_above_avg_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val tot = o.agg(
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).as("tot_sum"),
+        count(lit(1)).as("tot_n"))
+      o.crossJoin(broadcast(tot))
+        .filter(col("o_totalprice").cast(DecimalType(12, 2)) * col("tot_n") > col("tot_sum"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // correlated scalar subquery (TPC-H Q2 shape): each customer's
+    // max-price order(s), decorrelated into a grouped self-join — the
+    // rewrite Catalyst itself applies to the SQL form
+    "subquery_max_order_per_customer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val mx = o.groupBy(col("o_custkey").as("mk"))
+        .agg(max(col("o_totalprice")).as("max_price"))
+      o.join(mx, col("o_custkey") === col("mk") && col("o_totalprice") === col("max_price"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+    // EXISTS subquery = left-semi join (the filter pushes into the
+    // orders scan before the join)
+    "subquery_exists_big_order" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    // --- round-3: training-data quality signals
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(par(s, docs(s, d))).orderBy(col("doc_id"))),
+    // language-ID evaluation crosstab: declared lang × heuristic prediction
+    "text_lang_confusion" -> ((s, d) =>
+      par(s, docs(s, d))
+        .groupBy(col("lang"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+    // --- round-3: window widening (LOCF fill, rank ratios, lag deltas)
+    // last-observation-carried-forward: every event annotated with the
+    // user's most recent purchase value (running last_value IGNORE NULLS —
+    // the same kernel as the as-of join, one shuffle on user_id)
+    "window_locf_last_purchase" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tse").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("long").as("tse"), col("value"))
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+    // percent_rank + cume_dist: integer-ratio window functions (exact IEEE
+    // division in both engines); unique (price, orderkey) order → no peers
+    "window_percent_rank_orders" -> ((s, d) => {
+      val w = Window.partitionBy(col("month"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+        .select(col("month"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("month"), col("o_orderkey"))
+    }),
+    // lag delta: seconds since the user's previous event (integer-exact)
+    "window_lag_gap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tse").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("tse"))
+        .withColumn("gap_s", col("tse") - lag(col("tse"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("gap_s"))
+        .orderBy(col("event_id"))
+    }),
+    // --- round-3: semantic dedup end-to-end (embedding-space analog of
+    // dedup_cluster_canonical): cosine pairs → connected components →
+    // canonical id per cluster. Brute pair generation keeps the oracle
+    // exact at fixture scale; the 100 TB path feeds the SAME component
+    // step from ANN candidates (Ann.lshBandedNearDupPairs / ivfJoin).
+    "dedup_semantic_clusters" -> ((s, d) => {
+      val ve = emb(s, d).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val pairs = ve.as("a").join(ve.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.1)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }),
     // forward as-of: each event's NEXT order at-or-after its timestamp
     "asof_join_forward" -> ((s, d) =>
       AsOfJoin.asOf(
@@ -1282,6 +1377,83 @@ object SparkEntry {
           |JOIN (SELECT event_id, user_id, (epoch_ns(ts) // 1000000000) AS tp FROM events WHERE event_type = 'purchase') p
           |  ON c.user_id = p.user_id AND tp >= tc AND tp <= tc + 1800
           |ORDER BY click_id, purchase_id""".stripMargin,
+      "subquery_above_avg_orders" ->
+        s"""SELECT o_orderpriority, COUNT(*) AS n_above, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders,
+           |  (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot_sum, COUNT(*) AS tot_n FROM orders) t
+           |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * tot_n > tot_sum
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "subquery_max_order_per_customer" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o1
+          |WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "subquery_exists_big_order" ->
+        s"""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > ${DuckSql.fmt(300000.0)})
+           |ORDER BY c_custkey""".stripMargin,
+      "text_repetition" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |base AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw FROM w),
+           |grams AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+           |  FROM w WHERE len(w) >= 2
+           |), gmax AS (
+           |  SELECT doc_id, MAX(c) AS max2
+           |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+           |  GROUP BY doc_id
+           |)
+           |SELECT b.doc_id AS doc_id, CAST(nw AS INT) AS n_words,
+           |  CAST(nw - ndw AS DOUBLE) / CAST(nw AS DOUBLE) AS dup_word_frac,
+           |  COALESCE(CAST(max2 AS DOUBLE) / CAST(nw - 1 AS DOUBLE), ${DuckSql.fmt(0.0)}) AS top_bigram_frac
+           |FROM base b LEFT OUTER JOIN gmax g ON b.doc_id = g.doc_id
+           |ORDER BY doc_id""".stripMargin,
+      "text_lang_confusion" -> {
+        val nw = nWordsSql("text"); val ns = nStopSql("text")
+        s"""SELECT lang,
+           |  CASE WHEN (CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE)) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+           |  COUNT(*) AS n
+           |FROM (SELECT lang, $nw AS nw, $ns AS ns FROM documents)
+           |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+      },
+      "window_locf_last_purchase" ->
+        """SELECT event_id, user_id, event_type, last_purchase_value FROM (
+          |  SELECT event_id, user_id, event_type,
+          |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY tse ASC, event_id ASC
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+          |  FROM (SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000000000) AS tse FROM events)
+          |) ORDER BY event_id""".stripMargin,
+      "window_percent_rank_orders" ->
+        """SELECT month, o_orderkey,
+          |  percent_rank() OVER w AS pct_rank,
+          |  cume_dist() OVER w AS cume
+          |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, o_orderkey, o_totalprice FROM orders)
+          |WINDOW w AS (PARTITION BY month ORDER BY o_totalprice ASC, o_orderkey ASC)
+          |ORDER BY month, o_orderkey""".stripMargin,
+      "window_lag_gap" ->
+        """SELECT event_id, user_id, gap_s FROM (
+          |  SELECT event_id, user_id,
+          |    tse - LAG(tse) OVER (PARTITION BY user_id ORDER BY tse ASC, event_id ASC) AS gap_s
+          |  FROM (SELECT event_id, user_id, (epoch_ns(ts) // 1000000000) AS tse FROM events)
+          |) ORDER BY event_id""".stripMargin,
+      "dedup_semantic_clusters" -> {
+        val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
+        s"""WITH RECURSIVE edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM (
+           |    SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cs AS cos_sim
+           |    FROM (SELECT vec_id, embedding AS a_embedding FROM embeddings WHERE vec_id % 10 = 0) a
+           |    JOIN (SELECT vec_id, embedding AS b_embedding FROM embeddings WHERE vec_id % 10 = 0) b
+           |      ON a.vec_id < b.vec_id
+           |  ) WHERE cos_sim >= ${DuckSql.fmt(0.1)}
+           |), sym AS (
+           |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+           |), reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM sym
+           |  UNION
+           |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+           |)
+           |SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id ORDER BY id""".stripMargin
+      },
       "asof_join_forward" ->
         """SELECT event_id, user_id, event_type, o_orderkey, o_totalprice FROM (
           |  SELECT event_id, user_id, event_type, side,
