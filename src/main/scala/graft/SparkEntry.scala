@@ -160,6 +160,14 @@ object SparkEntry {
         Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, k = 3,
         bruteForceThreshold = 0)
         .orderBy(col("query_id"), col("rn"))),
+    // first-class plan variant: custom LogicalPlan → SparkStrategy →
+    // KnnJoinExec (per-partition bounded top-k + k-bounded reduceByKey
+    // merge); bit-equal to the composition forms, same oracle
+    "knn_join_l2_plan" -> ((s, d) =>
+      graft.plans.KnnJoinPlan.join(
+        emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        emb(s, d), k = 3)
+        .orderBy(col("query_id"), col("rn"))),
     // skew-safe variant: bounded top-k Aggregator (map-side partial top-k)
     "knn_join_l2_agg" -> ((s, d) =>
       KnnTopK.join(
@@ -882,6 +890,7 @@ object SparkEntry {
       "sim_dot_topk" ->
         s"SELECT vec_id, label, ${DuckSql.dotLit(e, Q64)} AS dot FROM embeddings ORDER BY dot DESC, vec_id ASC LIMIT $K",
       "knn_join_l2" -> knnJoinSql,
+      "knn_join_l2_plan" -> knnJoinSql,
       "knn_join_l2_agg" -> knnJoinSql,
       "knn_join_l2_cells" -> knnJoinSql,
       "point_lookup" -> "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",

@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   * the same codegen'd loop as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // whole-operator extension point: the batch-kNN-join logical node
+    // (graft.plans.KnnJoinPlan) planned to its dedicated physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
+  }
 }
 
 object GraftExtensions {

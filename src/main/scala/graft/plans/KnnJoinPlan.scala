@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.DatasetBridge
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** First-class logical operator for the batch kNN join — the one reference
+  * operator family (filtered kNN, `vectordb/kd_tree_database.py:285-304`,
+  * batched) whose WHOLE-operator semantics no single built-in relational
+  * node expresses. The §2.1 #1 composition forms (window-rank, typed
+  * Aggregator) stay the default; this node is the SparkSessionExtensions
+  * path of the same operator: a resolved marker [[BinaryNode]] that the
+  * planner ([[KnnJoinStrategy]]) lowers to a dedicated physical operator
+  * ([[KnnJoinExec]]).
+  *
+  * Contract (identical to [[graft.operators.KnnTopK.join]]): `queries`
+  * provides (query_id LONG, embedding ARRAY<FLOAT>) — a SMALL relation
+  * (broadcast side); `data` provides (vec_id LONG, embedding ARRAY<FLOAT>).
+  * Output is the top-k rows per query by squared L2, total-ordered
+  * (dist ASC, vec_id ASC), rn = 1..k; data rows with null id/vector are
+  * skipped (the metadata-filter form pre-filters `data`, preserving the
+  * reference's filter-before-k semantics, `kd_tree_database.py:186-190`).
+  */
+case class KnnJoinPlan(
+    queries: LogicalPlan,
+    data: LogicalPlan,
+    k: Int,
+    outputAttrs: Seq[Attribute]) extends BinaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def left: LogicalPlan = queries
+  override def right: LogicalPlan = data
+  override def output: Seq[Attribute] = outputAttrs
+  // the output attributes are produced HERE, not consumed from children —
+  // without this, CheckAnalysis reports them as missing inputs
+  override def producedAttributes: AttributeSet = AttributeSet(outputAttrs)
+  // consumed child columns: exactly the contract columns. Declaring them
+  // lets ColumnPruning drop everything else from the child scans (payload
+  // columns on a filtered data side never leave the parquet reader) while
+  // keeping what the strategy resolves by name.
+  override def references: AttributeSet = AttributeSet(
+    queries.output.filter(a => a.name == "query_id" || a.name == "embedding") ++
+      data.output.filter(a => a.name == "vec_id" || a.name == "embedding"))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): KnnJoinPlan =
+    copy(queries = newLeft, data = newRight)
+}
+
+object KnnJoinPlan {
+
+  private def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("query_id", LongType, nullable = false)(),
+    AttributeReference("vec_id", LongType, nullable = false)(),
+    AttributeReference("dist", DoubleType, nullable = false)(),
+    AttributeReference("rn", IntegerType, nullable = false)())
+
+  /** Public entry: build the logical node over two DataFrames and hand it
+    * back as a DataFrame (planned by [[KnnJoinStrategy]] — installed
+    * build-time via `spark.sql.extensions=graft.functions.GraftExtensions`
+    * or post-hoc via [[install]], which this calls for convenience). */
+  def join(queriesDf: DataFrame, dataDf: DataFrame, k: Int): DataFrame = {
+    val spark = queriesDf.sparkSession
+    install(spark)
+    DatasetBridge.ofRows(spark,
+      KnnJoinPlan(DatasetBridge.analyzed(queriesDf), DatasetBridge.analyzed(dataDf),
+        k, freshOutput()))
+  }
+
+  /** Idempotently register the planner strategy on a live session. */
+  def install(spark: SparkSession): Unit =
+    DatasetBridge.addStrategy(spark, KnnJoinStrategy)
+}
+
+/** Plans [[KnnJoinPlan]] into [[KnnJoinExec]], resolving the input columns
+  * by name against the (already-optimized) child outputs. */
+object KnnJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: KnnJoinPlan =>
+      // prune each side to its contract columns HERE (ColumnPruning's
+      // generic pass does not descend through unknown nodes); the physical
+      // FileSourceStrategy folds the Project into the scan's requiredSchema
+      def prune(side: LogicalPlan, names: Seq[String], which: String): LogicalPlan = {
+        val cols = names.map { n =>
+          val a = side.output.find(_.name == n)
+          require(a.isDefined, s"KnnJoinPlan: $which side must provide column '$n' " +
+            s"(has ${side.output.map(_.name).mkString(", ")})")
+          a.get
+        }
+        if (cols.size == side.output.size) side
+        else org.apache.spark.sql.catalyst.plans.logical.Project(cols, side)
+      }
+      val q = prune(p.queries, Seq("query_id", "embedding"), "queries")
+      val d = prune(p.data, Seq("vec_id", "embedding"), "data")
+      KnnJoinExec(p.outputAttrs, p.k,
+        qIdIdx = 0, qVecIdx = 1, dIdIdx = 0, dVecIdx = 1,
+        planLater(q), planLater(d)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical batch kNN join: collect + broadcast the (small) query side,
+  * stream the data side once per partition keeping a ≤k bound per query,
+  * then merge the k-bounded partials per query with map-side combine.
+  *
+  * Scale shape (the reason this operator exists rather than a generic
+  * join): the shuffle carries at most |Q|·k rows PER MAP PARTITION —
+  * independent of data-side row count and immune to candidate skew (the
+  * same guarantee as [[graft.operators.KnnTopK]], here enforced by the
+  * operator itself instead of by how the query is composed). Distances use
+  * the identical float→double left-to-right IEEE loop as
+  * [[graft.functions.VecMetricCols]], so results are bit-equal to the
+  * composition forms.
+  */
+case class KnnJoinExec(
+    out: Seq[Attribute], k: Int,
+    qIdIdx: Int, qVecIdx: Int, dIdIdx: Int, dVecIdx: Int,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = out
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): KnnJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Insert into a (dist ASC, id ASC)-sorted, ≤k-element buffer. */
+  private def insert(buf: Array[(Long, Double)], n: (Long, Double)): Array[(Long, Double)] = {
+    def lt(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
+    if (buf.length < k) (buf :+ n).sortBy(x => (x._2, x._1))
+    else if (lt(n, buf(k - 1))) buf.updated(k - 1, n).sortBy(x => (x._2, x._1))
+    else buf
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val qid = qIdIdx; val qv = qVecIdx; val did = dIdIdx; val dv = dVecIdx
+    val kk = k
+    // query side: executeCollect is the physical analog of a broadcast
+    // build side — the node's contract is |Q| small (ANN forms cover huge
+    // query sets)
+    val queries: Array[(Long, Array[Float])] = left.executeCollect().collect {
+      case r if !r.isNullAt(qid) && !r.isNullAt(qv) =>
+        (r.getLong(qid), r.getArray(qv).toFloatArray)
+    }
+    val bc = sparkContext.broadcast(queries)
+    val insertFn = insert _
+
+    val partials: RDD[(Long, Array[(Long, Double)])] = right.execute().mapPartitions { it =>
+      val qs = bc.value
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val bufs = Array.fill(qs.length)(Array.empty[(Long, Double)])
+        it.foreach { row =>
+          if (!row.isNullAt(did) && !row.isNullAt(dv)) {
+            val id = row.getLong(did)
+            val v = row.getArray(dv).toFloatArray
+            var i = 0
+            while (i < qs.length) {
+              val q = qs(i)._2
+              if (v.length >= q.length) {
+                // identical IEEE order to VecMetricCols SqL2: per-element
+                // float→double subtraction, left-to-right d*d accumulation
+                var s = 0.0
+                var j = 0
+                while (j < q.length) {
+                  val d = q(j).toDouble - v(j).toDouble
+                  s += d * d
+                  j += 1
+                }
+                bufs(i) = insertFn(bufs(i), (id, s))
+              }
+              i += 1
+            }
+          }
+        }
+        Iterator.range(0, qs.length)
+          .filter(i => bufs(i).nonEmpty)
+          .map(i => (qs(i)._1, bufs(i)))
+      }
+    }
+
+    // k-bounded merge per query: RDD combine-by-key with map-side combine
+    // (partials are already ≤k, so reducers see k-bounded buffers only)
+    val merged = partials.reduceByKey((a, b) => b.foldLeft(a)(insertFn))
+
+    merged.mapPartitions { it =>
+      val proj = GenerateUnsafeProjection.generate(
+        out.zipWithIndex.map { case (a, i) => BoundReference(i, a.dataType, a.nullable) })
+      val row = new GenericInternalRow(4)
+      it.flatMap { case (q, buf) =>
+        buf.iterator.zipWithIndex.map { case ((id, dist), i) =>
+          row.update(0, q); row.update(1, id); row.update(2, dist); row.update(3, i + 1)
+          proj(row).copy(): InternalRow
+        }
+      }
+    }
+  }
+}
