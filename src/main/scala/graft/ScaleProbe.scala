@@ -92,6 +92,14 @@ object ScaleProbe extends App {
   t("near-dup pipeline (exact first, then LSH)") {
     graft.operators.Dedup.nearDupPipeline(bigDocs).count()
   }
+  // Per-row repetition signals at 100k docs: the sorted-bigram run-length
+  // aggregate must stay in codegen (no shuffle — a per-doc statistic never
+  // leaves its row; the groupBy formulation would shuffle the exploded
+  // corpus twice).
+  t("repetition signals (100k docs)") {
+    graft.operators.TextAnalysis.repetitionSignals(bigDocs)
+      .write.format("noop").mode("overwrite").save()
+  }
   val cents = t("IVF centroids + lloyd step") {
     val c0 = Ann.sampleCentroids(indexed, 64)
     Ann.lloydStep(Ann.assign(indexed, c0), c0)

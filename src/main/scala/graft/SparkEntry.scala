@@ -219,6 +219,20 @@ object SparkEntry {
           .withColumn("vec_id", col("vec_id") + lit(2000000L)))
       labelSummary(Snapshot.upsert(state, updates, "vec_id"))
     }),
+    // MERGE (conditional upsert+delete in one pass): matched+flag deletes,
+    // matched updates, unmatched inserts, unmatched+flag no-ops
+    "crud_merge" -> ((s, d) => {
+      val state = emb(s, d)
+      val src = state.filter(col("vec_id") % 15 === 0)
+        .withColumn("is_delete", lit(true))
+        .unionByName(state.filter(col("vec_id") % 15 === 5)
+          .withColumn("label", lit(777)).withColumn("is_delete", lit(false)))
+        .unionByName(state.filter(col("vec_id") % 15 === 10)
+          .withColumn("vec_id", col("vec_id") + lit(3000000L)).withColumn("is_delete", lit(false)))
+        .unionByName(state.filter(col("vec_id") === 7)
+          .withColumn("vec_id", col("vec_id") + lit(4000000L)).withColumn("is_delete", lit(true)))
+      labelSummary(Snapshot.merge(state, src, "vec_id"))
+    }),
     // --- relational coverage (SURVEY §2.2: joins/aggs/windows/set ops/dates/json)
     "agg_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -601,6 +615,43 @@ object SparkEntry {
         .groupBy(least(lit(9L), floor(col("o_totalprice") / lit(50000.0))).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("bucket"))),
+    // conditional aggregation (TPC-H Q14 shape): promo revenue share per
+    // ship month — ratio of two exact decimal sums, one double division
+    "agg_promo_revenue_share" -> ((s, d) => {
+      val revDec = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revDec).otherwise(lit(0).cast(DecimalType(18, 4)))).as("promo_dec"),
+          sum(revDec).as("total_dec"),
+          count(lit(1)).as("n"))
+        .select(col("month"),
+          (col("promo_dec").cast("double") / col("total_dec").cast("double") * lit(100.0)).as("promo_share"),
+          col("n"))
+        .orderBy(col("month"))
+    }),
+    // second-moment statistics from EXACT decimal power sums (n, Σx, Σy,
+    // Σx², Σy², Σxy): stddev and correlation assembled in double at the
+    // end, rounded(6) identically in both engines — a single map-side-
+    // combinable aggregation, no second pass over the data
+    "agg_corr_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round(sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")), 6).as("stddev_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
     // rolling 3-order revenue per customer (frame-bounded window; decimal
     // accumulation keeps the sums order- and engine-exact)
     "window_rolling_revenue" -> ((s, d) => {
@@ -815,6 +866,35 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("gap_s"))
         .orderBy(col("event_id"))
     }),
+    // --- round-3: product-analytics funnel (staged conversion): users with
+    // a view, a click strictly after their first view, a purchase strictly
+    // after that click. Three key-local aggregations (same user_id shuffle
+    // partitioning reused across stages); integer counts — exact.
+    "events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("tse"))
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tse")).as("tv"))
+      val tc = ev.join(tv, Seq("user_id"))
+        .filter(col("event_type") === "click" && col("tse") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("tse")).as("tc"))
+      val tp = ev.join(tc, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("tse") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("tse")).as("tp"))
+      tv.agg(count(lit(1)).as("n_view"))
+        .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
+    }),
+    // vector-norm extremes per label: min/max are order-independent double
+    // aggregates (exact cross-engine, unlike double sums)
+    "vec_norm_extremes" -> ((s, d) =>
+      emb(s, d)
+        .select(col("label"),
+          sqrt(Distances.squaredL2Lit(col("embedding"),
+            Array.fill(Dim)(0.0))).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+        .orderBy(col("label"))),
     // --- round-3: semantic dedup end-to-end (embedding-space analog of
     // dedup_cluster_canonical): cosine pairs → connected components →
     // canonical id per cluster. Brute pair generation keeps the oracle
@@ -1386,6 +1466,34 @@ object SparkEntry {
           |JOIN (SELECT event_id, user_id, (epoch_ns(ts) // 1000000000) AS tp FROM events WHERE event_type = 'purchase') p
           |  ON c.user_id = p.user_id AND tp >= tc AND tp <= tc + 1800
           |ORDER BY click_id, purchase_id""".stripMargin,
+      "crud_merge" -> labelSummarySql(
+        """SELECT vec_id, label FROM embeddings WHERE NOT (vec_id % 15 = 0 OR vec_id % 15 = 5)
+          |UNION ALL SELECT vec_id, 777 AS label FROM embeddings WHERE vec_id % 15 = 5
+          |UNION ALL SELECT vec_id + 3000000 AS vec_id, label FROM embeddings WHERE vec_id % 15 = 10""".stripMargin),
+      "agg_promo_revenue_share" -> {
+        val revDec = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+        s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revDec ELSE CAST('0' AS DECIMAL(18,4)) END) AS DOUBLE)
+           |    / CAST(SUM($revDec) AS DOUBLE) * ${DuckSql.fmt(100.0)} AS promo_share,
+           |  COUNT(*) AS n
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY month ORDER BY month""".stripMargin
+      },
+      "agg_corr_stats" ->
+        """SELECT l_returnflag, n,
+          |  round(sqrt(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 6) AS stddev_price,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price
+          |FROM (
+          |  SELECT l_returnflag, COUNT(*) AS n,
+          |    SUM(x) AS sx, SUM(y) AS sy,
+          |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          |  FROM (SELECT l_returnflag,
+          |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+          |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+          |        FROM lineitem)
+          |  GROUP BY l_returnflag
+          |) ORDER BY l_returnflag""".stripMargin,
       "subquery_above_avg_orders" ->
         s"""SELECT o_orderpriority, COUNT(*) AS n_above, ${dsumSql("o_totalprice")} AS sum_price
            |FROM orders,
@@ -1445,6 +1553,20 @@ object SparkEntry {
           |    tse - LAG(tse) OVER (PARTITION BY user_id ORDER BY tse ASC, event_id ASC) AS gap_s
           |  FROM (SELECT event_id, user_id, (epoch_ns(ts) // 1000000000) AS tse FROM events)
           |) ORDER BY event_id""".stripMargin,
+      "events_funnel" ->
+        """WITH ev AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000000000) AS tse FROM events),
+          |tv AS (SELECT user_id, MIN(tse) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id),
+          |tc AS (SELECT ev.user_id, MIN(tse) AS tc FROM ev JOIN tv ON ev.user_id = tv.user_id
+          |       WHERE event_type = 'click' AND tse > tv GROUP BY ev.user_id),
+          |tp AS (SELECT ev.user_id, MIN(tse) AS tp FROM ev JOIN tc ON ev.user_id = tc.user_id
+          |       WHERE event_type = 'purchase' AND tse > tc GROUP BY ev.user_id)
+          |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
+          |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
+          |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "vec_norm_extremes" ->
+        s"""SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+           |FROM (SELECT label, sqrt(${DuckSql.squaredL2Lit("embedding", Array.fill(Dim)(0.0))}) AS nrm FROM embeddings)
+           |GROUP BY label ORDER BY label""".stripMargin,
       "dedup_semantic_clusters" -> {
         val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
         s"""WITH RECURSIVE edges AS (

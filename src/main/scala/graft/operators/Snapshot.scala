@@ -44,6 +44,19 @@ object Snapshot {
       .unionByName(replaced.select(state.columns.map(col).toSeq: _*))
   }
 
+  /** MERGE: one-pass conditional upsert+delete (the SQL MERGE shape).
+    * `source` carries full-width rows plus a boolean `deleteFlag` column:
+    * matched + flag → row deleted; matched + !flag → row replaced by the
+    * source row; unmatched + !flag → inserted; unmatched + flag → no-op.
+    * One anti-join (mutation batch broadcasts under AQE) + one union —
+    * the 100 TB state side never shuffles. */
+  def merge(state: DataFrame, source: DataFrame, idCol: String,
+      deleteFlag: String = "is_delete"): DataFrame = {
+    val applied = source.filter(!col(deleteFlag)).drop(deleteFlag)
+    state.join(source.select(idCol).distinct(), Seq(idCol), "left_anti")
+      .unionByName(applied)
+  }
+
   /** update_metadata: left join + coalesce, vector untouched
     * (SURVEY.md §2.1 #6). `updates` has (id, metaCol). */
   def updateMetadata(state: DataFrame, updates: DataFrame, idCol: String, metaCol: String): DataFrame = {

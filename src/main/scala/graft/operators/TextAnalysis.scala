@@ -101,26 +101,38 @@ object TextAnalysis {
   /** Gopher-style repetition signals (the "repetitious text" family of
     * quality filters): duplicate-word fraction and the share of bigram
     * slots taken by the single most frequent word bigram. High values flag
-    * boilerplate / degenerate documents for the curation gate. Per-row
-    * array math plus two narrow shuffles keyed by (id, bigram) and (id) —
-    * streams over 100 TB of text. */
+    * boilerplate / degenerate documents for the curation gate.
+    *
+    * Entirely per-row (sort the row's bigrams, take the longest equal run
+    * with one `aggregate` pass) — ZERO shuffles, unlike the textbook
+    * explode→groupBy(doc, gram)→groupBy(doc) formulation, which shuffles
+    * the whole exploded corpus twice. A per-document statistic should
+    * never leave its row at 100 TB. */
   def repetitionSignals(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val ws = docs.select(col(idCol), words(col(textCol)).as("w"))
-    val base = ws.select(col(idCol), size(col("w")).as("nw"),
-      size(array_distinct(col("w"))).as("ndw"))
     // bigram i = words[i] + " " + words[i+1]; single-word docs have none
-    val grams = ws.filter(size(col("w")) >= 2)
-      .select(col(idCol), explode(transform(sequence(lit(1), size(col("w")) - 1),
-        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("g"))
-    val gmax = grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max(col("c")).as("max2"))
-    base.join(gmax, Seq(idCol), "left_outer")
+    val sortedGrams = array_sort(transform(sequence(lit(1), size(col("w")) - 1),
+      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+    // longest run of equal adjacent values in the sorted bigram array ==
+    // max bigram multiplicity (state: last value, current run, best run)
+    val maxRun = aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    ws.select(col(idCol), size(col("w")).as("nw"),
+        size(array_distinct(col("w"))).as("ndw"),
+        when(size(col("w")) >= 2, maxRun).otherwise(lit(0L)).as("max2"))
       .select(col(idCol), col("nw").as("n_words"),
         ((col("nw") - col("ndw")).cast("double") / col("nw").cast("double"))
           .as("dup_word_frac"),
-        coalesce(col("max2").cast("double") / (col("nw") - 1).cast("double"), lit(0.0))
-          .as("top_bigram_frac"))
+        when(col("nw") >= 2, col("max2").cast("double") / (col("nw") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   /** Per-document feature table. */

@@ -62,12 +62,22 @@ object KnnJoinPlan {
   /** Public entry: build the logical node over two DataFrames and hand it
     * back as a DataFrame (planned by [[KnnJoinStrategy]] — installed
     * build-time via `spark.sql.extensions=graft.functions.GraftExtensions`
-    * or post-hoc via [[install]], which this calls for convenience). */
+    * or post-hoc via [[install]], which this calls for convenience).
+    *
+    * Children are pre-projected to the contract columns HERE, in the
+    * LOGICAL plan — that is what lets Catalyst push the pruning into the
+    * scans, and it must NOT happen inside the strategy: a physical-only
+    * Project has no logical counterpart, so AQE's logicalLink-based stage
+    * substitution never records the child's materialized query stage and
+    * the replan loop adopts a "new" plan forever (livelock, observed with
+    * a cached input table). */
   def join(queriesDf: DataFrame, dataDf: DataFrame, k: Int): DataFrame = {
     val spark = queriesDf.sparkSession
     install(spark)
     DatasetBridge.ofRows(spark,
-      KnnJoinPlan(DatasetBridge.analyzed(queriesDf), DatasetBridge.analyzed(dataDf),
+      KnnJoinPlan(
+        DatasetBridge.analyzed(queriesDf.select("query_id", "embedding")),
+        DatasetBridge.analyzed(dataDf.select("vec_id", "embedding")),
         k, freshOutput()))
   }
 
@@ -81,24 +91,21 @@ object KnnJoinPlan {
 object KnnJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: KnnJoinPlan =>
-      // prune each side to its contract columns HERE (ColumnPruning's
-      // generic pass does not descend through unknown nodes); the physical
-      // FileSourceStrategy folds the Project into the scan's requiredSchema
-      def prune(side: LogicalPlan, names: Seq[String], which: String): LogicalPlan = {
-        val cols = names.map { n =>
-          val a = side.output.find(_.name == n)
-          require(a.isDefined, s"KnnJoinPlan: $which side must provide column '$n' " +
-            s"(has ${side.output.map(_.name).mkString(", ")})")
-          a.get
-        }
-        if (cols.size == side.output.size) side
-        else org.apache.spark.sql.catalyst.plans.logical.Project(cols, side)
+      // Resolve contract columns by position in the (already-pruned-by-
+      // join()) child outputs. NEVER invent logical nodes here: a Project
+      // created at planning time has no logicalLink into the logical plan,
+      // which breaks AQE's materialized-stage substitution and livelocks
+      // the replan loop (see KnnJoinPlan.join scaladoc).
+      def idx(side: LogicalPlan, name: String, which: String): Int = {
+        val i = side.output.indexWhere(_.name == name)
+        require(i >= 0, s"KnnJoinPlan: $which side must provide column '$name' " +
+          s"(has ${side.output.map(_.name).mkString(", ")})")
+        i
       }
-      val q = prune(p.queries, Seq("query_id", "embedding"), "queries")
-      val d = prune(p.data, Seq("vec_id", "embedding"), "data")
       KnnJoinExec(p.outputAttrs, p.k,
-        qIdIdx = 0, qVecIdx = 1, dIdIdx = 0, dVecIdx = 1,
-        planLater(q), planLater(d)) :: Nil
+        idx(p.queries, "query_id", "queries"), idx(p.queries, "embedding", "queries"),
+        idx(p.data, "vec_id", "data"), idx(p.data, "embedding", "data"),
+        planLater(p.queries), planLater(p.data)) :: Nil
     case _ => Nil
   }
 }

@@ -59,6 +59,21 @@ class DedupTextSpec extends SparkSpecBase {
     assert(j(0) === 1.0 && j(1) === 0.0)
   }
 
+  test("repetition signals: exact fractions on constructed docs") {
+    val df = Seq(
+      (1L, "a a a a"),   // dup 3/4; bigram "a a"×3 of 3 slots → 1.0
+      (2L, "a b c d"),   // dup 0; all bigrams distinct → 1/3
+      (3L, "x"),         // one word: no bigrams → 0.0
+      (4L, "a b a b a")  // dup 3/5; "a b"×2 of 4 slots → 0.5
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2), x.getDouble(3)))
+    assert(r(0) === ((1L, 4, 0.75, 1.0)))
+    assert(r(1) === ((2L, 4, 0.0, 1.0 / 3.0)))
+    assert(r(2) === ((3L, 1, 0.0, 0.0)))
+    assert(r(3) === ((4L, 5, 0.6, 0.5)))
+  }
+
   test("text features: counts are consistent") {
     val f = TextAnalysis.docFeatures(docs).collect()
     assert(f.nonEmpty)

@@ -67,13 +67,14 @@ class PlanNodeSpec extends SparkSpecBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = KnnJoinPlan.join(queries, emb, k = 3)
-      val scans = df.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.requiredSchema.fieldNames.toSet
-      }
-      // both sides read only (vec_id, embedding) — `label` never leaves
-      // the parquet reader (KnnJoinPlan.references drives ColumnPruning)
-      assert(scans.nonEmpty && scans.forall(_ == Set("vec_id", "embedding")))
+      // every physical leaf (parquet scan OR cached-table scan, depending
+      // on what earlier suites cached) must emit ONLY the contract columns
+      // — `label` never crosses a scan boundary (join() pre-projects in
+      // the logical plan, Catalyst pushes the pruning into the scan)
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.output.map(_.name).toSet)
+      assert(leaves.nonEmpty && leaves.forall(s =>
+        s == Set("vec_id", "embedding") || s == Set("query_id", "embedding")), leaves)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

@@ -55,4 +55,21 @@ class SnapshotSpec extends SparkSpecBase {
     assert(after.filter(col("label") === 555).count() === 2)
     assert(after.filter(col("vec_id") === 5000000L).count() === 1)
   }
+
+  test("merge: matched+flag deletes, matched updates, unmatched inserts, unmatched+flag no-op") {
+    val src = state.filter(col("vec_id") === 0).withColumn("is_delete", lit(true))
+      .unionByName(state.filter(col("vec_id") === 1)
+        .withColumn("label", lit(777)).withColumn("is_delete", lit(false)))
+      .unionByName(state.filter(col("vec_id") === 2)
+        .withColumn("vec_id", lit(6000000L)).withColumn("is_delete", lit(false)))
+      .unionByName(state.filter(col("vec_id") === 3)
+        .withColumn("vec_id", lit(7000000L)).withColumn("is_delete", lit(true)))
+    val after = Snapshot.merge(state, src, "vec_id")
+    assert(after.count() === state.count()) // -1 delete +1 insert
+    assert(after.filter(col("vec_id") === 0).count() === 0)          // deleted
+    assert(after.filter(col("vec_id") === 1).head().getAs[Int]("label") === 777) // updated
+    assert(after.filter(col("vec_id") === 6000000L).count() === 1)   // inserted
+    assert(after.filter(col("vec_id") === 7000000L).count() === 0)   // no-op
+    assert(after.filter(col("vec_id") === 3).count() === 1)          // untouched
+  }
 }
