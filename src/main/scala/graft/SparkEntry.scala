@@ -186,6 +186,14 @@ object SparkEntry {
       Grid.withCellId(emb(s, d), "embedding", gridCfg)
         .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("cell_id"))),
+    // z-order (Morton) store layout: same buckets as index_cell_counts but
+    // bit-interleaved ids — spatial neighborhoods become CONTIGUOUS id
+    // ranges, so a range-partitioned write clusters them into the same
+    // files and the kNN pruner's cell box turns into row-group skipping
+    "index_zorder_cells" -> ((s, d) =>
+      emb(s, d).select(Grid.zCellId(col("embedding"), gridCfg).as("zcell"))
+        .groupBy(col("zcell")).agg(count(lit(1)).as("n"))
+        .orderBy(col("zcell"))),
     // --- CRUD snapshot algebra (SURVEY §2.1 #3-6)
     "crud_insert" -> ((s, d) => {
       val state = emb(s, d)
@@ -409,6 +417,15 @@ object SparkEntry {
       graft.operators.Embed.featureHashSparse(
           par(s, docs(s, d).filter(col("doc_id") % 10 === 0)), dim = 64)
         .orderBy(col("doc_id"), col("idx"))),
+    // Johnson-Lindenstrauss random projection: 64-dim embeddings → 8 dims
+    // via fixed gaussian hyperplanes (the same literals the LSH uses, kept
+    // as VALUES instead of signs). Per-row codegen'd dot products, zero
+    // shuffles — the cheap front-end before indexing at 100 TB
+    "embed_random_projection" -> ((s, d) =>
+      emb(s, d).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id") +: (0 until 8).map(j =>
+          Distances.dotLit(col("embedding"), Planes16(j)).as(s"rp_$j")): _*)
+        .orderBy(col("vec_id"))),
     // --- text analysis (north star)
     "text_features" -> ((s, d) =>
       TextAnalysis.docFeatures(par(s, docs(s, d))).orderBy(col("doc_id"))),
@@ -519,6 +536,15 @@ object SparkEntry {
     "media_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(par(s, docs(s, d))))
         .toDF().orderBy(col("media_id"))),
+    // exact media dedup over the BINARY payload column (md5 of raw bytes —
+    // the digest a 100 TB blob store dedups on; portable because md5 of a
+    // UTF-8 payload equals DuckDB's md5 of the source text)
+    "media_dedup_exact" -> ((s, d) =>
+      Multimodal.mediaFromDocuments(par(s, docs(s, d)))
+        .groupBy(md5(col("payload")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("digest"))),
     // --- streaming-equivalent windowed aggregation (window() function; the
     // streaming variant with watermark runs in StreamingSpec)
     "stream_window_agg" -> ((s, d) =>
@@ -528,11 +554,33 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("window_start"),
           col("event_type"), col("n"), col("v_sum"))
         .orderBy(col("window_start"), col("event_type"))),
+    // sliding windows (width 2h, slide 1h — every event lands in exactly
+    // two windows); the hopping-window shape streaming dashboards use
+    "stream_sliding_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("v_sum"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("v_sum"))
+        .orderBy(col("window_start"), col("event_type"))),
     // gap-based sessionization (batch form; the flatMapGroupsWithState
     // streaming form is proven equal in SessionizeSpec)
     "sessionize_events" -> ((s, d) =>
       graft.streaming.Sessionize.batch(Tables.events(s, d), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_idx"))),
+    // Spark's NATIVE session_window (micro-precision bounds; an event at
+    // exactly prev + gap starts a NEW session — half-open window merge),
+    // pinned against the portable lag+cumsum formulation in the oracle
+    "sessionize_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("tus", unix_micros(col("ts")))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tus")).as("session_start_us"), max(col("tus")).as("session_last_us"),
+          dsum(col("value"), 3).as("v_sum"))
+        .select(col("user_id"), col("session_start_us"), col("session_last_us"),
+          col("n_events"), col("v_sum"))
+        .orderBy(col("user_id"), col("session_start_us"))),
     // grid depth pick from row count — the reference's get_tree_depth analog
     // (tree depth there grows from leaf overflow; here it is derived from
     // count / targetLeafSize, SURVEY §2.1 #10)
@@ -978,6 +1026,8 @@ object SparkEntry {
       "full_scan" -> "SELECT vec_id, label FROM embeddings ORDER BY vec_id",
       "index_cell_counts" ->
         s"SELECT ${Grid.cellIdSql(e, gridCfg)} AS cell_id, COUNT(*) AS n FROM embeddings GROUP BY cell_id ORDER BY cell_id",
+      "index_zorder_cells" ->
+        s"SELECT ${Grid.zCellIdSql(e, gridCfg)} AS zcell, COUNT(*) AS n FROM embeddings GROUP BY zcell ORDER BY zcell",
       "crud_insert" -> labelSummarySql(
         """SELECT vec_id, label FROM embeddings
           |UNION ALL SELECT vec_id + 1000000 AS vec_id, label FROM (SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 10)""".stripMargin),
@@ -1115,6 +1165,13 @@ object SparkEntry {
            |  )
            |) GROUP BY doc_id, idx HAVING CAST(SUM(sign) AS BIGINT) <> 0
            |ORDER BY doc_id, idx""".stripMargin,
+      "embed_random_projection" ->
+        s"""SELECT vec_id, ${(0 until 8).map(j =>
+            s"${DuckSql.dotLit(e, Planes16(j))} AS rp_$j").mkString(",\n  ")}
+           |FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id""".stripMargin,
+      "media_dedup_exact" ->
+        """SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+          |FROM documents GROUP BY digest HAVING COUNT(*) >= 2 ORDER BY digest""".stripMargin,
       "text_quality" -> {
         val nw = nWordsSql("text"); val ns = nStopSql("text")
         s"""SELECT doc_id,
@@ -1316,6 +1373,30 @@ object SparkEntry {
         s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
            |  COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
            |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+      "stream_sliding_agg" ->
+        s"""WITH ev AS (SELECT event_type, value, (epoch_ns(ts) // 1000000000) AS tse FROM events),
+           |w AS (
+           |  SELECT ((tse // 3600) * 3600) AS window_start, event_type, value FROM ev
+           |  UNION ALL
+           |  SELECT ((tse // 3600) * 3600) - 3600 AS window_start, event_type, value FROM ev
+           |)
+           |SELECT window_start, event_type, COUNT(*) AS n, ${dsumSql("value", 3)} AS v_sum
+           |FROM w GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+      "sessionize_native" ->
+        s"""SELECT user_id, MIN(tus) AS session_start_us, MAX(tus) AS session_last_us,
+           |  COUNT(*) AS n_events, ${dsumSql("value", 3)} AS v_sum
+           |FROM (
+           |  SELECT user_id, value, tus,
+           |    SUM(CASE WHEN prev IS NOT NULL AND tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           |  FROM (
+           |    SELECT user_id, event_id, value, (epoch_ns(ts) // 1000) AS tus,
+           |      LAG((epoch_ns(ts) // 1000)) OVER (PARTITION BY user_id
+           |        ORDER BY (epoch_ns(ts) // 1000) ASC, event_id ASC) AS prev
+           |    FROM events
+           |  )
+           |) GROUP BY user_id, session_idx ORDER BY user_id, session_start_us""".stripMargin,
       "sessionize_events" ->
         s"""SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            |  MIN(tse) AS session_start, MAX(tse) AS session_end,

@@ -89,6 +89,33 @@ object Grid {
   def withCellId(df: DataFrame, vecCol: String, cfg: GridConfig): DataFrame =
     df.withColumn("cell_id", cellId(col(vecCol), cfg))
 
+  /** Z-order (Morton) cell id: same bucket tuple as [[cellId]], but with the
+    * per-dimension bucket BITS interleaved, so cells that are close in space
+    * get close ids. That is the property a 100 TB store layout wants:
+    * writing the index sorted by z-cell (`repartitionByRange` + local sort)
+    * clusters spatial neighborhoods into the same files, and a candidate
+    * cell box from the kNN pruner becomes a SMALL SET OF CONTIGUOUS id
+    * ranges → parquet row-group min/max skipping, where the row-major
+    * [[cellId]] would scatter one box across strided ids. Pure non-negative
+    * integer math (shift + mod), emitted identically for DuckDB by
+    * [[zCellIdSql]]. Requires power-of-two partsPerDim. */
+  def zCellId(v: Column, cfg: GridConfig): Column = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(cfg.partsPerDim)
+    require((1 << bits) == cfg.partsPerDim, "z-order needs power-of-two partsPerDim")
+    val terms = for (d <- 0 until cfg.gridDims; b <- 0 until bits) yield
+      (shiftright(bucket(v, d, cfg), b).cast(LongType) % lit(2L)) *
+        lit(1L << (b * cfg.gridDims + d))
+    terms.reduce(_ + _)
+  }
+
+  def zCellIdSql(col: String, cfg: GridConfig): String = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(cfg.partsPerDim)
+    require((1 << bits) == cfg.partsPerDim, "z-order needs power-of-two partsPerDim")
+    (for (d <- 0 until cfg.gridDims; b <- 0 until bits) yield
+      s"(((CAST(${bucketSql(col, d, cfg)} AS BIGINT) // ${1L << b}) % 2) * ${1L << (b * cfg.gridDims + d)})"
+    ).mkString("(", " + ", ")")
+  }
+
   /** Batch analog of the reference's leaf-overflow split
     * (kd_tree_database.py:98-102: a leaf exceeding max_leaf_size
     * redistributes into children one level deeper): when the row count
