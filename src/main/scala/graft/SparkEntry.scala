@@ -540,11 +540,7 @@ object SparkEntry {
     // the digest a 100 TB blob store dedups on; portable because md5 of a
     // UTF-8 payload equals DuckDB's md5 of the source text)
     "media_dedup_exact" -> ((s, d) =>
-      Multimodal.mediaFromDocuments(par(s, docs(s, d)))
-        .groupBy(md5(col("payload")).as("digest"))
-        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
-        .filter(col("n_copies") >= 2)
-        .orderBy(col("digest"))),
+      Multimodal.dedupExactGroups(Multimodal.mediaFromDocuments(par(s, docs(s, d))))),
     // --- streaming-equivalent windowed aggregation (window() function; the
     // streaming variant with watermark runs in StreamingSpec)
     "stream_window_agg" -> ((s, d) =>

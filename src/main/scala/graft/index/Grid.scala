@@ -102,6 +102,9 @@ object Grid {
   def zCellId(v: Column, cfg: GridConfig): Column = {
     val bits = java.lang.Integer.numberOfTrailingZeros(cfg.partsPerDim)
     require((1 << bits) == cfg.partsPerDim, "z-order needs power-of-two partsPerDim")
+    require(bits * cfg.gridDims <= 63,
+      s"z-order id needs ${bits * cfg.gridDims} bits (> 63): " +
+        s"partsPerDim=${cfg.partsPerDim} x gridDims=${cfg.gridDims} overflows Long")
     val terms = for (d <- 0 until cfg.gridDims; b <- 0 until bits) yield
       (shiftright(bucket(v, d, cfg), b).cast(LongType) % lit(2L)) *
         lit(1L << (b * cfg.gridDims + d))
@@ -111,6 +114,9 @@ object Grid {
   def zCellIdSql(col: String, cfg: GridConfig): String = {
     val bits = java.lang.Integer.numberOfTrailingZeros(cfg.partsPerDim)
     require((1 << bits) == cfg.partsPerDim, "z-order needs power-of-two partsPerDim")
+    require(bits * cfg.gridDims <= 63,
+      s"z-order id needs ${bits * cfg.gridDims} bits (> 63): " +
+        s"partsPerDim=${cfg.partsPerDim} x gridDims=${cfg.gridDims} overflows Long")
     (for (d <- 0 until cfg.gridDims; b <- 0 until bits) yield
       s"(((CAST(${bucketSql(col, d, cfg)} AS BIGINT) // ${1L << b}) % 2) * ${1L << (b * cfg.gridDims + d)})"
     ).mkString("(", " + ", ")")

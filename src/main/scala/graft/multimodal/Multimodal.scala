@@ -59,6 +59,18 @@ object Multimodal {
       }
   }
 
+  /** Exact binary dedup: group payloads by md5 digest, keep groups with ≥2
+    * copies, canonical = min media_id. The digest a 100 TB blob store dedups
+    * on — one hash-shuffle on the 16-byte digest, never on the payload.
+    * md5 of a UTF-8 payload equals DuckDB's `md5(text)` of the source text
+    * (the oracle-parity contract; exercised on constructed duplicates in
+    * StreamingMultimodalSpec since the driver fixture has none). */
+  def dedupExactGroups(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("payload")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("canonical_id"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("digest"))
+
   /** Build a synthetic media table from the documents fixture (text bytes
     * as payload) — exercises the binary plumbing end-to-end with real
     * columnar binary data. */

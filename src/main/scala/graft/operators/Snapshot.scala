@@ -49,11 +49,27 @@ object Snapshot {
     * matched + flag → row deleted; matched + !flag → row replaced by the
     * source row; unmatched + !flag → inserted; unmatched + flag → no-op.
     * One anti-join (mutation batch broadcasts under AQE) + one union —
-    * the 100 TB state side never shuffles. */
+    * the 100 TB state side never shuffles.
+    *
+    * Like SQL MERGE, a source id may appear AT MOST ONCE: a duplicated id
+    * (e.g. a delete plus an update of the same key in one batch) is
+    * ambiguous and raises at runtime rather than silently duplicating the
+    * key in the result. The check is a window count over the (small) source
+    * batch only — the state side is untouched. */
   def merge(state: DataFrame, source: DataFrame, idCol: String,
       deleteFlag: String = "is_delete"): DataFrame = {
-    val applied = source.filter(!col(deleteFlag)).drop(deleteFlag)
-    state.join(source.select(idCol).distinct(), Seq(idCol), "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    val checked = source
+      .withColumn("__src_n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn(idCol,
+        when(col("__src_n") > 1, raise_error(concat(
+          lit(s"Snapshot.merge: source id appears more than once (id="),
+          col(idCol).cast("string"),
+          lit("); SQL MERGE multi-match is ambiguous — dedup the batch first"))))
+          .otherwise(col(idCol)))
+      .drop("__src_n")
+    val applied = checked.filter(!col(deleteFlag)).drop(deleteFlag)
+    state.join(checked.select(idCol).distinct(), Seq(idCol), "left_anti")
       .unionByName(applied)
   }
 

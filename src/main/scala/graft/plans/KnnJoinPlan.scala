@@ -133,15 +133,6 @@ case class KnnJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): KnnJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Insert into a (dist ASC, id ASC)-sorted, ≤k-element buffer. */
-  private def insert(buf: Array[(Long, Double)], n: (Long, Double)): Array[(Long, Double)] = {
-    def lt(a: (Long, Double), b: (Long, Double)): Boolean =
-      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
-    if (buf.length < k) (buf :+ n).sortBy(x => (x._2, x._1))
-    else if (lt(n, buf(k - 1))) buf.updated(k - 1, n).sortBy(x => (x._2, x._1))
-    else buf
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val qid = qIdIdx; val qv = qVecIdx; val did = dIdIdx; val dv = dVecIdx
     val kk = k
@@ -153,7 +144,10 @@ case class KnnJoinExec(
         (r.getLong(qid), r.getArray(qv).toFloatArray)
     }
     val bc = sparkContext.broadcast(queries)
-    val insertFn = insert _
+    // static helper bound to the primitive k only: task closures must not
+    // capture `this` (the whole physical plan tree would be serialized into
+    // every task)
+    val insertFn = KnnJoinExec.insertBounded(kk)
 
     val partials: RDD[(Long, Array[(Long, Double)])] = right.execute().mapPartitions { it =>
       val qs = bc.value
@@ -167,18 +161,21 @@ case class KnnJoinExec(
             var i = 0
             while (i < qs.length) {
               val q = qs(i)._2
-              if (v.length >= q.length) {
-                // identical IEEE order to VecMetricCols SqL2: per-element
-                // float→double subtraction, left-to-right d*d accumulation
-                var s = 0.0
-                var j = 0
-                while (j < q.length) {
-                  val d = q(j).toDouble - v(j).toDouble
-                  s += d * d
-                  j += 1
-                }
-                bufs(i) = insertFn(bufs(i), (id, s))
+              if (v.length != q.length)
+                throw new IllegalArgumentException(
+                  s"KnnJoinExec: data vector id=$id has dim ${v.length}, " +
+                    s"query id=${qs(i)._1} has dim ${q.length}; mixed-dimension " +
+                    "input is a data error (validate at ingest, cf. Grid.requireDim)")
+              // identical IEEE order to VecMetricCols SqL2: per-element
+              // float→double subtraction, left-to-right d*d accumulation
+              var s = 0.0
+              var j = 0
+              while (j < q.length) {
+                val d = q(j).toDouble - v(j).toDouble
+                s += d * d
+                j += 1
               }
+              bufs(i) = insertFn(bufs(i), (id, s))
               i += 1
             }
           }
@@ -205,4 +202,17 @@ case class KnnJoinExec(
       }
     }
   }
+}
+
+object KnnJoinExec {
+  /** Insert into a (dist ASC, id ASC)-sorted, ≤k-element buffer. Static (no
+    * operator state) so task closures stay serialization-minimal. */
+  def insertBounded(k: Int): (Array[(Long, Double)], (Long, Double)) => Array[(Long, Double)] =
+    (buf, n) => {
+      def lt(a: (Long, Double), b: (Long, Double)): Boolean =
+        a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
+      if (buf.length < k) (buf :+ n).sortBy(x => (x._2, x._1))
+      else if (lt(n, buf(k - 1))) buf.updated(k - 1, n).sortBy(x => (x._2, x._1))
+      else buf
+    }
 }

@@ -84,6 +84,18 @@ class ApiSpec extends SparkSpecBase {
     assert(cfg3 == cfg2 && (state3 eq state2))
   }
 
+  test("zCellId rejects configs whose interleaved bits overflow Long") {
+    import graft.index.{Grid, GridConfig}
+    // 256 parts x 8 dims = 64 bits: the top term would wrap into the sign
+    // bit and collide — must be rejected up front, in both emitters
+    val bad = GridConfig(dim = 8, lower = 0.0, upper = 1.0, partsPerDim = 256, gridDims = 8)
+    intercept[IllegalArgumentException] { Grid.zCellId(col("embedding"), bad) }
+    intercept[IllegalArgumentException] { Grid.zCellIdSql("embedding", bad) }
+    // 63 bits is the maximum legal width
+    val ok = bad.copy(dim = 9, partsPerDim = 128, gridDims = 9) // 7*9 = 63
+    Grid.zCellId(col("embedding"), ok); Grid.zCellIdSql("embedding", ok)
+  }
+
   test("save/load round-trips through cell-partitioned parquet") {
     val path = java.nio.file.Files.createTempDirectory("graftdb").toString + "/store"
     db.save(path)

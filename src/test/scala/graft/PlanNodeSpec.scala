@@ -85,4 +85,17 @@ class PlanNodeSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("query_id") ||
       (ex.getCause != null && ex.getCause.getMessage.contains("query_id")))
   }
+
+  test("dimension-mismatched data raises instead of silently skipping") {
+    // mixed-dimension input is a data error: the operator must fail loudly
+    // (mirroring Grid ingest validation), not measure a truncated distance
+    val shortVecs = emb.limit(10)
+      .withColumn("embedding", slice(col("embedding"), 1, 4))
+    val ex = intercept[Exception] {
+      KnnJoinPlan.join(queries, shortVecs, k = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dim")), s"got: ${msgs(ex)}")
+  }
 }

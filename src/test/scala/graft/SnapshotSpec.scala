@@ -72,4 +72,18 @@ class SnapshotSpec extends SparkSpecBase {
     assert(after.filter(col("vec_id") === 7000000L).count() === 0)   // no-op
     assert(after.filter(col("vec_id") === 3).count() === 1)          // untouched
   }
+
+  test("merge: duplicated source id raises (SQL MERGE multi-match parity)") {
+    // one id carrying both a delete and an update is ambiguous — SQL MERGE
+    // errors; merge must too, not silently duplicate the key
+    val src = state.filter(col("vec_id") === 1).withColumn("is_delete", lit(true))
+      .unionByName(state.filter(col("vec_id") === 1)
+        .withColumn("label", lit(888)).withColumn("is_delete", lit(false)))
+    val ex = intercept[Exception] {
+      Snapshot.merge(state, src, "vec_id").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("more than once")), s"got: ${msgs(ex)}")
+  }
 }

@@ -84,6 +84,25 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     assert(top2.forall(_._2 == 0.0))
   }
 
+  test("multimodal: exact dedup groups constructed duplicate payloads by digest") {
+    // the driver fixture has no duplicate payloads (media_dedup_exact is
+    // 0-row there), so exercise the digest/count/canonical path on
+    // constructed duplicates: "alpha" x2 (ids 0,2), "beta" x3 (ids 1,4,5)
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha"), (1L, "beta"), (2L, "alpha"),
+      (3L, "gamma"), (4L, "beta"), (5L, "beta")).toDF("doc_id", "text")
+    val groups = Multimodal.dedupExactGroups(Multimodal.mediaFromDocuments(docs)).collect()
+    assert(groups.length === 2)
+    val byCanon = groups.map(r =>
+      r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byCanon === Map(0L -> 2L, 1L -> 3L))
+    // digest is md5 of the UTF-8 payload == DuckDB md5(text): oracle parity
+    val md5Alpha = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(groups.map(_.getAs[String]("digest")).contains(md5Alpha))
+  }
+
   test("multimodal: frame sampling plan only covers video with stride steps") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir).limit(30))
     val feats = Multimodal.extractFeatures(media)
