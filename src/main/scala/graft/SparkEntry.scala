@@ -963,8 +963,84 @@ object SparkEntry {
         direction = "forward")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+    // --- round-4: benchmark decontamination (the pre-training leakage
+    // guard): training docs sharing any word 4-gram with the benchmark
+    // split. Benchmark n-grams broadcast; the corpus side never shuffles.
+    "decontam_ngram_overlap" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      graft.operators.Decontam.ngramOverlap(
+        all.filter(col("doc_id") % 50 =!= 0),
+        all.filter(col("doc_id") % 50 === 0), n = 4)
+        .withColumn("contaminated", col("contaminated").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+    // bloom-prefiltered join ≡ plain join (false positives only cost
+    // bytes; the oracle IS the plain form) — the explicit runtime-filter
+    // operator for when Spark's InjectRuntimeFilter lacks stats
+    "join_bloom_prefilter" -> ((s, d) =>
+      graft.operators.Bloom.prefilterJoin(
+        Tables.orders(s, d),
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        "o_custkey", "c_custkey", numBits = 1 << 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))),
+    // greedy sequence packing into 512-token bins within 8 hash groups —
+    // the trainer-batching step; sequential carry proven against a
+    // DuckDB recursive-CTE fold
+    "pack_sequences_greedy" -> ((s, d) =>
+      graft.operators.Pack.greedyPack(
+        docs(s, d).withColumn("tok", TextAnalysis.tokenEstimate(col("text"))),
+        "doc_id", "tok", capacity = 512L, numGroups = 8)
+        .orderBy(col("doc_id"))),
+    // int8 scalar-quantized kNN: deterministic fixed-scale quantization →
+    // pure integer distance — the one ANN variant with an EXACT oracle
+    "knn_sq8_topk" -> ((s, d) =>
+      emb(s, d).select(col("vec_id"), col("label"),
+          graft.operators.Quantize.sq8DistLit(col("embedding"), SqScale, Q64).as("dist_sq8"))
+        .orderBy(col("dist_sq8").asc, col("vec_id").asc)
+        .limit(K)),
+    // hashed-bag-of-words linear classifier (fastText shape, fixed integer
+    // weights): per-row aggregate, zero shuffles
+    "text_classifier_score" -> ((s, d) =>
+      par(s, docs(s, d)).select(col("doc_id"),
+          TextAnalysis.classifierRawScore(col("text")).as("raw_score"),
+          TextAnalysis.nWords(col("text")).as("n_words"))
+        .withColumn("score", col("raw_score").cast("double") / col("n_words").cast("double"))
+        .withColumn("keep", (col("score") >= 0.0).cast("int"))
+        .orderBy(col("doc_id"))),
+    // domain-mixture sampling: per-lang target rates via the deterministic
+    // md5-mod gate — the corpus-mixing step of a pre-training pipeline
+    "sample_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 500), ("de", 200), ("fr", 200), ("es", 100), ("zh", 50))
+        .toDF("r_lang", "permille")
+      docs(s, d).join(broadcast(rates), col("lang") === col("r_lang"))
+        .filter(pmod(Dedup.md5Int32(col("doc_id").cast("string")), lit(1000L)) < col("permille"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+    // fuzzy dedup by edit distance on document prefixes (candidate pairs
+    // from a deterministic sample; at scale candidates come from LSH)
+    "dedup_edit_distance" -> ((s, d) => {
+      val sd = docs(s, d).filter(col("lang") === "en" && col("doc_id") % 25 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
+      sd.as("a").join(sd.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          levenshtein(col("a.p"), col("b.p")).as("lev"))
+        .filter(col("lev") <= 90)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // out-of-vocabulary rate against the corpus top-200 vocabulary — the
+    // gibberish-detector quality signal (vocab broadcasts)
+    "text_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate(par(s, docs(s, d)), v = 200).orderBy(col("doc_id")))
   )
+
+  /** SQ8 quantization step for the fixture embedding range (~[-0.5, 0.5]). */
+  private val SqScale = 0.005
 
   /** Small deterministic digest of a state snapshot: per-label count and
     * id-sum (exact integer math). */
@@ -1678,7 +1754,82 @@ object SparkEntry {
           |  )
           |  WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC
           |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-          |) WHERE side = 0 ORDER BY event_id""".stripMargin
+          |) WHERE side = 0 ORDER BY event_id""".stripMargin,
+      // --- round-4: training-pipeline widening
+      "decontam_ngram_overlap" ->
+        s"""WITH g AS (
+           |  SELECT doc_id, ${Dedup.md5LongSql("g")} AS gh FROM (
+           |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')))) AS g
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+           |), bench AS (
+           |  SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0
+           |), hits AS (
+           |  SELECT g.doc_id, COUNT(*) AS n FROM g JOIN bench USING (gh)
+           |  WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id
+           |)
+           |SELECT d.doc_id, COALESCE(n, 0) AS n_contaminated_ngrams,
+           |  CAST(COALESCE(n, 0) > 0 AS INT) AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+           |LEFT JOIN hits ON d.doc_id = hits.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "join_bloom_prefilter" ->
+        s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "pack_sequences_greedy" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT doc_id % 8 AS grp, doc_id, CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          |  FROM documents
+          |), r AS (
+          |  SELECT grp, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin, tok AS fill
+          |  FROM t WHERE rn = 1
+          |  UNION ALL
+          |  SELECT t.grp, t.rn, t.doc_id, t.tok,
+          |    CASE WHEN r.fill + t.tok > 512 THEN r.bin + 1 ELSE r.bin END,
+          |    CASE WHEN r.fill + t.tok > 512 THEN t.tok ELSE r.fill + t.tok END
+          |  FROM r JOIN t ON t.grp = r.grp AND t.rn = r.rn + 1
+          |)
+          |SELECT grp, doc_id, tok AS n_tokens, bin AS bin_idx, fill AS bin_fill
+          |FROM r ORDER BY doc_id""".stripMargin,
+      "knn_sq8_topk" ->
+        s"""SELECT vec_id, label, ${graft.operators.Quantize.sq8DistLitSql(e, SqScale, Q64)} AS dist_sq8
+           |FROM embeddings ORDER BY dist_sq8 ASC, vec_id ASC LIMIT $K""".stripMargin,
+      "text_classifier_score" -> {
+        val nw = nWordsSql("text")
+        s"""SELECT doc_id, raw_score, n_words,
+           |  CAST(raw_score AS DOUBLE) / CAST(n_words AS DOUBLE) AS score,
+           |  CAST(CAST(raw_score AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.0 AS INT) AS keep
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(list_sum(list_transform(string_split(text, ' '), w -> (${Dedup.md5Int32Sql("w")} % 21) - 10)) AS BIGINT) AS raw_score,
+           |    $nw AS n_words
+           |  FROM documents
+           |) ORDER BY doc_id""".stripMargin
+      },
+      "sample_domain_mix" ->
+        s"""SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+           |FROM documents
+           |JOIN (VALUES ('en', 500), ('de', 200), ('fr', 200), ('es', 100), ('zh', 50)) AS r(r_lang, permille)
+           |  ON lang = r_lang
+           |WHERE (${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")} % 1000) < permille
+           |GROUP BY lang ORDER BY lang""".stripMargin,
+      "dedup_edit_distance" ->
+        """SELECT id_a, id_b, lev FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS INT) AS lev
+          |  FROM (SELECT doc_id, substr(text, 1, 120) AS p FROM documents WHERE lang = 'en' AND doc_id % 25 = 0) a
+          |  JOIN (SELECT doc_id, substr(text, 1, 120) AS p FROM documents WHERE lang = 'en' AND doc_id % 25 = 0) b
+          |    ON a.doc_id < b.doc_id
+          |) WHERE lev <= 90 ORDER BY id_a, id_b""".stripMargin,
+      "text_oov_rate" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          |vocab AS (SELECT w AS vw FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w ASC LIMIT 200))
+          |SELECT doc_id, COUNT(*) AS n_tokens,
+          |  CAST(COUNT(*) FILTER (vw IS NULL) AS BIGINT) AS n_oov,
+          |  CAST(COUNT(*) FILTER (vw IS NULL) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+          |FROM tok LEFT JOIN vocab ON w = vw
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

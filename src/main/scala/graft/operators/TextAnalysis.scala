@@ -135,6 +135,41 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** fastText-shaped hashed linear classifier score: Σ over tokens of an
+    * integer weight w(token) = (md5_32(token) mod 21) − 10 ∈ [−10, 10] — a
+    * deterministic stand-in for trained weights (a real model drops its
+    * weight table into the same hash-lookup slot). Exact integer sum via a
+    * single per-row `aggregate` over the token array — ZERO shuffles, like
+    * [[repetitionSignals]]; the only float op is one final division. */
+  def classifierRawScore(text: Column): Column =
+    aggregate(
+      transform(words(text), w => pmod(Dedup.md5Int32(w), lit(21L)) - lit(10L)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Top-`v` corpus vocabulary by term frequency (ties broken by term) —
+    * the dictionary side of OOV-rate scoring. One explode + one
+    * map-side-combinable count + a top-v (TakeOrderedAndProject). */
+  def topVocab(docs: DataFrame, textCol: String = "text", v: Int = 200): DataFrame =
+    docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(v)
+
+  /** Out-of-vocabulary rate per doc against [[topVocab]]: the classic
+    * "gibberish detector" quality signal. The vocab (≤ v rows) broadcasts;
+    * the token stream never shuffles except the per-doc count. */
+  def oovRate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      v: Int = 200): DataFrame = {
+    val vocab = topVocab(docs, textCol, v).select(col("w").as("vw"))
+    docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .join(broadcast(vocab), col("w") === col("vw"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("vw").isNull, 1)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Per-document feature table. */
   def docFeatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(
