@@ -1036,8 +1036,56 @@ object SparkEntry {
     // out-of-vocabulary rate against the corpus top-200 vocabulary — the
     // gibberish-detector quality signal (vocab broadcasts)
     "text_oov_rate" -> ((s, d) =>
-      TextAnalysis.oovRate(par(s, docs(s, d)), v = 200).orderBy(col("doc_id")))
+      TextAnalysis.oovRate(par(s, docs(s, d)), v = 200).orderBy(col("doc_id"))),
+    // radius (range) search — the other half of the vector-DB read API:
+    // all rows within squared-L2 distance r of the query
+    "knn_radius" -> ((s, d) =>
+      Knn.radiusSearch(emb(s, d), Distances.squaredL2Lit(col("embedding"), Q64), Radius)),
+    // cell-pruned radius: candidate cells known up front (bound ≤ r), one
+    // scan, no widening loop; same oracle as the brute form (exactness)
+    "knn_radius_pruned" -> ((s, d) =>
+      Knn.prunedRadius(Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, Radius)),
+    // snapshot diff (CDC read side): I/D/U changelog keys between two
+    // states — one full-outer key join
+    "crud_snapshot_diff" -> ((s, d) => {
+      val state = emb(s, d)
+      val after = state.filter(col("vec_id") % 13 =!= 0)
+        .withColumn("label",
+          when(col("vec_id") % 5 === 0, col("label") + 100).otherwise(col("label")))
+        .unionByName(state.orderBy(col("vec_id")).limit(10)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      Snapshot.diff(state, after, "vec_id", Seq("label"))
+        .orderBy(col("op"), col("vec_id"))
+    }),
+    // cohort retention: users bucketed by first-seen day, activity counted
+    // per (cohort, day offset) — two key-local aggregations, exact integers
+    "events_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day_epoch")).as("cohort_epoch"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_epoch"),
+          ((col("day_epoch") - col("cohort_epoch")) / lit(86400L)).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_epoch"), col("day_offset"))
+    }),
+    // small-file compaction planning: per-cell row counts binned into
+    // target-size output files — the maintenance op a cell-partitioned
+    // store runs after skewed ingest, reusing the greedy packer
+    "store_compaction_plan" -> ((s, d) => {
+      val counts = Grid.withCellId(emb(s, d), "embedding", gridCfg)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      graft.operators.Pack.greedyPack(counts, "cell_id", "n", capacity = 100L, numGroups = 1)
+        .select(col("doc_id").as("cell_id"), col("n_tokens").as("n_rows"),
+          col("bin_idx").as("file_idx"), col("bin_fill").as("file_fill"))
+        .orderBy(col("cell_id"))
+    })
   )
+
+  /** Squared-L2 radius for the range-search queries (between the 5th and
+    * 10th percentile of fixture query-to-corpus distances — selective but
+    * decidedly non-empty, so the oracle hash exercises the distance path). */
+  private val Radius = 2.0
 
   /** SQ8 quantization step for the fixture embedding range (~[-0.5, 0.5]). */
   private val SqScale = 0.005
@@ -1829,7 +1877,53 @@ object SparkEntry {
           |  CAST(COUNT(*) FILTER (vw IS NULL) AS BIGINT) AS n_oov,
           |  CAST(COUNT(*) FILTER (vw IS NULL) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
           |FROM tok LEFT JOIN vocab ON w = vw
-          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "knn_radius" -> {
+        s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq AS dist FROM embeddings)
+           |WHERE dist <= ${DuckSql.fmt(Radius)} ORDER BY dist ASC, vec_id ASC""".stripMargin
+      },
+      "knn_radius_pruned" ->
+        s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq AS dist FROM embeddings)
+           |WHERE dist <= ${DuckSql.fmt(Radius)} ORDER BY dist ASC, vec_id ASC""".stripMargin,
+      "crud_snapshot_diff" ->
+        """WITH b AS (SELECT vec_id, label FROM embeddings),
+          |a AS (
+          |  SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label + 100 ELSE label END AS label
+          |  FROM embeddings WHERE vec_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, label
+          |  FROM (SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 10)
+          |)
+          |SELECT op, vec_id FROM (
+          |  SELECT CASE WHEN b.vec_id IS NULL THEN 'I'
+          |              WHEN a.vec_id IS NULL THEN 'D'
+          |              WHEN a.label IS DISTINCT FROM b.label THEN 'U' END AS op,
+          |         COALESCE(a.vec_id, b.vec_id) AS vec_id
+          |  FROM b FULL OUTER JOIN a ON b.vec_id = a.vec_id
+          |) WHERE op IS NOT NULL ORDER BY op, vec_id""".stripMargin,
+      "events_retention_cohorts" ->
+        """WITH ev AS (SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch FROM events),
+          |c AS (SELECT user_id, MIN(day_epoch) AS cohort_epoch FROM ev GROUP BY user_id)
+          |SELECT cohort_epoch, (day_epoch - cohort_epoch) // 86400 AS day_offset,
+          |  COUNT(DISTINCT ev.user_id) AS n_active
+          |FROM ev JOIN c ON ev.user_id = c.user_id
+          |GROUP BY cohort_epoch, day_offset ORDER BY cohort_epoch, day_offset""".stripMargin,
+      "store_compaction_plan" ->
+        s"""WITH RECURSIVE cc AS (
+           |  SELECT ${Grid.cellIdSql(e, gridCfg)} AS cell_id, COUNT(*) AS n
+           |  FROM embeddings GROUP BY cell_id
+           |), t AS (
+           |  SELECT cell_id, n, ROW_NUMBER() OVER (ORDER BY cell_id) AS rn FROM cc
+           |), r AS (
+           |  SELECT rn, cell_id, n, CAST(0 AS BIGINT) AS bin, n AS fill FROM t WHERE rn = 1
+           |  UNION ALL
+           |  SELECT t.rn, t.cell_id, t.n,
+           |    CASE WHEN r.fill + t.n > 100 THEN r.bin + 1 ELSE r.bin END,
+           |    CASE WHEN r.fill + t.n > 100 THEN t.n ELSE r.fill + t.n END
+           |  FROM r JOIN t ON t.rn = r.rn + 1
+           |)
+           |SELECT cell_id, n AS n_rows, bin AS file_idx, fill AS file_fill
+           |FROM r ORDER BY cell_id""".stripMargin
     )
   }
 }

@@ -140,6 +140,54 @@ object Knn {
     acc
   }
 
+  /** Radius (range) search — the other half of a vector-DB read API next
+    * to top-k: every row within distance `r`, ordered `(dist ASC, id ASC)`.
+    * Same plan shape as [[bruteForce]] minus the limit; the distance
+    * predicate evaluates inside the scan's codegen stage, so at 100 TB it
+    * is a single filtered scan with no shuffle. */
+  def radiusSearch(
+      db: DataFrame,
+      distExpr: Column,
+      r: Double,
+      idCol: String = "vec_id",
+      pred: Option[Column] = None,
+      keep: Seq[String] = Seq("vec_id", "label")): DataFrame = {
+    val filtered = pred.map(db.filter).getOrElse(db)
+    filtered
+      .withColumn("dist", distExpr)
+      .filter(col("dist") <= lit(r))
+      .select((keep.map(col) :+ col("dist")): _*)
+      .orderBy(col("dist").asc, col(idCol).asc)
+  }
+
+  /** Cell-pruned radius search: unlike kNN, the pruning set is KNOWN up
+    * front — exactly the cells whose closed-form lower bound is ≤ r — so
+    * there is no widening loop, just one scan over the candidate cells
+    * (partition pruning on a cell-partitioned store). Exact: a cell with
+    * bound > r cannot contain a point within r. */
+  def prunedRadius(
+      indexed: DataFrame,
+      cfg: GridConfig,
+      q: Array[Double],
+      r: Double,
+      pred: Option[Column] = None,
+      cellBound: (Array[Double], Long, GridConfig) => Double = Grid.cellLowerBoundSqL2,
+      distExpr: Option[Column] = None): DataFrame = {
+    val cells = indexed.select(col("cell_id")).distinct().collect()
+      .map(_.getAs[Number](0).longValue())
+      .filter(cell => cellBound(q, cell, cfg) <= r)
+    val dist = distExpr.getOrElse(Distances.squaredL2Lit(col("embedding"), q))
+    val base =
+      if (cells.isEmpty) indexed.filter(lit(false))
+      else indexed.filter(col("cell_id").isin(cells.toSeq: _*))
+    val filtered = pred.map(base.filter).getOrElse(base)
+    filtered
+      .withColumn("dist", dist)
+      .filter(col("dist") <= lit(r))
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+  }
+
   /** DataFrame wrapper around [[prunedSearch]] for the driver contract. */
   def prunedSearchDf(
       spark: SparkSession,

@@ -82,4 +82,31 @@ object Snapshot {
       .drop("__new_meta")
       .select(state.columns.map(col).toSeq: _*)
   }
+
+  /** Snapshot diff (the CDC read side of the algebra): compare two states
+    * keyed by `idCol` and emit one row per changed key with
+    * op ∈ {I (insert), D (delete), U (update)} — U when any of
+    * `compareCols` differs (null-safe). Unchanged keys are dropped.
+    *
+    * One full-outer key join — both sides shuffle-partition on the id, and
+    * at 100 TB a bucketed/cell-partitioned store makes it co-located.
+    * Emits (op, id); joining the id back against `after` (I/U) or `before`
+    * (D) yields a full changelog that [[merge]] can replay. */
+  def diff(before: DataFrame, after: DataFrame, idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    val b = before.select(col(idCol).as("__b_id") +:
+      compareCols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(idCol).as("__a_id") +:
+      compareCols.map(c => col(c).as(s"__a_$c")): _*)
+    val changed = compareCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, col("__b_id") === col("__a_id"), "full_outer")
+      .withColumn("op",
+        when(col("__b_id").isNull, lit("I"))
+          .when(col("__a_id").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op"), coalesce(col("__a_id"), col("__b_id")).as(idCol))
+  }
 }

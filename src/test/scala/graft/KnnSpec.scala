@@ -72,4 +72,21 @@ class KnnSpec extends SparkSpecBase {
     val byCell = indexed.groupBy("cell_id").count().agg(sum("count")).collect()(0).getLong(0)
     assert(byCell === total)
   }
+
+  test("pruned radius search equals brute radius at several radii, with and without filter") {
+    val cfg = SparkEntry.gridCfg
+    for (r <- Seq(0.5, 1.3, 1.6, 3.0); pred <- Seq(None, Some(col("label") === 3))) {
+      val brute = Knn.radiusSearch(emb,
+          Distances.squaredL2Lit(col("embedding"), Q64), r, pred = pred)
+        .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+      val pruned = Knn.prunedRadius(indexed, cfg, Q64, r, pred = pred)
+        .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+      assert(pruned === brute, s"r=$r pred=$pred")
+    }
+  }
+
+  test("radius search on empty DB returns empty") {
+    val empty = indexed.filter(lit(false))
+    assert(Knn.prunedRadius(empty, SparkEntry.gridCfg, Q64, 2.0).count() === 0)
+  }
 }
