@@ -1079,7 +1079,140 @@ object SparkEntry {
         .select(col("doc_id").as("cell_id"), col("n_tokens").as("n_rows"),
           col("bin_idx").as("file_idx"), col("bin_fill").as("file_fill"))
         .orderBy(col("cell_id"))
-    })
+    }),
+    // --- round-4: SQL-surface widening (plan shapes Catalyst treats
+    // specially) + training-pipeline evaluation operators
+    // NOT IN subquery → Spark's null-aware anti join (single-column NAAJ
+    // compiles to a broadcast hash join, not a nested loop)
+    "subquery_not_in_region" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""SELECT s_suppkey, s_name, s_nationkey FROM supplier_v
+              |WHERE s_nationkey NOT IN
+              |  (SELECT n_nationkey FROM nation_v WHERE n_regionkey IN (0, 1))
+              |ORDER BY s_suppkey""".stripMargin)
+    }),
+    // TPC-H Q18 shape: HAVING over a join aggregate (the filter runs on
+    // the aggregated value, post-shuffle — nothing to push down, but the
+    // partial aggregation still combines map-side)
+    "agg_having_large_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+        .orderBy(col("o_orderkey"))),
+    // TPC-H Q19 shape: disjunctive mixed-side predicate — Catalyst
+    // extracts the part-only OR branches and pushes them into the part
+    // scan (CNF conversion), so the broadcast build side is pre-filtered
+    "join_disjunctive_pricing" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = broadcast(Tables.part(s, d))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    // TPC-H Q7 shape: the fact table resolves BOTH ends of a relationship
+    // through different dimension paths (supplier nation vs customer
+    // nation) — two broadcast nation joins, group by the pair
+    "join_nation_volume" -> ((s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2") &&
+          col("cust_nation").isin("NATION_1", "NATION_2") &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("o_year"))
+    }),
+    // arg-max aggregation (max_by): one pass, no self-join / no window —
+    // the determinant combines (price, key) into one unique double so the
+    // tie-break is total in both engines
+    "agg_argmax_order" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"),
+            col("o_totalprice") * lit(100000000.0) + col("o_orderkey")).as("best_orderkey"),
+          max(col("o_totalprice")).as("best_price"))
+        .orderBy(col("o_custkey"))),
+    // order-sensitive list aggregation: collect_list has no deterministic
+    // order under parallel merge, so sort AFTER collecting (array_sort) —
+    // mirrors DuckDB's string_agg(... ORDER BY ...)
+    "agg_listagg_suppliers" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("s_name")))).as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"))),
+    // incremental-ETL shape: daily partial aggregates merged to monthly ==
+    // direct monthly aggregation (sums/counts re-aggregate losslessly;
+    // the pattern that lets a 100 TB pipeline recompute only changed days)
+    "agg_partial_merge_monthly" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"))
+      daily
+        .groupBy((year(col("day")) * 100 + month(col("day"))).cast("long").as("ym"))
+        .agg(sum(col("n")).as("n"), sum(col("tot")).cast("double").as("total"))
+        .orderBy(col("ym"))
+    }),
+    // RANGE window frame over event time (value-based bounds, not row
+    // counts): 30-day trailing revenue per customer — frames follow the
+    // time axis through gaps and duplicate dates
+    "window_range_frame_revenue" -> ((s, d) => {
+      // o_orderdate arrives as TIMESTAMP_NTZ; session TZ is pinned UTC so
+      // the TIMESTAMP hop to epoch seconds is exact
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400L, 0L)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 50 === 0)
+        .withColumn("rev30",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderdate"), col("rev30"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("rev30"))
+    }),
+    // bigram LM quality scoring (perplexity-filter shape): train on the
+    // doc_id%10==0 slice, score the held-out doc_id%10==5 slice
+    "text_bigram_lm" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      graft.operators.LangModel.scoreHeldOut(
+          all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") % 10 === 5))
+        .orderBy(col("doc_id"))
+    }),
+    // per-label centroid of the embedding space (class prototypes)
+    "vec_label_centroids" -> ((s, d) =>
+      graft.operators.Embed.labelCentroids(emb(s, d))
+        .select(col("label"), col("dim_idx").cast("long").as("dim_idx"), col("centroid"))
+        .orderBy(col("label"), col("dim_idx"))),
+    // leave-one-out 1-NN label accuracy (embedding-space evaluation)
+    "knn_classify_loo" -> ((s, d) =>
+      graft.operators.KnnClassify.looAccuracy(emb(s, d), Dim, queryMod = 20L)
+        .orderBy(col("label"))),
+    // stream-static enrichment: events × broadcast customer dim → hourly
+    // windowed aggregation per segment (streaming form ≡ batch, proven in
+    // StreamEnrichSpec)
+    "stream_static_enrich" -> ((s, d) =>
+      graft.streaming.StreamEnrich.hourlyBySegment(
+          Tables.events(s, d), Tables.customer(s, d))
+        .orderBy(col("c_mktsegment"), col("hour_start")))
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -1923,7 +2056,104 @@ object SparkEntry {
            |  FROM r JOIN t ON t.rn = r.rn + 1
            |)
            |SELECT cell_id, n AS n_rows, bin AS file_idx, fill AS file_fill
-           |FROM r ORDER BY cell_id""".stripMargin
+           |FROM r ORDER BY cell_id""".stripMargin,
+      // --- round-4
+      "subquery_not_in_region" ->
+        """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+          |WHERE s_nationkey NOT IN
+          |  (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
+          |ORDER BY s_suppkey""".stripMargin,
+      "agg_having_large_orders" ->
+        s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           |  ${dsumSql("l.l_quantity")} AS sum_qty
+           |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+           |HAVING ${dsumSql("l.l_quantity")} > 300.0
+           |ORDER BY o_orderkey""".stripMargin,
+      "join_disjunctive_pricing" ->
+        s"""SELECT ${drevenueSql("l_extendedprice", "l_discount")} AS revenue, COUNT(*) AS n
+           |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+           |   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+           |   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)""".stripMargin,
+      "join_nation_volume" ->
+        s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           |  ${drevenueSql("l.l_extendedprice", "l.l_discount")} AS revenue
+           |FROM lineitem l
+           |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+           |WHERE n1.n_name IN ('NATION_1','NATION_2') AND n2.n_name IN ('NATION_1','NATION_2')
+           |  AND n1.n_name <> n2.n_name
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "agg_argmax_order" ->
+        """SELECT o_custkey,
+          |  arg_max(o_orderkey, o_totalprice * 100000000.0 + o_orderkey) AS best_orderkey,
+          |  MAX(o_totalprice) AS best_price
+          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      "agg_listagg_suppliers" ->
+        """SELECT n.n_name, string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+          |  COUNT(*) AS n
+          |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+      "agg_partial_merge_monthly" ->
+        """SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      "window_range_frame_revenue" ->
+        """SELECT o_custkey, o_orderdate,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev30
+          |FROM orders WHERE o_custkey % 50 = 0
+          |ORDER BY o_custkey, o_orderdate, rev30""".stripMargin,
+      "text_bigram_lm" ->
+        """WITH train AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+          |tb AS (SELECT w[i] AS w1, w[i+1] AS w2
+          |       FROM train, unnest(range(1, len(w))) AS t(i)),
+          |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tb GROUP BY w1, w2),
+          |c1 AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY w1),
+          |vocab AS (SELECT COUNT(DISTINCT u.word) AS v FROM train, unnest(w) AS u(word)),
+          |held AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 5),
+          |hb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          |       FROM held, unnest(range(1, len(w))) AS t(i)),
+          |scored AS (
+          |  SELECT hb.doc_id,
+          |    CAST(ROUND(LN((COALESCE(c12.c12, 0) + 1.0) / (COALESCE(c1.c1, 0) + vocab.v)), 6)
+          |      AS DECIMAL(18,6)) AS lp
+          |  FROM hb LEFT JOIN c12 ON hb.w1 = c12.w1 AND hb.w2 = c12.w2
+          |          LEFT JOIN c1 ON hb.w1 = c1.w1
+          |          CROSS JOIN vocab)
+          |SELECT doc_id, COUNT(*) AS n_bigrams,
+          |  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logp
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "vec_label_centroids" ->
+        s"""SELECT label, i AS dim_idx,
+           |  CAST(SUM(CAST(ROUND(CAST($e[i+1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |    / (1000000.0 * COUNT(*)) AS centroid
+           |FROM embeddings, unnest(range(0, $Dim)) AS t(i)
+           |GROUP BY label, i ORDER BY label, i""".stripMargin,
+      "knn_classify_loo" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+           |           FROM embeddings WHERE vec_id % 20 = 0),
+           |pairs AS (
+           |  SELECT q.qid, q.qlabel, e.label AS plabel, e.vec_id AS vid,
+           |    ${DuckSql.squaredL2Cols("q.qe", s"e.$e", Dim)} AS dist
+           |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+           |best AS (SELECT qid, qlabel, plabel,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM pairs)
+           |SELECT qlabel AS label, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+           |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+      "stream_static_enrich" ->
+        """SELECT c.c_mktsegment, CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS hour_start,
+          |  COUNT(*) AS n, CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS v_sum
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

@@ -44,4 +44,21 @@ object Embed {
         transform(sequence(lit(0L), lit(dim - 1L)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("float")).as("embedding"))
   }
+
+  /** Per-label mean embedding, exploded to (label, dim_idx, centroid) —
+    * the class-prototype statistic (nearest-centroid classifiers, drift
+    * monitoring over embedding batches). One posexplode + one hash
+    * aggregation keyed on (label, dim) — partial aggregation combines
+    * map-side, so the shuffle carries ≤ |labels|·dim rows per task.
+    *
+    * Determinism (oracle parity): components are quantized to integer
+    * micro-units (×1e6, round-half-away — Spark and DuckDB agree) before
+    * the sum, so the cross-partition accumulation is exact integer
+    * arithmetic; the single double division at the end is IEEE-identical
+    * in both engines. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "comp")))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg((sum(round(col("comp").cast("double") * 1000000.0).cast("long")).cast("double")
+        / (lit(1000000.0) * count(lit(1)))).as("centroid"))
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Word-bigram language model with add-one (Laplace) smoothing — the
+  * perplexity-style quality gate of a training-data pipeline (north star:
+  * "text analysis" in BASELINE.json; the reference itself has no text ops).
+  *
+  * Train: bigram counts c(w1,w2), left-context counts c(w1·) and vocabulary
+  * size V over a training slice of the corpus — two hash aggregations.
+  * Score: every held-out document's mean ln((c(w1,w2)+1)/(c(w1·)+V)) over
+  * its bigrams — the model tables are dictionaries (≪ corpus), broadcast
+  * to the scoring side, so scoring is one map-side pass over the corpus
+  * plus a single per-doc aggregation. At 100 TB the corpus never shuffles
+  * for the joins; only the per-doc groupBy moves (doc_id, decimal) pairs.
+  *
+  * Determinism (oracle parity): each bigram's log-probability is rounded
+  * to 6 decimals and cast to DECIMAL(18,6) BEFORE the sum, so the
+  * cross-partition aggregation is exact decimal arithmetic —
+  * order-independent and bit-equal to DuckDB's sum of the same decimals.
+  */
+object LangModel {
+
+  /** (doc_id, w1, w2): consecutive word pairs of each document, via
+    * zip_with over two shifted slices — per-row array work, no shuffle. */
+  def bigrams(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    val pairs = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    docs.select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** Per-held-out-document (n_bigrams, avg_logp) under the bigram LM
+    * trained on `train`. Both inputs need (doc_id, text). */
+  def scoreHeldOut(train: DataFrame, held: DataFrame): DataFrame = {
+    val tb = bigrams(train)
+    val c12 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(split(col("text"), " ")).as("word"))
+      .agg(count_distinct(col("word")).as("v"))
+    // ln((c12+1)/(c1+V)): numerator double, denominator long — identical
+    // IEEE division in DuckDB; rounded to a decimal before any summation
+    val lp: Column = round(
+        log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+      .cast(DecimalType(18, 6))
+    bigrams(held)
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
+  }
+}
