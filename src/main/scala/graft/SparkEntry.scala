@@ -1212,7 +1212,33 @@ object SparkEntry {
     "stream_static_enrich" -> ((s, d) =>
       graft.streaming.StreamEnrich.hourlyBySegment(
           Tables.events(s, d), Tables.customer(s, d))
-        .orderBy(col("c_mktsegment"), col("hour_start")))
+        .orderBy(col("c_mktsegment"), col("hour_start"))),
+    // BPE tokenizer training (vocabulary learning): corpus → word-freq
+    // table (the one corpus-scale shuffle) → iterative weighted pair
+    // merges on the compact dictionary. Fully oracle-checked — DuckDB
+    // replays the unrolled training loop (Bpe.oracleSql)
+    "text_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.train(par(s, docs(s, d)), nMerges = 4)),
+    // trailing-window anomaly detection on the event stream: hourly counts
+    // vs their own trailing-24h mean (exact integer counts; the mean's
+    // single double division is IEEE-identical in both engines)
+    "events_hourly_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_avg", avg(col("n")).over(w))
+        .filter(col("trail_n") === 24)
+        .withColumn("is_anomaly",
+          (col("n") > col("trail_avg") * 1.5 || col("n") < col("trail_avg") * 0.5).cast("int"))
+        .select(col("event_type"), col("hour_epoch"), col("n"),
+          col("trail_avg"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("hour_epoch"))
+    })
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -2153,7 +2179,23 @@ object SparkEntry {
         """SELECT c.c_mktsegment, CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS hour_start,
           |  COUNT(*) AS n, CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS v_sum
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "text_bpe_merges" -> graft.operators.Bpe.oracleSql(4),
+      "events_hourly_anomaly" ->
+        """WITH hourly AS (
+          |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+          |    event_type, COUNT(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, hour_epoch, n, trail_avg,
+          |  CAST(CASE WHEN n > trail_avg * 1.5 OR n < trail_avg * 0.5 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+          |FROM (
+          |  SELECT event_type, hour_epoch, n,
+          |    COUNT(*) OVER w AS trail_n, AVG(n) OVER w AS trail_avg
+          |  FROM hourly
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+          |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          |WHERE trail_n = 24
+          |ORDER BY event_type, hour_epoch""".stripMargin
     )
   }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016) — the
+  * vocabulary-learning stage of a training-data pipeline (north star:
+  * BASELINE.json text-analysis family).
+  *
+  * Scale design: the corpus collapses to a WORD-FREQUENCY table first (one
+  * shuffle over the 100 TB corpus — the same aggregation `text_top_terms`
+  * runs); every merge iteration then works on that compact dictionary
+  * (|vocab| rows, cacheable in memory), never re-reading the corpus. Each
+  * iteration is two small Spark jobs: weighted adjacent-pair counting over
+  * the symbol sequences, and a driver-side argmax pick (count DESC, pair
+  * ASC — a total order, so training is deterministic).
+  *
+  * A word's state is its space-joined symbol sequence (`h e l l o`).
+  * Applying a merge is the canonical left-to-right fold: append each
+  * symbol, collapsing it with the accumulator's last symbol when they form
+  * the merge pair (so `a a a a` under (a,a) becomes `aa aa`, and the new
+  * token never re-merges within the same iteration). The fold runs as
+  * `aggregate` over the symbol array in Spark and as the IDENTICAL
+  * `list_reduce` in DuckDB — which is what makes the whole training loop
+  * oracle-checkable as unrolled SQL ([[oracleSql]]).
+  */
+object Bpe {
+
+  /** `c h a r s` — the initial symbol sequence of a word. */
+  def toSymbols(word: Column): Column = concat_ws(" ", split(word, ""))
+
+  /** (word, freq) over the corpus — the ONLY corpus-scale aggregation. */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs of each dictionary row, weighted by word
+    * frequency: (p1, p2, cnt). */
+  def pairCounts(wf: DataFrame): DataFrame = {
+    val syms = split(col("sym"), " ")
+    val pairs = zip_with(
+      slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("p1"), b.as("p2")))
+    wf.select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Canonical one-iteration merge of (p1, p2) into a symbol string: left
+    * fold appending each symbol, collapsing when (last, next) == (p1, p2). */
+  def applyMerge(sym: Column, p1: String, p2: String): Column = {
+    val syms = split(sym, " ")
+    val merged = p1 + p2
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      element_at(syms, 1),
+      (acc, x) => {
+        val last = regexp_extract(acc, "[^ ]+$", 0)
+        when(last === lit(p1) && x === lit(p2),
+          when(length(acc) === length(last), lit(merged))
+            .otherwise(concat(
+              acc.substr(lit(1), length(acc) - length(last) - 1),
+              lit(" "), lit(merged))))
+          .otherwise(concat(acc, lit(" "), x))
+      })
+  }
+
+  /** One learned merge. */
+  final case class Merge(idx: Int, p1: String, p2: String, cnt: Long)
+
+  /** Train `nMerges` BPE merges from the corpus. The returned DataFrame is
+    * the merge table (merge_idx, p1, p2, merged, pair_count) — the
+    * artifact a tokenizer ships. */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    var wf = wordFreq(docs, textCol)
+      .select(toSymbols(col("word")).as("sym"), col("freq"))
+      .cache()
+    val merges = Seq.newBuilder[Merge]
+    try {
+      for (i <- 1 to nMerges) {
+        val top = pairCounts(wf)
+          .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val Row(p1: String, p2: String, cnt: Long) = top.head
+          merges += Merge(i, p1, p2, cnt)
+          val next = wf.select(
+            applyMerge(col("sym"), p1, p2).as("sym"), col("freq")).cache()
+          next.count() // materialize before unpersisting the parent
+          wf.unpersist()
+          wf = next
+        }
+      }
+    } finally wf.unpersist()
+    val rows = merges.result().map(m =>
+      Row(m.idx, m.p1, m.p2, m.p1 + m.p2, m.cnt))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("merge_idx", IntegerType, nullable = false),
+        StructField("p1", StringType, nullable = false),
+        StructField("p2", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Unrolled DuckDB mirror of [[train]] for `nMerges` iterations over
+    * `documents.text` — each iteration re-derives the top pair from the
+    * previous dictionary state and applies the same left-fold merge. */
+  def oracleSql(nMerges: Int): String = {
+    def pairsOf(wfRel: String): String =
+      s"""SELECT w[i] AS p1, w[i+1] AS p2, SUM(freq) AS cnt
+         |    FROM (SELECT string_split(sym, ' ') AS w, freq FROM $wfRel),
+         |         unnest(range(1, len(w))) AS t(i)
+         |    GROUP BY p1, p2""".stripMargin
+    def foldOf(prev: String, m: String): String =
+      s"""SELECT CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym ELSE
+         |    list_reduce(string_split(sym, ' '), (acc, x) ->
+         |      CASE WHEN regexp_extract(acc, '[^ ]+$$') = $m.p1 AND x = $m.p2 THEN
+         |        CASE WHEN acc = $m.p1 THEN $m.p1 || $m.p2
+         |             ELSE substring(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]+$$')) - 1) || ' ' || $m.p1 || $m.p2 END
+         |      ELSE acc || ' ' || x END)
+         |    END AS sym, freq
+         |  FROM $prev CROSS JOIN $m""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wf0 AS (
+        |  SELECT array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ') AS sym,
+        |         freq
+        |  FROM (SELECT word, COUNT(*) AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |        WHERE word <> '' GROUP BY word))""".stripMargin)
+    for (i <- 1 to nMerges) {
+      sb.append(s""",
+        |m$i AS (
+        |  SELECT p1, p2, cnt FROM (
+        |    ${pairsOf(s"wf${i - 1}")})
+        |  ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1)""".stripMargin)
+      if (i < nMerges) sb.append(s""",
+        |wf$i AS (
+        |  ${foldOf(s"wf${i - 1}", s"m$i")})""".stripMargin)
+    }
+    val branches = (1 to nMerges).map(i =>
+      s"SELECT $i AS merge_idx, p1, p2, p1 || p2 AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+    sb.append("\n" + branches.mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx"))
+    sb.toString()
+  }
+}

@@ -22,23 +22,27 @@ object Decontam {
   /** Per-training-doc count of distinct n-grams shared with ANY benchmark
     * document. Every training doc appears (zero-overlap docs carry 0), so
     * downstream gates can filter `contaminated` without re-scanning.
+    *
+    * One pass over the corpus: explode_outer keeps gram-less docs (shorter
+    * than n words) as a null-gram row, the broadcast left join marks hits,
+    * and a single map-side-combinable aggregation produces the verdict —
+    * no second scan or join-back of the training side.
     */
   def ngramOverlap(train: DataFrame, bench: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 4): DataFrame = {
     val trainGrams = train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), explode_outer(Dedup.shingles(col(textCol), n)).as("g"))
       .select(col(idCol), Dedup.md5Long(col("g")).as("gh"))
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(Dedup.md5Long(col("g")).as("gh"))
       .distinct()
-    val hits = trainGrams.join(broadcast(benchGrams), "gh")
+      .withColumn("hit", lit(1))
+    trainGrams.join(broadcast(benchGrams), Seq("gh"), "left_outer")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
-    train.select(col(idCol))
-      .join(hits, Seq(idCol), "left_outer")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
       .select(col(idCol),
-        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
-        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+        col("n_hits").as("n_contaminated_ngrams"),
+        (col("n_hits") > 0L).as("contaminated"))
   }
 }

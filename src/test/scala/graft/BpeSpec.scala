@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pair counts weight by word frequency") {
+    // "ab" x3, "ba" x1 -> pairs: (a,b)=3, (b,a)=1
+    val docs = Seq((1L, "ab ab ba"), (2L, "ab")).toDF("doc_id", "text")
+    val wf = Bpe.wordFreq(docs).select(Bpe.toSymbols(col("word")).as("sym"), col("freq"))
+    val got = Bpe.pairCounts(wf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "b") -> 3L, ("b", "a") -> 1L))
+  }
+
+  test("merge application is greedy left-to-right, non-overlapping (aaa case)") {
+    // word "aaa": pairs (a,a)=2 -> merge (a,a); applying to ' a a a '
+    // must yield ' aa a ' (NOT ' aa aa ' or ' a aa '), so round 2 sees
+    // (aa,a)=1
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges(0) == ((1, "a", "a", 2L)))
+    assert(merges(1) == ((2, "aa", "a", 1L)))
+  }
+
+  test("ties break by (count DESC, p1 ASC, p2 ASC)") {
+    // "xy" and "xz" both once: (x,y)=1 (x,z)=1 -> (x,y) wins on p2
+    val docs = Seq((1L, "xy xz")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, nMerges = 1).collect().head
+    assert((m.getString(1), m.getString(2)) == (("x", "y")))
+  }
+
+  test("learned merges chain into multi-character tokens") {
+    // "abab" x2: (a,b)=4 -> ab; then ' ab ab ' -> (ab,ab)=2 -> abab
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 2).collect()
+      .map(r => (r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(("ab", 4L), ("abab", 2L)))
+  }
+}

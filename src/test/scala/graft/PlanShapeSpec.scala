@@ -110,4 +110,45 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}")
     }
   }
+
+  test("NOT IN subquery: null-aware broadcast anti join, no nested loop") {
+    withoutAqe {
+      val p = planOf(SparkEntry.queries("subquery_not_in_region")(spark, sfDir))
+      val anti = p.collect { case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j }
+      assert(anti.size == 1,
+        "single-column NOT IN must compile to a null-aware broadcast HASH anti join " +
+          s"(nested-loop would scan the build side per row); plan:\n$p")
+      assert(p.collect { case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }.isEmpty)
+    }
+  }
+
+  test("disjunctive mixed-side predicate: per-side OR branches pushed into both scans") {
+    withoutAqe {
+      val p = planOf(SparkEntry.queries("join_disjunctive_pricing")(spark, sfDir))
+      val scans = p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      // CNF extraction: the part scan must pre-filter on the brand/size OR,
+      // the lineitem scan on the quantity-range OR — neither side may read
+      // its full table just to throw rows away at the join
+      assert(scans.exists(f => f.output.exists(_.name == "p_brand") &&
+          f.dataFilters.exists(_.toString.contains("Brand#12"))),
+        "brand OR-branch filter must reach the part scan")
+      assert(scans.exists(f => f.output.exists(_.name == "l_quantity") &&
+          f.dataFilters.exists(_.toString.contains("l_quantity"))),
+        "quantity OR-branch filter must reach the lineitem scan")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        "part side must broadcast")
+    }
+  }
+
+  test("stream-static enrich: dim broadcast; aggregation combines map-side before its shuffle") {
+    withoutAqe {
+      val p = planOf(graft.streaming.StreamEnrich.hourlyBySegment(
+        Tables.events(spark, sfDir), Tables.customer(spark, sfDir)))
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.size == 1,
+        "customer dim must broadcast — the event stream never shuffles for the join")
+      val aggs = p.collect { case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+      assert(aggs.size == 2, "partial + final hash aggregate expected")
+      assert(shuffles(p) == 1, s"only the groupBy shuffle expected, got ${shuffles(p)}")
+    }
+  }
 }
