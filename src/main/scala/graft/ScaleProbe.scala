@@ -180,5 +180,20 @@ object ScaleProbe extends App {
     graft.operators.AsOfJoin.asOf(left.toDF(), right.toDF(),
       "k", "rk", "t", "rt", Seq("payload"), "payload", direction = "forward").count()
   }
+  // Bigram LM at 100k docs (~5M bigrams): the model tables stay dictionary
+  // -sized and broadcast; the corpus side is one map-side pass + one
+  // per-doc aggregation.
+  t("bigram LM train+score (100k docs)") {
+    graft.operators.LangModel.scoreHeldOut(
+      bigDocs.filter(col("doc_id") % 10 === 0),
+      bigDocs.filter(col("doc_id") % 10 === 5))
+      .write.format("noop").mode("overwrite").save()
+  }
+  // BPE training at 100k docs: the corpus collapses to word-freq once;
+  // iterations run on the constant-size dictionary regardless of corpus
+  // rows (this probe's vocabulary is the fixture's ~40 words).
+  t("BPE train 4 merges (100k docs)") {
+    graft.operators.Bpe.train(bigDocs, nMerges = 4).count()
+  }
   spark.stop()
 }

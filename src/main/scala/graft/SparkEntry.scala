@@ -1219,6 +1219,11 @@ object SparkEntry {
     // replays the unrolled training loop (Bpe.oracleSql)
     "text_bpe_merges" -> ((s, d) =>
       graft.operators.Bpe.train(par(s, docs(s, d)), nMerges = 4)),
+    // BPE encode with the learned merges: per-doc token/char counts — the
+    // sequence-length statistic the packing stage consumes
+    "text_bpe_token_counts" -> ((s, d) =>
+      graft.operators.Bpe.trainAndEncode(par(s, docs(s, d)), nMerges = 4)
+        .orderBy(col("doc_id"))),
     // trailing-window anomaly detection on the event stream: hourly counts
     // vs their own trailing-24h mean (exact integer counts; the mean's
     // single double division is IEEE-identical in both engines)
@@ -2181,6 +2186,7 @@ object SparkEntry {
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "text_bpe_merges" -> graft.operators.Bpe.oracleSql(4),
+      "text_bpe_token_counts" -> graft.operators.Bpe.encodeOracleSql(4),
       "events_hourly_anomaly" ->
         """WITH hourly AS (
           |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -107,29 +107,78 @@ object Bpe {
         StructField("pair_count", LongType, nullable = false))))
   }
 
+  /** Encode: apply an ordered merge list to the corpus and report each
+    * document's BPE token count next to its character count — the
+    * sequence-length statistic a packing/batching stage consumes. The
+    * merge table is tiny and applied as chained per-row folds; the only
+    * shuffle is the per-doc aggregation (word-level token counts could
+    * also come from a broadcast dictionary join — chained folds keep the
+    * whole encode map-side and stateless). */
+  def encodeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sym = merges.foldLeft(toSymbols(col("word"))) {
+      case (s, (p1, p2)) => applyMerge(s, p1, p2)
+    }
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), size(split(sym, " ")).as("n_tok"),
+        length(col("word")).as("n_chr"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tok")).as("n_tokens"), sum(col("n_chr")).as("n_chars"))
+  }
+
+  /** [[train]] + [[encodeTokenCounts]] in one call (merges re-derived from
+    * the same corpus — the self-contained form the oracle mirrors). */
+  def trainAndEncode(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val merges = train(docs, nMerges, textCol).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeTokenCounts(docs, merges, textCol, idCol)
+  }
+
   /** Unrolled DuckDB mirror of [[train]] for `nMerges` iterations over
     * `documents.text` — each iteration re-derives the top pair from the
     * previous dictionary state and applies the same left-fold merge. */
-  def oracleSql(nMerges: Int): String = {
+  def oracleSql(nMerges: Int): String =
+    cteChain(nMerges, buildLast = false) + "\n" +
+      (1 to nMerges)
+        .map(i => s"SELECT $i AS merge_idx, p1, p2, p1 || p2 AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx")
+
+  /** Unrolled DuckDB mirror of [[trainAndEncode]]: re-derives the merges,
+    * applies ALL of them to the word dictionary, then joins the corpus
+    * words back for per-doc token/char totals. */
+  def encodeOracleSql(nMerges: Int): String =
+    cteChain(nMerges, buildLast = true) + s"""
+      |SELECT doc_id, CAST(SUM(len(string_split(d.sym, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(w.word)) AS BIGINT) AS n_chars
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+      |JOIN wf$nMerges d ON w.word = d.word
+      |WHERE w.word <> ''
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain: wf0 (word, freq, sym) .. plus m1..mN picks and the
+    * fold states needed (all N states when `buildLast`). */
+  private def cteChain(nMerges: Int, buildLast: Boolean): String = {
     def pairsOf(wfRel: String): String =
       s"""SELECT w[i] AS p1, w[i+1] AS p2, SUM(freq) AS cnt
          |    FROM (SELECT string_split(sym, ' ') AS w, freq FROM $wfRel),
          |         unnest(range(1, len(w))) AS t(i)
          |    GROUP BY p1, p2""".stripMargin
     def foldOf(prev: String, m: String): String =
-      s"""SELECT CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym ELSE
+      s"""SELECT word, freq, CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym ELSE
          |    list_reduce(string_split(sym, ' '), (acc, x) ->
          |      CASE WHEN regexp_extract(acc, '[^ ]+$$') = $m.p1 AND x = $m.p2 THEN
          |        CASE WHEN acc = $m.p1 THEN $m.p1 || $m.p2
          |             ELSE substring(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]+$$')) - 1) || ' ' || $m.p1 || $m.p2 END
          |      ELSE acc || ' ' || x END)
-         |    END AS sym, freq
+         |    END AS sym
          |  FROM $prev CROSS JOIN $m""".stripMargin
     val sb = new StringBuilder
     sb.append(
       """WITH wf0 AS (
-        |  SELECT array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ') AS sym,
-        |         freq
+        |  SELECT word, freq,
+        |         array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ') AS sym
         |  FROM (SELECT word, COUNT(*) AS freq
         |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |        WHERE word <> '' GROUP BY word))""".stripMargin)
@@ -139,13 +188,10 @@ object Bpe {
         |  SELECT p1, p2, cnt FROM (
         |    ${pairsOf(s"wf${i - 1}")})
         |  ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1)""".stripMargin)
-      if (i < nMerges) sb.append(s""",
+      if (i < nMerges || buildLast) sb.append(s""",
         |wf$i AS (
         |  ${foldOf(s"wf${i - 1}", s"m$i")})""".stripMargin)
     }
-    val branches = (1 to nMerges).map(i =>
-      s"SELECT $i AS merge_idx, p1, p2, p1 || p2 AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
-    sb.append("\n" + branches.mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx"))
     sb.toString()
   }
 }

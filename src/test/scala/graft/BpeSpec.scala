@@ -40,4 +40,23 @@ class BpeSpec extends SparkSpecBase {
       .map(r => (r.getString(3), r.getLong(4)))
     assert(merges.toSeq == Seq(("ab", 4L), ("abab", 2L)))
   }
+
+  test("encode reports post-merge token counts per document") {
+    val docs = Seq((1L, "abab cd"), (2L, "abab abab")).toDF("doc_id", "text")
+    // trained on this corpus (2 merges): ab then abab; doc1 = [abab]=1 tok
+    // + [c,d]=2 toks (cd merges only if learned; (c,d)=1 < (ab,ab)=3);
+    // doc2 = 2 words x 1 tok
+    val got = Bpe.trainAndEncode(docs, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 6L), (2L, 2L, 8L)))
+  }
+
+  test("a run of repeats merges canonically within one iteration (aaaa case)") {
+    // [a,a,a,a] under (a,a): left fold gives [aa,aa] — the new token never
+    // pairs with the symbol that created it in the same pass
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Bpe.trainAndEncode(docs, nMerges = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 4L)))
+  }
 }

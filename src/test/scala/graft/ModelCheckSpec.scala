@@ -148,4 +148,55 @@ class ModelCheckSpec extends SparkSpecBase {
       assert(got == model, s"trial $trial")
     }
   }
+
+  test("bigram LM scoring equals the in-memory model on random corpora (5 trials)") {
+    val vocab = Array("a", "b", "c", "d", "e")
+    def mkDocs(n: Int, from: Int) = (0 until n).map { i =>
+      ((from + i).toLong, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    for (trial <- 1 to 5) {
+      val train = mkDocs(20, 0)
+      val held = mkDocs(10, 100)
+      val got = graft.operators.LangModel
+        .scoreHeldOut(train.toDF("doc_id", "text"), held.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // model
+      def bigrams(t: String) = { val w = t.split(" "); w.init.zip(w.tail) }
+      val c12 = train.flatMap(d => bigrams(d._2)).groupBy(identity).view.mapValues(_.size).toMap
+      val c1 = train.flatMap(d => bigrams(d._2)).groupBy(_._1).view.mapValues(_.size).toMap
+      val v = train.flatMap(_._2.split(" ")).distinct.size
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      val model = held.map { case (id, t) =>
+        val bs = bigrams(t)
+        val lps = bs.map(b => r6(math.log((c12.getOrElse(b, 0) + 1.0) / (c1.getOrElse(b._1, 0) + v))))
+        id -> ((bs.length.toLong, lps.sum / bs.length))
+      }.toMap
+      for ((id, (n, s)) <- model) {
+        assert(got(id)._1 == n, s"trial $trial doc $id n")
+        assert(math.abs(got(id)._2 - s) < 1e-9, s"trial $trial doc $id score")
+      }
+    }
+  }
+
+  test("LOO 1-NN accuracy equals the exhaustive model on random vectors (5 trials)") {
+    for (trial <- 1 to 5) {
+      val dim = 4
+      val rows = (0 until 60).map { i =>
+        (i.toLong, Array.fill(dim)((rnd.nextInt(20) / 10.0f) - 1.0f), rnd.nextInt(3))
+      }
+      val got = graft.operators.KnnClassify
+        .looAccuracy(rows.toDF("vec_id", "embedding", "label"), dim, queryMod = 5L)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      def d2(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      val model = rows.filter(_._1 % 5 == 0).map { case (qid, qe, qlabel) =>
+        val nn = rows.filter(_._1 != qid)
+          .minBy(r => (d2(qe, r._2), r._1))
+        (qlabel, nn._3 == qlabel)
+      }.groupBy(_._1).map { case (l, xs) =>
+        (l, xs.size.toLong, xs.count(_._2).toLong)
+      }.toSet
+      assert(got == model, s"trial $trial")
+    }
+  }
 }
