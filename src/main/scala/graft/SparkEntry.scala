@@ -482,6 +482,19 @@ object SparkEntry {
         .filter(pmod(Dedup.md5Int32(col("doc_id").cast("string")), lit(100)) < 10)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    // deterministic weighted Bernoulli (importance) sampling: per-row keep
+    // probability from a quality proxy, accepted by hash threshold — the
+    // same md5 gate as hashmod sampling but with a CONTINUOUS per-row
+    // rate. Reproducible across runs/engines (no RNG state), and embar-
+    // rassingly parallel: one codegen'd pass, zero shuffles before sort
+    "sample_weighted_bernoulli" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          least(col("n_chars") / 500.0, lit(1.0)).as("p"),
+          pmod(Dedup.md5Int32(col("doc_id").cast("string")), lit(1048576L)).as("h"))
+        .filter(col("h") < col("p") * 1048576.0)
+        .select(col("doc_id"), col("p"))
+        .orderBy(col("doc_id"))),
     "dedup_jaccard_pairs" -> ((s, d) => {
       val ws = docs(s, d).filter(col("doc_id") % 100 === 0)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
@@ -1620,6 +1633,12 @@ object SparkEntry {
       },
       "sample_documents_hashmod" ->
         "SELECT doc_id, n_chars FROM documents WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10 ORDER BY doc_id",
+      "sample_weighted_bernoulli" ->
+        s"""SELECT doc_id, p FROM (
+           |  SELECT doc_id, LEAST(n_chars / 500.0, 1.0) AS p,
+           |    (${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS h
+           |  FROM documents)
+           |WHERE h < p * 1048576.0 ORDER BY doc_id""".stripMargin,
       "dedup_jaccard_pairs" ->
         """SELECT id_a, id_b, jac FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -78,6 +78,11 @@ object Bpe {
     var wf = wordFreq(docs, textCol)
       .select(toSymbols(col("word")).as("sym"), col("freq"))
       .cache()
+    // each iteration's state is a |vocab|-row dictionary — keep the whole
+    // cache chain (bytes, not gigabytes) and drop it once at the end, so
+    // every iteration is exactly ONE job (the pair-count argmax)
+    val states = Seq.newBuilder[DataFrame]
+    states += wf
     val merges = Seq.newBuilder[Merge]
     try {
       for (i <- 1 to nMerges) {
@@ -87,14 +92,11 @@ object Bpe {
         if (top.nonEmpty) {
           val Row(p1: String, p2: String, cnt: Long) = top.head
           merges += Merge(i, p1, p2, cnt)
-          val next = wf.select(
-            applyMerge(col("sym"), p1, p2).as("sym"), col("freq")).cache()
-          next.count() // materialize before unpersisting the parent
-          wf.unpersist()
-          wf = next
+          wf = wf.select(applyMerge(col("sym"), p1, p2).as("sym"), col("freq")).cache()
+          states += wf
         }
       }
-    } finally wf.unpersist()
+    } finally states.result().foreach(_.unpersist())
     val rows = merges.result().map(m =>
       Row(m.idx, m.p1, m.p2, m.p1 + m.p2, m.cnt))
     spark.createDataFrame(
@@ -119,10 +121,15 @@ object Bpe {
     val sym = merges.foldLeft(toSymbols(col("word"))) {
       case (s, (p1, p2)) => applyMerge(s, p1, p2)
     }
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-      .select(col(idCol), size(split(sym, " ")).as("n_tok"),
+    // fold over the DICTIONARY (|vocab| rows), not the corpus occurrences —
+    // the corpus side only pays a broadcast hash probe per word
+    val dict = words.select(col("word")).distinct()
+      .select(col("word"), size(split(sym, " ")).as("n_tok"),
         length(col("word")).as("n_chr"))
+    words.join(broadcast(dict), "word")
       .groupBy(col(idCol))
       .agg(sum(col("n_tok")).as("n_tokens"), sum(col("n_chr")).as("n_chars"))
   }
