@@ -59,4 +59,14 @@ class BpeSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 4L)))
   }
+
+  test("corpus with no adjacent pairs trains zero merges; encode still counts tokens") {
+    // every word is a single char -> no pairs -> empty merge table; the
+    // nMerges=3 request must not loop or throw
+    val docs = Seq((1L, "a b c"), (2L, "d")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, nMerges = 3).collect().isEmpty)
+    val enc = Bpe.trainAndEncode(docs, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(enc == Set((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
 }

@@ -22,6 +22,13 @@ class KnnClassifySpec extends SparkSpecBase {
     assert(got == Set((1, 1L, 1L), (2, 1L, 1L), (3, 1L, 0L)))
   }
 
+  test("no rows pass the query gate -> empty result, no failure") {
+    val db = Seq((1L, Array(0.0f), 7), (3L, Array(1.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    // queryMod 2 matches no odd ids
+    assert(KnnClassify.looAccuracy(db, dim = 1, queryMod = 2L).collect().isEmpty)
+  }
+
   test("distance ties break by ascending vec_id") {
     // 1 and 2 are equidistant from 0; the lower id (1, label 7) must win
     val db = Seq(

@@ -26,6 +26,13 @@ class LangModelSpec extends SparkSpecBase {
     assert(math.abs(rows.head.getDouble(2) - expect) < 2e-6)
   }
 
+  test("single-word held-out docs produce no bigrams and drop out cleanly") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val held = Seq((10L, "solo"), (11L, "a b")).toDF("doc_id", "text")
+    val ids = LangModel.scoreHeldOut(train, held).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L))
+  }
+
   test("unseen-everything document scores ln(1/V) per bigram") {
     val train = Seq((1L, "a b c")).toDF("doc_id", "text")
     val held = Seq((10L, "p q r")).toDF("doc_id", "text")

@@ -66,4 +66,32 @@ class PropertySpec extends SparkSpecBase {
     }
     check(p, "cellOf totality")
   }
+
+  test("BPE merge fold equals the canonical in-memory merge on random symbol runs") {
+    import spark.implicits._
+    // adversarial alphabet: single chars plus tokens that LOOK like merge
+    // results ("aa", "ab"), driving the sentinel/last-symbol logic hard
+    val symGen = Gen.oneOf("a", "b", "c", "aa", "ab")
+    val seqGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, symGen))
+    val pairGen = for (p1 <- symGen; p2 <- symGen) yield (p1, p2)
+    def model(syms: List[String], p1: String, p2: String): List[String] =
+      syms.tail.foldLeft(List(syms.head)) { (acc, x) =>
+        if (acc.last == p1 && x == p2) acc.init :+ (p1 + p2)
+        else acc :+ x
+      }
+    val cases = Gen.listOfN(120, seqGen.flatMap(s => pairGen.map((s, _)))).sample.get
+    val df = cases.zipWithIndex
+      .map { case ((syms, _), i) => (i.toLong, syms.mkString(" ")) }
+      .toDF("case_id", "sym")
+    // one Spark pass per distinct pair, applied only to its own cases
+    val got = cases.zipWithIndex.groupBy(_._1._2).toSeq.flatMap { case ((p1, p2), grp) =>
+      val ids = grp.map(_._2.toLong)
+      df.filter(col("case_id").isin(ids: _*))
+        .select(col("case_id"), graft.operators.Bpe.applyMerge(col("sym"), p1, p2).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    }.toMap
+    for (((syms, (p1, p2)), i) <- cases.zipWithIndex)
+      assert(got(i.toLong) == model(syms, p1, p2).mkString(" "),
+        s"case $i: syms=$syms pair=($p1,$p2)")
+  }
 }
