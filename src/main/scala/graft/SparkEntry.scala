@@ -515,6 +515,28 @@ object SparkEntry {
       val cents = Ann.sampleCentroids(db, 16)
       Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
     }),
+    // recall@k of the IVF index against exact brute force, per query of a
+    // held-out sample — the accuracy/productivity dial every ANN deploy
+    // monitors (rows-only: centroids are data-derived). Both arms share
+    // one scan lineage; the overlap join is on ≤ |q|·k rows.
+    "ann_ivf_recall" -> ((s, d) => {
+      val db = emb(s, d)
+      val q = db.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Ann.sampleCentroids(db, 16)
+      val approx = Ann.ivfJoin(q, Ann.assign(db, cents), cents, k = K, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val exact = KnnJoin.join(q, db, K, Dim)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      val hits = approx.join(exact,
+          col("query_id") === col("eq") && col("vec_id") === col("ev"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(K.toDouble)).as("recall_at_k"))
+        .orderBy(col("query_id"))
+    }),
     // batch ANN join: every query probes its nprobe nearest IVF cells
     // (approximate by construction; recall pinned in AnnLloydSpec → rows-only)
     "ann_ivf_join" -> ((s, d) => {
