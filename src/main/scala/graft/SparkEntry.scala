@@ -1248,6 +1248,22 @@ object SparkEntry {
       graft.streaming.StreamEnrich.hourlyBySegment(
           Tables.events(s, d), Tables.customer(s, d))
         .orderBy(col("c_mktsegment"), col("hour_start"))),
+    // inverted-index postings (lexical retrieval index — the text sibling
+    // of the Grid cell index): word → sorted posting list + df. Lists
+    // sort AFTER collection (collect_set order is partition-dependent)
+    "text_inverted_postings" -> ((s, d) =>
+      TextAnalysis.invertedPostings(
+          par(s, docs(s, d).filter(col("doc_id") % 10 === 0)), minDf = 2)
+        .select(col("w"), col("df"),
+          concat_ws(",", transform(col("doc_ids"), i => i.cast("string"))).as("postings"))
+        .orderBy(col("w"))),
+    // Okapi BM25 ranking for a fixed query-term bag: corpus stats reduce
+    // to broadcast scalars, scoring is one codegen'd pass + distributed
+    // top-k. Scores rounded before ranking so sub-ulp ln() drift can't
+    // flip the cross-engine order
+    "text_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(par(s, docs(s, d)),
+        terms = Seq("spark", "table", "query"), k = K)),
     // BPE tokenizer training (vocabulary learning): corpus → word-freq
     // table (the one corpus-scale shuffle) → iterative weighted pair
     // merges on the compact dictionary. Fully oracle-checked — DuckDB
@@ -2226,6 +2242,36 @@ object SparkEntry {
           |  COUNT(*) AS n, CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS v_sum
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "text_inverted_postings" ->
+        """SELECT w, COUNT(*) AS df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+          |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+          |      FROM documents WHERE doc_id % 10 = 0)
+          |GROUP BY w HAVING COUNT(*) >= 2 ORDER BY w""".stripMargin,
+      "text_bm25_topk" -> {
+        val terms = Seq("spark", "table", "query")
+        val k1 = 1.2; val b = 0.75
+        def tf(t: String) =
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS DOUBLE)"
+        val termExprs = terms.zipWithIndex.map { case (t, i) =>
+          s"""LN((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+             | * (${tf(t)} * ${DuckSql.fmt(k1 + 1.0)})
+             | / (${tf(t)} + ${DuckSql.fmt(k1)} * (${DuckSql.fmt(1.0 - b)} + ${DuckSql.fmt(b)} * dl / avgdl))"""
+            .stripMargin.replace("\n", "")
+        }
+        val dfSelects = terms.zipWithIndex.map { case (t, i) =>
+          s"SUM(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS df_$i"
+        }.mkString(", ")
+        s"""WITH stats AS (
+           |  SELECT COUNT(*) AS n_docs,
+           |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+           |  FROM documents),
+           |dfs AS (SELECT $dfSelects FROM documents)
+           |SELECT doc_id, ROUND(${termExprs.mkString(" + ")}, 6) AS bm25
+           |FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           |      FROM documents) d
+           |CROSS JOIN stats CROSS JOIN dfs
+           |ORDER BY bm25 DESC, doc_id ASC LIMIT $K""".stripMargin
+      },
       "text_bpe_merges" -> graft.operators.Bpe.oracleSql(4),
       "text_bpe_token_counts" -> graft.operators.Bpe.encodeOracleSql(4),
       "events_hourly_anomaly" ->

@@ -181,4 +181,55 @@ object TextAnalysis {
       nStopwords(col(textCol)).as("n_stopwords"),
       langIdHeuristic(col(textCol)).as("lang_pred"),
       fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Inverted-index postings for the corpus: (w, df, doc_ids) per word
+    * with document frequency ≥ `minDf` — the lexical-retrieval index
+    * structure (the text sibling of the Grid cell index). One explode +
+    * one per-word aggregation; posting lists sort AFTER collection
+    * (collect_set order is partition-dependent, array_sort restores the
+    * deterministic contract). At 100 TB, high-df words are the skew risk —
+    * cap or tier them the way `Freq` heavy-hitters are handled. */
+  def invertedPostings(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minDf: Int = 2): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(words(col(textCol)))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        array_sort(collect_set(col(idCol))).as("doc_ids"))
+      .filter(col("df") >= minDf)
+
+  /** Okapi BM25 top-k for a fixed bag of query terms. Corpus statistics
+    * (N, avgdl, per-term df) reduce to scalars/tiny tables; scoring is a
+    * single pass over the corpus — per-term tf via a codegen'd array
+    * filter, the k1/b saturation formula in fixed term order (so IEEE
+    * addition associates identically in the DuckDB oracle), then a
+    * distributed top-k. Scores are rounded to 6 decimals BEFORE ranking so
+    * sub-ulp ln() differences between engines cannot flip the order
+    * (doc_id breaks residual ties). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = words(col(textCol))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(nWords(col(textCol)).cast("long")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(ws, t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val dfAgg = docs.agg(dfCols.head, dfCols.tail: _*)
+    val scored = docs
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfAgg))
+      .withColumn("dl", nWords(col(textCol)).cast("double"))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(ws, w => w === t)).cast("double")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
 }
