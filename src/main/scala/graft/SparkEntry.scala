@@ -576,6 +576,14 @@ object SparkEntry {
     // UTF-8 payload equals DuckDB's md5 of the source text)
     "media_dedup_exact" -> ((s, d) =>
       Multimodal.dedupExactGroups(Multimodal.mediaFromDocuments(par(s, docs(s, d))))),
+    // video frame-sampling plan: stride-spaced frame indices per video
+    // payload (the fan-out manifest a decode stage consumes; decode itself
+    // is the documented stub — rows-only check on the JVM-side plumbing)
+    "media_frame_sample_plan" -> ((s, d) =>
+      Multimodal.frameSamplePlan(
+          Multimodal.extractFeatures(Multimodal.mediaFromDocuments(par(s, docs(s, d)))),
+          stride = 10)
+        .orderBy(col("media_id"), col("frame_idx"))),
     // --- streaming-equivalent windowed aggregation (window() function; the
     // streaming variant with watermark runs in StreamingSpec)
     "stream_window_agg" -> ((s, d) =>
@@ -1241,6 +1249,26 @@ object SparkEntry {
     "knn_classify_loo" -> ((s, d) =>
       graft.operators.KnnClassify.looAccuracy(emb(s, d), Dim, queryMod = 20L)
         .orderBy(col("label"))),
+    // hard-negative mining for contrastive training: each anchor's nearest
+    // neighbor with a DIFFERENT label — same broadcast + windowed-argmin
+    // kernel as the LOO eval, with the label-inequality predicate pushed
+    // below the rank so k survivors are true negatives
+    "knn_hard_negatives" -> ((s, d) => {
+      val db = emb(s, d)
+      val q = db.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)
+      db.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("vid"),
+          col("label").as("neg_label"),
+          Distances.squaredL2Cols(col("qe"), col("embedding"), Dim).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vid").as("hard_negative_id"),
+          col("neg_label"), col("dist"))
+        .orderBy(col("qid"))
+    }),
     // stream-static enrichment: events × broadcast customer dim → hourly
     // windowed aggregation per segment (streaming form ≡ batch, proven in
     // StreamEnrichSpec)
@@ -2225,6 +2253,17 @@ object SparkEntry {
            |    / (1000000.0 * COUNT(*)) AS centroid
            |FROM embeddings, unnest(range(0, $Dim)) AS t(i)
            |GROUP BY label, i ORDER BY label, i""".stripMargin,
+      "knn_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+           |           FROM embeddings WHERE vec_id % 20 = 0),
+           |pairs AS (
+           |  SELECT q.qid, e.vec_id AS vid, e.label AS neg_label,
+           |    ${DuckSql.squaredL2Cols("q.qe", s"e.$e", Dim)} AS dist
+           |  FROM q, embeddings e WHERE e.label <> q.qlabel),
+           |best AS (SELECT qid, vid, neg_label, dist,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM pairs)
+           |SELECT qid, vid AS hard_negative_id, neg_label, dist
+           |FROM best WHERE rn = 1 ORDER BY qid""".stripMargin,
       "knn_classify_loo" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
            |           FROM embeddings WHERE vec_id % 20 = 0),
