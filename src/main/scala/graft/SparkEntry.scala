@@ -505,6 +505,13 @@ object SparkEntry {
         .filter(col("jac") >= 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // EXACT set-similarity join via prefix filtering (PPJoin family): all
+    // Jaccard ≥ t pairs with recall 1, no cross product — the exact
+    // counterpart of the LSH near-dup path. Oracle = the brute O(n²) form
+    "dedup_prefix_filter_pairs" -> ((s, d) =>
+      graft.operators.SetSimJoin.jaccardJoin(
+          par(s, docs(s, d).filter(col("doc_id") % 20 === 0)), t = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     // --- ANN scale path (north star): IVF probe + vector-LSH near-dup
     // ivf: approximate by construction at nprobe<nCentroids but fully
     // deterministic; driver records a rows-only check (no oracle SQL —
@@ -1713,6 +1720,16 @@ object SparkEntry {
           |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 100 = 0) b
           |    ON a.doc_id < b.doc_id
           |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+      // oracle for the prefix-filter join IS the brute form — exactness of
+      // the candidate pruning is the claim under test
+      "dedup_prefix_filter_pairs" ->
+        """SELECT id_a, id_b, jac FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(a.wset, b.wset))) AS DOUBLE) AS jac
+          |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 20 = 0) a
+          |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 20 = 0) b
+          |    ON a.doc_id < b.doc_id
+          |) WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
       "ann_lsh_neardup" -> {
         // Band sig = Σ 2^j over the band's planes with dot(v, plane_j) >= 0
         // (j is the LOCAL bit index, matching Ann.lshSignature on the plane
