@@ -703,6 +703,23 @@ object SparkEntry {
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
+    // winsorized aggregation: clamp to the [p05, p95] percentile band
+    // before summing — the outlier-robust revenue rollup. Bounds are a
+    // scalar agg broadcast to the clamp pass; they round to whole dollars
+    // (floor/ceil — exact in both engines) so the decimal-exact sum stays
+    // engine-portable even though interpolated percentiles are not
+    "agg_winsorized_monthly" -> ((s, d) => {
+      val bounds = Tables.orders(s, d).agg(
+        floor(percentile(col("o_totalprice"), lit(0.05))).as("lo"),
+        ceil(percentile(col("o_totalprice"), lit(0.95))).as("hi"))
+      Tables.orders(s, d).crossJoin(broadcast(bounds))
+        .select(col("o_orderdate"),
+          greatest(col("lo"), least(col("hi"), col("o_totalprice"))).as("wp"))
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(count(lit(1)).as("n"), dsum(col("wp")).as("total_winsorized"))
+        .orderBy(col("ym"))
+    }),
     // fixed-width histogram: one scan, integer bucket arithmetic
     "agg_histogram_prices" -> ((s, d) =>
       Tables.orders(s, d)
@@ -1299,6 +1316,27 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25TopK(par(s, docs(s, d)),
         terms = Seq("spark", "table", "query"), k = K)),
+    // Zipf slope of the corpus term-frequency distribution: least-squares
+    // fit of ln(freq) ~ ln(rank) over the top-100 terms — the healthiness
+    // statistic of a text corpus (natural text ≈ -1). Per-term lns are
+    // decimal-quantized BEFORE the power sums so the fit is exact integer
+    // arithmetic until one final double division
+    "text_zipf_slope" -> ((s, d) => {
+      val ranked = TextAnalysis.topVocab(par(s, docs(s, d)), v = 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("w").asc)))
+      val q = ranked.select(
+        round(log(col("rank").cast("double")), 6).cast(DecimalType(18, 6)).as("x"),
+        round(log(col("c").cast("double")), 6).cast(DecimalType(18, 6)).as("y"))
+      q.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+            / (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")))
+            .as("zipf_slope"))
+    }),
     // BPE tokenizer training (vocabulary learning): corpus → word-freq
     // table (the one corpus-scale shuffle) → iterative weighted pair
     // merges on the compact dictionary. Fully oracle-checked — DuckDB
@@ -2298,6 +2336,30 @@ object SparkEntry {
           |  COUNT(*) AS n, CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS v_sum
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "agg_winsorized_monthly" ->
+        """WITH bounds AS (
+          |  SELECT FLOOR(quantile_cont(o_totalprice, 0.05)) AS lo,
+          |         CEIL(quantile_cont(o_totalprice, 0.95)) AS hi
+          |  FROM orders)
+          |SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(GREATEST(lo, LEAST(hi, o_totalprice)) AS DECIMAL(18,2))) AS DOUBLE) AS total_winsorized
+          |FROM orders CROSS JOIN bounds
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "text_zipf_slope" ->
+        """WITH tv AS (
+          |  SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank FROM (
+          |    SELECT w, COUNT(*) AS c FROM (
+          |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |    GROUP BY w ORDER BY c DESC, w ASC LIMIT 100)),
+          |q AS (
+          |  SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+          |         CAST(ROUND(LN(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          |  FROM tv)
+          |SELECT COUNT(*) AS n,
+          |  (CAST(SUM(x * y) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+          |    / (CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS zipf_slope
+          |FROM q""".stripMargin,
       "text_inverted_postings" ->
         """SELECT w, COUNT(*) AS df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
           |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
