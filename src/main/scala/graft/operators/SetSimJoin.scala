@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * token — the bucket sizes are df-bounded), then exact Jaccard
   * verification only on candidates. Versus the O(n²) brute form, the
   * cross product never materializes; versus LSH, recall is exactly 1.
+  *
+  * Caveat: effectiveness depends on a heavy-tailed (Zipfian) vocabulary —
+  * prefix tokens are each set's RAREST, so bucket sizes track the low end
+  * of the df distribution. On a degenerate tiny-vocabulary corpus every
+  * token is frequent and candidate buckets approach the cross product;
+  * there the LSH path (approximate) or banded MinHash is the right tool.
   */
 object SetSimJoin {
 
