@@ -522,6 +522,17 @@ object SparkEntry {
       val cents = Ann.sampleCentroids(db, 16)
       Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
     }),
+    // FILTERED approximate search: the reference's filter-before-k
+    // contract (metadata predicate gates candidacy, k survivors — SURVEY
+    // §2.1 #2) carried onto the IVF path; the predicate prunes the
+    // assigned table before cell probing, so selective filters shrink the
+    // scan instead of post-filtering the top-k
+    "ann_ivf_filtered" -> ((s, d) => {
+      val db = emb(s, d)
+      val cents = Ann.sampleCentroids(db, 16)
+      Ann.search(Ann.assign(db, cents).filter(col("label") === 3),
+        cents, Q64, K, nprobe = 4)
+    }),
     // recall@k of the IVF index against exact brute force, per query of a
     // held-out sample — the accuracy/productivity dial every ANN deploy
     // monitors (rows-only: centroids are data-derived). Both arms share
