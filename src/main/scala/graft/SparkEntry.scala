@@ -714,6 +714,38 @@ object SparkEntry {
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
+    // period-over-period: monthly revenue with the same-month-last-year
+    // comparison (lag 12 over the aggregated series — the window runs on
+    // |months| rows, not the fact table)
+    "agg_yoy_revenue" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"))
+      monthly
+        .withColumn("prev_year_tot",
+          lag(col("tot"), 12).over(Window.orderBy(col("ym"))))
+        .select(col("ym"), col("tot").cast("double").as("total"),
+          col("prev_year_tot").cast("double").as("prev_year_total"),
+          (col("tot").cast("double") / col("prev_year_tot").cast("double") - 1.0)
+            .as("yoy_change"))
+        .orderBy(col("ym"))
+    }),
+    // percent-of-total (ratio-to-report): per-nation revenue share via an
+    // UNPARTITIONED window over the aggregated rollup — the window input
+    // is |nations| rows, so the single-partition frame is harmless
+    "window_revenue_share" -> ((s, d) => {
+      val byNation = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"))
+      byNation
+        .withColumn("grand", sum(col("tot")).over(Window.partitionBy()))
+        .select(col("n_name"), col("tot").cast("double").as("revenue"),
+          (col("tot").cast("double") / col("grand").cast("double")).as("share"))
+        .orderBy(col("n_name"))
+    }),
     // winsorized aggregation: clamp to the [p05, p95] percentile band
     // before summing — the outlier-robust revenue rollup. Bounds are a
     // scalar agg broadcast to the clamp pass; they round to whole dollars
@@ -2347,6 +2379,26 @@ object SparkEntry {
           |  COUNT(*) AS n, CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS v_sum
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "agg_yoy_revenue" ->
+        """WITH monthly AS (
+          |  SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+          |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+          |  FROM orders GROUP BY 1)
+          |SELECT ym, CAST(tot AS DOUBLE) AS total,
+          |  CAST(prev_year_tot AS DOUBLE) AS prev_year_total,
+          |  CAST(tot AS DOUBLE) / CAST(prev_year_tot AS DOUBLE) - 1.0 AS yoy_change
+          |FROM (SELECT ym, tot, LAG(tot, 12) OVER (ORDER BY ym) AS prev_year_tot FROM monthly)
+          |ORDER BY ym""".stripMargin,
+      "window_revenue_share" ->
+        """WITH by_nation AS (
+          |  SELECT n.n_name, SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS tot
+          |  FROM orders o
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |  GROUP BY n.n_name)
+          |SELECT n_name, CAST(tot AS DOUBLE) AS revenue,
+          |  CAST(tot AS DOUBLE) / CAST(SUM(tot) OVER () AS DOUBLE) AS share
+          |FROM by_nation ORDER BY n_name""".stripMargin,
       "agg_winsorized_monthly" ->
         """WITH bounds AS (
           |  SELECT FLOOR(quantile_cont(o_totalprice, 0.05)) AS lo,
