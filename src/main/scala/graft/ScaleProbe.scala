@@ -195,5 +195,11 @@ object ScaleProbe extends App {
   t("BPE train 4 merges (100k docs)") {
     graft.operators.Bpe.train(bigDocs, nMerges = 4).count()
   }
+  // BM25 at 100k docs: corpus stats collapse to broadcast scalars, then
+  // one codegen'd scoring pass + distributed top-k — linear in corpus.
+  t("BM25 top-10 (100k docs)") {
+    graft.operators.TextAnalysis.bm25TopK(
+      bigDocs, Seq("spark", "table", "query"), k = 10).count()
+  }
   spark.stop()
 }
