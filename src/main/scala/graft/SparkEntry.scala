@@ -522,6 +522,15 @@ object SparkEntry {
       val cents = Ann.sampleCentroids(db, 16)
       Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
     }),
+    // IVF with a FIXED literal codebook: same assignment/probe/scan
+    // algorithm as ann_ivf_topk but with compile-time centroids, which
+    // makes the WHOLE approximate path hash-checkable — DuckDB replays
+    // cell assignment (argmin over the literal codebook), the probe-cell
+    // choice (precomputed from the same constants), and the pruned scan
+    "ann_ivf_fixed_topk" -> ((s, d) => {
+      val cents = Planes16.take(8)
+      Ann.search(Ann.assign(emb(s, d), cents), cents, Q64, K, nprobe = 3)
+    }),
     // FILTERED approximate search: the reference's filter-before-k
     // contract (metadata predicate gates candidacy, k survivors — SURVEY
     // §2.1 #2) carried onto the IVF path; the predicate prunes the
@@ -1803,6 +1812,21 @@ object SparkEntry {
           |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
       // oracle for the prefix-filter join IS the brute form — exactness of
       // the candidate pruning is the claim under test
+      "ann_ivf_fixed_topk" -> {
+        val cents = Planes16.take(8)
+        // same driver-side probe ranking as Ann.search, over the same
+        // constants — the probe set is a compile-time literal in the SQL
+        val probe = cents.zipWithIndex
+          .map { case (c, j) => (graft.functions.Distances.squaredL2(Q64, c), j) }
+          .sortBy(identity).take(3).map(_._2 + 1) // 1-based for list_position
+        val dists = cents.map(c => DuckSql.squaredL2Lit(e, c)).mkString(",\n    ")
+        s"""SELECT vec_id, dist FROM (
+           |  SELECT vec_id, ${DuckSql.squaredL2Lit(e, Q64)} AS dist,
+           |    list_position(l, list_min(l)) AS cellp
+           |  FROM (SELECT vec_id, $e, [$dists] AS l FROM embeddings))
+           |WHERE cellp IN (${probe.mkString(", ")})
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
+      },
       "dedup_prefix_filter_pairs" ->
         """SELECT id_a, id_b, jac FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
