@@ -531,6 +531,20 @@ object SparkEntry {
       val cents = Planes16.take(8)
       Ann.search(Ann.assign(emb(s, d), cents), cents, Q64, K, nprobe = 3)
     }),
+    // PQ ADC scan with a FIXED literal codebook (8 subspaces × 8 entries
+    // from the Planes16 constants): encode argmin + lookup-table distance
+    // + top-k, ALL hash-checked — DuckDB replays the per-subspace argmin
+    // and the same literal lookup tables. The kmeans-trained PQ variant
+    // (ann_pq_topk) stays rows-only
+    "ann_pq_fixed_adc" -> ((s, d) => {
+      val model = FixedPqModel
+      val lut = graft.operators.Pq.adcTable(Q64, model)
+      graft.operators.Pq.encode(emb(s, d), model)
+        .select(col("vec_id"),
+          graft.operators.Pq.adcDist(col("pq_codes"), lut).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(K)
+    }),
     // FILTERED approximate search: the reference's filter-before-k
     // contract (metadata predicate gates candidacy, k survivors — SURVEY
     // §2.1 #2) carried onto the IVF path; the predicate prunes the
@@ -1427,6 +1441,14 @@ object SparkEntry {
     * decidedly non-empty, so the oracle hash exercises the distance path). */
   private val Radius = 2.0
 
+  /** Fixed literal PQ codebook for the hash-checked ADC query: subspace j
+    * entry c = dims [j·8, j·8+8) of plane c — compile-time constants in
+    * BOTH engines. */
+  private[graft] val FixedPqModel = graft.operators.Pq.PqModel(
+    m = 8, ksub = 8, dsub = 8,
+    codebooks = Array.tabulate(8)(j =>
+      Array.tabulate(8)(c => Planes16(c).slice(j * 8, (j + 1) * 8))))
+
   /** SQ8 quantization step for the fixture embedding range (~[-0.5, 0.5]). */
   private val SqScale = 0.005
 
@@ -1812,6 +1834,32 @@ object SparkEntry {
           |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
       // oracle for the prefix-filter join IS the brute form — exactness of
       // the candidate pruning is the claim under test
+      "ann_pq_fixed_adc" -> {
+        val model = FixedPqModel
+        val lut = graft.operators.Pq.adcTable(Q64, model)
+        // per-subspace distance of embedding dims [off, off+dsub) to a
+        // literal centroid — unrolled left-assoc like DuckSql.squaredL2Lit
+        def subDistSql(off: Int, cent: Array[Double]): String =
+          cent.indices.map { i =>
+            val dd = s"(CAST($e[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
+            s"($dd * $dd)"
+          }.mkString("(", " + ", ")")
+        val codeCols = (0 until model.m).map { j =>
+          val ds = (0 until model.ksub)
+            .map(c => subDistSql(j * model.dsub, model.codebooks(j)(c)))
+            .mkString("[", ",\n      ", "]")
+          s"list_position($ds, list_min($ds)) AS c$j"
+        }.mkString(",\n    ")
+        val adc = (0 until model.m).map { j =>
+          val row = lut(j).map(DuckSql.fmt).mkString("[", ", ", "]")
+          s"($row)[c$j]"
+        }.mkString(" + ")
+        s"""SELECT vec_id, $adc AS adc_dist FROM (
+           |  SELECT vec_id,
+           |    $codeCols
+           |  FROM embeddings)
+           |ORDER BY adc_dist ASC, vec_id ASC LIMIT $K""".stripMargin
+      },
       "ann_ivf_fixed_topk" -> {
         val cents = Planes16.take(8)
         // same driver-side probe ranking as Ann.search, over the same
