@@ -545,6 +545,13 @@ object SparkEntry {
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
         .limit(K)
     }),
+    // the full PQ search (ADC prefilter to `refine` candidates, exact
+    // re-rank to k) under the same fixed codebook — both stages replayed
+    // by the oracle
+    "ann_pq_fixed_refine" -> ((s, d) =>
+      graft.operators.Pq.search(
+        graft.operators.Pq.encode(emb(s, d), FixedPqModel),
+        FixedPqModel, Q64, K, refine = 50)),
     // FILTERED approximate search: the reference's filter-before-k
     // contract (metadata predicate gates candidacy, k survivors — SURVEY
     // §2.1 #2) carried onto the IVF path; the predicate prunes the
@@ -1859,6 +1866,34 @@ object SparkEntry {
            |    $codeCols
            |  FROM embeddings)
            |ORDER BY adc_dist ASC, vec_id ASC LIMIT $K""".stripMargin
+      },
+      "ann_pq_fixed_refine" -> {
+        val model = FixedPqModel
+        val lut = graft.operators.Pq.adcTable(Q64, model)
+        def subDistSql(off: Int, cent: Array[Double]): String =
+          cent.indices.map { i =>
+            val dd = s"(CAST($e[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
+            s"($dd * $dd)"
+          }.mkString("(", " + ", ")")
+        val codeCols = (0 until model.m).map { j =>
+          val ds = (0 until model.ksub)
+            .map(c => subDistSql(j * model.dsub, model.codebooks(j)(c)))
+            .mkString("[", ",\n      ", "]")
+          s"list_position($ds, list_min($ds)) AS c$j"
+        }.mkString(",\n    ")
+        val adc = (0 until model.m).map { j =>
+          val row = lut(j).map(DuckSql.fmt).mkString("[", ", ", "]")
+          s"($row)[c$j]"
+        }.mkString(" + ")
+        s"""SELECT vec_id, ${DuckSql.squaredL2Lit(e, Q64)} AS dist
+           |FROM embeddings WHERE vec_id IN (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, $adc AS adc_dist FROM (
+           |      SELECT vec_id, $e,
+           |        $codeCols
+           |      FROM embeddings))
+           |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
       },
       "ann_ivf_fixed_topk" -> {
         val cents = Planes16.take(8)
