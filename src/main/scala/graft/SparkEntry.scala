@@ -552,6 +552,15 @@ object SparkEntry {
       graft.operators.Pq.search(
         graft.operators.Pq.encode(emb(s, d), FixedPqModel),
         FixedPqModel, Q64, K, refine = 50)),
+    // the composed IVFPQ stack under fixed codebooks: IVF cell pruning
+    // picks WHICH rows, ADC codes decide HOW CHEAPLY, exact re-rank
+    // finishes — every stage oracle-replayed
+    "ann_ivfpq_fixed" -> ((s, d) => {
+      val ivfCents = Planes16.take(8)
+      graft.operators.Pq.ivfPqSearch(
+        graft.operators.Pq.encode(Ann.assign(emb(s, d), ivfCents), FixedPqModel),
+        ivfCents, FixedPqModel, Q64, K, nprobe = 5, refine = 50)
+    }),
     // FILTERED approximate search: the reference's filter-before-k
     // contract (metadata predicate gates candidacy, k survivors — SURVEY
     // §2.1 #2) carried onto the IVF path; the predicate prunes the
@@ -1456,6 +1465,33 @@ object SparkEntry {
     codebooks = Array.tabulate(8)(j =>
       Array.tabulate(8)(c => Planes16(c).slice(j * 8, (j + 1) * 8))))
 
+  /** Shared DuckDB fragments for the fixed-codebook PQ oracles: the
+    * per-subspace encode argmins (`c0..c7` columns over `embeddings.
+    * embedding`) and the literal-lookup-table ADC sum over them. Mirrors
+    * VecArgMinL2 (strict `<` keeps the FIRST minimal index ↔
+    * list_position of list_min) and Pq.adcDist (left-assoc m-term sum). */
+  private lazy val pqCodeColsSql: String = {
+    val model = FixedPqModel
+    def subDistSql(off: Int, cent: Array[Double]): String =
+      cent.indices.map { i =>
+        val dd = s"(CAST(embedding[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
+        s"($dd * $dd)"
+      }.mkString("(", " + ", ")")
+    (0 until model.m).map { j =>
+      val ds = (0 until model.ksub)
+        .map(c => subDistSql(j * model.dsub, model.codebooks(j)(c)))
+        .mkString("[", ",\n      ", "]")
+      s"list_position($ds, list_min($ds)) AS c$j"
+    }.mkString(",\n    ")
+  }
+  private lazy val pqAdcSql: String = {
+    val lut = graft.operators.Pq.adcTable(Q64, FixedPqModel)
+    (0 until FixedPqModel.m).map { j =>
+      val row = lut(j).map(DuckSql.fmt).mkString("[", ", ", "]")
+      s"($row)[c$j]"
+    }.mkString(" + ")
+  }
+
   /** SQ8 quantization step for the fixture embedding range (~[-0.5, 0.5]). */
   private val SqScale = 0.005
 
@@ -1841,57 +1877,40 @@ object SparkEntry {
           |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
       // oracle for the prefix-filter join IS the brute form — exactness of
       // the candidate pruning is the claim under test
-      "ann_pq_fixed_adc" -> {
-        val model = FixedPqModel
-        val lut = graft.operators.Pq.adcTable(Q64, model)
-        // per-subspace distance of embedding dims [off, off+dsub) to a
-        // literal centroid — unrolled left-assoc like DuckSql.squaredL2Lit
-        def subDistSql(off: Int, cent: Array[Double]): String =
-          cent.indices.map { i =>
-            val dd = s"(CAST($e[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
-            s"($dd * $dd)"
-          }.mkString("(", " + ", ")")
-        val codeCols = (0 until model.m).map { j =>
-          val ds = (0 until model.ksub)
-            .map(c => subDistSql(j * model.dsub, model.codebooks(j)(c)))
-            .mkString("[", ",\n      ", "]")
-          s"list_position($ds, list_min($ds)) AS c$j"
-        }.mkString(",\n    ")
-        val adc = (0 until model.m).map { j =>
-          val row = lut(j).map(DuckSql.fmt).mkString("[", ", ", "]")
-          s"($row)[c$j]"
-        }.mkString(" + ")
-        s"""SELECT vec_id, $adc AS adc_dist FROM (
+      "ann_pq_fixed_adc" ->
+        s"""SELECT vec_id, $pqAdcSql AS adc_dist FROM (
            |  SELECT vec_id,
-           |    $codeCols
+           |    $pqCodeColsSql
            |  FROM embeddings)
-           |ORDER BY adc_dist ASC, vec_id ASC LIMIT $K""".stripMargin
-      },
-      "ann_pq_fixed_refine" -> {
-        val model = FixedPqModel
-        val lut = graft.operators.Pq.adcTable(Q64, model)
-        def subDistSql(off: Int, cent: Array[Double]): String =
-          cent.indices.map { i =>
-            val dd = s"(CAST($e[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
-            s"($dd * $dd)"
-          }.mkString("(", " + ", ")")
-        val codeCols = (0 until model.m).map { j =>
-          val ds = (0 until model.ksub)
-            .map(c => subDistSql(j * model.dsub, model.codebooks(j)(c)))
-            .mkString("[", ",\n      ", "]")
-          s"list_position($ds, list_min($ds)) AS c$j"
-        }.mkString(",\n    ")
-        val adc = (0 until model.m).map { j =>
-          val row = lut(j).map(DuckSql.fmt).mkString("[", ", ", "]")
-          s"($row)[c$j]"
-        }.mkString(" + ")
+           |ORDER BY adc_dist ASC, vec_id ASC LIMIT $K""".stripMargin,
+      "ann_pq_fixed_refine" ->
         s"""SELECT vec_id, ${DuckSql.squaredL2Lit(e, Q64)} AS dist
            |FROM embeddings WHERE vec_id IN (
            |  SELECT vec_id FROM (
-           |    SELECT vec_id, $adc AS adc_dist FROM (
+           |    SELECT vec_id, $pqAdcSql AS adc_dist FROM (
            |      SELECT vec_id, $e,
-           |        $codeCols
+           |        $pqCodeColsSql
            |      FROM embeddings))
+           |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
+      "ann_ivfpq_fixed" -> {
+        // probe ranking mirrors Pq.ivfPqSearch: (dist, idx) over the same
+        // constants, nprobe=5 of the 8 IVF planes; 1-based for list_position
+        val ivfCents = Planes16.take(8)
+        val probe = ivfCents.zipWithIndex
+          .map { case (c, j) => (graft.functions.Distances.squaredL2(Q64, c), j) }
+          .sortBy(identity).take(5).map(_._2 + 1)
+        val ivfDists = ivfCents.map(c => DuckSql.squaredL2Lit(e, c))
+          .mkString("[", ",\n    ", "]")
+        s"""SELECT vec_id, ${DuckSql.squaredL2Lit(e, Q64)} AS dist
+           |FROM embeddings WHERE vec_id IN (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, $pqAdcSql AS adc_dist FROM (
+           |      SELECT vec_id, $e,
+           |        list_position($ivfDists, list_min($ivfDists)) AS cellp,
+           |        $pqCodeColsSql
+           |      FROM embeddings)
+           |    WHERE cellp IN (${probe.mkString(", ")}))
            |  ORDER BY adc_dist ASC, vec_id ASC LIMIT 50)
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
       },
