@@ -505,6 +505,34 @@ object SparkEntry {
         .filter(col("jac") >= 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // containment similarity (|A∩B| / |A|, asymmetric): catches "doc A is
+    // a subset of doc B" near-dups that symmetric Jaccard dilutes — the
+    // quote/excerpt detector of a dedup pipeline
+    "dedup_containment_pairs" -> ((s, d) => {
+      val ws = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
+      ws.as("a").join(ws.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (size(array_intersect(col("a.wset"), col("b.wset"))).cast("double")
+            / size(col("a.wset")).cast("double")).as("containment"))
+        .filter(col("containment") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // event-type transition matrix from per-user event sequences (first-
+    // order Markov mining): lag window per user, then count + row-
+    // normalize — the session-behavior statistic
+    "events_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long").asc, col("event_id").asc)
+      val trans = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("n"))
+      val totals = Window.partitionBy(col("prev_type"))
+      trans
+        .withColumn("p", col("n").cast("double") / sum(col("n")).over(totals))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
     // EXACT set-similarity join via prefix filtering (PPJoin family): all
     // Jaccard ≥ t pairs with recall 1, no cross product — the exact
     // counterpart of the LSH near-dup path. Oracle = the brute O(n²) form
@@ -2505,6 +2533,27 @@ object SparkEntry {
           |  COUNT(*) AS n, CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS v_sum
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "dedup_containment_pairs" ->
+        """SELECT id_a, id_b, containment FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) / CAST(len(a.wset) AS DOUBLE) AS containment
+          |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 20 = 0) a
+          |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 20 = 0) b
+          |    ON a.doc_id <> b.doc_id
+          |) WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+      "events_markov_transitions" ->
+        """WITH seq AS (
+          |  SELECT user_id, event_id, event_type,
+          |    (epoch_ns(ts) // 1000000000) AS tse FROM events),
+          |trans AS (
+          |  SELECT prev_type, event_type, COUNT(*) AS n FROM (
+          |    SELECT event_type,
+          |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY tse ASC, event_id ASC) AS prev_type
+          |    FROM seq)
+          |  WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+          |SELECT prev_type, event_type, n,
+          |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p
+          |FROM trans ORDER BY prev_type, event_type""".stripMargin,
       "agg_yoy_revenue" ->
         """WITH monthly AS (
           |  SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
