@@ -126,6 +126,19 @@ object SparkEntry {
     // pruned == brute (exactness of the widening loop; oracle is the brute SQL)
     "knn_l2_pruned" -> ((s, d) =>
       Knn.prunedSearchDf(s, Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, K)),
+    // the STORE lifecycle under the driver's hash gate: write the state
+    // cell-partitioned (partitionBy dirs = grid cells), read it back, and
+    // answer pruned kNN off the LOADED store — candidate-cell pruning is
+    // real file skipping here (PartitionPruneSpec pins the plan), and the
+    // result must still hash-match the plain kNN oracle
+    "store_roundtrip_knn" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_store_rt").toString
+      Grid.withCellId(emb(s, d), "embedding", gridCfg)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+      val loaded = s.read.parquet(dir)
+        .withColumn("cell_id", col("cell_id").cast("long"))
+      Knn.prunedSearchDf(s, loaded, gridCfg, Q64, K)
+    }),
     "knn_l2_pruned_filtered" -> ((s, d) =>
       Knn.prunedSearchDf(s, Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, K,
         pred = Some(col("label") === 3))),
@@ -1565,6 +1578,7 @@ object SparkEntry {
            |FROM (SELECT vec_id, label, embedding[1:8] AS e8 FROM embeddings)
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
       "knn_l2_pruned" -> knnSql(sq, K),
+      "store_roundtrip_knn" -> knnSql(sq, K),
       "knn_l2_pruned_filtered" -> knnSql(sq, K, "WHERE label = 3"),
       "sim_cosine_topk" ->
         s"SELECT vec_id, label, ${DuckSql.cosineSimLit(e, Q64)} AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT $K",
