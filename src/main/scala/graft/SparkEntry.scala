@@ -664,6 +664,26 @@ object SparkEntry {
         withFunnel = false)
       curated.select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // end-to-end PRETRAINING data prep: quality/language gate →
+    // benchmark decontamination → exact dedup → per-doc token stats. Like
+    // pipeline_curation, the WHOLE composition is oracle-checked — the
+    // DuckDB mirror chains the proven per-stage SQL fragments
+    "pipeline_pretrain" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      val gated = all
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
+        .filter(col("quality") >= 0.3 && col("lang_pred") === "en")
+        .select(col("doc_id"), col("text"))
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val train = gated.filter(col("doc_id") % 50 =!= 0)
+      val flags = graft.operators.Decontam.ngramOverlap(train, bench, n = 4)
+      val clean = train
+        .join(flags.filter(!col("contaminated")).select(col("doc_id")), "doc_id")
+      Dedup.exactDedup(clean)
+        .select(col("doc_id"), TextAnalysis.nWords(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // --- multimodal plumbing (north star): binary payload + stub decode.
     // Checksum/decode are JVM-side (mapPartitions) — rows-only check.
     "media_features" -> ((s, d) =>
@@ -2319,6 +2339,28 @@ object SparkEntry {
           |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
           |) WHERE side = 0 ORDER BY event_id""".stripMargin,
       // --- round-4: training-pipeline widening
+      "pipeline_pretrain" ->
+        s"""WITH gated AS (
+           |  ${qualityGateSql(0.3, "en")}
+           |), bench_g AS (
+           |  SELECT DISTINCT ${Dedup.md5LongSql("g")} AS gh FROM (
+           |    SELECT unnest(list_distinct(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')))) AS g
+           |    FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0))
+           |), train AS (
+           |  SELECT doc_id, text FROM gated WHERE doc_id % 50 <> 0
+           |), train_g AS (
+           |  SELECT doc_id, ${Dedup.md5LongSql("g")} AS gh FROM (
+           |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')))) AS g
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train))
+           |), contaminated AS (
+           |  SELECT DISTINCT t.doc_id FROM train_g t JOIN bench_g USING (gh)
+           |), clean AS (
+           |  SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |), kept AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+           |)
+           |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS INT) AS n_tokens
+           |FROM clean c JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
       "decontam_ngram_overlap" ->
         s"""WITH g AS (
            |  SELECT doc_id, ${Dedup.md5LongSql("g")} AS gh FROM (
