@@ -201,5 +201,15 @@ object ScaleProbe extends App {
     graft.operators.TextAnalysis.bm25TopK(
       bigDocs, Seq("spark", "table", "query"), k = 10).count()
   }
+  // SQ8 integer distance top-k at 1M×64: the per-element inline
+  // quantization must stay in whole-stage codegen — the HOF-based form
+  // this replaced was the argmin-regression class this probe exists for.
+  t("SQ8 top-10 (1M x 64)") {
+    indexed.select(col("vec_id"),
+        graft.operators.Quantize.sq8DistLit(col("embedding"), 0.005,
+          graft.core.Fixtures.Q64).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .write.format("noop").mode("overwrite").save()
+  }
   spark.stop()
 }

@@ -132,7 +132,10 @@ object SparkEntry {
     // real file skipping here (PartitionPruneSpec pins the plan), and the
     // result must still hash-match the plain kNN oracle
     "store_roundtrip_knn" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_store_rt").toString
+      // fixed, overwritten path — repeated Verify/Bench invocations reuse
+      // one directory instead of accumulating temp copies of the store
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_store_roundtrip").getPath
       Grid.withCellId(emb(s, d), "embedding", gridCfg)
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       val loaded = s.read.parquet(dir)
@@ -1348,15 +1351,18 @@ object SparkEntry {
         .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("o_year"))
     }),
-    // arg-max aggregation (max_by): one pass, no self-join / no window —
-    // the determinant combines (price, key) into one unique double so the
-    // tie-break is total in both engines
+    // arg-max aggregation (max_by): one pass, no self-join / no window.
+    // The determinant packs (price, key) into ONE exact BIGINT — price in
+    // integer cents shifted past any plausible orderkey (< 1e11), so price
+    // strictly dominates and equal prices tie-break on the key; bigint
+    // arithmetic is engine-exact (max cents ~5e7 × 1e11 stays under 2^63)
     "agg_argmax_order" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(
           max_by(col("o_orderkey"),
-            col("o_totalprice") * lit(100000000.0) + col("o_orderkey")).as("best_orderkey"),
+            round(col("o_totalprice") * 100).cast("long") * lit(100000000000L)
+              + col("o_orderkey")).as("best_orderkey"),
           max(col("o_totalprice")).as("best_price"))
         .orderBy(col("o_custkey"))),
     // order-sensitive list aggregation: collect_list has no deterministic
@@ -1417,25 +1423,11 @@ object SparkEntry {
       graft.operators.KnnClassify.looAccuracy(emb(s, d), Dim, queryMod = 20L)
         .orderBy(col("label"))),
     // hard-negative mining for contrastive training: each anchor's nearest
-    // neighbor with a DIFFERENT label — same broadcast + windowed-argmin
-    // kernel as the LOO eval, with the label-inequality predicate pushed
-    // below the rank so k survivors are true negatives
-    "knn_hard_negatives" -> ((s, d) => {
-      val db = emb(s, d)
-      val q = db.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("label").as("qlabel"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vid").asc)
-      db.crossJoin(broadcast(q))
-        .filter(col("label") =!= col("qlabel"))
-        .select(col("qid"), col("qlabel"), col("vec_id").as("vid"),
-          col("label").as("neg_label"),
-          Distances.squaredL2Cols(col("qe"), col("embedding"), Dim).as("dist"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("qid"), col("vid").as("hard_negative_id"),
-          col("neg_label"), col("dist"))
-        .orderBy(col("qid"))
-    }),
+    // neighbor with a DIFFERENT label — the shared KnnClassify kernel with
+    // the label-inequality predicate pushed below the rank
+    "knn_hard_negatives" -> ((s, d) =>
+      graft.operators.KnnClassify.hardNegatives(emb(s, d), Dim, queryMod = 20L)
+        .orderBy(col("qid"))),
     // stream-static enrichment: events × broadcast customer dim → hourly
     // windowed aggregation per segment (streaming form ≡ batch, proven in
     // StreamEnrichSpec)
@@ -1492,19 +1484,23 @@ object SparkEntry {
       graft.operators.Bpe.trainAndEncode(par(s, docs(s, d)), nMerges = 4)
         .orderBy(col("doc_id"))),
     // trailing-window anomaly detection on the event stream: hourly counts
-    // vs their own trailing-24h mean (exact integer counts; the mean's
-    // single double division is IEEE-identical in both engines)
+    // vs their own trailing-24-HOUR mean. The frame is a value-based RANGE
+    // over hour_epoch (a ROWS frame would skip empty hours and stretch the
+    // baseline arbitrarily far back), and the mean divides the frame SUM
+    // by 24.0 so absent hours correctly count as zero activity; rows
+    // qualify once a full day of history has elapsed for that type
     "events_hourly_anomaly" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
-        .rowsBetween(-24, -1)
+        .rangeBetween(-24L * 3600L, -1L)
+      val first = Window.partitionBy(col("event_type"))
       hourly
-        .withColumn("trail_n", count(lit(1)).over(w))
-        .withColumn("trail_avg", avg(col("n")).over(w))
-        .filter(col("trail_n") === 24)
+        .withColumn("trail_avg", coalesce(sum(col("n")).over(w), lit(0L)) / 24.0)
+        .withColumn("first_epoch", min(col("hour_epoch")).over(first))
+        .filter(col("hour_epoch") >= col("first_epoch") + 24L * 3600L)
         .withColumn("is_anomaly",
           (col("n") > col("trail_avg") * 1.5 || col("n") < col("trail_avg") * 0.5).cast("int"))
         .select(col("event_type"), col("hour_epoch"), col("n"),
@@ -2515,7 +2511,7 @@ object SparkEntry {
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "agg_argmax_order" ->
         """SELECT o_custkey,
-          |  arg_max(o_orderkey, o_totalprice * 100000000.0 + o_orderkey) AS best_orderkey,
+          |  arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000000 + o_orderkey) AS best_orderkey,
           |  MAX(o_totalprice) AS best_price
           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
       "agg_listagg_suppliers" ->
@@ -2695,11 +2691,12 @@ object SparkEntry {
           |  CAST(CASE WHEN n > trail_avg * 1.5 OR n < trail_avg * 0.5 THEN 1 ELSE 0 END AS INT) AS is_anomaly
           |FROM (
           |  SELECT event_type, hour_epoch, n,
-          |    COUNT(*) OVER w AS trail_n, AVG(n) OVER w AS trail_avg
+          |    COALESCE(SUM(n) OVER w, 0) / 24.0 AS trail_avg,
+          |    MIN(hour_epoch) OVER (PARTITION BY event_type) AS first_epoch
           |  FROM hourly
           |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
-          |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-          |WHERE trail_n = 24
+          |               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+          |WHERE hour_epoch >= first_epoch + 86400
           |ORDER BY event_type, hour_epoch""".stripMargin
     )
   }

@@ -69,6 +69,16 @@ object Bloom {
     * result to `big.join(small, bigKey === smallKey)`. */
   def prefilterJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, numBits: Int = 1 << 20, numHashes: Int = 3): DataFrame = {
+    // xxhash64 is TYPE-sensitive (an INT and a BIGINT holding the same
+    // value hash differently) while the equi-join coerces types — a
+    // mismatch would make the build and probe hash different bytes and
+    // silently DROP matching rows. Fail loudly instead.
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"prefilterJoin key types must match exactly (xxhash64 is type-" +
+        s"sensitive): $bigKey is $bigType, $smallKey is $smallType — " +
+        "cast one side before calling")
     val bits = buildBits(small.select(col(smallKey)).distinct(), smallKey, numBits, numHashes)
     big.filter(mightContain(bits, numBits, numHashes)(col(bigKey)))
       .join(small, col(bigKey) === col(smallKey))

@@ -172,6 +172,11 @@ object Bpe {
          |    FROM (SELECT string_split(sym, ' ') AS w, freq FROM $wfRel),
          |         unnest(range(1, len(w))) AS t(i)
          |    GROUP BY p1, p2""".stripMargin
+    // LEFT JOIN ON TRUE (not CROSS JOIN): when a merge CTE is EMPTY (the
+    // corpus ran out of learnable pairs before nMerges), p1/p2 are NULL,
+    // the merge condition is never true, and the fold rebuilds sym
+    // unchanged — mirroring Spark's train(), which just stops learning.
+    // A cross join would annihilate the dictionary chain instead.
     def foldOf(prev: String, m: String): String =
       s"""SELECT word, freq, CASE WHEN len(string_split(sym, ' ')) = 1 THEN sym ELSE
          |    list_reduce(string_split(sym, ' '), (acc, x) ->
@@ -180,7 +185,7 @@ object Bpe {
          |             ELSE substring(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]+$$')) - 1) || ' ' || $m.p1 || $m.p2 END
          |      ELSE acc || ' ' || x END)
          |    END AS sym
-         |  FROM $prev CROSS JOIN $m""".stripMargin
+         |  FROM $prev LEFT JOIN $m ON TRUE""".stripMargin
     val sb = new StringBuilder
     sb.append(
       """WITH wf0 AS (

@@ -35,14 +35,24 @@ object Quantize {
       greatest(lit(-127L), least(lit(127L),
         floor(x.cast("double") / lit(scale) + lit(0.5)).cast("long"))))
 
-  /** Integer squared-L2 between a quantized vector column and a
-    * pre-quantized query literal — unrolled like Distances.squaredL2Lit so
-    * the whole expression codegens. */
+  /** Quantize ONE component of a raw float vector — scalar expression, no
+    * higher-order function, so the unrolled distance below stays inside
+    * whole-stage codegen. */
+  private def q8Elem(vec: Column, i: Int, scale: Double): Column =
+    greatest(lit(-127L), least(lit(127L),
+      floor(element_at(vec, i + 1).cast("double") / lit(scale) + lit(0.5)).cast("long")))
+
+  /** Integer squared-L2 between a (raw float) vector column and a
+    * pre-quantized query literal — per-element inline quantization,
+    * unrolled like Distances.squaredL2Lit. NOT built on [[quantize]]: a
+    * higher-order `transform` is CodegenFallback, and referencing the
+    * whole-array transform once per unrolled dimension would evaluate it
+    * O(dim²) interpreted — the argmin-regression class ScaleProbe exists
+    * to catch. */
   def sq8DistLit(vec: Column, scale: Double, q: Array[Double]): Column = {
     val qq = q.map(q8(_, scale))
-    val qv = quantize(vec, scale)
     qq.indices.map { i =>
-      val d = element_at(qv, i + 1) - lit(qq(i))
+      val d = q8Elem(vec, i, scale) - lit(qq(i))
       d * d
     }.reduce(_ + _)
   }
