@@ -199,4 +199,51 @@ class ModelCheckSpec extends SparkSpecBase {
       assert(got == model, s"trial $trial")
     }
   }
+
+  test("markov transitions equal the per-user sequence model on fixture events") {
+    val got = SparkEntry.queries("events_markov_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime / 1000L))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      seq.init.zip(seq.tail)
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTotals = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val model = counts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, n.toDouble / rowTotals(a))
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == model)
+    assert(model.nonEmpty)
+  }
+
+  test("winsorized monthly rollup: counts match plain rollup, sums clamped within band") {
+    val rows = SparkEntry.queries("agg_winsorized_monthly")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select("o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1)))
+    val prices = orders.map(_._2).sorted
+    def pct(p: Double): Double = { // matches percentile_cont interpolation
+      val rank = p * (prices.length - 1)
+      val lo = prices(rank.toInt)
+      val hi = prices(math.min(rank.toInt + 1, prices.length - 1))
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    val (lo, hi) = (math.floor(pct(0.05)), math.ceil(pct(0.95)))
+    val model = orders.groupBy { case (dt, _) => dt.getYear.toLong * 100 + dt.getMonthValue }
+      .view.mapValues { os =>
+        (os.size.toLong,
+          os.map(o => BigDecimal(math.max(lo, math.min(hi, o._2)))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      }.toMap
+    assert(rows.length == model.size)
+    rows.foreach { case (ym, n, tot) =>
+      val (mn, mtot) = model(ym)
+      assert(n == mn, s"ym $ym count")
+      assert(math.abs(tot - mtot) < 1e-6, s"ym $ym total $tot vs $mtot")
+    }
+  }
 }
