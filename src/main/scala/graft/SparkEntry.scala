@@ -1305,6 +1305,24 @@ object SparkEntry {
               |  (SELECT n_nationkey FROM nation_v WHERE n_regionkey IN (0, 1))
               |ORDER BY s_suppkey""".stripMargin)
     }),
+    // aggregate-below-join (manual aggregate pushdown): collapse lineitem
+    // to per-order partials BEFORE the orders join, so the join input
+    // shrinks from |lineitem| to |orders| rows — at 100 TB this is the
+    // difference between shuffling the fact table and shuffling its
+    // rollup. Must equal the join-then-aggregate form (the oracle)
+    "join_preagg_revenue" -> ((s, d) => {
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1.0).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .as("order_rev"), count(lit(1)).as("n_lines"))
+      Tables.orders(s, d)
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("order_rev")).cast("double").as("revenue"),
+          sum(col("n_lines")).as("n_lines"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // TPC-H Q18 shape: HAVING over a join aggregate (the filter runs on
     // the aggregated value, post-shuffle — nothing to push down, but the
     // partial aggregation still combines map-side)
@@ -2483,6 +2501,12 @@ object SparkEntry {
           |WHERE s_nationkey NOT IN
           |  (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))
           |ORDER BY s_suppkey""".stripMargin,
+      "join_preagg_revenue" ->
+        s"""SELECT o.o_orderpriority,
+           |  ${drevenueSql("l.l_extendedprice", "l.l_discount")} AS revenue,
+           |  COUNT(*) AS n_lines
+           |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
       "agg_having_large_orders" ->
         s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
            |  ${dsumSql("l.l_quantity")} AS sum_qty
