@@ -473,6 +473,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHash(par(s, docs(s, d).filter(col("doc_id") % 20 === 0)), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    // banded SimHash pairing: hamming ≤ 8 pairs found via pigeonhole band
+    // buckets (recall 1, no cross product) — oracle = the brute O(n²) form
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(
+          par(s, docs(s, d).filter(col("doc_id") % 5 === 0)), "text", "doc_id",
+          maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minHashLshNearDupPairs(par(s, docs(s, d)),
           "text", "doc_id", shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
@@ -1866,6 +1873,28 @@ object SparkEntry {
            |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 20 = 0)
            |  ) GROUP BY doc_id
            |) ORDER BY doc_id""".stripMargin
+      },
+      // oracle for the banded pairing IS the brute form — exactness of the
+      // pigeonhole candidate generation is the claim under test
+      "dedup_simhash_pairs" -> {
+        val bitSums = (0 until 60).map { i =>
+          s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i"
+        }.mkString(",\n  ")
+        val sig = (0 until 60).map { i =>
+          s"(CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        s"""WITH s AS (
+           |  SELECT doc_id, ($sig) AS simhash FROM (
+           |    SELECT doc_id, $bitSums
+           |    FROM (
+           |      SELECT doc_id, ${Dedup.md5LongSql("w")} AS h
+           |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 5 = 0)
+           |    ) GROUP BY doc_id))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+           |ORDER BY id_a, id_b""".stripMargin
       },
       "dedup_cluster_canonical" -> {
         val winnowFps =

@@ -261,4 +261,32 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-dup pairs: all (id_a < id_b) with Hamming distance ≤
+    * `maxHamming` between 60-bit signatures. Candidate generation splits
+    * each signature into `maxHamming + 1` bands — by pigeonhole, two sigs
+    * within the threshold must agree EXACTLY on at least one band, so the
+    * band-bucket self-join has recall 1 and the full cross product never
+    * materializes (same shape as the MinHash-LSH and prefix-filter
+    * paths: linear explode + one bucket-join + verify-on-candidates). */
+  def simHashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val sig = simHash(docs, textCol, idCol)
+    val banded = sig.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+    cands.filter(col("hamming") <= maxHamming)
+  }
 }

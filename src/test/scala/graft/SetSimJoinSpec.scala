@@ -37,6 +37,21 @@ class SetSimJoinSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("banded simhash pairing equals brute hamming filter on fixture docs") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    for (maxH <- Seq(3, 8)) {
+      val got = Dedup.simHashNearDupPairs(docs, "text", "doc_id", maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sig = Dedup.simHash(docs, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia, ib, h)).toSet
+      assert(got == brute, s"maxHamming $maxH")
+    }
+  }
+
   test("fixture smoke: exact prefix-filter pairs match brute force at t=0.5") {
     val docs = graft.core.Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 0)
     val got = SetSimJoin.jaccardJoin(docs, 0.5).collect()
