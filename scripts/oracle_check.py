@@ -43,7 +43,11 @@ for name, sql in sorted(oracle.items()):
     for c in gs.columns:
         a, b = gs[c].tolist(), ws[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
-            same = (x == y) or (x is None and y is None) or \
+            try:
+                both_na = bool(__import__("pandas").isna(x)) and bool(__import__("pandas").isna(y))
+            except (TypeError, ValueError):
+                both_na = False
+            same = (x == y) or both_na or \
                 (isinstance(x, float) and isinstance(y, float) and
                  (x == y or (math.isnan(x) and math.isnan(y))))
             if not same:

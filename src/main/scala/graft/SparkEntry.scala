@@ -1531,6 +1531,121 @@ object SparkEntry {
         .select(col("event_type"), col("hour_epoch"), col("n"),
           col("trail_avg"), col("is_anomaly"))
         .orderBy(col("event_type"), col("hour_epoch"))
+    }),
+    // --- round-4b: retrieval re-ranking, warehouse dimension history,
+    // stats-based data skipping, profiling/integrity audit
+    // hybrid retrieval: BM25 lexical page + cosine vector page fused by
+    // reciprocal-rank fusion — scores are exact integer `scale DIV
+    // (60+rank)` contributions, so the fused order is engine-exact
+    "rerank_rrf_hybrid" -> ((s, d) => {
+      val dd = par(s, docs(s, d))
+      val lex = graft.operators.Rerank.rankPage(
+        TextAnalysis.bm25TopK(dd, terms = Seq("spark", "table", "query"), k = 20),
+        "doc_id", "bm25")
+      val vec = graft.operators.Rerank.rankPage(
+        emb(s, d).select(col("vec_id").as("doc_id"),
+            Distances.cosineSimLit(col("embedding"), Q64).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(20),
+        "doc_id", "cos_sim")
+      graft.operators.Rerank.rrf(lex, vec, "doc_id", k = K)
+    }),
+    // diversified top-k: maximal marginal relevance over the top-20 cosine
+    // page — distributed scoring + pair matrix, driver-side k-step argmax
+    // (the sims are 9-decimal-rounded doubles, so the unrolled DuckDB
+    // replay of the greedy selection is bit-exact)
+    "rerank_mmr_diverse" -> ((s, d) =>
+      graft.operators.Rerank.mmr(emb(s, d), Q64, Dim, nCand = 20, k = 5)
+        .orderBy(col("rank"))),
+    // SCD Type-2 dimension history from the event change log: collapse
+    // consecutive repeats per user, emit [valid_from, valid_to) + current
+    // flag — two windows over ONE (user, time) shuffle. The open interval
+    // carries the classic far-future sentinel instead of NULL (the
+    // warehouse convention, and it keeps the cross-engine hash off
+    // null-timestamp representation)
+    "scd2_user_event_history" -> ((s, d) =>
+      Snapshot.scd2(Tables.events(s, d).filter(col("user_id") % 20 === 0),
+          "user_id", "event_type", "ts", "event_id")
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp")))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
+    // zone-map data skipping: month-bucketed layout + per-bucket min/max
+    // stats; a 3-month range predicate scans only overlapping buckets
+    // (3 of ~83). The oracle computes the PLAIN filter — pruning must not
+    // change the answer — plus the stats-derived bucket count
+    "store_zonemap_prune" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).withColumn("bucket",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast(LongType))
+      val lo = lit("1996-03-01").cast("timestamp")
+      val hi = lit("1996-06-01").cast("timestamp")
+      val (pruned, nb) = graft.index.ZoneMap.pruneScan(
+        li, col("bucket"), col("l_shipdate"), lo, hi)
+      pruned.agg(count(lit(1)).as("n_rows"),
+          drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .withColumn("n_buckets_scanned", lit(nb.toLong))
+    }),
+    // one-pass column profiling (ANALYZE shape): per-column null/distinct
+    // counts + typed min/max over lineitem in a single aggregation job
+    "profile_lineitem" -> ((s, d) =>
+      graft.operators.Profile.profile(Tables.lineitem(s, d), Seq(
+          "l_orderkey" -> graft.operators.Profile.Num,
+          "l_quantity" -> graft.operators.Profile.Num,
+          "l_extendedprice" -> graft.operators.Profile.Num,
+          "l_returnflag" -> graft.operators.Profile.Str,
+          "l_shipdate" -> graft.operators.Profile.Ts))
+        .orderBy(col("col_name"))),
+    // referential-integrity audit: FK orphan + PK duplicate checks, with
+    // violations INJECTED deterministically (3 orphaned lineitem rows, 2
+    // duplicated embedding ids) so the audit path is exercised non-vacuously
+    "audit_referential" -> ((s, d) => {
+      import graft.operators.Profile
+      val li = Tables.lineitem(s, d)
+      val badLi = li.orderBy(col("l_orderkey"), col("l_linenumber")).limit(3)
+        .withColumn("l_orderkey", -col("l_orderkey") - 1)
+      val liAug = li.unionByName(badLi)
+      val embAll = emb(s, d)
+      val embAug = embAll.unionByName(embAll.orderBy(col("vec_id")).limit(2))
+      Profile.audit(Seq(
+        "lineitem_orphan_order" ->
+          Profile.orphans(liAug, Tables.orders(s, d), "l_orderkey", "o_orderkey"),
+        "orders_orphan_customer" ->
+          Profile.orphans(Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey"),
+        "customer_orphan_nation" ->
+          Profile.orphans(Tables.customer(s, d), Tables.nation(s, d), "c_nationkey", "n_nationkey"),
+        "embeddings_dup_pk" -> Profile.dupKeys(embAug, "vec_id"),
+        "orders_dup_pk" -> Profile.dupKeys(Tables.orders(s, d), "o_orderkey")))
+        .orderBy(col("check_name"))
+    }),
+    // time-weighted average of event value per user: each sample weighted
+    // by microseconds until the next — the statistic uneven sampling needs
+    // (products in exact decimal × integer µs, one double division at end)
+    "events_time_weighted_avg" -> ((s, d) =>
+      graft.operators.TimeSeries.timeWeightedAvg(
+          Tables.events(s, d).filter(col("user_id") % 10 === 0),
+          "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id"))),
+    // deterministic k-fold cross-validation split: md5-mod fold assignment
+    // (reproducible across engines/runs, no RNG state) + per-fold balance
+    // stats — the train/eval split step of a training-data pipeline
+    "sample_kfold_assign" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("fold", pmod(Dedup.md5Int32(col("doc_id").cast("string")), lit(5)))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("fold"))),
+    // similarity-graph structure: nodes/edges/triangles/max-degree of the
+    // cosine pair graph — how clustered is the near-duplicate structure
+    // (triangles via the two-join wedge iterator, each counted once)
+    "graph_similarity_summary" -> ((s, d) => {
+      val ve = emb(s, d).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val edges = ve.as("a").join(ve.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.1)
+        .select(col("src"), col("dst"))
+      graft.operators.GraphOps.summary(edges)
     })
   )
 
@@ -1585,6 +1700,78 @@ object SparkEntry {
       .orderBy(col("label"))
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** BM25 scored page (mirrors TextAnalysis.bm25TopK for the fixed fixture
+    * terms): `SELECT doc_id, bm25 ... ORDER BY bm25 DESC, doc_id LIMIT k`. */
+  private def bm25ScoredSql(k: Int): String = {
+    val terms = Seq("spark", "table", "query")
+    val k1 = 1.2; val b = 0.75
+    def tf(t: String) =
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS DOUBLE)"
+    val termExprs = terms.zipWithIndex.map { case (t, i) =>
+      s"""LN((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         | * (${tf(t)} * ${DuckSql.fmt(k1 + 1.0)})
+         | / (${tf(t)} + ${DuckSql.fmt(k1)} * (${DuckSql.fmt(1.0 - b)} + ${DuckSql.fmt(b)} * dl / avgdl))"""
+        .stripMargin.replace("\n", "")
+    }
+    val dfSelects = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM documents),
+       |dfs AS (SELECT $dfSelects FROM documents)
+       |SELECT doc_id, ROUND(${termExprs.mkString(" + ")}, 6) AS bm25
+       |FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |      FROM documents) d
+       |CROSS JOIN stats CROSS JOIN dfs
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of Rerank.mmr's greedy selection: candidate
+    * page + pair matrix CTEs, then one argmax CTE per selection step (the
+    * selected-set max joins `pairs` against the union of prior steps).
+    * All sims are ROUND(·, 9) doubles — a 9-decimal value is uniquely
+    * recovered by a DOUBLE, so every comparison matches the driver loop
+    * bit-for-bit. */
+  private def mmrSql(nCand: Int, k: Int, lambda: Double): String = {
+    val lam = DuckSql.fmt(lambda)
+    val om = DuckSql.fmt(1.0 - lambda)
+    val cos = DuckSql.cosineSimLit("embedding", Q64)
+    val pcos = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS (
+           |  SELECT vec_id, ($lam * simq - $om * CAST('0.0' AS DOUBLE)) AS score
+           |  FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1)"""
+          .stripMargin
+      else {
+        val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+        s"""s$i AS (
+           |  SELECT c.vec_id, ($lam * c.simq - $om * m.mx) AS score
+           |  FROM cand c
+           |  JOIN (SELECT p.i, MAX(p.s) AS mx FROM pairs p
+           |        WHERE p.j IN ($sel) GROUP BY p.i) m ON m.i = c.vec_id
+           |  WHERE c.vec_id NOT IN ($sel)
+           |  ORDER BY score DESC, c.vec_id ASC LIMIT 1)"""
+          .stripMargin
+      }
+    }.mkString(",\n")
+    val finalRows = (1 to k)
+      .map(i => s"SELECT CAST($i AS INT) AS rank, vec_id, score AS mmr_score FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cand AS (
+       |  SELECT vec_id, embedding, ROUND($cos, 9) AS simq
+       |  FROM embeddings ORDER BY simq DESC, vec_id ASC LIMIT $nCand),
+       |pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, ROUND($pcos, 9) AS s
+       |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+       |$steps
+       |SELECT * FROM (
+       |  $finalRows
+       |) ORDER BY rank""".stripMargin
+  }
 
   private def knnSql(distExpr: String, k: Int, where: String = ""): String =
     s"SELECT vec_id, label, $distExpr AS dist FROM embeddings $where ORDER BY dist ASC, vec_id ASC LIMIT $k"
@@ -2708,31 +2895,7 @@ object SparkEntry {
           |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
           |      FROM documents WHERE doc_id % 10 = 0)
           |GROUP BY w HAVING COUNT(*) >= 2 ORDER BY w""".stripMargin,
-      "text_bm25_topk" -> {
-        val terms = Seq("spark", "table", "query")
-        val k1 = 1.2; val b = 0.75
-        def tf(t: String) =
-          s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS DOUBLE)"
-        val termExprs = terms.zipWithIndex.map { case (t, i) =>
-          s"""LN((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-             | * (${tf(t)} * ${DuckSql.fmt(k1 + 1.0)})
-             | / (${tf(t)} + ${DuckSql.fmt(k1)} * (${DuckSql.fmt(1.0 - b)} + ${DuckSql.fmt(b)} * dl / avgdl))"""
-            .stripMargin.replace("\n", "")
-        }
-        val dfSelects = terms.zipWithIndex.map { case (t, i) =>
-          s"SUM(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS df_$i"
-        }.mkString(", ")
-        s"""WITH stats AS (
-           |  SELECT COUNT(*) AS n_docs,
-           |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
-           |  FROM documents),
-           |dfs AS (SELECT $dfSelects FROM documents)
-           |SELECT doc_id, ROUND(${termExprs.mkString(" + ")}, 6) AS bm25
-           |FROM (SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-           |      FROM documents) d
-           |CROSS JOIN stats CROSS JOIN dfs
-           |ORDER BY bm25 DESC, doc_id ASC LIMIT $K""".stripMargin
-      },
+      "text_bm25_topk" -> bm25ScoredSql(K),
       "text_bpe_merges" -> graft.operators.Bpe.oracleSql(4),
       "text_bpe_token_counts" -> graft.operators.Bpe.encodeOracleSql(4),
       "events_hourly_anomaly" ->
@@ -2750,7 +2913,145 @@ object SparkEntry {
           |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
           |               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
           |WHERE hour_epoch >= first_epoch + 86400
-          |ORDER BY event_type, hour_epoch""".stripMargin
+          |ORDER BY event_type, hour_epoch""".stripMargin,
+      // --- round-4b
+      "rerank_rrf_hybrid" ->
+        s"""WITH lex_scored AS (${bm25ScoredSql(20)}),
+           |lex AS (SELECT doc_id,
+           |          CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank_a
+           |        FROM lex_scored),
+           |vec_scored AS (
+           |  SELECT vec_id AS doc_id, ${DuckSql.cosineSimLit("embedding", Q64)} AS cos_sim
+           |  FROM embeddings ORDER BY cos_sim DESC, doc_id ASC LIMIT 20),
+           |vec AS (SELECT doc_id,
+           |          CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS INT) AS rank_b
+           |        FROM vec_scored)
+           |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, rank_a, rank_b,
+           |  COALESCE(1000000000000 // (60 + rank_a), 0)
+           |    + COALESCE(1000000000000 // (60 + rank_b), 0) AS rrf_score
+           |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+           |ORDER BY rrf_score DESC, doc_id ASC LIMIT $K""".stripMargin,
+      "rerank_mmr_diverse" -> mmrSql(nCand = 20, k = 5, lambda = 0.7),
+      "scd2_user_event_history" ->
+        """SELECT user_id, event_type, valid_from,
+          |  COALESCE(valid_to0, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+          |  CAST(CASE WHEN valid_to0 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+          |FROM (
+          |  SELECT user_id, event_type, ts AS valid_from,
+          |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to0
+          |  FROM (
+          |    SELECT user_id, event_type, ts, event_id,
+          |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          |    FROM events WHERE user_id % 20 = 0)
+          |  WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type)
+          |ORDER BY user_id, valid_from, event_type""".stripMargin,
+      "store_zonemap_prune" ->
+        s"""WITH b AS (
+           |  SELECT *, CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS bucket
+           |  FROM lineitem),
+           |stats AS (SELECT bucket, MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+           |          FROM b GROUP BY bucket),
+           |cand AS (SELECT bucket FROM stats
+           |         WHERE mx >= TIMESTAMP '1996-03-01' AND mn < TIMESTAMP '1996-06-01')
+           |SELECT COUNT(*) AS n_rows,
+           |  ${drevenueSql("l_extendedprice", "l_discount")} AS revenue,
+           |  (SELECT COUNT(*) FROM cand) AS n_buckets_scanned
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-06-01'""".stripMargin,
+      "profile_lineitem" -> {
+        def row(c: String, minNum: String, maxNum: String,
+            minStr: String, maxStr: String) =
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  $minNum AS min_num, $maxNum AS max_num,
+             |  $minStr AS min_str, $maxStr AS max_str
+             |FROM lineitem""".stripMargin
+        def num(c: String) = row(c,
+          s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        def str(c: String) = row(c,
+          "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"MIN($c)", s"MAX($c)")
+        def ts(c: String) = row(c,
+          s"CAST(CAST(epoch(MIN($c)) AS BIGINT) AS DOUBLE)",
+          s"CAST(CAST(epoch(MAX($c)) AS BIGINT) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), ts("l_shipdate"))
+          .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+      },
+      "audit_referential" ->
+        """WITH li_aug AS (
+          |  SELECT l_orderkey FROM lineitem
+          |  UNION ALL
+          |  SELECT -l_orderkey - 1 AS l_orderkey
+          |  FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+          |        ORDER BY l_orderkey, l_linenumber LIMIT 3)),
+          |emb_aug AS (
+          |  SELECT vec_id FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2))
+          |SELECT * FROM (
+          |  SELECT 'lineitem_orphan_order' AS check_name, COUNT(*) AS n_bad
+          |  FROM li_aug WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          |  UNION ALL
+          |  SELECT 'orders_orphan_customer', COUNT(*)
+          |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          |  UNION ALL
+          |  SELECT 'customer_orphan_nation', COUNT(*)
+          |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+          |  UNION ALL
+          |  SELECT 'embeddings_dup_pk', COUNT(*)
+          |  FROM (SELECT vec_id FROM emb_aug GROUP BY vec_id HAVING COUNT(*) > 1)
+          |  UNION ALL
+          |  SELECT 'orders_dup_pk', COUNT(*)
+          |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+          |) ORDER BY check_name""".stripMargin,
+      // dt in integer SECONDS (epoch_ns // 1e9 mirrors Spark's ts.cast(long)
+      // floor); products in exact DECIMAL(18,3) × BIGINT whose summed
+      // unscaled value stays under 2^53, so the decimal→double cast is
+      // correctly rounded (hence identical) in both engines
+      "events_time_weighted_avg" ->
+        """SELECT user_id,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,3)) * dt_s) AS DOUBLE)
+          |    / CAST(SUM(dt_s) AS DOUBLE) AS twa,
+          |  CAST(SUM(dt_s) AS BIGINT) AS total_dt_s,
+          |  COUNT(*) AS n_intervals
+          |FROM (
+          |  SELECT user_id, value,
+          |    LEAD(tse) OVER w - tse AS dt_s
+          |  FROM (SELECT user_id, value, event_id, (epoch_ns(ts) // 1000000000) AS tse
+          |        FROM events WHERE user_id % 10 = 0)
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id))
+          |WHERE dt_s IS NOT NULL
+          |GROUP BY user_id HAVING SUM(dt_s) > 0 ORDER BY user_id""".stripMargin,
+      "sample_kfold_assign" ->
+        s"""SELECT fold, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM (SELECT lang, n_chars,
+           |        (${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 5 AS fold
+           |      FROM documents)
+           |GROUP BY fold ORDER BY fold""".stripMargin,
+      "graph_similarity_summary" -> {
+        val cs = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
+        s"""WITH ve AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+           |edges AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+           |  WHERE $cs >= 0.1),
+           |deg AS (
+           |  SELECT node, COUNT(*) AS degree
+           |  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+           |  GROUP BY node)
+           |SELECT
+           |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+           |  (SELECT COUNT(*) FROM edges) AS n_edges,
+           |  (SELECT COUNT(*) FROM edges e1
+           |     JOIN edges e2 ON e1.dst = e2.src
+           |     JOIN edges e3 ON e1.src = e3.src AND e2.dst = e3.dst) AS n_triangles,
+           |  (SELECT MAX(degree) FROM deg) AS max_degree""".stripMargin
+      }
     )
   }
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over similarity-pair edge lists — the structural read
+  * side of the dedup machinery (connected components already drive
+  * `Dedup.clusterCanonical`; these operators measure the graph itself:
+  * how clustered is the near-duplicate structure?).
+  *
+  * Edges arrive canonicalized (`src < dst`, one row per undirected edge) —
+  * exactly what the cosine/LSH/SimHash pair generators emit.
+  *
+  * Scale shape: triangle counting is the standard two-join edge-iterator
+  * (each join shuffles on an endpoint; the `src < dst < ext` orientation
+  * counts each triangle exactly once and keeps the join frontier to
+  * forward wedges only). Degrees are one explode + groupBy.
+  */
+object GraphOps {
+
+  /** Per-node degree over the undirected edge list. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** One-row structural summary: nodes, edges, triangles, max degree.
+    * Triangles: wedges a<b<c built from (a,b)⋈(b,c), closed by (a,c). */
+  def summary(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = degrees(e).agg(
+      count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(deg).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
+  }
+}

@@ -109,4 +109,33 @@ object Snapshot {
       .filter(col("op").isNotNull)
       .select(col("op"), coalesce(col("__a_id"), col("__b_id")).as(idCol))
   }
+
+  /** Slowly-changing-dimension Type 2 history from a change log: per key,
+    * collapse consecutive repeats of `attrCol` and emit validity intervals
+    * [valid_from, valid_to) with `is_current = 1` on the open last row —
+    * the warehouse-dimension read side of the mutation algebra (the
+    * reference keeps only latest state, vectordb/kd_tree_database.py:324-328;
+    * SCD2 keeps the full timeline).
+    *
+    * Two windows over the SAME (key, order) partitioning — one shuffle
+    * total, then per-partition sorts; events for one key co-locate, so at
+    * 100 TB this scales with the largest single key's history, not the
+    * table. Ordering is total via the (tsCol, tieCol) pair, so intervals
+    * are deterministic under duplicate timestamps. */
+  def scd2(log: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = log
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      // keep change points: first row per key or attribute != previous
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(attrCol)))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{GraphOps, TimeSeries}
+import java.sql.Timestamp
+
+class TimeSeriesGraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("time-weighted average weighs samples by holding interval") {
+    // key 1: value 10 held 30s, value 20 held 10s, trailing sample unweighted
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), 10.0),
+      (2L, 1L, t("2024-01-01 00:00:30"), 20.0),
+      (3L, 1L, t("2024-01-01 00:00:40"), 99.0), // last — carries no weight
+      (4L, 2L, t("2024-01-01 00:00:00"), 5.0),
+      (5L, 2L, t("2024-01-01 00:01:00"), 7.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.timeWeightedAvg(ev, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    // user 1: (10*30s + 20*10s) / 40s = 12.5 over 40s, 2 intervals
+    assert(got(1L) == ((10.0 * 30 + 20.0 * 10) / 40.0, 40L, 2L))
+    // user 2: single interval → twa = first value
+    assert(got(2L) == (5.0, 60L, 1L))
+  }
+
+  test("time-weighted average is deterministic under duplicate timestamps") {
+    val ev = Seq(
+      (2L, 1L, t("2024-01-01 00:00:00"), 4.0), // same ts — event_id orders
+      (1L, 1L, t("2024-01-01 00:00:00"), 2.0),
+      (3L, 1L, t("2024-01-01 00:00:10"), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = TimeSeries.timeWeightedAvg(ev, "user_id", "ts", "value", "event_id")
+      .collect().head
+    // order: (2.0, dt 0s), (4.0, dt 10s) → twa = 4.0 over 10s
+    assert(r.getDouble(1) == 4.0 && r.getLong(2) == 10L && r.getLong(3) == 2L)
+  }
+
+  test("graph summary counts each triangle exactly once") {
+    // 1-2-3 triangle, 2-3-4 triangle sharing edge (2,3), pendant 4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = GraphOps.summary(edges).collect().head
+    assert(r.getLong(0) == 5)  // nodes
+    assert(r.getLong(1) == 6)  // edges
+    assert(r.getLong(2) == 2)  // triangles {1,2,3} and {2,3,4}
+    assert(r.getLong(3) == 3)  // max degree: nodes 2, 3, 4 each touch 3 edges
+  }
+
+  test("triangle-free graph reports zero") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = GraphOps.summary(edges).collect().head
+    assert(r.getLong(2) == 0)
+  }
+}
