@@ -1646,7 +1646,15 @@ object SparkEntry {
         .filter(col("cos_sim") >= 0.1)
         .select(col("src"), col("dst"))
       graft.operators.GraphOps.summary(edges)
-    })
+    }),
+    // distributed PCA (top principal direction of the first 8 dims): the
+    // corpus collapses to its 8×8 second-moment Gram matrix in ONE
+    // aggregation pass (decimal-exact sums), then fixed-seed power
+    // iteration on the driver — the whole pipeline, Gram + 3 iterations +
+    // normalizations, is replayed by the unrolled SQL oracle bit-for-bit
+    "vec_pca_top_component" -> ((s, d) =>
+      graft.operators.Pca.topComponent(emb(s, d), dims = 8, iters = 3)
+        .orderBy(col("dim_idx")))
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -1771,6 +1779,40 @@ object SparkEntry {
        |SELECT * FROM (
        |  $finalRows
        |) ORDER BY rank""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of Pca.topComponent: Gram CTE (dims² exact
+    * decimal sums), then one (matvec, normalize) CTE pair per power
+    * iteration — every expression left-associated to match the driver
+    * loop's IEEE arithmetic. */
+  private def pcaSql(dims: Int, iters: Int): String = {
+    def e(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    val gramCols = (for (i <- 0 until dims; j <- 0 until dims) yield
+      s"CAST(SUM(CAST(ROUND((${e(i)}) * (${e(j)}), 9) AS DECIMAL(28,9))) AS DOUBLE) AS g_${i}_$j")
+      .mkString(",\n    ")
+    val seed = DuckSql.fmt(1.0 / math.sqrt(dims.toDouble))
+    val its = (1 to iters).map { it =>
+      def prev(j: Int) = if (it == 1) seed else s"c$j"
+      val from = if (it == 1) "gram" else s"gram, n${it - 1}"
+      val ws = (0 until dims).map { i =>
+        (0 until dims).map(j => s"g_${i}_$j * (${prev(j)})")
+          .mkString("(", " + ", ")") + s" AS w$i"
+      }.mkString(",\n    ")
+      val nsq = (0 until dims).map(i => s"w$i * w$i").mkString("(", " + ", ")")
+      val cs = (0 until dims).map(i => s"w$i / SQRT($nsq) AS c$i").mkString(",\n    ")
+      s"""i$it AS (SELECT $ws FROM $from),
+         |n$it AS (SELECT $cs FROM i$it)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until dims)
+      .map(i => s"SELECT CAST($i AS INT) AS dim_idx, c$i AS component FROM n$iters")
+      .mkString("\n  UNION ALL ")
+    s"""WITH gram AS (
+       |  SELECT $gramCols
+       |  FROM embeddings),
+       |$its
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY dim_idx""".stripMargin
   }
 
   private def knnSql(distExpr: String, k: Int, where: String = ""): String =
@@ -3051,7 +3093,8 @@ object SparkEntry {
            |     JOIN edges e2 ON e1.dst = e2.src
            |     JOIN edges e3 ON e1.src = e3.src AND e2.dst = e3.dst) AS n_triangles,
            |  (SELECT MAX(degree) FROM deg) AS max_degree""".stripMargin
-      }
+      },
+      "vec_pca_top_component" -> pcaSql(dims = 8, iters = 3)
     )
   }
 }
