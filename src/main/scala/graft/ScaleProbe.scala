@@ -211,5 +211,88 @@ object ScaleProbe extends App {
       .orderBy(col("d").asc, col("vec_id").asc).limit(10)
       .write.format("noop").mode("overwrite").save()
   }
+  // PCA at 1M×8: the corpus collapses to 64 decimal-exact sums in one
+  // pass; driver work is O(iters·dims²) regardless of rows.
+  t("PCA gram+power iteration (1M x 8)") {
+    val v = graft.operators.Pca.topComponent(indexed, dims = 8, iters = 3)
+      .collect().map(_.getDouble(1))
+    val n = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(n - 1.0) < 1e-9, s"non-unit component norm $n")
+  }
+  // Hybrid retrieval at scale: BM25 page over 100k docs + cosine page over
+  // 1M vectors, fused by integer-exact RRF — each retriever is a
+  // distributed top-k; fusion touches only the two bounded pages.
+  t("RRF hybrid (100k docs + 1M vectors)") {
+    val lex = graft.operators.Rerank.rankPage(
+      graft.operators.TextAnalysis.bm25TopK(bigDocs, Seq("spark", "table", "query"), 20),
+      "doc_id", "bm25")
+    val vec = graft.operators.Rerank.rankPage(
+      indexed.select(col("vec_id").as("doc_id"),
+          Distances.cosineSimLit(col("embedding"), Fixtures.Q64).as("cs"))
+        .orderBy(col("cs").desc, col("doc_id").asc).limit(20),
+      "doc_id", "cs")
+    assert(graft.operators.Rerank.rrf(lex, vec, "doc_id", 10).count() == 10L)
+  }
+  // MMR over 1M vectors: stage 1 (scoring + top-20 + 20² pair matrix) is
+  // distributed; the driver selects 5 of 20.
+  t("MMR diversified top-5 (1M vectors)") {
+    assert(graft.operators.Rerank.mmr(indexed, Fixtures.Q64, Fixtures.Dim,
+      nCand = 20, k = 5).count() == 5L)
+  }
+  // Column profiling at 3M rows × 5 columns: split stat/distinct jobs.
+  t("profile 5 cols (3M rows)") {
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .crossJoin(spark.range(5).toDF("rep"))
+    graft.operators.Profile.profile(li, Seq(
+        "l_orderkey" -> graft.operators.Profile.Num,
+        "l_quantity" -> graft.operators.Profile.Num,
+        "l_extendedprice" -> graft.operators.Profile.Num,
+        "l_returnflag" -> graft.operators.Profile.Str,
+        "l_shipdate" -> graft.operators.Profile.Ts))
+      .write.format("noop").mode("overwrite").save()
+  }
+  // Zone-map skipping at 3M rows: month-bucketed layout, 3-month window —
+  // pruned scan must equal the plain filter while consulting only
+  // overlapping buckets.
+  t("zone-map pruned scan (3M rows)") {
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .crossJoin(spark.range(5).toDF("rep"))
+      .withColumn("bucket", (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+    val lo = lit("1996-03-01").cast("timestamp"); val hi = lit("1996-06-01").cast("timestamp")
+    val (pruned, nb) = graft.index.ZoneMap.pruneScan(li, col("bucket"), col("l_shipdate"), lo, hi)
+    val plain = li.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count()
+    assert(pruned.count() == plain && nb == 3, s"zonemap mismatch (nb=$nb)")
+  }
+  // Triangle counting on a 2M-edge chord graph with a KNOWN count:
+  // edges (i,i+1) and (i,i+2) close exactly N-2 triangles.
+  t("triangles (1M nodes, 2M edges)") {
+    val n = 1000000L
+    val e1 = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val e2 = spark.range(n - 2).select(col("id").as("src"), (col("id") + 2).as("dst"))
+    val tri = graft.operators.GraphOps.summary(e1.union(e2).toDF())
+      .collect().head.getLong(2)
+    assert(tri == n - 2, s"expected ${n - 2} triangles, got $tri")
+  }
+  // SCD2 + time-weighted averages over 1M change-log rows (10× replicated
+  // events with disjoint users per replica): one (key, time) shuffle each.
+  t("SCD2 history (1M events)") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
+    val nEv = ev.count()
+    val big = ev.crossJoin(spark.range(math.max(1L, 1000000L / nEv)).toDF("rep"))
+      .select((col("event_id") * 100 + col("rep")).as("event_id"),
+        (col("user_id") * 100 + col("rep")).as("user_id"), col("event_type"), col("ts"), col("value"))
+    big.localCheckpoint(true)
+    graft.operators.Snapshot.scd2(big, "user_id", "event_type", "ts", "event_id")
+      .write.format("noop").mode("overwrite").save()
+  }
+  t("time-weighted avg (1M events)") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
+    val nEv = ev.count()
+    val big = ev.crossJoin(spark.range(math.max(1L, 1000000L / nEv)).toDF("rep"))
+      .select((col("event_id") * 100 + col("rep")).as("event_id"),
+        (col("user_id") * 100 + col("rep")).as("user_id"), col("ts"), col("value"))
+    graft.operators.TimeSeries.timeWeightedAvg(big, "user_id", "ts", "value", "event_id")
+      .write.format("noop").mode("overwrite").save()
+  }
   spark.stop()
 }

@@ -24,9 +24,14 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
 
   /** One-row structural summary: nodes, edges, triangles, max degree.
-    * Triangles: wedges a<b<c built from (a,b)⋈(b,c), closed by (a,c). */
+    * Triangles: wedges a<b<c built from (a,b)⋈(b,c), closed by (a,c).
+    * The edge list feeds five plan subtrees (three triangle legs, degrees,
+    * edge count) — persist it so an expensive upstream pair generator
+    * (cosine cross join, LSH banding) runs ONCE, not five times; spills to
+    * disk rather than recomputing at scale. */
   def summary(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.dst") === col("e2.src"))
       .join(e.as("e3"),
