@@ -1654,7 +1654,27 @@ object SparkEntry {
     // normalizations, is replayed by the unrolled SQL oracle bit-for-bit
     "vec_pca_top_component" -> ((s, d) =>
       graft.operators.Pca.topComponent(emb(s, d), dims = 8, iters = 3)
-        .orderBy(col("dim_idx")))
+        .orderBy(col("dim_idx"))),
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis): key =
+    // -ln(u)/w with u a deterministic md5 uniform and w a quality proxy;
+    // the k smallest keys ARE the weighted sample — RNG-free, reproducible,
+    // one codegen'd pass + distributed top-k (keys rounded to 6 decimals
+    // before ranking so sub-ulp ln() drift can't flip the order)
+    "sample_weighted_noreplace" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+          round(
+            -log((pmod(Dedup.md5Int32(col("doc_id").cast("string")), lit(1048576))
+              .cast("double") + 1.0) / 1048577.0) /
+            least(col("n_chars").cast("double") / 500.0, lit(1.0)), 6).as("es_key"))
+        .orderBy(col("es_key").asc, col("doc_id").asc)
+        .limit(50)),
+    // corpus-level boilerplate removal (C4-style "drop lines repeated
+    // across documents", over width-3 word segments): explode → distinct-
+    // count → anti-join → position-ordered reconstruction; 231 repeated
+    // segments at sf0.01 make the removal path non-vacuous
+    "text_boilerplate_removal" -> ((s, d) =>
+      TextAnalysis.boilerplateRemove(par(s, docs(s, d)), width = 3, minDocs = 3)
+        .orderBy(col("doc_id")))
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -3094,7 +3114,31 @@ object SparkEntry {
            |     JOIN edges e3 ON e1.src = e3.src AND e2.dst = e3.dst) AS n_triangles,
            |  (SELECT MAX(degree) FROM deg) AS max_degree""".stripMargin
       },
-      "vec_pca_top_component" -> pcaSql(dims = 8, iters = 3)
+      "vec_pca_top_component" -> pcaSql(dims = 8, iters = 3),
+      "sample_weighted_noreplace" ->
+        s"""SELECT doc_id, n_chars,
+           |  ROUND((-LN((CAST((${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS DOUBLE) + 1.0) / 1048577.0))
+           |    / LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 6) AS es_key
+           |FROM documents ORDER BY es_key ASC, doc_id ASC LIMIT 50""".stripMargin,
+      "text_boilerplate_removal" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |base AS (SELECT doc_id, CAST(ceil(len(w) / 3.0) AS INT) AS n_segments, w FROM d),
+          |segs AS (
+          |  SELECT doc_id, struct_extract(s, 'pos') AS seg_pos, struct_extract(s, 'seg') AS seg
+          |  FROM (SELECT doc_id, unnest(list_transform(range(0, n_segments),
+          |          i -> {'pos': i, 'seg': array_to_string(w[i*3+1:i*3+3], ' ')})) AS s
+          |        FROM base)),
+          |common AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3),
+          |kept AS (
+          |  SELECT doc_id, COUNT(*) AS n_kept,
+          |    string_agg(seg, ' ' ORDER BY seg_pos) AS clean_text
+          |  FROM segs WHERE seg NOT IN (SELECT seg FROM common)
+          |  GROUP BY doc_id)
+          |SELECT b.doc_id, b.n_segments,
+          |  CAST(b.n_segments - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+          |  COALESCE(k.clean_text, '') AS clean_text
+          |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+          |ORDER BY b.doc_id""".stripMargin
     )
   }
 }

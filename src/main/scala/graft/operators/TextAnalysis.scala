@@ -232,4 +232,46 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Corpus-level boilerplate-segment removal (the C4/RefinedWeb "remove
+    * lines repeated across documents" cleaning stage, re-expressed over
+    * word segments since the fixture has no newline structure): cut each
+    * doc into non-overlapping `width`-word segments (a short final
+    * remainder is a segment too), drop every segment appearing in at least
+    * `minDocs` DISTINCT documents, and reconstruct the remaining text in
+    * position order.
+    *
+    * Scale shape: one explode + one distinct-count aggregation finds the
+    * (small) boilerplate dictionary; the removal join is an anti join the
+    * optimizer broadcasts; reconstruction re-aggregates per doc with an
+    * explicit position sort inside the collected array (collect_list order
+    * is partition-dependent).
+    *
+    * Returns (doc_id, n_segments, n_removed, clean_text) — docs whose
+    * every segment was boilerplate come back with empty text, not dropped. */
+  def boilerplateRemove(docs: DataFrame, width: Int = 3, minDocs: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ws = words(col(textCol))
+    val nseg = ceil(size(ws).cast("double") / width).cast("int")
+    val segs = docs
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ", slice(ws, i * width + 1, lit(width))))))
+      .withColumnRenamed("pos", "seg_pos").withColumnRenamed("col", "seg")
+    val common = segs.groupBy(col("seg"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"))
+    val kept = segs.join(common, Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("seg_pos"), col("seg")))),
+            s => s.getField("seg"))).as("clean_text"))
+    docs.select(col(idCol), nseg.as("n_segments"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }
