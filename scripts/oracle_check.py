@@ -43,8 +43,14 @@ for name, sql in sorted(oracle.items()):
     for c in gs.columns:
         a, b = gs[c].tolist(), ws[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
+            # NA equality only for SAME-KIND NAs (NaT==NaT, None==None);
+            # float NaN vs None is a genuine cross-engine divergence and
+            # stays a mismatch (floats keep the explicit isnan path below)
             try:
-                both_na = bool(__import__("pandas").isna(x)) and bool(__import__("pandas").isna(y))
+                both_na = (type(x) is type(y)
+                           and not isinstance(x, float)
+                           and bool(__import__("pandas").isna(x))
+                           and bool(__import__("pandas").isna(y)))
             except (TypeError, ValueError):
                 both_na = False
             same = (x == y) or both_na or \

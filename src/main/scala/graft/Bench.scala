@@ -49,9 +49,13 @@ object Bench {
     // head (BENCH_r{1,2,3}.json all have parsed:null). The printed line
     // carries the total + a FIXED headline subset (stable names, so rounds
     // stay comparable) and points at the detail file.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+    // cwd-relative (driver runs sbt at the repo root); never let a write
+    // failure discard the timings gathered above
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
       f"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":$total%.3f,"queries":${jmap(results)}}""")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val headline = Seq(
       "knn_l2_brute", "knn_l2_pruned", "knn_join_l2_cells", "knn_join_l2_agg",
       "knn_join_l2_plan", "sim_cosine_topk", "ann_ivf_topk", "ann_pq_topk",

@@ -281,7 +281,7 @@ object ScaleProbe extends App {
     val big = ev.crossJoin(spark.range(math.max(1L, 1000000L / nEv)).toDF("rep"))
       .select((col("event_id") * 100 + col("rep")).as("event_id"),
         (col("user_id") * 100 + col("rep")).as("user_id"), col("event_type"), col("ts"), col("value"))
-    big.localCheckpoint(true)
+      .localCheckpoint(true)
     graft.operators.Snapshot.scd2(big, "user_id", "event_type", "ts", "event_id")
       .write.format("noop").mode("overwrite").save()
   }

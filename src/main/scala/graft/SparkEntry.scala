@@ -1567,7 +1567,9 @@ object SparkEntry {
           "user_id", "event_type", "ts", "event_id")
         .withColumn("valid_to",
           coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp")))
-        .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
+        // valid_to joins the sort so duplicate-timestamp change points of
+        // one attribute order totally (remaining ties are full-row dups)
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"), col("valid_to"))),
     // zone-map data skipping: month-bucketed layout + per-bucket min/max
     // stats; a 3-month range predicate scans only overlapping buckets
     // (3 of ~83). The oracle computes the PLAIN filter — pruning must not
@@ -1583,8 +1585,9 @@ object SparkEntry {
           drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .withColumn("n_buckets_scanned", lit(nb.toLong))
     }),
-    // one-pass column profiling (ANALYZE shape): per-column null/distinct
-    // counts + typed min/max over lineitem in a single aggregation job
+    // column profiling (ANALYZE shape): per-column null/distinct counts +
+    // typed min/max over lineitem — two flat aggregation jobs (stats +
+    // multi-distinct), deliberately split (see Profile.profile)
     "profile_lineitem" -> ((s, d) =>
       graft.operators.Profile.profile(Tables.lineitem(s, d), Seq(
           "l_orderkey" -> graft.operators.Profile.Num,
@@ -1616,8 +1619,9 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
     // time-weighted average of event value per user: each sample weighted
-    // by microseconds until the next — the statistic uneven sampling needs
-    // (products in exact decimal × integer µs, one double division at end)
+    // by WHOLE SECONDS until the next — the statistic uneven sampling
+    // needs (products in exact decimal × integer seconds, one double
+    // division at the end; see TimeSeries for why not microseconds)
     "events_time_weighted_avg" -> ((s, d) =>
       graft.operators.TimeSeries.timeWeightedAvg(
           Tables.events(s, d).filter(col("user_id") % 10 === 0),
@@ -3003,10 +3007,12 @@ object SparkEntry {
           |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to0
           |  FROM (
           |    SELECT user_id, event_type, ts, event_id,
-          |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-          |    FROM events WHERE user_id % 20 = 0)
-          |  WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type)
-          |ORDER BY user_id, valid_from, event_type""".stripMargin,
+          |      LAG(event_type) OVER w AS prev_type,
+          |      ROW_NUMBER() OVER w AS rn
+          |    FROM events WHERE user_id % 20 = 0
+          |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
+          |ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
       "store_zonemap_prune" ->
         s"""WITH b AS (
            |  SELECT *, CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS bucket
@@ -3054,14 +3060,17 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT vec_id FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2))
           |SELECT * FROM (
+          |  -- NOT EXISTS, not NOT IN: the operator is an anti join, which
+          |  -- keeps NULL-keyed child rows as orphans; NOT IN would return
+          |  -- NULL (drop them) the moment either side holds a NULL
           |  SELECT 'lineitem_orphan_order' AS check_name, COUNT(*) AS n_bad
-          |  FROM li_aug WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          |  FROM li_aug l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
           |  UNION ALL
           |  SELECT 'orders_orphan_customer', COUNT(*)
-          |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
           |  UNION ALL
           |  SELECT 'customer_orphan_nation', COUNT(*)
-          |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+          |  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
           |  UNION ALL
           |  SELECT 'embeddings_dup_pk', COUNT(*)
           |  FROM (SELECT vec_id FROM emb_aug GROUP BY vec_id HAVING COUNT(*) > 1)

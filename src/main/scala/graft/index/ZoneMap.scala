@@ -29,7 +29,9 @@ object ZoneMap {
 
   /** Buckets whose [mn, mx] overlaps [lo, hi) — the skip decision. The
     * stats table is bounded (one row per bucket/file), so collecting it is
-    * the planner reading footer metadata, not a data-scale collect. */
+    * the planner reading footer metadata, not a data-scale collect. A NULL
+    * bucket (rows whose layout key is null) forms its own stats group and
+    * can qualify like any other. */
   def candidateBuckets(statsDf: DataFrame, lo: Column, hi: Column): Array[Any] =
     statsDf.filter(col("mx") >= lo && col("mn") < hi)
       .select(col("bucket")).collect().map(_.get(0))
@@ -37,12 +39,17 @@ object ZoneMap {
   /** Range scan via zone-map skipping: scan only overlapping buckets, then
     * apply the exact predicate. Semantically identical to
     * `df.filter(lo <= valueCol < hi)` for ANY bucketing (proven in
-    * ZoneMapSpec); faster whenever the layout clusters `valueCol`. */
+    * ZoneMapSpec, including a NULL layout key); faster whenever the layout
+    * clusters `valueCol`. `isin` treats NULL as never-matching, so the
+    * null bucket gets its own explicit isNull branch when it qualifies. */
   def pruneScan(df: DataFrame, bucketCol: Column, valueCol: Column,
       lo: Column, hi: Column): (DataFrame, Int) = {
     val cand = candidateBuckets(stats(df, bucketCol, valueCol), lo, hi)
-    val pruned = df
-      .filter(bucketCol.isin(cand.toSeq: _*) && valueCol >= lo && valueCol < hi)
+    val (nullCand, nonNull) = cand.partition(_ == null)
+    val inBuckets =
+      if (nullCand.nonEmpty) bucketCol.isin(nonNull.toSeq: _*) || bucketCol.isNull
+      else bucketCol.isin(nonNull.toSeq: _*)
+    val pruned = df.filter(inBuckets && valueCol >= lo && valueCol < hi)
     (pruned, cand.length)
   }
 }

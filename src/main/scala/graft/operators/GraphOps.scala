@@ -28,19 +28,31 @@ object GraphOps {
     * The edge list feeds five plan subtrees (three triangle legs, degrees,
     * edge count) — persist it so an expensive upstream pair generator
     * (cosine cross join, LSH banding) runs ONCE, not five times; spills to
-    * disk rather than recomputing at scale. */
+    * disk rather than recomputing at scale. The summary is ONE row, so it
+    * is computed eagerly and the cache released before returning — a lazy
+    * return would leak the persisted edges for the session's lifetime. */
   def summary(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(e.as("e3"),
-        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val deg = degrees(e).agg(
-      count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"))
-    val ne = e.agg(count(lit(1)).as("n_edges"))
-    ne.crossJoin(deg).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
+    try {
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(e.as("e3"),
+          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = degrees(e).agg(
+        count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      val row = ne.crossJoin(deg).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
+        .collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(row.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nodes", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_edges", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_triangles", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("max_degree", org.apache.spark.sql.types.LongType, nullable = true))))
+    } finally e.unpersist()
   }
 }

@@ -68,7 +68,10 @@ object Profile {
   }
 
   /** Foreign-key orphans: child rows whose `childKey` has no match in
-    * `parent.parentKey` (anti join — broadcast when the parent is a dim). */
+    * `parent.parentKey` (anti join — broadcast when the parent is a dim).
+    * NULL child keys count as orphans (anti-join semantics, the audit-
+    * friendly reading: a null FK violates the constraint) — mirror with
+    * SQL NOT EXISTS, never NOT IN, whose null handling drops them. */
   def orphans(child: DataFrame, parent: DataFrame,
       childKey: String, parentKey: String): DataFrame = {
     // alias the parent key so same-named child/parent keys never collide

@@ -128,8 +128,12 @@ object Snapshot {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val changes = log
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      // keep change points: first row per key or attribute != previous
-      .filter(col("__prev").isNull || !(col("__prev") <=> col(attrCol)))
+      .withColumn("__rn", row_number().over(w))
+      // keep change points: first row per key, or attribute differs from
+      // the previous row NULL-SAFELY (lag(attr).isNull would conflate
+      // "first row" with "previous attr was NULL" and emit spurious
+      // intervals for consecutive NULL attribute values)
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
     val wc = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     changes
       .withColumn("valid_from", col(tsCol))

@@ -43,6 +43,22 @@ class ScdSpec extends SparkSpecBase {
       ("A", false), ("B", false), ("C", true)))
   }
 
+  test("scd2 collapses consecutive NULL attribute values") {
+    val log = Seq(
+      (1L, 1L, Option("A"), t("2024-01-01 00:00:00")),
+      (2L, 1L, None: Option[String], t("2024-01-02 00:00:00")),
+      (3L, 1L, None: Option[String], t("2024-01-03 00:00:00")), // repeat NULL — collapsed
+      (4L, 1L, Option("B"), t("2024-01-04 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Snapshot.scd2(log, "user_id", "event_type", "ts", "event_id")
+      .orderBy("valid_from").collect()
+      .map(r => (Option(r.getString(1)), r.getTimestamp(2), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (Some("A"), t("2024-01-01 00:00:00"), 0),
+      (None, t("2024-01-02 00:00:00"), 0),
+      (Some("B"), t("2024-01-04 00:00:00"), 1)))
+  }
+
   test("scd2 invariants on the events fixture") {
     val events = graft.core.Tables.events(spark, sfDir)
       .filter(col("user_id") % 20 === 0)

@@ -34,6 +34,20 @@ class ZoneMapSpec extends SparkSpecBase {
     assert(nb == 16)
   }
 
+  test("rows with a NULL layout key are never silently skipped") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), 10L), (Some(1L), 20L), (Some(2L), 50L),
+      (None: Option[Long], 15L), (None: Option[Long], 90L)
+    ).toDF("bucket", "v")
+    val (pruned, nb) = ZoneMap.pruneScan(df, col("bucket"), col("v"), lit(10L), lit(30L))
+    // null bucket spans [15, 90] → overlaps; its qualifying row (15) must
+    // appear exactly like the plain filter's
+    val got = pruned.select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 15L, 20L))
+    assert(nb == 2) // bucket 1 and the NULL bucket; bucket 2 skipped
+  }
+
   test("empty range scans zero buckets and returns zero rows") {
     val lo = lit("1899-01-01").cast("timestamp")
     val hi = lit("1899-02-01").cast("timestamp")
