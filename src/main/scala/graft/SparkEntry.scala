@@ -1678,7 +1678,32 @@ object SparkEntry {
     // segments at sf0.01 make the removal path non-vacuous
     "text_boilerplate_removal" -> ((s, d) =>
       TextAnalysis.boilerplateRemove(par(s, docs(s, d)), width = 3, minDocs = 3)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // binned range join: the same price-band semantics as
+    // range_join_price_bands (same oracle), but planned as an EQUI join —
+    // intervals replicate to the integer bins they overlap and the join
+    // hash-shuffles on the bin, the plan that survives when the interval
+    // side outgrows broadcast-nested-loop (pinned in BinnedRangeJoinSpec)
+    "range_join_binned" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("b0_lt50k", 0.0, 50000.0), ("b1_50k_100k", 50000.0, 100000.0),
+        ("b2_100k_200k", 100000.0, 200000.0), ("b3_ge200k", 200000.0, 1e18))
+        .toDF("band", "lo", "hi")
+      graft.operators.BinnedRangeJoin.join(
+          Tables.orders(s, d), col("o_totalprice"), bands,
+          "lo", "hi", binWidth = 50000.0, hiClamp = 1e6)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("band"))
+    }),
+    // multi-probe hyperplane LSH top-k: probe the query's bucket + every
+    // Hamming-1 neighbor (the recall lever that needs no extra tables),
+    // exact re-rank inside the candidates. Fixed literal planes → the
+    // whole approximate path is hash-checked, not rows-only
+    "ann_lsh_multiprobe_topk" -> ((s, d) =>
+      graft.operators.Ann.lshMultiProbeTopK(
+        emb(s, d), Fixtures.Planes16.take(8), Q64, K))
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -1839,6 +1864,16 @@ object SparkEntry {
        |) ORDER BY dim_idx""".stripMargin
   }
 
+  private lazy val rangeJoinBandsSql: String =
+    s"""SELECT band, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |JOIN (VALUES ('b0_lt50k', ${DuckSql.fmt(0.0)}, ${DuckSql.fmt(50000.0)}),
+       |             ('b1_50k_100k', ${DuckSql.fmt(50000.0)}, ${DuckSql.fmt(100000.0)}),
+       |             ('b2_100k_200k', ${DuckSql.fmt(100000.0)}, ${DuckSql.fmt(200000.0)}),
+       |             ('b3_ge200k', ${DuckSql.fmt(200000.0)}, ${DuckSql.fmt(1e18)})) AS bands(band, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
   private def knnSql(distExpr: String, k: Int, where: String = ""): String =
     s"SELECT vec_id, label, $distExpr AS dist FROM embeddings $where ORDER BY dist ASC, vec_id ASC LIMIT $k"
 
@@ -1924,15 +1959,10 @@ object SparkEntry {
         s"""SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
            |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
-      "range_join_price_bands" ->
-        s"""SELECT band, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
-           |FROM orders
-           |JOIN (VALUES ('b0_lt50k', ${DuckSql.fmt(0.0)}, ${DuckSql.fmt(50000.0)}),
-           |             ('b1_50k_100k', ${DuckSql.fmt(50000.0)}, ${DuckSql.fmt(100000.0)}),
-           |             ('b2_100k_200k', ${DuckSql.fmt(100000.0)}, ${DuckSql.fmt(200000.0)}),
-           |             ('b3_ge200k', ${DuckSql.fmt(200000.0)}, ${DuckSql.fmt(1e18)})) AS bands(band, lo, hi)
-           |  ON o_totalprice >= lo AND o_totalprice < hi
-           |GROUP BY band ORDER BY band""".stripMargin,
+      // range_join_binned is the equi-planned form of the SAME semantics —
+      // one oracle serves both
+      "range_join_price_bands" -> rangeJoinBandsSql,
+      "range_join_binned" -> rangeJoinBandsSql,
       "window_top_orders_per_customer" ->
         """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -3124,6 +3154,19 @@ object SparkEntry {
            |  (SELECT MAX(degree) FROM deg) AS max_degree""".stripMargin
       },
       "vec_pca_top_component" -> pcaSql(dims = 8, iters = 3),
+      "ann_lsh_multiprobe_topk" -> {
+        val planes8 = Fixtures.Planes16.take(8)
+        val qSig = graft.operators.Ann.querySignature(planes8, Q64)
+        val probes = (qSig +: planes8.indices.map(j => qSig ^ (1L << j))).mkString(", ")
+        // per-row signature: disjoint power-of-two terms, so + ≡ bitwise OR
+        val sigSql = planes8.zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN ${DuckSql.dotLit("embedding", p)} >= 0.0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT vec_id, label, ${DuckSql.squaredL2Lit("embedding", Q64)} AS dist
+           |FROM (SELECT *, $sigSql AS sig FROM embeddings)
+           |WHERE sig IN ($probes)
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
+      },
       "sample_weighted_noreplace" ->
         s"""SELECT doc_id, n_chars,
            |  ROUND((-LN((CAST((${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS DOUBLE) + 1.0) / 1048577.0))

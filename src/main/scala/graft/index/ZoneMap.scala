@@ -27,6 +27,18 @@ object ZoneMap {
     df.groupBy(bucketCol.as("bucket"))
       .agg(min(valueCol).as("mn"), max(valueCol).as("mx"))
 
+  /** Incremental maintenance: fold an append batch's stats into the
+    * existing table WITHOUT rescanning the store — min/max re-aggregate
+    * losslessly (the same partial-merge contract as
+    * `agg_partial_merge_monthly`), so `mergeStats(stats(a), stats(b)) ==
+    * stats(a ∪ b)` (ZoneMapSpec). Deletes, which can only WIDEN a zone
+    * map's usefulness gap (bounds stay conservative, skipping stays
+    * correct), are handled by periodic recompute, as in real stores. */
+  def mergeStats(oldStats: DataFrame, deltaStats: DataFrame): DataFrame =
+    oldStats.unionByName(deltaStats)
+      .groupBy(col("bucket"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
   /** Buckets whose [mn, mx] overlaps [lo, hi) — the skip decision. The
     * stats table is bounded (one row per bucket/file), so collecting it is
     * the planner reading footer metadata, not a data-scale collect. A NULL

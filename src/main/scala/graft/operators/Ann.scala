@@ -54,6 +54,38 @@ object Ann {
       .filter(col("cos_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
 
+  /** Multi-probe LSH top-k (Lv et al.): probe the query's hyperplane
+    * bucket PLUS every bucket at Hamming distance 1 — the standard recall
+    * lever that multiplies candidate coverage (1 + nBits buckets) without
+    * adding hash tables. The query signature and its bit flips are driver
+    * constants; candidate selection is one codegen'd `sig IN (...)` scan
+    * (partition-prunable when the store is bucketed by signature) and the
+    * exact squared-L2 re-rank bounds the output to k. Approximate by
+    * nature: vectors outside every probed bucket are unseen (measure with
+    * the recall-eval harness, cf. `ann_ivf_recall`). */
+  def lshMultiProbeTopK(db: DataFrame, planes: Array[Array[Double]],
+      q: Array[Double], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaCols: Seq[String] = Seq("label")): DataFrame = {
+    val qSig = querySignature(planes, q)
+    val probes: Seq[Long] = qSig +: planes.indices.map(j => qSig ^ (1L << j))
+    db.withColumn("lsh_sig", lshSignature(col(vecCol), planes))
+      .filter(col("lsh_sig").isin(probes: _*))
+      .select(col(idCol) +: metaCols.map(col) :+
+        Distances.squaredL2Lit(col(vecCol), q).as("dist"): _*)
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Driver-side signature of a query vector (same sign rule as
+    * [[lshSignature]]). */
+  def querySignature(planes: Array[Array[Double]], q: Array[Double]): Long =
+    planes.zipWithIndex.map { case (p, j) =>
+      var dot = 0.0; var i = 0
+      while (i < q.length) { dot += p(i) * q(i); i += 1 }
+      if (dot >= 0.0) 1L << j else 0L
+    }.reduce(_ | _)
+
   /** Banded LSH near-dup: split `planes` into bands of `bandBits`; vectors
     * colliding in ANY band are candidates (OR-amplification — recall rises
     * with band count, candidate volume with 2^-bandBits), deduped on the

@@ -51,6 +51,26 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-probe widens the candidate set over single-bucket LSH") {
+    val planes8 = Planes16.take(8)
+    val qSig = Ann.querySignature(planes8, Q64)
+    val single = emb
+      .withColumn("sig", Ann.lshSignature(col("embedding"), planes8))
+      .filter(col("sig") === qSig).count()
+    val probes: Seq[Long] = qSig +: planes8.indices.map(j => qSig ^ (1L << j))
+    val multi = emb
+      .withColumn("sig", Ann.lshSignature(col("embedding"), planes8))
+      .filter(col("sig").isin(probes: _*)).count()
+    assert(multi >= single)
+    assert(multi > 0, "no candidates in any probed bucket")
+    // top-k from the probed buckets: every result must come from them and
+    // be ranked by exact squared L2 (ascending, id tie-break)
+    val got = Ann.lshMultiProbeTopK(emb, planes8, Q64, 10).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    val dists = got.map(_.getDouble(2)).toSeq
+    assert(dists == dists.sorted)
+  }
+
   test("LSH signature is deterministic and bucket join never cross-joins different sigs") {
     val sigA = emb.select(Ann.lshSignature(col("embedding"), Planes16)).collect().map(_.getLong(0))
     val sigB = emb.select(Ann.lshSignature(col("embedding"), Planes16)).collect().map(_.getLong(0))

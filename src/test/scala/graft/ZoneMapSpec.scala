@@ -55,4 +55,18 @@ class ZoneMapSpec extends SparkSpecBase {
     assert(nb == 0)
     assert(pruned.count() == 0)
   }
+
+  test("incremental stats merge equals recompute over the union") {
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 =!= 0)
+    val merged = ZoneMap.mergeStats(
+        ZoneMap.stats(a, col("bucket"), col("l_shipdate")),
+        ZoneMap.stats(b, col("bucket"), col("l_shipdate")))
+      
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    val full = ZoneMap.stats(li, col("bucket"), col("l_shipdate"))
+      
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(merged == full)
+  }
 }
