@@ -1703,7 +1703,48 @@ object SparkEntry {
     // whole approximate path is hash-checked, not rows-only
     "ann_lsh_multiprobe_topk" -> ((s, d) =>
       graft.operators.Ann.lshMultiProbeTopK(
-        emb(s, d), Fixtures.Planes16.take(8), Q64, K))
+        emb(s, d), Fixtures.Planes16.take(8), Q64, K)),
+    // robust outlier detection: median + MAD per group (both from the
+    // proven exact-interpolated percentile), flag |x − med| > 2·MAD —
+    // the outlier rule a skewed money column needs where mean/stddev
+    // would be dragged by the outliers themselves. Three passes, each a
+    // groupBy + broadcast join of the 5-row stats table
+    "agg_mad_outliers" -> ((s, d) => {
+      val li = Tables.orders(s, d)
+      val med = li.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+      val mad = li.join(broadcast(med), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("med")).as("med"),
+          percentile(abs(col("o_totalprice") - col("med")), lit(0.5)).as("mad"))
+      li.join(broadcast(mad), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(when(abs(col("o_totalprice") - col("med")) > lit(2.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // chi-square independence over the lang × source contingency table
+    // (corpus-composition drift test): marginals and observed counts are
+    // three tiny aggregations of one scan; zero cells enter with their
+    // expected mass (marginal cross join ⟕ observed); per-cell terms are
+    // 9-decimal-quantized so the summed statistic is engine-exact
+    "text_chi2_lang_source" -> ((s, d) => {
+      val dd = docs(s, d)
+      val rt = dd.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+      val ct = dd.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+      val o = dd.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val nn = dd.agg(count(lit(1)).as("nn"))
+      val e = (col("rt") * col("ct")).cast("double") / col("nn")
+      val dev = col("o").cast("double") - col("e")
+      rt.crossJoin(ct).crossJoin(broadcast(nn))
+        .join(o, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .withColumn("e", e)
+        .withColumn("term", round(dev * dev / col("e"), 9).cast(DecimalType(28, 9)))
+        .agg(count(lit(1)).as("n_cells"), sum(col("term")).cast("double").as("chi2"))
+    })
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -3167,6 +3208,35 @@ object SparkEntry {
            |WHERE sig IN ($probes)
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
       },
+      "agg_mad_outliers" ->
+        s"""WITH med AS (
+           |  SELECT o_orderpriority, quantile_cont(o_totalprice, ${DuckSql.fmt(0.5)}) AS med
+           |  FROM orders GROUP BY o_orderpriority),
+           |mad AS (
+           |  SELECT o.o_orderpriority, MAX(m.med) AS med,
+           |    quantile_cont(ABS(o.o_totalprice - m.med), ${DuckSql.fmt(0.5)}) AS mad
+           |  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+           |  GROUP BY o.o_orderpriority)
+           |SELECT o.o_orderpriority, MAX(d.med) AS med, MAX(d.mad) AS mad,
+           |  CAST(SUM(CASE WHEN ABS(o.o_totalprice - d.med) > ${DuckSql.fmt(2.0)} * d.mad
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           |  COUNT(*) AS n
+           |FROM orders o JOIN mad d ON o.o_orderpriority = d.o_orderpriority
+           |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+      "text_chi2_lang_source" ->
+        """WITH rt AS (SELECT lang, COUNT(*) AS rt FROM documents GROUP BY lang),
+          |ct AS (SELECT source, COUNT(*) AS ct FROM documents GROUP BY source),
+          |obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+          |nn AS (SELECT COUNT(*) AS nn FROM documents),
+          |cells AS (
+          |  SELECT r.lang, c.source, COALESCE(obs.o, 0) AS o,
+          |    CAST(r.rt * c.ct AS DOUBLE) / nn.nn AS e
+          |  FROM rt r CROSS JOIN ct c CROSS JOIN nn
+          |  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source)
+          |SELECT COUNT(*) AS n_cells,
+          |  CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9)
+          |                AS DECIMAL(28,9))) AS DOUBLE) AS chi2
+          |FROM cells""".stripMargin,
       "sample_weighted_noreplace" ->
         s"""SELECT doc_id, n_chars,
            |  ROUND((-LN((CAST((${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS DOUBLE) + 1.0) / 1048577.0))
