@@ -51,6 +51,30 @@ object StreamingIngest {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming zone-map maintenance: each micro-batch's per-bucket min/max
+    * folds into the persisted stats table via the lossless partial merge
+    * (`ZoneMap.mergeStats`) — the stats a reader consults for skipping stay
+    * current without ever rescanning the store. The batch's own stats are
+    * bucket-count-sized, so the fold touches metadata-scale rows only
+    * (StreamingZoneMapSpec proves the streamed fold ≡ one-shot recompute). */
+  def zoneMapMaintain(stream: DataFrame, bucketExpr: org.apache.spark.sql.Column,
+      valueExpr: org.apache.spark.sql.Column, statsPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.index.ZoneMap.stats(batch, bucketExpr, valueExpr)
+        val merged =
+          if (new java.io.File(statsPath).exists()) {
+            val old = spark.read.parquet(statsPath)
+            graft.index.ZoneMap.mergeStats(old, delta)
+          } else delta
+        // tiny table: collect-and-rewrite beats a merge-on-read log
+        val rows = merged.collect()
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
+          .write.mode("overwrite").parquet(statsPath)
+      }
+
   /** Run a streaming query over a bounded source to completion (test/demo
     * helper: `processAllAvailable` drains everything then returns). */
   def runToCompletion(writer: DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
