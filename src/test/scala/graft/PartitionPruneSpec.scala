@@ -94,6 +94,28 @@ class PartitionPruneSpec extends SparkSpecBase {
     }
   }
 
+  test("a signature-partitioned store turns multi-probe LSH into file pruning") {
+    // the lexical analog of the cell store: bucket the store by the LSH
+    // signature and the multi-probe `sig IN (...)` predicate becomes
+    // partition pruning — the scan never touches unprobed buckets
+    val planes = graft.core.Fixtures.Planes16.take(4) // 16 buckets
+    val sigStore = java.nio.file.Files.createTempDirectory("graft_sig_store").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("lsh_sig",
+        graft.operators.Ann.lshSignature(col("embedding"), planes))
+      .write.partitionBy("lsh_sig").mode("overwrite").parquet(sigStore)
+    val full = spark.read.parquet(sigStore)
+    val qSig = graft.operators.Ann.querySignature(planes, graft.core.Fixtures.Q64)
+    val probes: Seq[Long] = qSig +: planes.indices.map(j => qSig ^ (1L << j))
+    val pruned = full.filter(col("lsh_sig").isin(probes: _*))
+    val scan = scanOf(pruned)
+    assert(scan.partitionFilters.nonEmpty, "sig predicate must be a partition filter")
+    val filesRead = scan.metrics("numFiles").value
+    val filesTotal = scanOf(full).metrics("numFiles").value
+    assert(filesRead < filesTotal,
+      s"probed scan read $filesRead of $filesTotal files — no pruning")
+  }
+
   test("kNN over the loaded partitioned store equals brute force") {
     val cfg = GridConfig(dim = 64, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
     val db = VectorDatabase.load(spark, storePath, cfg)
