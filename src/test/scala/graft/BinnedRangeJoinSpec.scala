@@ -34,6 +34,25 @@ class BinnedRangeJoinSpec extends SparkSpecBase {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(500))
   }
 
+  test("randomized: binned join equals nested loop for arbitrary intervals") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 5) {
+      val facts = Seq.fill(200)(rnd.nextDouble() * 1000 - 100).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("fid", "v")
+      val ivs = Seq.fill(8) {
+        val lo = rnd.nextDouble() * 900 - 100
+        (s"iv${rnd.nextInt(1000)}", lo, lo + rnd.nextDouble() * 300)
+      }.zipWithIndex.map { case ((n, lo, hi), i) => (s"${n}_$i", lo, hi) }
+        .toDF("band", "lo", "hi")
+      val bw = 10.0 + rnd.nextDouble() * 200 // bin width ≠ interval scale
+      val nlj = facts.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("fid", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val binned = BinnedRangeJoin.join(facts, col("v"), ivs, "lo", "hi", bw, hiClamp = 1000.0)
+        .select("fid", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(binned == nlj, s"trial $trial (binWidth $bw)")
+    }
+  }
+
   test("boundary values land in the right band (exact re-check)") {
     val facts = Seq(0.0, 49999.99, 50000.0, 99999.99, 200000.0).toDF("v")
     val got = BinnedRangeJoin.join(facts, col("v"), bands, "lo", "hi", 50000.0, 1e6)

@@ -24,6 +24,17 @@ class BoilerplateSpec extends SparkSpecBase {
     assert(got(3) == ((4L, 2, 0L, "nothing shared here at all friend")))
   }
 
+  test("identity when the threshold exceeds the corpus size (fixture docs)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val got = TextAnalysis.boilerplateRemove(docs, width = 3, minDocs = 1000)
+      .select(col("doc_id"), col("clean_text"))
+    val diff = got.join(docs, Seq("doc_id"))
+      .filter(col("clean_text") =!= col("text")).count()
+    // no segment can reach the threshold → reconstruction must be exact
+    assert(diff == 0)
+  }
+
   test("a doc that is entirely boilerplate yields empty text, not a dropped row") {
     val docs = Seq(
       (1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
