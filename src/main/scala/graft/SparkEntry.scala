@@ -1744,7 +1744,21 @@ object SparkEntry {
         .withColumn("e", e)
         .withColumn("term", round(dev * dev / col("e"), 9).cast(DecimalType(28, 9)))
         .agg(count(lit(1)).as("n_cells"), sum(col("term")).cast("double").as("chi2"))
-    })
+    }),
+    // token-budget mixture planning: per-language corpus token mass → the
+    // keep rate that hits a fixed per-language budget (min(1, B/tokens)) —
+    // the sizing step that precedes sample_domain_mix's md5-gated
+    // execution; one aggregation, rates derived from broadcastable totals
+    "sample_token_budget_plan" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenEstimate(col("text"))).as("tokens"))
+        .withColumn("rate",
+          least(lit(1.0), lit(50000.0) / col("tokens").cast("double")))
+        .withColumn("expected_tokens",
+          round(col("rate") * col("tokens").cast("double"), 3))
+        .orderBy(col("lang")))
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -3237,6 +3251,15 @@ object SparkEntry {
           |  CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9)
           |                AS DECIMAL(28,9))) AS DOUBLE) AS chi2
           |FROM cells""".stripMargin,
+      "sample_token_budget_plan" ->
+        s"""SELECT lang, n_docs, tokens,
+           |  LEAST(1.0, ${DuckSql.fmt(50000.0)} / CAST(tokens AS DOUBLE)) AS rate,
+           |  ROUND(LEAST(1.0, ${DuckSql.fmt(50000.0)} / CAST(tokens AS DOUBLE)) * CAST(tokens AS DOUBLE), 3) AS expected_tokens
+           |FROM (
+           |  SELECT lang, COUNT(*) AS n_docs,
+           |    CAST(SUM(CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS tokens
+           |  FROM documents GROUP BY lang)
+           |ORDER BY lang""".stripMargin,
       "sample_weighted_noreplace" ->
         s"""SELECT doc_id, n_chars,
            |  ROUND((-LN((CAST((${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS DOUBLE) + 1.0) / 1048577.0))
