@@ -3211,8 +3211,7 @@ object SparkEntry {
       "vec_pca_top_component" -> pcaSql(dims = 8, iters = 3),
       "ann_lsh_multiprobe_topk" -> {
         val planes8 = Fixtures.Planes16.take(8)
-        val qSig = graft.operators.Ann.querySignature(planes8, Q64)
-        val probes = (qSig +: planes8.indices.map(j => qSig ^ (1L << j))).mkString(", ")
+        val probes = graft.operators.Ann.multiProbeSigs(planes8, Q64).mkString(", ")
         // per-row signature: disjoint power-of-two terms, so + ≡ bitwise OR
         val sigSql = planes8.zipWithIndex.map { case (p, j) =>
           s"(CASE WHEN ${DuckSql.dotLit("embedding", p)} >= 0.0 THEN ${1L << j} ELSE 0 END)"

@@ -67,14 +67,22 @@ object Ann {
       q: Array[Double], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       metaCols: Seq[String] = Seq("label")): DataFrame = {
-    val qSig = querySignature(planes, q)
-    val probes: Seq[Long] = qSig +: planes.indices.map(j => qSig ^ (1L << j))
+    val probes = multiProbeSigs(planes, q)
     db.withColumn("lsh_sig", lshSignature(col(vecCol), planes))
       .filter(col("lsh_sig").isin(probes: _*))
       .select(col(idCol) +: metaCols.map(col) :+
         Distances.squaredL2Lit(col(vecCol), q).as("dist"): _*)
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** The probed bucket set: the query's signature plus every Hamming-1
+    * flip. THE single definition — the operator, its DuckDB oracle, and
+    * the plan-shape specs all consume this, so the probe policy can never
+    * silently diverge between them. */
+  def multiProbeSigs(planes: Array[Array[Double]], q: Array[Double]): Seq[Long] = {
+    val qSig = querySignature(planes, q)
+    qSig +: planes.indices.map(j => qSig ^ (1L << j))
   }
 
   /** Driver-side signature of a query vector (same sign rule as

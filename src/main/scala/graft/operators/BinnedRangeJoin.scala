@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * Open-ended intervals (hi = +∞ sentinels) would replicate into unbounded
   * bin sequences — `hiClamp` caps them at the fact domain's known upper
   * bound (a zone-map-style stat) without changing semantics, since the
-  * exact predicate re-check keeps correctness for ANY clamp ≥ max(value).
+  * exact predicate re-check keeps correctness for ANY clamp ≥ max(value);
+  * a fact value ABOVE the clamp raises at runtime rather than silently
+  * missing its interval.
   */
 object BinnedRangeJoin {
 
@@ -25,7 +27,14 @@ object BinnedRangeJoin {
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
         floor(least(col(hiCol), lit(hiClamp)) / binWidth).cast("long"))))
-    fact.withColumn("__fbin", floor(valueCol / binWidth).cast("long"))
+    // a fact value above hiClamp could sit in a bin the clamped interval
+    // was never replicated to — that would be SILENT row loss, so raise
+    // (codegen'd per-row check, no extra job)
+    val guarded = when(valueCol > hiClamp,
+      raise_error(concat(lit("BinnedRangeJoin: value "), valueCol.cast("string"),
+        lit(s" exceeds hiClamp=$hiClamp; raise hiClamp to >= max(value)"))))
+      .otherwise(valueCol)
+    fact.withColumn("__fbin", floor(guarded / binWidth).cast("long"))
       .join(binned, col("__fbin") === col("__bin") &&
         valueCol >= col(loCol) && valueCol < col(hiCol))
       .drop("__fbin", "__bin")

@@ -44,15 +44,10 @@ object GraphOps {
       val deg = degrees(e).agg(
         count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"))
       val ne = e.agg(count(lit(1)).as("n_edges"))
-      val row = ne.crossJoin(deg).crossJoin(tri)
+      val out = ne.crossJoin(deg).crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
-        .collect()
-      spark.createDataFrame(spark.sparkContext.parallelize(row.toSeq, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("n_nodes", org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_edges", org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_triangles", org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("max_degree", org.apache.spark.sql.types.LongType, nullable = true))))
+      val row = out.collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(row.toSeq, 1), out.schema)
     } finally e.unpersist()
   }
 }

@@ -63,16 +63,30 @@ object StreamingIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // resolve through the Hadoop filesystem of the path (local, HDFS,
+        // s3a, ...) — a driver-local java.io.File check would report
+        // "missing" for every remote path and silently reseed the stats
+        // from each batch's delta alone
+        val target = new org.apache.hadoop.fs.Path(statsPath)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val delta = graft.index.ZoneMap.stats(batch, bucketExpr, valueExpr)
         val merged =
-          if (new java.io.File(statsPath).exists()) {
+          if (fs.exists(target)) {
             val old = spark.read.parquet(statsPath)
             graft.index.ZoneMap.mergeStats(old, delta)
           } else delta
-        // tiny table: collect-and-rewrite beats a merge-on-read log
+        // tiny table: collect-and-rewrite beats a merge-on-read log.
+        // Write to a sibling tmp dir and swap via rename so a crash
+        // mid-rewrite cannot lose the accumulated table (overwrite-in-
+        // place deletes the old data before committing the new).
         val rows = merged.collect()
+        val tmp = new org.apache.hadoop.fs.Path(statsPath + ".tmp")
         spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
-          .write.mode("overwrite").parquet(statsPath)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(target, true)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(
+            s"zoneMapMaintain: rename $tmp -> $target failed")
       }
 
   /** Run a streaming query over a bounded source to completion (test/demo

@@ -57,7 +57,7 @@ class AnnSpec extends SparkSpecBase {
     val single = emb
       .withColumn("sig", Ann.lshSignature(col("embedding"), planes8))
       .filter(col("sig") === qSig).count()
-    val probes: Seq[Long] = qSig +: planes8.indices.map(j => qSig ^ (1L << j))
+    val probes = Ann.multiProbeSigs(planes8, Q64)
     val multi = emb
       .withColumn("sig", Ann.lshSignature(col("embedding"), planes8))
       .filter(col("sig").isin(probes: _*)).count()

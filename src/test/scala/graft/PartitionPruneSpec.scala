@@ -99,14 +99,15 @@ class PartitionPruneSpec extends SparkSpecBase {
     // signature and the multi-probe `sig IN (...)` predicate becomes
     // partition pruning — the scan never touches unprobed buckets
     val planes = graft.core.Fixtures.Planes16.take(4) // 16 buckets
-    val sigStore = java.nio.file.Files.createTempDirectory("graft_sig_store").toString
+    // fixed path under target/ — reused across runs, removed by `sbt clean`
+    // (the temp-dir-per-run pattern leaked disk, cf. round-3 review)
+    val sigStore = "target/tmp/graft_sig_store"
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("lsh_sig",
         graft.operators.Ann.lshSignature(col("embedding"), planes))
       .write.partitionBy("lsh_sig").mode("overwrite").parquet(sigStore)
     val full = spark.read.parquet(sigStore)
-    val qSig = graft.operators.Ann.querySignature(planes, graft.core.Fixtures.Q64)
-    val probes: Seq[Long] = qSig +: planes.indices.map(j => qSig ^ (1L << j))
+    val probes = graft.operators.Ann.multiProbeSigs(planes, graft.core.Fixtures.Q64)
     val pruned = full.filter(col("lsh_sig").isin(probes: _*))
     val scan = scanOf(pruned)
     assert(scan.partitionFilters.nonEmpty, "sig predicate must be a partition filter")

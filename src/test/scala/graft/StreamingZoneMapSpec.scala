@@ -14,7 +14,15 @@ class StreamingZoneMapSpec extends SparkSpecBase {
 
   test("streamed stats fold equals one-shot recompute") {
     implicit val sqlCtx = spark.sqlContext
-    val statsDir = java.nio.file.Files.createTempDirectory("zm_stats").toString + "/stats"
+    // fixed path under target/ — reused across runs, removed by `sbt clean`
+    val statsDir = "target/tmp/zm_stats/stats"
+    val root = new java.io.File("target/tmp/zm_stats")
+    if (root.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(root)
+    }
 
     val batch1 = Seq((1L, 10L), (1L, 30L), (2L, 100L))
     val batch2 = Seq((1L, 5L), (3L, 7L))
