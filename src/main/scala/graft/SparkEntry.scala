@@ -1758,7 +1758,20 @@ object SparkEntry {
           least(lit(1.0), lit(50000.0) / col("tokens").cast("double")))
         .withColumn("expected_tokens",
           round(col("rate") * col("tokens").cast("double"), 3))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+    // skyline (Pareto frontier): orders no other order beats on BOTH
+    // price (lower) and recency (later) — the preference-query operator;
+    // banded scale form (per-band maxima broadcast prefilter + exact
+    // window on the survivors), ≡ the brute NOT EXISTS oracle
+    "skyline_orders" -> ((s, d) =>
+      graft.operators.Skyline.pareto2dBanded(
+          Tables.orders(s, d).filter(col("o_custkey") % 10 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+              round(col("o_totalprice") * 100).cast(LongType).as("xc"),
+              col("o_orderdate").cast("timestamp").cast(LongType).as("ye")),
+          col("xc"), col("ye"), bandWidth = 1000000L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey")))
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -3259,6 +3272,17 @@ object SparkEntry {
            |    CAST(SUM(CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS tokens
            |  FROM documents GROUP BY lang)
            |ORDER BY lang""".stripMargin,
+      "skyline_orders" ->
+        """WITH o AS (
+          |  SELECT o_orderkey, o_totalprice, o_orderdate,
+          |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc,
+          |    CAST(epoch(o_orderdate) AS BIGINT) AS ye
+          |  FROM orders WHERE o_custkey % 10 = 0)
+          |SELECT o_orderkey, o_totalprice, o_orderdate FROM o r
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM o s
+          |  WHERE s.xc <= r.xc AND s.ye >= r.ye AND (s.xc < r.xc OR s.ye > r.ye))
+          |ORDER BY o_orderkey""".stripMargin,
       "sample_weighted_noreplace" ->
         s"""SELECT doc_id, n_chars,
            |  ROUND((-LN((CAST((${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS DOUBLE) + 1.0) / 1048577.0))
