@@ -285,6 +285,21 @@ object ScaleProbe extends App {
     graft.operators.Snapshot.scd2(big, "user_id", "event_type", "ts", "event_id")
       .write.format("noop").mode("overwrite").save()
   }
+  // Banded skyline at 1M points: the broadcast band-max prefilter must
+  // leave a tiny exact pass; verify frontier size and mutual non-dominance
+  // on a sample of the result.
+  t("banded skyline (1M points)") {
+    val pts = spark.range(1000000L).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(1000000L)).as("x"),
+      pmod(col("id") * 40503L, lit(1000000L)).as("y"))
+    val front = graft.operators.Skyline.pareto2dBanded(
+      pts, col("x"), col("y"), bandWidth = 10000L).collect()
+    assert(front.nonEmpty && front.length < 10000, s"frontier ${front.length}")
+    val f = front.map(r => (r.getLong(1), r.getLong(2)))
+    f.take(200).foreach { case (x, y) =>
+      assert(!f.exists { case (sx, sy) => sx <= x && sy >= y && (sx < x || sy > y) })
+    }
+  }
   t("time-weighted avg (1M events)") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
     val nEv = ev.count()
