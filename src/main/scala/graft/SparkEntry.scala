@@ -1771,7 +1771,29 @@ object SparkEntry {
               col("o_orderdate").cast("timestamp").cast(LongType).as("ye")),
           col("xc"), col("ye"), bandWidth = 1000000L)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+    // temporal (validity-interval) join against the SCD2 dimension: each
+    // purchase picks up the browsing state valid AT its timestamp —
+    // fact.ts ∈ [valid_from, valid_to) of the user's non-purchase history;
+    // purchases before any history row keep NULL state (left join). The
+    // equi key (user) carries the join; the interval predicate filters
+    // within the key's (small) history
+    "scd2_temporal_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") % 20 === 0)
+      val hist = Snapshot.scd2(ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "event_type", "ts", "event_id")
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp")))
+        .select(col("user_id").as("h_user"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(hist, col("user_id") === col("h_user") &&
+          col("ts") >= col("valid_from") && col("ts") < col("valid_to"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("state"), col("valid_from").as("state_since"))
+        .orderBy(col("event_id"))
+    })
   )
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
@@ -3283,6 +3305,26 @@ object SparkEntry {
           |  SELECT 1 FROM o s
           |  WHERE s.xc <= r.xc AND s.ye >= r.ye AND (s.xc < r.xc OR s.ye > r.ye))
           |ORDER BY o_orderkey""".stripMargin,
+      "scd2_temporal_join" ->
+        """WITH hist AS (
+          |  SELECT user_id AS h_user, event_type AS state, valid_from,
+          |    COALESCE(valid_to0, TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+          |  FROM (
+          |    SELECT user_id, event_type, ts AS valid_from,
+          |      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to0
+          |    FROM (
+          |      SELECT user_id, event_type, ts, event_id,
+          |        LAG(event_type) OVER w AS prev_type,
+          |        ROW_NUMBER() OVER w AS rn
+          |      FROM events WHERE user_id % 20 = 0 AND event_type <> 'purchase'
+          |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |    WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type))
+          |SELECT e.event_id, e.user_id, e.ts, h.state, h.valid_from AS state_since
+          |FROM events e
+          |LEFT JOIN hist h ON e.user_id = h.h_user
+          |  AND e.ts >= h.valid_from AND e.ts < h.valid_to
+          |WHERE e.user_id % 20 = 0 AND e.event_type = 'purchase'
+          |ORDER BY e.event_id""".stripMargin,
       "sample_weighted_noreplace" ->
         s"""SELECT doc_id, n_chars,
            |  ROUND((-LN((CAST((${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS DOUBLE) + 1.0) / 1048577.0))
