@@ -4,7 +4,7 @@ import graft.core.{Fixtures, Tables}
 import graft.functions.Distances
 import graft.index.{Grid, GridConfig}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, AsOfJoin, Dedup, Knn, KnnJoin, KnnTopK, SaltedJoin, Snapshot, TextAnalysis}
+import graft.operators.{Ann, AsOfJoin, Dedup, Knn, KnnJoin, KnnTopK, Mips, SaltedJoin, Snapshot, TextAnalysis}
 import graft.oracle.DuckSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -160,6 +160,17 @@ object SparkEntry {
           Distances.dotLit(col("embedding"), Q64).as("dot"))
         .orderBy(col("dot").desc, col("vec_id").asc)
         .limit(K)),
+    // MIPS with norm-band pruning (operators/Mips): score = w·dot(q,v) over
+    // the factorized store (w = static-quality boost, band = the weight
+    // bucket); bands scanned in descending Cauchy-Schwarz bound order with
+    // geometric widening. threshold 0 forces the loop (cf. knn_l2_pruned);
+    // oracle is the brute weighted-dot SQL — pruned must equal it exactly
+    "sim_dot_pruned" -> ((s, d) =>
+      Mips.prunedTopK(s,
+        emb(s, d)
+          .withColumn("weight", (lit(1) + col("vec_id") % 10).cast("double"))
+          .withColumn("band", (col("vec_id") % 10).cast("long")),
+        Q64, K, bruteForceThreshold = 0)),
     // batch kNN join (SURVEY §2.1 #1 batch form)
     "knn_join_l2" -> ((s, d) =>
       KnnJoin.join(
@@ -990,6 +1001,21 @@ object SparkEntry {
         .withColumnRenamed("key", "term")
         .orderBy(col("term"))
     }),
+    // count-min sketch (Freq.countMinSketch): d×w cell counts from the
+    // md5 hash family — the one sketch that is fully SQL-replayable, so
+    // unlike HLL/KLL (rows-only agg_sketches) the whole build+lookup is
+    // hash-checked: top-10 terms' exact counts vs their CMS estimates
+    // (est >= exact always; equality iff no cell collision)
+    "text_countmin_counts" -> ((s, d) => {
+      val toks = par(s, docs(s, d))
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val sketch = graft.operators.Freq.countMinSketch(toks, "term", depth = 4, width = 512)
+      val probes = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term").asc).limit(10)
+      graft.operators.Freq.countMinLookup(sketch, probes, "term", depth = 4, width = 512)
+        .orderBy(col("term"))
+    }),
     // per-doc top TF-IDF term; scored as tf/df (idf-monotone per doc and
     // IEEE-division-exact in both engines — no transcendental ln drift)
     "text_tfidf_top_term" -> ((s, d) => {
@@ -1532,6 +1558,19 @@ object SparkEntry {
           col("trail_avg"), col("is_anomaly"))
         .orderBy(col("event_type"), col("hour_epoch"))
     }),
+    // PSI distribution-drift monitor (operators/Drift): per event type,
+    // compare the value distribution of the second half-month against the
+    // first (10 fixed bins, Laplace-smoothed proportions) — the gate a
+    // pipeline runs before admitting a new crawl/period into the training
+    // mix. ln terms 9-decimal-quantized (repo transcendental rule)
+    "drift_psi_value" -> ((s, d) =>
+      graft.operators.Drift.psi(
+        Tables.events(s, d)
+          .withColumn("bin",
+            least(floor(col("value") / lit(50.0)), lit(9.0)).cast("long"))
+          .withColumn("is_ref", dayofmonth(col("ts")) <= 15),
+        "event_type", "bin", "is_ref", nBins = 10)
+        .orderBy(col("event_type"))),
     // --- round-4b: retrieval re-ranking, warehouse dimension history,
     // stats-based data skipping, profiling/integrity audit
     // hybrid retrieval: BM25 lexical page + cosine vector page fused by
@@ -2003,6 +2042,8 @@ object SparkEntry {
         s"SELECT vec_id, label, ${DuckSql.cosineSimLit(e, Q64)} AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT $K",
       "sim_dot_topk" ->
         s"SELECT vec_id, label, ${DuckSql.dotLit(e, Q64)} AS dot FROM embeddings ORDER BY dot DESC, vec_id ASC LIMIT $K",
+      "sim_dot_pruned" ->
+        s"SELECT vec_id, label, CAST(1 + vec_id % 10 AS DOUBLE) * (${DuckSql.dotLit(e, Q64)}) AS dot FROM embeddings ORDER BY dot DESC, vec_id ASC LIMIT $K",
       "knn_join_l2" -> knnJoinSql,
       "knn_join_l2_plan" -> knnJoinSql,
       "knn_join_l2_agg" -> knnJoinSql,
@@ -2560,6 +2601,25 @@ object SparkEntry {
            |) WHERE term <> '' AND term NOT IN $stopListSql
            |GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""".stripMargin
       },
+      "text_countmin_counts" ->
+        """WITH toks AS (
+          |  SELECT term FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          |  WHERE term <> ''
+          |), cells AS (
+          |  SELECT i,
+          |    CAST(('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT) % 512 AS cell,
+          |    COUNT(*) AS n
+          |  FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+          |  GROUP BY 1, 2
+          |), probes AS (
+          |  SELECT term, COUNT(*) AS exact_n FROM toks GROUP BY term
+          |  ORDER BY exact_n DESC, term ASC LIMIT 10
+          |)
+          |SELECT p.term, p.exact_n, MIN(c.n) AS cm_est
+          |FROM probes p JOIN cells c
+          |  ON c.cell = CAST(('0x' || substr(md5('cm' || CAST(c.i AS VARCHAR) || '|' || p.term), 1, 8)) AS BIGINT) % 512
+          |GROUP BY p.term, p.exact_n
+          |ORDER BY p.term""".stripMargin,
       "text_chunks" ->
         """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
           |  md5(array_to_string(w[i*25+1 : i*25+50], ' ')) AS chunk_md5
@@ -3100,6 +3160,30 @@ object SparkEntry {
           |               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
           |WHERE hour_epoch >= first_epoch + 86400
           |ORDER BY event_type, hour_epoch""".stripMargin,
+      "drift_psi_value" ->
+        """WITH binned AS (
+          |  SELECT event_type,
+          |    CAST(LEAST(FLOOR(value / CAST('50.0' AS DOUBLE)), CAST('9.0' AS DOUBLE)) AS BIGINT) AS bin,
+          |    (day(ts) <= 15) AS is_ref
+          |  FROM events
+          |), counts AS (
+          |  SELECT event_type, bin,
+          |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+          |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          |  FROM binned GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT event_type,
+          |    CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur
+          |  FROM counts GROUP BY 1
+          |), terms AS (
+          |  SELECT c.event_type,
+          |    (CAST(n_ref AS DOUBLE) + CAST('0.5' AS DOUBLE)) / (CAST(t_ref AS DOUBLE) + CAST('5.0' AS DOUBLE)) AS pa,
+          |    (CAST(n_cur AS DOUBLE) + CAST('0.5' AS DOUBLE)) / (CAST(t_cur AS DOUBLE) + CAST('5.0' AS DOUBLE)) AS pb
+          |  FROM counts c JOIN tot t USING (event_type)
+          |)
+          |SELECT event_type,
+          |  CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi
+          |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
       // --- round-4b
       "rerank_rrf_hybrid" ->
         s"""WITH lex_scored AS (${bm25ScoredSql(20)}),

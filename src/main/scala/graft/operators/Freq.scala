@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Exact heavy hitters via per-partition Misra-Gries + exact recount — the
@@ -61,5 +61,50 @@ object Freq {
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
+  }
+
+  /** Per-row count-min cell ids: cell_i(x) = md5("cm{i}|" ++ x) mod width,
+    * one per hash row i — the same md5-derived 32-bit hash family the dedup
+    * operators use, so the whole sketch is replayable as SQL (unlike
+    * HLL/KLL, whose binary registers keep [[graft.SparkEntry]]'s sketch
+    * queries rows-only, count-min is hash-checked end-to-end). */
+  private def cmCells(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i =>
+      Dedup.md5Int32(concat(lit(s"cm$i|"), key)) % width): _*)
+
+  /** Count-min sketch build: (i, cell, n) counts, i < depth, cell < width.
+    *
+    * The 100 TB point: the exact per-key groupBy shuffles EVERY distinct
+    * key (billions for tokens); this aggregation is map-side combinable
+    * into at most depth×width cells per partition, so the shuffle carries
+    * O(partitions × depth × width) rows no matter the key cardinality —
+    * the streaming-friendly counter a token-frequency monitor keeps. */
+  def countMinSketch(items: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape ${depth}x$width")
+    items.select(posexplode(cmCells(col(keyCol).cast("string"), depth, width))
+        .as(Seq("i", "cell")))
+      .groupBy(col("i"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point estimates from a built sketch: appends `cm_est` =
+    * min_i sketch(i, cell_i(key)) to `probes` (0 for keys hashing only to
+    * empty cells — the standard CMS never-underestimate guarantee holds:
+    * est >= true count, with overestimate bounded by collisions).
+    * `depth`/`width` must match the build. */
+  def countMinLookup(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val sk = sketch.select(col("i").as("__si"), col("cell").as("__scell"),
+      col("n").as("__sn"))
+    val keep = probes.columns
+    probes
+      .select(col("*"),
+        posexplode(cmCells(col(keyCol).cast("string"), depth, width))
+          .as(Seq("__i", "__cell")))
+      .join(broadcast(sk),
+        col("__i") === col("__si") && col("__cell") === col("__scell"), "left")
+      .groupBy(keep.map(col).toSeq: _*)
+      .agg(min(coalesce(col("__sn"), lit(0L))).as("cm_est"))
   }
 }

@@ -38,4 +38,39 @@ class FreqSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("hot" -> 98L))
   }
+
+  test("count-min never underestimates; exact at collision-free width") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+    // narrow sketch: estimates are upper bounds
+    val narrow = Freq.countMinLookup(
+        Freq.countMinSketch(toks, "term", depth = 4, width = 64),
+        exact, "term", depth = 4, width = 64)
+      .collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_n"),
+        s"underestimate for ${r.getAs[String]("term")}")
+    }
+    // wide sketch (collision-free at fixture vocabulary size): est == exact
+    val wide = Freq.countMinLookup(
+        Freq.countMinSketch(toks, "term", depth = 4, width = 1 << 20),
+        exact, "term", depth = 4, width = 1 << 20)
+      .collect()
+    wide.foreach { r =>
+      assert(r.getAs[Long]("cm_est") === r.getAs[Long]("exact_n"))
+    }
+  }
+
+  test("count-min lookup of an absent key is bounded by collisions (0 when empty cells)") {
+    import spark.implicits._
+    val items = Seq.fill(100)("x").toDF("k")
+    val sketch = Freq.countMinSketch(items, "k", depth = 4, width = 1 << 16)
+    val probe = Seq("never-seen-key").toDF("k")
+    val est = Freq.countMinLookup(sketch, probe, "k", depth = 4, width = 1 << 16)
+      .collect()(0).getAs[Long]("cm_est")
+    assert(est === 0L)
+  }
 }
