@@ -268,6 +268,37 @@ object SparkEntry {
           .withColumn("vec_id", col("vec_id") + lit(4000000L)).withColumn("is_delete", lit(true)))
       labelSummary(Snapshot.merge(state, src, "vec_id"))
     }),
+    // versioned store time travel (store/VersionedStore): manifest-tracked
+    // version chain v0=base, v1=delta, v2=checkpoint, v3=delta; read
+    // as-of v1 (replays base+delta) and as-of v3 (replays checkpoint+delta
+    // — the bounded-replay path) — both states under one hash gate.
+    // Oracle replays the same two merges as NOT EXISTS + UNION ALL
+    "store_time_travel" -> ((s, d) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_versioned_store").getPath
+      val base = emb(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("label"))
+      graft.store.VersionedStore.init(base, root)
+      val b1 = base.filter(col("vec_id") % 11 === 0 || col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 11 === 0, col("label"))
+            .otherwise(col("label") + 100).as("label"),
+          (col("vec_id") % 11 === 0).as("is_delete"))
+      graft.store.VersionedStore.commit(b1, root)
+      graft.store.VersionedStore.checkpoint(s, root, "vec_id")
+      val b2 = base.filter(col("vec_id") % 13 === 0)
+          .select(col("vec_id"), (col("label") + 200).as("label"),
+            lit(false).as("is_delete"))
+        .unionByName(base.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 10000L).as("vec_id"),
+            lit(99).as("label"), lit(false).as("is_delete")))
+      graft.store.VersionedStore.commit(b2, root)
+      graft.store.VersionedStore.readAsOf(s, root, 1, "vec_id")
+        .withColumn("asof_v", lit(1))
+        .unionByName(graft.store.VersionedStore.readAsOf(s, root, 3, "vec_id")
+          .withColumn("asof_v", lit(3)))
+        .orderBy(col("asof_v"), col("vec_id"))
+    }),
     // --- relational coverage (SURVEY §2.2: joins/aggs/windows/set ops/dates/json)
     "agg_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -539,6 +570,13 @@ object SparkEntry {
         .filter(col("jac") >= 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // substring-level dedup at n-gram granularity (Dedup.repeatedNgramSpans):
+    // maximal word spans covered by 5-grams occurring in >= 2 distinct docs
+    // — the boilerplate/licence/quote regions document-level dedup misses.
+    // One df aggregation + flagged-grams window; no self-join
+    "dedup_repeated_ngram_spans" -> ((s, d) =>
+      Dedup.repeatedNgramSpans(par(s, docs(s, d)), n = 5)
+        .orderBy(col("doc_id"), col("span_start"))),
     // containment similarity (|A∩B| / |A|, asymmetric): catches "doc A is
     // a subset of doc B" near-dups that symmetric Jaccard dilutes — the
     // quote/excerpt detector of a dedup pipeline
@@ -2394,6 +2432,33 @@ object SparkEntry {
           |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM documents WHERE doc_id % 100 = 0) b
           |    ON a.doc_id < b.doc_id
           |) WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+      "dedup_repeated_ngram_spans" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (
+           |  SELECT doc_id, i AS pos,
+           |    ${Dedup.md5LongSql("array_to_string(w[i+1:i+5], ' ')")} AS gh
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(0, CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 0 END)) AS i
+           |        FROM w)),
+           |hot AS (
+           |  SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+           |  WHERE df >= 2),
+           |f AS (SELECT doc_id, pos FROM g JOIN hot USING (gh)),
+           |m AS (
+           |  SELECT doc_id, pos,
+           |    MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM f),
+           |i AS (
+           |  SELECT doc_id, pos,
+           |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM m)
+           |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           |  CAST(MAX(pos) + 5 AS BIGINT) AS span_end, COUNT(*) AS n_grams
+           |FROM i GROUP BY doc_id, island
+           |ORDER BY doc_id, span_start""".stripMargin,
       // oracle for the prefix-filter join IS the brute form — exactness of
       // the candidate pruning is the claim under test
       "ann_pq_fixed_adc" ->
@@ -2682,6 +2747,27 @@ object SparkEntry {
         """SELECT vec_id, label FROM embeddings WHERE NOT (vec_id % 15 = 0 OR vec_id % 15 = 5)
           |UNION ALL SELECT vec_id, 777 AS label FROM embeddings WHERE vec_id % 15 = 5
           |UNION ALL SELECT vec_id + 3000000 AS vec_id, label FROM embeddings WHERE vec_id % 15 = 10""".stripMargin),
+      "store_time_travel" ->
+        """WITH base AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),
+          |b1 AS (
+          |  SELECT vec_id,
+          |    CASE WHEN vec_id % 11 = 0 THEN label ELSE label + 100 END AS label,
+          |    (vec_id % 11 = 0) AS is_delete
+          |  FROM base WHERE vec_id % 11 = 0 OR vec_id % 7 = 0),
+          |s1 AS (
+          |  SELECT b.vec_id, b.label FROM base b
+          |  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.vec_id = b.vec_id)
+          |  UNION ALL SELECT vec_id, label FROM b1 WHERE NOT is_delete),
+          |b2 AS (
+          |  SELECT vec_id, label + 200 AS label FROM base WHERE vec_id % 13 = 0
+          |  UNION ALL SELECT vec_id + 10000 AS vec_id, 99 AS label FROM base WHERE vec_id < 5),
+          |s3 AS (
+          |  SELECT s.vec_id, s.label FROM s1 s
+          |  WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.vec_id = s.vec_id)
+          |  UNION ALL SELECT vec_id, label FROM b2)
+          |SELECT vec_id, label, 1 AS asof_v FROM s1
+          |UNION ALL SELECT vec_id, label, 3 AS asof_v FROM s3
+          |ORDER BY asof_v, vec_id""".stripMargin,
       "agg_promo_revenue_share" -> {
         val revDec = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"
         s"""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -289,4 +289,56 @@ object Dedup {
       .distinct()
     cands.filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document repeated n-gram SPANS — substring-level dedup at
+    * n-gram granularity (the "Deduplicating Training Data Makes Language
+    * Models Better" family, approximated with fixed-width grams instead of
+    * a suffix array): find maximal word ranges of each document that are
+    * covered by n-grams occurring in >= minDf distinct documents. Those
+    * spans are the boilerplate/licence/quote regions document-level dedup
+    * cannot see.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams) — [start, end) word
+    * indices of each maximal repeated region (touching/overlapping gram
+    * intervals merged), n_grams = how many flagged grams cover it.
+    *
+    * Scale shape: one explode to positioned 60-bit gram hashes (strings
+    * never leave the row), ONE corpus-wide aggregation for gram document
+    * frequency, a hash join of grams against the (small) repeated-gram
+    * dictionary, then a per-document window over FLAGGED grams only —
+    * islands-and-gaps via running max end, no self-join, no suffix
+    * structure. The df aggregation is the inherent shuffle; everything
+    * else is key-local. */
+  def repeatedNgramSpans(docs: DataFrame, n: Int, minDf: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2; got n=$n, minDf=$minDf")
+    val words = split(col(textCol), " ")
+    // positioned gram hashes; docs shorter than n words produce none
+    // (sequence() would count DOWN for a negative upper bound — guard it)
+    val grams = docs.select(col(idCol), posexplode(
+        when(size(words) >= n,
+          transform(sequence(lit(0), size(words) - n),
+            i => md5Long(concat_ws(" ", slice(words, i + 1, lit(n))))))
+          .otherwise(array()))
+        .as(Seq("pos", "gh")))
+    val hot = grams.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gh"))
+    val flagged = grams.join(hot, "gh")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("__prev_end",
+        max(col("pos") + n).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new_island",
+        when(col("__prev_end").isNull || col("pos") > col("__prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new_island"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + n).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
 }

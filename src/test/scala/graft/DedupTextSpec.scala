@@ -83,4 +83,39 @@ class DedupTextSpec extends SparkSpecBase {
       assert(nWords > 0 && nStop >= 0 && nStop <= nWords)
     }
   }
+
+  test("repeated n-gram spans: overlapping and touching gram intervals merge; within-doc repeats don't count") {
+    val d = Seq(
+      (0L, "p q r s t u v"),      // grams at 0,1 shared with doc 1 -> [0,6)
+      (1L, "z z p q r s t u z"),  // grams at 2,3 shared with doc 0 -> [2,8)
+      (2L, "m m m m m m"),        // within-doc repeat only: df=1, no span
+      (3L, "x y"),                // shorter than n: no grams
+      (4L, "a b c d e f g h i j"),// spans [0,5)+[5,10) touch -> merged [0,10)
+      (5L, "a b c d e"),
+      (6L, "f g h i j")).toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramSpans(d, n = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 6L, 2L),
+      (1L, 2L, 8L, 2L),
+      (4L, 0L, 10L, 2L),
+      (5L, 0L, 5L, 1L),
+      (6L, 0L, 5L, 1L)))
+  }
+
+  test("repeated n-gram spans on the fixture: spans exist, lie inside docs, never overlap") {
+    val spans = Dedup.repeatedNgramSpans(docs, n = 5).cache()
+    assert(spans.count() > 0)
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).as("len"))
+    // every span inside its doc
+    assert(spans.join(lens, "doc_id")
+      .filter(col("span_end") > col("len") || col("span_start") < 0).count() === 0)
+    // spans of one doc are disjoint and separated (merged maximally)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("span_start"))
+    assert(spans.withColumn("prev_end", lag(col("span_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("span_start") <= col("prev_end"))
+      .count() === 0)
+  }
 }
