@@ -526,6 +526,20 @@ object SparkEntry {
       Dedup.minHashLshNearDupPairs(par(s, docs(s, d)),
           "text", "doc_id", shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    // incremental (batch-vs-corpus) dedup — the daily-crawl admission path:
+    // docs with id%10==7 arrive as the new batch, the rest are the corpus;
+    // each batch doc is classified exact / near (LSH + jaccard vs the
+    // corpus only, no corpus self-join) / keep, with the matched corpus id.
+    // Two corpus docs re-keyed into the batch make the 'exact' path
+    // non-vacuous (the fixture has no cross-split identical texts)
+    "dedup_incremental_batch" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      val corpus = all.filter(col("doc_id") % 10 =!= 7)
+      val batch = all.filter(col("doc_id") % 10 === 7)
+        .unionByName(all.filter(col("doc_id") === 20 || col("doc_id") === 41)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.incrementalDedup(corpus, batch).orderBy(col("doc_id"))
+    }),
     // winnow-fingerprint edges → connected components → canonical doc per
     // duplicate cluster (the last step of a dedup pipeline)
     "dedup_cluster_canonical" -> ((s, d) => {
@@ -750,9 +764,17 @@ object SparkEntry {
         .toDF().orderBy(col("media_id"))),
     // exact media dedup over the BINARY payload column (md5 of raw bytes —
     // the digest a 100 TB blob store dedups on; portable because md5 of a
-    // UTF-8 payload equals DuckDB's md5 of the source text)
-    "media_dedup_exact" -> ((s, d) =>
-      Multimodal.dedupExactGroups(Multimodal.mediaFromDocuments(par(s, docs(s, d))))),
+    // UTF-8 payload equals DuckDB's md5 of the source text). The fixture
+    // has no duplicate payloads, so a deterministic slice is re-keyed as
+    // fresh ids — the digest/count/canonical path runs on NON-empty output
+    // (an all-empty hash match proves nothing)
+    "media_dedup_exact" -> ((s, d) => {
+      val base = par(s, docs(s, d))
+      val dups = base.filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Multimodal.dedupExactGroups(
+        Multimodal.mediaFromDocuments(base.unionByName(dups)))
+    }),
     // video frame-sampling plan: stride-spaced frame indices per video
     // payload (the fan-out manifest a decode stage consumes; decode itself
     // is the documented stub — rows-only check on the JVM-side plumbing)
@@ -2230,8 +2252,12 @@ object SparkEntry {
             s"${DuckSql.dotLit(e, Planes16(j))} AS rp_$j").mkString(",\n  ")}
            |FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id""".stripMargin,
       "media_dedup_exact" ->
-        """SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
-          |FROM documents GROUP BY digest HAVING COUNT(*) >= 2 ORDER BY digest""".stripMargin,
+        """WITH alldocs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 3)
+          |SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+          |FROM alldocs GROUP BY digest HAVING COUNT(*) >= 2 ORDER BY digest""".stripMargin,
       "text_quality" -> {
         val nw = nWordsSql("text"); val ns = nStopSql("text")
         s"""SELECT doc_id,
@@ -2303,6 +2329,49 @@ object SparkEntry {
            |) WHERE jac >= ${DuckSql.fmt(0.5)} ORDER BY id_a, id_b""".stripMargin,
       "dedup_exact_groups" ->
         "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id FROM documents GROUP BY content_hash ORDER BY content_hash",
+      "dedup_incremental_batch" ->
+        s"""WITH corpusdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+           |batchdocs AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id IN (20, 41)),
+           |alldocs AS (SELECT * FROM corpusdocs UNION ALL SELECT * FROM batchdocs),
+           |sig AS (
+           |  SELECT doc_id, $minsSql
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+           |      SELECT doc_id, unnest($ssetSql) AS shingle
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM alldocs)
+           |    )
+           |  ) GROUP BY doc_id
+           |), buckets AS (
+           |  $bandSelectsSql
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS c_id
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+           |    AND (a.doc_id >= 1000000 OR a.doc_id % 10 = 7)
+           |    AND NOT (b.doc_id >= 1000000 OR b.doc_id % 10 = 7)
+           |), sets AS (
+           |  SELECT doc_id, $ssetSql AS sset
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM alldocs)
+           |), near AS (
+           |  SELECT b_id, MIN(c_id) AS near_id FROM (
+           |    SELECT b_id, c_id,
+           |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
+           |    FROM cand JOIN sets sa ON sa.doc_id = cand.b_id JOIN sets sb ON sb.doc_id = cand.c_id
+           |  ) WHERE jac >= ${DuckSql.fmt(0.5)} GROUP BY b_id
+           |), exact AS (
+           |  SELECT b.doc_id, MIN(c.doc_id) AS exact_id
+           |  FROM (SELECT doc_id, md5(text) AS dg FROM batchdocs) b
+           |  LEFT JOIN (SELECT doc_id, md5(text) AS dg FROM corpusdocs) c USING (dg)
+           |  GROUP BY b.doc_id
+           |)
+           |SELECT e.doc_id,
+           |  CASE WHEN exact_id IS NOT NULL THEN 'exact'
+           |       WHEN near_id IS NOT NULL THEN 'near' ELSE 'keep' END AS verdict,
+           |  COALESCE(exact_id, near_id, -1) AS match_id
+           |FROM exact e LEFT JOIN near n ON n.b_id = e.doc_id
+           |ORDER BY e.doc_id""".stripMargin,
       "dedup_minhash_signatures" ->
         s"""SELECT doc_id, $minsSql
            |FROM (

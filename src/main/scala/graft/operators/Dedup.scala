@@ -110,6 +110,19 @@ object Dedup {
     * (band, key); only same-bucket pairs (a vanishing fraction at 100 TB)
     * reach the exact-Jaccard verification join. Never a cross join.
     */
+  /** (id, band, bkey) LSH bucket rows from a signature table — band key =
+    * the band's minhash values joined positionally. */
+  private def lshBuckets(sig: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rpb = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (b * rpb until (b + 1) * rpb).map(j => col(s"mh_$j")): _*).as("bkey"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
   def minHashLshNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
@@ -120,13 +133,7 @@ object Dedup {
     // drops it when the plan is garbage-collected.
     val sig = minHashSignature(docs, textCol, idCol, shingleWidth, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rpb = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (b * rpb until (b + 1) * rpb).map(j => col(s"mh_$j")): _*).as("bkey"))
-    }
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val buckets = lshBuckets(sig, idCol, numHashes, bands)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -340,5 +347,53 @@ object Dedup {
         (max(col("pos")) + n).cast(LongType).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Incremental (batch-vs-corpus) dedup — the daily-crawl admission path:
+    * classify each BATCH document against the existing corpus as
+    *   'exact' (identical text exists in the corpus),
+    *   'near'  (MinHash-LSH candidate verifying at jaccard >= threshold), or
+    *   'keep'  (novel),
+    * with match_id = the smallest matching corpus id (exact wins over
+    * near; -1 when novel). Output: (idCol, verdict, match_id), one row per
+    * batch doc.
+    *
+    * The scale point vs [[minHashLshNearDupPairs]]: the corpus NEVER
+    * self-joins — the batch's digests and LSH buckets (tiny) broadcast
+    * against the corpus's, so admission cost is O(batch) probes per day,
+    * not O(corpus²). At 100 TB the corpus digest/signature tables are the
+    * store's persisted dedup index, built once and appended to; here they
+    * are recomputed because the fixture has no store between queries. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val exact = batch.select(col(idCol), md5(col(textCol)).as("__digest"))
+      .join(corpus.select(md5(col(textCol)).as("__digest"), col(idCol).as("__cid"))
+          .groupBy(col("__digest")).agg(min(col("__cid")).as("__exact_id")),
+        Seq("__digest"), "left")
+      .select(col(idCol), col("__exact_id"))
+    val sigB = minHashSignature(batch, textCol, idCol, shingleWidth, numHashes)
+    val sigC = minHashSignature(corpus, textCol, idCol, shingleWidth, numHashes)
+    val cand = lshBuckets(sigB, idCol, numHashes, bands)
+      .select(col(idCol).as("__bid"), col("band"), col("bkey"))
+      .join(lshBuckets(sigC, idCol, numHashes, bands)
+          .select(col(idCol).as("__cid"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("__bid"), col("__cid"))
+      .distinct()
+    def sets(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as), shingles(col(textCol), shingleWidth).as(s"__s_$as"))
+    val near = cand
+      .join(sets(batch, "__bid"), "__bid")
+      .join(sets(corpus, "__cid"), "__cid")
+      .filter(jaccard(col("__s___bid"), col("__s___cid")) >= threshold)
+      .groupBy(col("__bid")).agg(min(col("__cid")).as("__near_id"))
+    exact.join(near, col(idCol) === col("__bid"), "left")
+      .select(col(idCol),
+        when(col("__exact_id").isNotNull, "exact")
+          .when(col("__near_id").isNotNull, "near")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("__exact_id"), col("__near_id"), lit(-1L)).as("match_id"))
   }
 }

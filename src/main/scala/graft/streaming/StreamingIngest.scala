@@ -75,19 +75,49 @@ object StreamingIngest {
             val old = spark.read.parquet(statsPath)
             graft.index.ZoneMap.mergeStats(old, delta)
           } else delta
-        // tiny table: collect-and-rewrite beats a merge-on-read log.
-        // Write to a sibling tmp dir and swap via rename so a crash
-        // mid-rewrite cannot lose the accumulated table (overwrite-in-
-        // place deletes the old data before committing the new).
-        val rows = merged.collect()
-        val tmp = new org.apache.hadoop.fs.Path(statsPath + ".tmp")
-        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
-          .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(target, true)
-        if (!fs.rename(tmp, target))
-          throw new java.io.IOException(
-            s"zoneMapMaintain: rename $tmp -> $target failed")
+        durableSwapWrite(spark, merged, statsPath)
       }
+
+  /** Streaming count-min maintenance: each micro-batch's d×w cell-count
+    * delta ([[graft.operators.Freq.countMinSketch]]) folds into the
+    * persisted sketch by cell-wise addition — count-min is a monoid, so
+    * the streamed fold is EXACTLY the one-shot sketch of everything
+    * ingested (StreamingCmsSpec), and estimates stay current while only
+    * metadata-scale rows (≤ d×w) are ever rewritten. */
+  def countMinMaintain(stream: DataFrame, keyCol: String, depth: Int,
+      width: Int, sketchPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(sketchPath)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val delta = graft.operators.Freq.countMinSketch(batch, keyCol, depth, width)
+        val merged =
+          if (fs.exists(target))
+            graft.operators.Freq.mergeCountMin(spark.read.parquet(sketchPath), delta)
+          else delta
+        durableSwapWrite(spark, merged, sketchPath)
+      }
+
+  /** Collect-and-rewrite of a tiny metadata table with a crash-safe swap:
+    * write to a sibling tmp dir, then rename over the target — overwrite-
+    * in-place would delete the accumulated table before committing the
+    * replacement. (For metadata-scale rows this beats a merge-on-read
+    * log.) */
+  private def durableSwapWrite(spark: SparkSession, df: DataFrame,
+      path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = df.collect()
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"durableSwapWrite: rename $tmp -> $target failed")
+  }
 
   /** Run a streaming query over a bounded source to completion (test/demo
     * helper: `processAllAvailable` drains everything then returns). */

@@ -104,6 +104,23 @@ class DedupTextSpec extends SparkSpecBase {
       (6L, 0L, 5L, 1L)))
   }
 
+  test("incremental dedup: batch docs classify as exact/near/keep against the corpus only") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (1L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val batch = Seq(
+      (107L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"), // exact copy of 0
+      (117L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau CHANGED"), // near-dup of 0
+      (127L, "totally novel words that appear nowhere else in any corpus document at all today")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (107L, "exact", 0L),
+      (117L, "near", 0L),
+      (127L, "keep", -1L)))
+  }
+
   test("repeated n-gram spans on the fixture: spans exist, lie inside docs, never overlap") {
     val spans = Dedup.repeatedNgramSpans(docs, n = 5).cache()
     assert(spans.count() > 0)

@@ -117,6 +117,36 @@ class PartitionPruneSpec extends SparkSpecBase {
       s"probed scan read $filesRead of $filesTotal files — no pruning")
   }
 
+  test("a band-partitioned store turns MIPS band pruning into file pruning, result exact") {
+    // the dot-metric analog of the cell store: partition by the weight
+    // band and Mips.prunedTopK's `band isin` candidate predicate becomes
+    // partition pruning — high-k hot queries touch only the high-magnitude
+    // slice of the corpus
+    val bandStore = "target/tmp/graft_band_store"
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("weight", (lit(1) + col("vec_id") % 10).cast("double"))
+      .withColumn("band", (col("vec_id") % 10).cast("long"))
+      .write.partitionBy("band").mode("overwrite").parquet(bandStore)
+    val full = spark.read.parquet(bandStore)
+      .withColumn("band", col("band").cast("long"))
+    val q = graft.core.Fixtures.Q64
+    // scanning only the top few bands must skip files
+    val pruned = full.filter(col("band").isin(9L, 8L, 7L))
+    val scan = scanOf(pruned)
+    assert(scan.partitionFilters.nonEmpty, "band predicate must be a partition filter")
+    assert(scan.metrics("numFiles").value < scanOf(full).metrics("numFiles").value)
+    // and the pruned top-k off the LOADED store equals brute
+    val got = graft.operators.Mips.prunedTopK(spark, full, q, 10,
+        bruteForceThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = full
+      .withColumn("dot", col("weight") *
+        graft.functions.Distances.dotLit(col("embedding"), q))
+      .orderBy(col("dot").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dot"))).toSeq
+    assert(got === brute)
+  }
+
   test("kNN over the loaded partitioned store equals brute force") {
     val cfg = GridConfig(dim = 64, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
     val db = VectorDatabase.load(spark, storePath, cfg)
