@@ -67,7 +67,8 @@ object Bench {
       "sessionize_events", "asof_join_events_orders",
       "interval_join_click_purchase", "stream_window_agg", "profile_lineitem",
       "rerank_rrf_hybrid", "vec_pca_top_component", "crud_merge",
-      "store_zonemap_prune")
+      "store_zonemap_prune", "sim_dot_pruned", "dedup_incremental_batch",
+      "store_time_travel")
     val resMap = results.toMap
     val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
