@@ -309,5 +309,67 @@ object ScaleProbe extends App {
     graft.operators.TimeSeries.timeWeightedAvg(big, "user_id", "ts", "value", "event_id")
       .write.format("noop").mode("overwrite").save()
   }
+  // Banded MIPS at 1M×64: weight bands scanned in descending bound order
+  // must equal the brute weighted-dot top-k — the exactness claim of the
+  // widening loop two orders of magnitude above the gated fixture.
+  t("banded MIPS pruned == brute (1M)") {
+    val wstore = indexed
+      .withColumn("weight", (lit(1) + pmod(col("vec_id"), lit(10))).cast("double"))
+      .withColumn("band", pmod(col("vec_id"), lit(10)).cast("long"))
+      .localCheckpoint(true)
+    val pruned = graft.operators.Mips.prunedTopK(spark, wstore, Fixtures.Q64, 10,
+        bruteForceThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val bruteDot = wstore
+      .withColumn("dot", col("weight") * Distances.dotLit(col("embedding"), Fixtures.Q64))
+      .orderBy(col("dot").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dot"))).toSeq
+    assert(pruned == bruteDot, "MIPS pruned != brute at scale")
+  }
+  // Count-min at 100k docs (~5M token occurrences): the sketch shuffle is
+  // bounded by d×w cells per partition; estimates must dominate exact
+  // counts (the never-underestimate guarantee) on the top terms.
+  t("count-min sketch+lookup (100k docs)") {
+    val toks = bigDocs.select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val sketch = graft.operators.Freq.countMinSketch(toks, "term", depth = 4, width = 512)
+      .localCheckpoint(true)
+    val probes = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term").asc).limit(10)
+    val est = graft.operators.Freq.countMinLookup(sketch, probes, "term", 4, 512).collect()
+    est.foreach(r => assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_n")))
+  }
+  // Repeated n-gram spans at 100k replicated docs: every doc is a replica,
+  // so each >=5-word doc must collapse to ONE whole-doc span — and the
+  // flagged-gram window runs on the full exploded corpus.
+  t("repeated n-gram spans (100k docs)") {
+    val spans = graft.operators.Dedup.repeatedNgramSpans(bigDocs, n = 5)
+      .localCheckpoint(true)
+    val nSpans = spans.count()
+    val nEligible = bigDocs.filter(size(split(col("text"), " ")) >= 5).count()
+    assert(nSpans == nEligible, s"expected $nEligible whole-doc spans, got $nSpans")
+  }
+  // Incremental dedup: a 5k batch admitted against a 95k corpus — probes
+  // scale with the batch; the corpus never self-joins.
+  t("incremental dedup (5k batch vs 95k corpus)") {
+    val verdicts = graft.operators.Dedup.incrementalDedup(
+        bigDocs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        bigDocs.filter(pmod(col("doc_id"), lit(20)) === 0))
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replicas guarantee every batch doc has an exact corpus twin
+    assert(verdicts.getOrElse("exact", 0L) > 0L && verdicts.getOrElse("keep", 0L) == 0L,
+      s"unexpected verdicts $verdicts")
+  }
+  // PSI drift at 1M events: two flat aggregations; output is |types|×1.
+  t("PSI drift (1M events)") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
+    val nEv = ev.count()
+    val big = ev.crossJoin(spark.range(math.max(1L, 1000000L / nEv)).toDF("rep"))
+      .withColumn("bin", least(floor(col("value") / lit(50.0)), lit(9.0)).cast("long"))
+      .withColumn("is_ref", dayofmonth(col("ts")) <= 15)
+    val psi = graft.operators.Drift.psi(big, "event_type", "bin", "is_ref", 10).collect()
+    assert(psi.length == 5 && psi.forall(r => r.getDouble(1) >= 0.0))
+  }
   spark.stop()
 }
