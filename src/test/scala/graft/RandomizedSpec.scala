@@ -61,6 +61,60 @@ class RandomizedSpec extends SparkSpecBase {
     }
   }
 
+  test("banded MIPS pruned equals brute on random weights, bands, and queries (10 configs)") {
+    for (trial <- 1 to 10) {
+      val dim = 2 + rnd.nextInt(4)
+      val n = 1 + rnd.nextInt(80)
+      val nBands = 1 + rnd.nextInt(6)
+      val rows = (0L until n.toLong).map { i =>
+        (i, randVec(dim, oob = rnd.nextInt(6) == 0),
+          rnd.nextDouble() * 5.0,              // weight >= 0, continuous
+          rnd.nextInt(nBands).toLong)           // band NOT derived from the
+      }                                         // weight — bound still holds
+      val df = rows.toDF("vec_id", "embedding", "weight", "band")
+        .withColumn("label", lit(0))
+      val q = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val k = 1 + rnd.nextInt(n + 2)
+      val pruned = graft.operators.Mips.prunedTopK(spark, df, q, k,
+          bruteForceThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val brute = df
+        .withColumn("dot", col("weight") * Distances.dotLit(col("embedding"), q))
+        .orderBy(col("dot").desc, col("vec_id").asc).limit(k)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dot"))).toSeq
+      assert(pruned == brute, s"trial $trial: dim=$dim n=$n bands=$nBands k=$k")
+    }
+  }
+
+  test("repeated n-gram spans equal a driver-side reference on random corpora (5 trials)") {
+    val vocab = Array("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val n = 3 + rnd.nextInt(3)
+      val docs = (0L until (8 + rnd.nextInt(8)).toLong).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = graft.operators.Dedup.repeatedNgramSpans(
+          docs.toDF("doc_id", "text"), n = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // reference: brute gram df + interval merge in plain Scala
+      val grams = docs.flatMap { case (id, text) =>
+        val w = text.split(" ")
+        (0 to w.length - n).map(p => (id, p, w.slice(p, p + n).mkString(" ")))
+      }
+      val hot = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expected = docs.flatMap { case (id, _) =>
+        val ps = grams.filter(g => g._1 == id && hot(g._3)).map(_._2).sorted
+        // merge [p, p+n) intervals that touch or overlap
+        ps.foldLeft(List.empty[(Int, Int, Int)]) {
+          case ((s, e, c) :: tail, p) if p <= e => (s, math.max(e, p + n), c + 1) :: tail
+          case (acc, p) => (p, p + n, 1) :: acc
+        }.map { case (s, e, c) => (id, s.toLong, e.toLong, c.toLong) }
+      }.toSet
+      assert(got == expected, s"trial $trial n=$n")
+    }
+  }
+
   test("grid bucketing: every row lands in exactly one cell, within [0, numCells)") {
     val dim = 4
     val cfg = GridConfig(dim = dim, lower = -1.0, upper = 1.0, partsPerDim = 3, gridDims = 3)
