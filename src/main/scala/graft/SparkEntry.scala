@@ -1331,7 +1331,10 @@ object SparkEntry {
     // fuzzy dedup by edit distance on document prefixes (candidate pairs
     // from a deterministic sample; at scale candidates come from LSH)
     "dedup_edit_distance" -> ((s, d) => {
-      val sd = docs(s, d).filter(col("lang") === "en" && col("doc_id") % 25 === 0)
+      // par(): the filtered side is one parquet split, and the broadcast
+      // NLJ streams it on a single core — spreading the ~n²/2 levenshtein
+      // evaluations across the executor threads is the whole cost here
+      val sd = par(s, docs(s, d).filter(col("lang") === "en" && col("doc_id") % 25 === 0))
         .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
       sd.as("a").join(sd.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

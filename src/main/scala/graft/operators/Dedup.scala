@@ -368,13 +368,21 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val exact = batch.select(col(idCol), md5(col(textCol)).as("__digest"))
-      .join(corpus.select(md5(col(textCol)).as("__digest"), col(idCol).as("__cid"))
+    // each side feeds three consumers (digest, signature, shingle-set
+    // verification) — persist the two-column projection once instead of
+    // rescanning the source three times. (With a real store the corpus
+    // digests/signatures are its persisted dedup index, not recomputed.)
+    val corpusP = corpus.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchP = batch.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = batchP.select(col(idCol), md5(col(textCol)).as("__digest"))
+      .join(corpusP.select(md5(col(textCol)).as("__digest"), col(idCol).as("__cid"))
           .groupBy(col("__digest")).agg(min(col("__cid")).as("__exact_id")),
         Seq("__digest"), "left")
       .select(col(idCol), col("__exact_id"))
-    val sigB = minHashSignature(batch, textCol, idCol, shingleWidth, numHashes)
-    val sigC = minHashSignature(corpus, textCol, idCol, shingleWidth, numHashes)
+    val sigB = minHashSignature(batchP, textCol, idCol, shingleWidth, numHashes)
+    val sigC = minHashSignature(corpusP, textCol, idCol, shingleWidth, numHashes)
     val cand = lshBuckets(sigB, idCol, numHashes, bands)
       .select(col(idCol).as("__bid"), col("band"), col("bkey"))
       .join(lshBuckets(sigC, idCol, numHashes, bands)
@@ -385,8 +393,8 @@ object Dedup {
     def sets(df: DataFrame, as: String) = df.select(
       col(idCol).as(as), shingles(col(textCol), shingleWidth).as(s"__s_$as"))
     val near = cand
-      .join(sets(batch, "__bid"), "__bid")
-      .join(sets(corpus, "__cid"), "__cid")
+      .join(sets(batchP, "__bid"), "__bid")
+      .join(sets(corpusP, "__cid"), "__cid")
       .filter(jaccard(col("__s___bid"), col("__s___cid")) >= threshold)
       .groupBy(col("__bid")).agg(min(col("__cid")).as("__near_id"))
     exact.join(near, col(idCol) === col("__bid"), "left")

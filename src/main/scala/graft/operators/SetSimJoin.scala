@@ -36,8 +36,13 @@ object SetSimJoin {
   def jaccardJoin(docs: DataFrame, t: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(t > 0.0 && t <= 1.0, "threshold must be in (0, 1]")
+    // persist both reused tables: broadcast build sides cannot share
+    // subtrees via exchange reuse (same pattern as the MinHash-LSH
+    // signature persist) — without these the tokenize/df/window lineage
+    // runs once per consumer
     val wsets = docs.select(col(idCol).as("id"),
-      array_distinct(split(col(textCol), " ")).as("wset"))
+        array_distinct(split(col(textCol), " ")).as("wset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = wsets.select(col("id"), size(col("wset")).as("n"),
       explode(col("wset")).as("tok"))
     val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -48,6 +53,7 @@ object SetSimJoin {
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select(col("id"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefixes.as("pa")
       .join(prefixes.as("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.id") < col("pb.id"))
