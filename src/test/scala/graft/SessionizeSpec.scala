@@ -68,6 +68,37 @@ class SessionizeSpec extends SparkSpecBase {
     assert(streamed.toSeq == batchResult.toSeq)
   }
 
+  test("streaming native session_window equals the batch session_window aggregation") {
+    // the third sessionization form: Spark's built-in session_window in a
+    // streaming aggregation (watermark-merged state) must produce the same
+    // sessions as the batch groupBy over the same bounded input
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "value").limit(2000)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = stream.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s"), col("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("native_sess_out").start()
+    try {
+      stream.addData(events.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("native_sess_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = events.toSeq.toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("event far below the watermark does not crash the query (timeout clamped)") {
     // Pre-fix, setTimeoutTimestamp threw IllegalArgumentException when the
     // proposed timeout (last event + gap) was not above the watermark — one
