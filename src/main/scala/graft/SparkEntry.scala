@@ -1179,6 +1179,17 @@ object SparkEntry {
         .groupBy(col("lang"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
+    // SUPERVISED classifier training (operators/NaiveBayes): multinomial
+    // NB fit on the even-id half (two flat aggregations — the closed-form
+    // MLE, no iterations), scored on the odd-id half; ln terms quantized
+    // to DECIMAL(18,9) so the argmax replays bit-for-bit in the oracle
+    "text_nb_confusion" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.NaiveBayes.confusion(
+          par(s, dd.filter(col("doc_id") % 2 === 0)),
+          dd.filter(col("doc_id") % 2 === 1))
+        .orderBy(col("label_true"), col("predicted"))
+    }),
     // --- round-3: window widening (LOCF fill, rank ratios, lag deltas)
     // last-observation-carried-forward: every event annotated with the
     // user's most recent purchase value (running last_value IGNORE NULLS —
@@ -2902,6 +2913,47 @@ object SparkEntry {
            |FROM (SELECT lang, $nw AS nw, $ns AS ns FROM documents)
            |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
       },
+      "text_nb_confusion" ->
+        """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+          |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+          |nt AS (
+          |  SELECT lang AS cls, w FROM (
+          |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM train)
+          |  WHERE w <> ''),
+          |cw AS (SELECT cls, w, COUNT(*) AS cw FROM nt GROUP BY 1, 2),
+          |cc AS (SELECT cls, COUNT(*) AS cc FROM nt GROUP BY 1),
+          |vv AS (SELECT COUNT(DISTINCT w) AS v FROM nt),
+          |nd AS (SELECT COUNT(*) AS nd FROM train),
+          |priors AS (
+          |  SELECT lang AS cls,
+          |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT nd FROM nd) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS prior_lp
+          |  FROM train GROUP BY 1),
+          |unseen AS (
+          |  SELECT cls,
+          |    CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(cc + (SELECT v FROM vv) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS unseen_lp
+          |  FROM cc),
+          |lik AS (
+          |  SELECT cw.cls, cw.w,
+          |    CAST(ROUND(LN(CAST(cw.cw + 1 AS DOUBLE) / CAST(cc.cc + (SELECT v FROM vv) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+          |  FROM cw JOIN cc ON cw.cls = cc.cls),
+          |tt AS (
+          |  SELECT doc_id, lang AS label_true, w FROM (
+          |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM test)
+          |  WHERE w <> ''),
+          |scores AS (
+          |  SELECT t.doc_id, t.label_true, u.cls, p.prior_lp + SUM(COALESCE(l.lp, u.unseen_lp)) AS score
+          |  FROM tt t
+          |  CROSS JOIN unseen u
+          |  LEFT JOIN lik l ON l.cls = u.cls AND l.w = t.w
+          |  JOIN priors p ON p.cls = u.cls
+          |  GROUP BY t.doc_id, t.label_true, u.cls, p.prior_lp),
+          |pred AS (
+          |  SELECT doc_id, label_true, cls AS predicted,
+          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+          |  FROM scores)
+          |SELECT label_true, predicted, COUNT(*) AS n
+          |FROM pred WHERE rn = 1
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "window_locf_last_purchase" ->
         """SELECT event_id, user_id, event_type, last_purchase_value FROM (
           |  SELECT event_id, user_id, event_type,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multinomial Naive Bayes text classification — the supervised sibling of
+  * [[LangModel]]'s unsupervised perplexity filter, and the TRAINING side of
+  * a corpus-curation classifier (the fastText-shape scorer in
+  * [[TextAnalysis]] uses fixed weights; here the weights are LEARNED from
+  * labeled documents).
+  *
+  * Training is exactly two flat aggregations over the labeled corpus —
+  * per-(class, word) counts and per-class totals — so it map-side combines
+  * and shuffles only dictionary-sized data; there is no iterative pass
+  * (the closed-form MLE is the whole fit). Scoring broadcasts the model:
+  * score(doc, c) = ln P(c) + Σ_tokens ln((count(c,w)+1) / (total(c)+V))
+  * with add-one smoothing and the unseen-word fallback ln(1/(total(c)+V)).
+  *
+  * Engine-exactness: every ln term is rounded to 9 decimals and summed as
+  * DECIMAL (order-independent, the repo-wide quantized-transcendental
+  * rule); the argmax orders by the exact decimal score with a class-name
+  * tie-break, so predictions replay bit-for-bit in the SQL oracle.
+  */
+object NaiveBayes {
+
+  // DECIMAL(18,9), not (28,9): sum((28,9)) is already (38,9), and adding
+  // the (28,9) prior would overflow precision 38 — Spark then silently
+  // REDUCES the scale to 8 and the oracle comparison loses a digit.
+  // (18,9) keeps sum at (28,9) and the final addition at (29,9).
+  private def qlog(x: org.apache.spark.sql.Column) =
+    round(log(x), 9).cast(DecimalType(18, 9))
+
+  /** Train on `train` (labelCol, textCol) and predict for `test`
+    * (idCol, labelCol, textCol). Output: one row per test doc —
+    * (idCol, true label as `label_true`, `predicted`, decimal `score`).
+    * Tokens are whitespace words; empty tokens are ignored. */
+  def trainPredict(train: DataFrame, test: DataFrame,
+      textCol: String = "text", labelCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = train
+      .select(col(labelCol).as("cls"), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cw = toks.groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cw"))
+    val cc = toks.groupBy(col("cls")).agg(count(lit(1)).as("cc"))
+    val v = toks.select(col("w")).distinct().count()
+    val nDocs = train.count()
+    val priors = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+      .select(col("cls"),
+        qlog(col("nd").cast("double") / lit(nDocs.toDouble)).as("prior_lp"))
+    val unseen = cc.select(col("cls"),
+      qlog(lit(1.0) / (col("cc") + v).cast("double")).as("unseen_lp"))
+    val lik = cw.join(cc, "cls")
+      .select(col("cls"), col("w"),
+        qlog((col("cw") + 1).cast("double") / (col("cc") + v).cast("double")).as("lp"))
+    val testToks = test
+      .select(col(idCol), col(labelCol).as("label_true"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val scores = testToks
+      .crossJoin(broadcast(unseen))
+      .join(broadcast(lik), Seq("cls", "w"), "left")
+      .withColumn("term", coalesce(col("lp"), col("unseen_lp")))
+      .groupBy(col(idCol), col("label_true"), col("cls"))
+      .agg(sum(col("term")).as("ll"))
+      .join(broadcast(priors), "cls")
+      .withColumn("score", col("prior_lp") + col("ll"))
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cls").asc)
+    scores.withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label_true"), col("cls").as("predicted"),
+        col("score"))
+  }
+
+  /** Confusion matrix of [[trainPredict]]: (label_true, predicted, n). */
+  def confusion(train: DataFrame, test: DataFrame,
+      textCol: String = "text", labelCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame =
+    trainPredict(train, test, textCol, labelCol, idCol)
+      .groupBy(col("label_true"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.NaiveBayes
+import org.apache.spark.sql.functions._
+
+class NaiveBayesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("scores and argmax match hand-computed add-one smoothing") {
+    val train = Seq(("a1", "A", "x x y"), ("b1", "B", "z z"))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq(("t1", "A", "x z")).toDF("doc_id", "lang", "text")
+    val got = NaiveBayes.trainPredict(train, test).collect()(0)
+    // V=3; class A: cc=3, prior 1/2; class B: cc=2, prior 1/2
+    def q(x: Double) = BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val scoreA = q(0.5) + (q(3.0 / 6) + q(1.0 / 6))  // x seen(2+1)/6, z unseen 1/6
+    val scoreB = q(0.5) + (q(1.0 / 5) + q(3.0 / 5))  // x unseen 1/5, z seen(2+1)/5
+    assert(scoreB > scoreA)
+    assert(got.getAs[String]("predicted") === "B")
+    assert(BigDecimal(got.getAs[java.math.BigDecimal]("score")) === scoreB)
+  }
+
+  test("ties break on class name ascending; empty tokens ignored") {
+    val train = Seq(("a1", "A", "x"), ("b1", "B", "x"))
+      .toDF("doc_id", "lang", "text")
+    // identical likelihoods and priors for both classes -> tie -> "A"
+    val test = Seq(("t1", "B", "x  x")).toDF("doc_id", "lang", "text")
+    val got = NaiveBayes.trainPredict(train, test).collect()(0)
+    assert(got.getAs[String]("predicted") === "A")
+    assert(got.getAs[String]("label_true") === "B")
+  }
+
+  test("fixture confusion matrix: every test doc classified exactly once") {
+    val docs = Tables.documents(spark, sfDir)
+    val conf = NaiveBayes.confusion(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    val total = conf.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === docs.filter(col("doc_id") % 2 === 1).count())
+    // the fixture langs share most vocabulary (lang-ID there is stopword-
+    // ratio based), so require better-than-chance, not dominance: the
+    // diagonal must beat the 1/5 random-assignment mass
+    val rows = conf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val diag = rows.collect { case ((t, p), n) if t == p => n }.sum
+    assert(diag * 5 > total, s"diagonal $diag of $total")
+  }
+}
