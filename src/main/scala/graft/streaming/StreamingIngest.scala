@@ -100,6 +100,37 @@ object StreamingIngest {
         durableSwapWrite(spark, merged, sketchPath)
       }
 
+  /** Streaming dedup ADMISSION against a persisted corpus store — the
+    * crawl-ingestion flow: each micro-batch is first deduped within itself
+    * (min-id per digest), then anti-joined against the store's digest
+    * index, and only NOVEL documents append. The store converges to
+    * exactly the first-seen canonical of every distinct text, no matter
+    * how batches arrive (StreamingAdmitSpec pins streamed ≡ one-shot
+    * exact dedup).
+    *
+    * Scale: the store is append-only parquet; the per-batch probe reads
+    * only the digest column (column pruning at the scan) and the batch
+    * side of the anti-join broadcasts. At 100 TB the digest column is the
+    * store's dedup index — the same probe [[graft.operators.Dedup
+    * .incrementalDedup]] runs batch-side. */
+  def dedupAdmit(stream: DataFrame, storePath: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(storePath)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val withDigest = graft.operators.Dedup.exactDedup(batch, textCol, idCol)
+          .withColumn("digest", md5(col(textCol)))
+        val novel =
+          if (fs.exists(target)) {
+            val seen = spark.read.parquet(storePath).select(col("digest"))
+            withDigest.join(seen, Seq("digest"), "left_anti")
+          } else withDigest
+        novel.write.mode("append").parquet(storePath)
+      }
+
   /** Collect-and-rewrite of a tiny metadata table with a crash-safe swap:
     * write to a sibling tmp dir, then rename over the target — overwrite-
     * in-place would delete the accumulated table before committing the

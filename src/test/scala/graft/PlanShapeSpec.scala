@@ -167,6 +167,26 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("large-large join falls back to sort-merge with ONE shuffle per side") {
+    // when neither side fits a broadcast (the 100 TB fact-fact case), the
+    // plan must be a shuffle-partitioned sort-merge join — each side
+    // exchanges exactly once on the join key, no nested loop
+    withoutAqe {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = planOf(
+          Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+            .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+              col("l_orderkey") === col("o_orderkey")))
+        assert(p.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }.size == 1, "expected a sort-merge join")
+        assert(shuffles(p) == 2, s"one exchange per side expected, got ${shuffles(p)}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("banded MIPS brute path: zero shuffles, distributed top-k") {
     withoutAqe {
       val store = spark.read.parquet(s"$sfDir/embeddings.parquet")
