@@ -34,19 +34,22 @@ object Drift {
   def psi(df: DataFrame, groupCol: String, binCol: String, refCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 1, s"nBins must be positive, got $nBins")
+    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(groupCol), col(binCol))
       .agg(
         sum(when(col(refCol), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col(refCol), 1L).otherwise(0L)).as("n_cur"))
-    val totals = counts.groupBy(col(groupCol))
-      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    // per-group totals as a WINDOW over the (tiny) counts table, not a
+    // self-join — a join would re-derive the counts subtree and scan the
+    // raw input twice in the static plan
+    val byGroup = Window.partitionBy(col(groupCol))
     val half = lit(0.5)
     val smoothMass = lit(nBins * 0.5)
     val pa = (col("n_ref").cast("double") + half) /
-      (col("t_ref").cast("double") + smoothMass)
+      (sum(col("n_ref")).over(byGroup).cast("double") + smoothMass)
     val pb = (col("n_cur").cast("double") + half) /
-      (col("t_cur").cast("double") + smoothMass)
-    counts.join(totals, groupCol)
+      (sum(col("n_cur")).over(byGroup).cast("double") + smoothMass)
+    counts
       .withColumn("__term",
         round((pa - pb) * log(pa / pb), 9).cast(DecimalType(28, 9)))
       .groupBy(col(groupCol))
