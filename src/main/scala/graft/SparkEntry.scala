@@ -1764,6 +1764,20 @@ object SparkEntry {
         .select(col("src"), col("dst"))
       graft.operators.GraphOps.summary(edges)
     }),
+    // PageRank over the same similarity graph (GraphOps.pageRank): 3 fixed
+    // supersteps, each one join + one aggregation on node id; per-edge
+    // contributions 9-decimal-quantized so the unrolled SQL oracle replays
+    // the whole loop (the Pca fixed-iteration contract, on a graph)
+    "graph_pagerank" -> ((s, d) => {
+      val ve = emb(s, d).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val edges = ve.as("a").join(ve.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.1)
+        .select(col("src"), col("dst"))
+      graft.operators.GraphOps.pageRank(edges, iters = 3).orderBy(col("node"))
+    }),
     // distributed PCA (top principal direction of the first 8 dims): the
     // corpus collapses to its 8×8 second-moment Gram matrix in ONE
     // aggregation pass (decimal-exact sums), then fixed-seed power
@@ -3538,6 +3552,35 @@ object SparkEntry {
            |  (SELECT MAX(degree) FROM deg) AS max_degree""".stripMargin
       },
       "vec_pca_top_component" -> pcaSql(dims = 8, iters = 3),
+      "graph_pagerank" -> {
+        val cs = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
+        val baseSql =
+          "(CAST(1 AS DOUBLE) - CAST('0.85' AS DOUBLE)) / CAST((SELECT n FROM nn) AS DOUBLE)"
+        val iters = (1 to 3).map { i =>
+          val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+          s"""it$i AS (
+             |  SELECT d.dst AS node,
+             |    CAST(SUM(CAST(ROUND(p.pr / p.deg, 9) AS DECIMAL(18,9))) AS DOUBLE) AS s
+             |  FROM dir d JOIN $prev p ON d.src = p.node GROUP BY 1),
+             |pr$i AS (
+             |  SELECT q.node, q.deg, ROUND($baseSql + CAST('0.85' AS DOUBLE) * t.s, 9) AS pr
+             |  FROM it$i t JOIN deg q ON q.node = t.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ve AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+           |edges0 AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+           |  WHERE $cs >= 0.1),
+           |dir AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+           |deg AS (SELECT src AS node, COUNT(*) AS deg FROM dir GROUP BY 1),
+           |nn AS (SELECT COUNT(*) AS n FROM deg),
+           |pr0 AS (
+           |  SELECT node, deg,
+           |    ROUND(CAST(1 AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE), 9) AS pr
+           |  FROM deg),
+           |$iters
+           |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      },
       "ann_lsh_multiprobe_topk" -> {
         val planes8 = Fixtures.Planes16.take(8)
         val probes = graft.operators.Ann.multiProbeSigs(planes8, Q64).mkString(", ")

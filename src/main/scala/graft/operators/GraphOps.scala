@@ -50,4 +50,46 @@ object GraphOps {
       spark.createDataFrame(spark.sparkContext.parallelize(row.toSeq, 1), out.schema)
     } finally e.unpersist()
   }
+
+  /** PageRank with a FIXED iteration count over the undirected edge list —
+    * the centrality read on the similarity graph (which documents anchor a
+    * near-dup neighborhood). Undirected expansion gives every node
+    * degree >= 1, so there are no dangling nodes and mass is conserved.
+    *
+    * Each iteration is one join of the rank table against the edge list
+    * plus one aggregation — both shuffle on node id, the plan a 100 TB
+    * graph engine runs per superstep. Engine-exactness: per-edge
+    * contributions are rounded to 9 decimals and summed as DECIMAL(18,9)
+    * (order-independent), and every scalar op (base term, damping product,
+    * final round) is the same IEEE double expression the unrolled SQL
+    * oracle evaluates — fixed `iters` makes the WHOLE loop replayable,
+    * the same contract as [[Pca]]'s power iteration.
+    *
+    * Output: (node, pr) with pr rounded to 9 decimals. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types.DecimalType
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = (1.0 - damping) / n
+    var pr = deg.select(col("node"), col("deg"),
+      round(lit(1.0 / n), 9).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(pr, dir("src") === pr("node"))
+        .select(col("dst"),
+          round(col("pr") / col("deg"), 9).cast(DecimalType(18, 9)).as("c"))
+      pr = contrib.groupBy(col("dst").as("node"))
+        .agg(round(lit(base) + lit(damping) * sum(col("c")).cast("double"), 9).as("pr"))
+        .join(deg, "node")
+        .select(col("node"), col("deg"), col("pr"))
+    }
+    pr.select(col("node"), col("pr"))
+  }
 }

@@ -53,4 +53,40 @@ class TimeSeriesGraphSpec extends SparkSpecBase {
     val r = GraphOps.summary(edges).collect().head
     assert(r.getLong(2) == 0)
   }
+
+  test("pageRank equals a driver-side replay with the same quantization") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // plain-Scala replay of the exact arithmetic: round9 contributions,
+    // exact sum, same base/damping double expressions
+    def r9(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = dir.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size
+    val base = (1.0 - 0.85) / n
+    var pr = deg.keys.map(_ -> r9(1.0 / n)).toMap
+    for (_ <- 1 to 3) {
+      val sums = dir.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => BigDecimal(r9(pr(src) / deg(src))) }.sum
+      }
+      pr = sums.map { case (node, s) => node -> r9(base + 0.85 * s.toDouble) }
+    }
+    assert(got === pr)
+    // mass conservation and symmetry (1 and 4 are NOT symmetric here; 1 is
+    // a pendant of 2, 4 closes the 2-3-4 triangle — just check the sum)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank on a symmetric path: end nodes equal, middle nodes equal") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === got(4L))
+    assert(got(2L) === got(3L))
+    assert(got(2L) > got(1L))
+  }
 }
