@@ -1632,6 +1632,16 @@ object SparkEntry {
           col("trail_avg"), col("is_anomaly"))
         .orderBy(col("event_type"), col("hour_epoch"))
     }),
+    // OHLC candlestick downsampling (TimeSeries.ohlc): per-type hourly
+    // bars with first/last under the TOTAL (ts, event_id) order — plain
+    // arg_min/min_by would tie-break arbitrarily per engine on duplicate
+    // timestamps; the row_number formulation is deterministic
+    "events_ohlc_hourly" -> ((s, d) =>
+      graft.operators.TimeSeries.ohlc(
+          Tables.events(s, d), "event_type",
+          unix_timestamp(date_trunc("hour", col("ts"))),
+          "ts", "value", "event_id")
+        .orderBy(col("event_type"), col("bucket"))),
     // PSI distribution-drift monitor (operators/Drift): per event type,
     // compare the value distribution of the second half-month against the
     // first (10 fixed bins, Laplace-smoothed proportions) — the gate a
@@ -3384,6 +3394,24 @@ object SparkEntry {
           |               RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
           |WHERE hour_epoch >= first_epoch + 86400
           |ORDER BY event_type, hour_epoch""".stripMargin,
+      "events_ohlc_hourly" ->
+        """WITH b AS (
+          |  SELECT event_type,
+          |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+          |    CAST(value AS DECIMAL(18,3)) AS v,
+          |    ROW_NUMBER() OVER w AS rn,
+          |    COUNT(*) OVER (PARTITION BY event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS nb
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+          |               ORDER BY (epoch_ns(ts) // 1000000000) ASC, event_id ASC)
+          |)
+          |SELECT event_type, bucket,
+          |  CAST(MAX(CASE WHEN rn = 1 THEN v END) AS DOUBLE) AS open,
+          |  CAST(MAX(v) AS DOUBLE) AS high,
+          |  CAST(MIN(v) AS DOUBLE) AS low,
+          |  CAST(MAX(CASE WHEN rn = nb THEN v END) AS DOUBLE) AS close,
+          |  COUNT(*) AS n
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "drift_psi_value" ->
         """WITH binned AS (
           |  SELECT event_type,

@@ -43,4 +43,38 @@ object TimeSeries {
         count(lit(1)).as("n_intervals"))
       .filter(col("total_dt_s") > 0)
   }
+
+  /** OHLC (open/high/low/close) downsampling: per (key, bucket) bar with
+    * the first and last observed value under the total (ts, tie) order,
+    * the min/max, and the sample count — the candlestick resample that
+    * turns a raw event stream into fixed-period bars.
+    *
+    * One window for first/last positions + one aggregation, both on the
+    * same (key, bucket) grouping — first/last CANNOT be plain min_by/
+    * arg_min: under duplicate timestamps those tie-break arbitrarily
+    * per-engine, while the row_number over (ts, tie) is total and
+    * deterministic. Values aggregate exactly at their natural decimal
+    * scale.
+    *
+    * `bucketExpr` is any derived bucket column (e.g. hour epoch).
+    * Returns (key, bucket, open, high, low, close, n). */
+  def ohlc(events: DataFrame, keyCol: String, bucketExpr: org.apache.spark.sql.Column,
+      tsCol: String, valCol: String, tieCol: String,
+      valScale: Int = 3): DataFrame = {
+    val v = col(valCol).cast(DecimalType(18, valScale))
+    val base = events.withColumn("__bucket", bucketExpr)
+    val w = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).cast("long"), col(tieCol))
+    base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nb", count(lit(1)).over(
+        Window.partitionBy(col(keyCol), col("__bucket"))))
+      .groupBy(col(keyCol), col("__bucket").as("bucket"))
+      .agg(
+        max(when(col("__rn") === 1, v)).cast("double").as("open"),
+        max(v).cast("double").as("high"),
+        min(v).cast("double").as("low"),
+        max(when(col("__rn") === col("__nb"), v)).cast("double").as("close"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{GraphOps, TimeSeries}
 import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 
 class TimeSeriesGraphSpec extends SparkSpecBase {
   import spark.implicits._
@@ -52,6 +53,25 @@ class TimeSeriesGraphSpec extends SparkSpecBase {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val r = GraphOps.summary(edges).collect().head
     assert(r.getLong(2) == 0)
+  }
+
+  test("OHLC bars: open/close follow the total (ts, tie) order under duplicate timestamps") {
+    val t0 = 1700000000L
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      // one hourly bucket, duplicate timestamps: order by (ts, event_id)
+      ("a", ts(t0), 1L, 5.0), ("a", ts(t0), 0L, 3.0),   // open = 3.0 (id 0 first)
+      ("a", ts(t0 + 10), 2L, 9.0), ("a", ts(t0 + 20), 4L, 2.0),
+      ("a", ts(t0 + 20), 3L, 7.0),                       // close = 2.0 (id 4 last)
+      // second bucket, single row
+      ("a", ts(t0 + 3600), 5L, 4.5)
+    ).toDF("k", "ts", "event_id", "value")
+    val bars = TimeSeries.ohlc(ev, "k",
+        unix_timestamp(date_trunc("hour", col("ts"))), "ts", "value", "event_id")
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(bars(0) === ((3.0, 9.0, 2.0, 2.0, 5L)))
+    assert(bars(1) === ((4.5, 4.5, 4.5, 4.5, 1L)))
   }
 
   test("pageRank equals a driver-side replay with the same quantization") {
