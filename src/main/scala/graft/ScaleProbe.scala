@@ -361,6 +361,27 @@ object ScaleProbe extends App {
     assert(verdicts.getOrElse("exact", 0L) > 0L && verdicts.getOrElse("keep", 0L) == 0L,
       s"unexpected verdicts $verdicts")
   }
+  // PageRank at ~2M directed edges: three supersteps of join+aggregation;
+  // per-node rounding is 1e-9, so total mass must stay within 1e-3 of 1.
+  t("PageRank (1M nodes, 2M edges, 3 iters)") {
+    val n = 1000000L
+    val e1 = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val e2 = spark.range(n - 2).select(col("id").as("src"), (col("id") + 2).as("dst"))
+    val mass = graft.operators.GraphOps.pageRank(e1.union(e2).toDF(), iters = 3)
+      .agg(sum(col("pr"))).collect()(0).getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass $mass")
+  }
+  // Supervised NB at 100k labeled docs: the closed-form fit is two flat
+  // aggregations; scoring is one broadcast-join pass over test tokens.
+  t("NB classifier train+score (100k docs)") {
+    val labeled = docsBase.crossJoin(spark.range(docReps).toDF("rep"))
+      .select((col("doc_id") * docReps + col("rep")).as("doc_id"),
+        col("text"), col("lang"))
+    val conf = graft.operators.NaiveBayes.confusion(
+      labeled.filter(col("doc_id") % 2 === 0),
+      labeled.filter(col("doc_id") % 2 === 1))
+    assert(conf.agg(sum(col("n"))).collect()(0).getLong(0) > 0L)
+  }
   // PSI drift at 1M events: two flat aggregations; output is |types|×1.
   t("PSI drift (1M events)") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.1")

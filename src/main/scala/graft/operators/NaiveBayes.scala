@@ -39,9 +39,13 @@ object NaiveBayes {
   def trainPredict(train: DataFrame, test: DataFrame,
       textCol: String = "text", labelCol: String = "lang",
       idCol: String = "doc_id"): DataFrame = {
+    // persisted: the exploded token table feeds three consumers (class-
+    // word counts, class totals, vocabulary size) — without it the
+    // tokenize lineage re-scans the corpus per consumer
     val toks = train
       .select(col(labelCol).as("cls"), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cw = toks.groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cw"))
     val cc = toks.groupBy(col("cls")).agg(count(lit(1)).as("cc"))
     val v = toks.select(col("w")).distinct().count()
