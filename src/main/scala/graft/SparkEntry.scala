@@ -2945,13 +2945,16 @@ object SparkEntry {
           |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM train)
           |  WHERE w <> ''),
           |cw AS (SELECT cls, w, COUNT(*) AS cw FROM nt GROUP BY 1, 2),
-          |cc AS (SELECT cls, COUNT(*) AS cc FROM nt GROUP BY 1),
+          |classes AS (SELECT lang AS cls, COUNT(*) AS nd FROM train GROUP BY 1),
+          |cc AS (
+          |  SELECT c.cls, COALESCE(x.cc0, 0) AS cc FROM classes c
+          |  LEFT JOIN (SELECT cls, COUNT(*) AS cc0 FROM nt GROUP BY 1) x ON x.cls = c.cls),
           |vv AS (SELECT COUNT(DISTINCT w) AS v FROM nt),
-          |nd AS (SELECT COUNT(*) AS nd FROM train),
+          |ndoc AS (SELECT COUNT(*) AS nd FROM train),
           |priors AS (
-          |  SELECT lang AS cls,
-          |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT nd FROM nd) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS prior_lp
-          |  FROM train GROUP BY 1),
+          |  SELECT cls,
+          |    CAST(ROUND(LN(CAST(nd AS DOUBLE) / CAST((SELECT nd FROM ndoc) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS prior_lp
+          |  FROM classes),
           |unseen AS (
           |  SELECT cls,
           |    CAST(ROUND(LN(CAST(1 AS DOUBLE) / CAST(cc + (SELECT v FROM vv) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS unseen_lp
@@ -2961,16 +2964,22 @@ object SparkEntry {
           |    CAST(ROUND(LN(CAST(cw.cw + 1 AS DOUBLE) / CAST(cc.cc + (SELECT v FROM vv) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
           |  FROM cw JOIN cc ON cw.cls = cc.cls),
           |tt AS (
-          |  SELECT doc_id, lang AS label_true, w FROM (
-          |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM test)
+          |  SELECT doc_id, w FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test)
           |  WHERE w <> ''),
-          |scores AS (
-          |  SELECT t.doc_id, t.label_true, u.cls, p.prior_lp + SUM(COALESCE(l.lp, u.unseen_lp)) AS score
+          |ll AS (
+          |  SELECT t.doc_id, u.cls, SUM(COALESCE(l.lp, u.unseen_lp)) AS ll
           |  FROM tt t
           |  CROSS JOIN unseen u
           |  LEFT JOIN lik l ON l.cls = u.cls AND l.w = t.w
-          |  JOIN priors p ON p.cls = u.cls
-          |  GROUP BY t.doc_id, t.label_true, u.cls, p.prior_lp),
+          |  GROUP BY t.doc_id, u.cls),
+          |scores AS (
+          |  SELECT d.doc_id, d.lang AS label_true, c.cls,
+          |    p.prior_lp + COALESCE(ll.ll, CAST(0 AS DECIMAL(28,9))) AS score
+          |  FROM test d
+          |  CROSS JOIN (SELECT cls FROM classes) c
+          |  LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.cls = c.cls
+          |  JOIN priors p ON p.cls = c.cls),
           |pred AS (
           |  SELECT doc_id, label_true, cls AS predicted,
           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
@@ -3403,7 +3412,7 @@ object SparkEntry {
           |    COUNT(*) OVER (PARTITION BY event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS nb
           |  FROM events
           |  WINDOW w AS (PARTITION BY event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
-          |               ORDER BY (epoch_ns(ts) // 1000000000) ASC, event_id ASC)
+          |               ORDER BY (epoch_ns(ts) // 1000) ASC, event_id ASC)
           |)
           |SELECT event_type, bucket,
           |  CAST(MAX(CASE WHEN rn = 1 THEN v END) AS DOUBLE) AS open,

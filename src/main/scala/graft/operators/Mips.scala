@@ -47,9 +47,15 @@ object Mips {
         (acc, x) => acc + x.cast("double") * x.cast("double")))
     val rows = indexed.groupBy(col(bandCol))
       .agg(count(lit(1)).as("n"), max(wnorm).as("mx"),
-        min(col(weightCol)).as("wmin"))
+        min(col(weightCol)).as("wmin"),
+        // aggregates SKIP nulls, so a null weight would silently drop out
+        // of min/max and corrupt the bound — count them explicitly
+        sum(when(col(weightCol).isNull, 1L).otherwise(0L)).as("n_null"))
       .collect()
     rows.foreach { r =>
+      require(r.getLong(4) == 0L,
+        s"Mips: band ${r.get(0)} has ${r.getLong(4)} NULL weight(s); " +
+          "weights must be non-null magnitudes")
       require(r.getDouble(3) >= 0.0,
         s"Mips: weight must be non-negative (band ${r.get(0)} has " +
           s"min weight ${r.getDouble(3)}); factor magnitudes, not signs")

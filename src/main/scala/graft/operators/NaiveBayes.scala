@@ -47,30 +47,40 @@ object NaiveBayes {
       .filter(col("w") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cw = toks.groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cw"))
-    val cc = toks.groupBy(col("cls")).agg(count(lit(1)).as("cc"))
     val v = toks.select(col("w")).distinct().count()
     val nDocs = train.count()
-    val priors = train.groupBy(col(labelCol).as("cls"))
+    // class list and priors come from the DOCS, not the token stream — a
+    // class whose training texts are all empty still has a prior and must
+    // stay predictable (its likelihoods are all the unseen fallback)
+    val classes = train.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).as("nd"))
-      .select(col("cls"),
-        qlog(col("nd").cast("double") / lit(nDocs.toDouble)).as("prior_lp"))
+    val cc = classes.join(
+        toks.groupBy(col("cls")).agg(count(lit(1)).as("cc0")), Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("cc0"), lit(0L)).as("cc"))
+    val priors = classes.select(col("cls"),
+      qlog(col("nd").cast("double") / lit(nDocs.toDouble)).as("prior_lp"))
     val unseen = cc.select(col("cls"),
       qlog(lit(1.0) / (col("cc") + v).cast("double")).as("unseen_lp"))
     val lik = cw.join(cc, "cls")
       .select(col("cls"), col("w"),
         qlog((col("cw") + 1).cast("double") / (col("cc") + v).cast("double")).as("lp"))
     val testToks = test
-      .select(col(idCol), col(labelCol).as("label_true"),
-        explode(split(col(textCol), " ")).as("w"))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
-    val scores = testToks
+    val ll = testToks
       .crossJoin(broadcast(unseen))
       .join(broadcast(lik), Seq("cls", "w"), "left")
       .withColumn("term", coalesce(col("lp"), col("unseen_lp")))
-      .groupBy(col(idCol), col("label_true"), col("cls"))
+      .groupBy(col(idCol), col("cls"))
       .agg(sum(col("term")).as("ll"))
+    // every (test doc × class) pair scores — a token-empty doc keeps its
+    // row and is classified by the priors alone (ll contributes 0)
+    val scores = test.select(col(idCol), col(labelCol).as("label_true"))
+      .crossJoin(broadcast(classes.select(col("cls"))))
+      .join(ll, Seq(idCol, "cls"), "left")
       .join(broadcast(priors), "cls")
-      .withColumn("score", col("prior_lp") + col("ll"))
+      .withColumn("score",
+        col("prior_lp") + coalesce(col("ll"), lit(0).cast(DecimalType(28, 9))))
     val byDoc = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("cls").asc)
     scores.withColumn("__rn", row_number().over(byDoc))

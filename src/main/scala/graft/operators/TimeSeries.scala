@@ -63,8 +63,11 @@ object TimeSeries {
       valScale: Int = 3): DataFrame = {
     val v = col(valCol).cast(DecimalType(18, valScale))
     val base = events.withColumn("__bucket", bucketExpr)
+    // full microsecond order (unix_micros), NOT ts.cast(long): the cast
+    // truncates to whole seconds and would let the tie column override
+    // genuine sub-second order (DuckDB mirror: epoch_ns(ts) // 1000)
     val w = Window.partitionBy(col(keyCol), col("__bucket"))
-      .orderBy(col(tsCol).cast("long"), col(tieCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
     base
       .withColumn("__rn", row_number().over(w))
       .withColumn("__nb", count(lit(1)).over(

@@ -29,13 +29,24 @@ object VersionedStore {
 
   private def manifestPath(root: String) = Paths.get(root, "_manifest")
 
-  /** (version, isFull) entries in commit order. */
-  def versions(root: String): Seq[(Int, Boolean)] =
-    Files.readAllLines(manifestPath(root)).asScala.toSeq.filter(_.nonEmpty)
-      .map { line =>
-        val Array(v, kind) = line.split(" ")
-        (v.toInt, kind == "full")
+  /** (version, isFull) entries in commit order. A malformed LAST line is a
+    * torn append from a crash mid-write — that version never committed, so
+    * it is dropped; a malformed line anywhere ELSE means real corruption
+    * and fails loudly rather than silently skipping committed history. */
+  def versions(root: String): Seq[(Int, Boolean)] = {
+    val lines = Files.readAllLines(manifestPath(root)).asScala.toSeq
+      .filter(_.nonEmpty)
+    lines.zipWithIndex.flatMap { case (line, i) =>
+      line.split(" ") match {
+        case Array(v, kind) if v.nonEmpty && v.forall(_.isDigit) &&
+            (kind == "full" || kind == "delta") =>
+          Some((v.toInt, kind == "full"))
+        case _ if i == lines.size - 1 => None
+        case _ => throw new IllegalStateException(
+          s"VersionedStore: corrupt manifest line '$line' in $root")
       }
+    }
+  }
 
   private def appendManifest(root: String, v: Int, full: Boolean): Unit = {
     Files.createDirectories(Paths.get(root))

@@ -125,8 +125,16 @@ object StreamingIngest {
           .withColumn("digest", md5(col(textCol)))
         val novel =
           if (fs.exists(target)) {
-            val seen = spark.read.parquet(storePath).select(col("digest"))
-            withDigest.join(seen, Seq("digest"), "left_anti")
+            // probe ORDER matters: an anti join builds its RIGHT side, so
+            // batch-left-anti-store would broadcast/shuffle the whole store
+            // digest set every micro-batch. Instead semi-join the store
+            // against the (tiny, broadcast) batch digests first — the scan
+            // streams map-side over the digest column — then anti-join the
+            // batch against that batch-bounded matched set.
+            val batchDigests = withDigest.select(col("digest"))
+            val matched = spark.read.parquet(storePath).select(col("digest"))
+              .join(broadcast(batchDigests), Seq("digest"), "left_semi")
+            withDigest.join(broadcast(matched), Seq("digest"), "left_anti")
           } else withDigest
         novel.write.mode("append").parquet(storePath)
       }

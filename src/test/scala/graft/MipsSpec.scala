@@ -70,6 +70,15 @@ class MipsSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("non-negative"))
   }
 
+  test("null weights are rejected with a clear message, not an NPE") {
+    val bad = store.withColumn("weight",
+      when(col("vec_id") === 3, lit(null).cast("double")).otherwise(col("weight")))
+    val ex = intercept[IllegalArgumentException] {
+      Mips.bandStats(bad)
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
   test("band stats cache short-circuits recomputation") {
     val stats = Mips.bandStats(store)
     assert(stats.size === 10 && stats.values.map(_._1).sum === 500)

@@ -31,6 +31,30 @@ class NaiveBayesSpec extends SparkSpecBase {
     assert(got.getAs[String]("label_true") === "B")
   }
 
+  test("token-empty test docs keep their row (classified by priors alone)") {
+    val train = Seq(("a1", "A", "x"), ("a2", "A", "y"), ("b1", "B", "z"))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq(("t1", "B", ""), ("t2", "A", "   "), ("t3", "A", "x"))
+      .toDF("doc_id", "lang", "text")
+    val got = NaiveBayes.trainPredict(train, test)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got.size === 3)
+    // empty docs fall back to the larger prior (A has 2 of 3 train docs)
+    assert(got("t1") === "A" && got("t2") === "A" && got("t3") === "A")
+  }
+
+  test("a class whose training texts are all empty stays predictable") {
+    val train = Seq(("a1", "A", "x y"), ("b1", "B", ""), ("b2", "B", ""))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq(("t1", "A", ""), ("t2", "A", "q")).toDF("doc_id", "lang", "text")
+    val got = NaiveBayes.trainPredict(train, test)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // B has the larger prior (2/3): the empty doc and the all-unseen doc
+    // must both resolve, and B must be reachable despite zero tokens
+    assert(got.size === 2)
+    assert(got("t1") === "B")
+  }
+
   test("fixture confusion matrix: every test doc classified exactly once") {
     val docs = Tables.documents(spark, sfDir)
     val conf = NaiveBayes.confusion(

@@ -74,6 +74,21 @@ class TimeSeriesGraphSpec extends SparkSpecBase {
     assert(bars(1) === ((4.5, 4.5, 4.5, 4.5, 1L)))
   }
 
+  test("OHLC bars: sub-second timestamp order beats the tie column") {
+    val t0 = 1700000000L
+    // same second, different milliseconds; tie ids DESCEND chronologically
+    def tsm(ms: Long) = new Timestamp(t0 * 1000 + ms)
+    val ev = Seq(
+      ("a", tsm(900), 1L, 5.0),  // chronologically LAST despite smaller id
+      ("a", tsm(100), 2L, 3.0)   // chronologically FIRST
+    ).toDF("k", "ts", "event_id", "value")
+    val bar = TimeSeries.ohlc(ev, "k",
+        unix_timestamp(date_trunc("hour", col("ts"))), "ts", "value", "event_id")
+      .collect()(0)
+    assert(bar.getDouble(2) === 3.0, "open must be the 100ms event")
+    assert(bar.getDouble(5) === 5.0, "close must be the 900ms event")
+  }
+
   test("pageRank equals a driver-side replay with the same quantization") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")
     val got = GraphOps.pageRank(edges, iters = 3)

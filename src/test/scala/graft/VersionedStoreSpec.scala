@@ -45,6 +45,26 @@ class VersionedStoreSpec extends SparkSpecBase {
       Map(1L -> 10, 2L -> 20))
   }
 
+  test("torn trailing manifest line is dropped; corrupt interior line raises") {
+    val root = java.nio.file.Files.createTempDirectory("graftvs4").toString
+    VersionedStore.init(Seq((1L, 10)).toDF("id", "x"), root)
+    VersionedStore.commit(Seq((2L, 20, false)).toDF("id", "x", "is_delete"), root)
+    val manifest = java.nio.file.Paths.get(root, "_manifest")
+    // crash mid-append: version number written, kind lost
+    java.nio.file.Files.writeString(manifest, "2",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(VersionedStore.versions(root) === Seq((0, true), (1, false)))
+    assert(stateMap(VersionedStore.readAsOf(spark, root, 1, "id")) ===
+      Map(1L -> 10, 2L -> 20))
+    // a malformed line BEFORE committed history is corruption, not a tear
+    java.nio.file.Files.writeString(manifest,
+      "0 full\ngarbage here\n1 delta\n")
+    val ex = intercept[IllegalStateException] {
+      VersionedStore.versions(root)
+    }
+    assert(ex.getMessage.contains("corrupt manifest line"))
+  }
+
   test("readAsOf below the first version raises") {
     val root = java.nio.file.Files.createTempDirectory("graftvs3").toString
     VersionedStore.init(Seq((1L, 10)).toDF("id", "x"), root)
