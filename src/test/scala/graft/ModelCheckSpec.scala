@@ -246,4 +246,42 @@ class ModelCheckSpec extends SparkSpecBase {
       assert(math.abs(tot - mtot) < 1e-6, s"ym $ym total $tot vs $mtot")
     }
   }
+
+  test("versioned store: random commit/checkpoint sequences replay every version exactly (3 trials)") {
+    import graft.store.VersionedStore
+    for (trial <- 1 to 3) {
+      val root = java.nio.file.Files.createTempDirectory(s"graftvsmc$trial").toString
+      // in-memory model: Map[id -> x] per version
+      var model = Vector((0L until (2 + rnd.nextInt(4)).toLong)
+        .map(i => i -> rnd.nextInt(100)).toMap)
+      VersionedStore.init(model(0).toSeq.toDF("id", "x"), root)
+      val nOps = 4 + rnd.nextInt(5)
+      for (_ <- 1 to nOps) {
+        if (rnd.nextInt(4) == 0) {
+          // checkpoint: state unchanged, a new full version appears
+          VersionedStore.checkpoint(spark, root, "id")
+          model = model :+ model.last
+        } else {
+          // random batch: deletes of existing keys, upserts of random keys
+          val cur = model.last
+          val ids = (0L until 8L).toList
+          val batch = rnd.shuffle(ids).take(1 + rnd.nextInt(4)).map { id =>
+            val del = cur.contains(id) && rnd.nextInt(3) == 0
+            (id, rnd.nextInt(100), del)
+          }
+          VersionedStore.commit(batch.toDF("id", "x", "is_delete"), root)
+          val applied = batch.foldLeft(cur) { case (m, (id, x, del)) =>
+            if (del) m - id else m + (id -> x)
+          }
+          model = model :+ applied
+        }
+      }
+      // EVERY historical version must read back as its model state
+      model.zipWithIndex.foreach { case (expected, v) =>
+        val got = VersionedStore.readAsOf(spark, root, v, "id")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got === expected, s"trial $trial version $v")
+      }
+    }
+  }
 }
