@@ -65,8 +65,50 @@ class ZoneMapSpec extends SparkSpecBase {
       
       .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
     val full = ZoneMap.stats(li, col("bucket"), col("l_shipdate"))
-      
+
       .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
     assert(merged == full)
+  }
+
+  test("z-order layout makes zone maps selective on BOTH dimensions (OPTIMIZE ZORDER shape)") {
+    import graft.index.{Grid, GridConfig}
+    import org.apache.spark.sql.expressions.Window
+    // 10k points on a 100x100 grid. Row-major layout clusters y only
+    // (y = id/100 is monotonic in id, x = id%100 cycles every bucket);
+    // sorting by the z-order curve clusters BOTH, so a 2-D box consults
+    // far fewer buckets via the x-map ∩ y-map skip decision.
+    val pts = spark.range(10000).select(col("id"),
+      (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("long").cast("double").as("y"))
+    val cfg = GridConfig(dim = 2, lower = 0.0, upper = 100.0,
+      partsPerDim = 16, gridDims = 2)
+    val z = Grid.zCellId(array(col("x").cast("float"), col("y").cast("float")), cfg)
+    def bucketize(ordered: org.apache.spark.sql.DataFrame) = ordered
+      .withColumn("bucket",
+        ((row_number().over(Window.orderBy(col("__ord"))) - 1) / 100).cast("long"))
+    val rowMajor = bucketize(pts.withColumn("__ord", col("id")))
+    val zOrder = bucketize(pts.withColumn("__ord", z))
+    def bucketsTouched(df: org.apache.spark.sql.DataFrame): Set[Any] = {
+      val bx = ZoneMap.candidateBuckets(
+        ZoneMap.stats(df, col("bucket"), col("x")), lit(10.0), lit(20.0)).toSet
+      val by = ZoneMap.candidateBuckets(
+        ZoneMap.stats(df, col("bucket"), col("y")), lit(10.0), lit(20.0)).toSet
+      bx intersect by
+    }
+    val rowTouched = bucketsTouched(rowMajor)
+    val zTouched = bucketsTouched(zOrder)
+    // row-major: the x-map is useless (every bucket spans all of x), so
+    // only the y constraint prunes (~10 of 100 buckets); z-order prunes
+    // on both (~the box's share of the curve)
+    assert(zTouched.size < rowTouched.size,
+      s"z-order touched ${zTouched.size}, row-major ${rowTouched.size}")
+    // and the pruned scan is still exact on the z layout
+    val exact = zOrder.filter(col("x") >= 10.0 && col("x") < 20.0 &&
+      col("y") >= 10.0 && col("y") < 20.0).count()
+    val pruned = zOrder
+      .filter(col("bucket").isin(zTouched.toSeq: _*))
+      .filter(col("x") >= 10.0 && col("x") < 20.0 &&
+        col("y") >= 10.0 && col("y") < 20.0).count()
+    assert(pruned === exact && exact === 100L)
   }
 }
