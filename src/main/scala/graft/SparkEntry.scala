@@ -1930,8 +1930,40 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("state"), col("valid_from").as("state_since"))
         .orderBy(col("event_id"))
-    })
+    }),
+    // PMI bigram collocations: corpus bigram/unigram counts → pointwise
+    // mutual information ranking (Church–Hanks). One aggregation per
+    // count table, 1-row broadcast totals, |vocab|-sized count joins; all
+    // five ln terms 9-decimal-quantized so rank AND value are engine-exact
+    "text_pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(par(s, docs(s, d)), minCount = 5, k = 20)),
+    // per-document letter-distribution Shannon entropy (Gopher-family
+    // quality signal): 26 translate length-diffs per row — no explode,
+    // ZERO shuffles; exact-decimal weighted ln sum, one double division
+    "text_letter_entropy" -> ((s, d) =>
+      TextAnalysis.letterEntropy(docs(s, d)).orderBy(col("doc_id"))),
+    // grid-density clustering (the corpus-scale DBSCAN analog): points →
+    // 2-D cell histogram (the ONE corpus-scale shuffle; |cells| rows out
+    // regardless of input size) → core cells ≥ minPts → 8-neighbor
+    // adjacency as an equi-join → connected components. Pairwise point
+    // distances never materialize
+    "cluster_density_grid" -> ((s, d) =>
+      graft.operators.DensityCluster.gridClusterSummary(
+          emb(s, d), "embedding", densityCfg, minPts = DensityMinPts)
+        .select(col("cluster"), col("n_cells"), col("n_points"))
+        .orderBy(col("cluster")))
   )
+
+  /** 2-D grid for density clustering: 32×32 cells over the embedding's two
+    * leading dims. Deliberately TIGHTER than the data's ~[-0.5, 0.5] spread
+    * (out-of-bounds clamps to edge cells) and fine enough that the Gaussian
+    * center forms one multi-cell component while the tails break into
+    * isolated core cells — at sf0.01 the query yields ~10 clusters, so the
+    * hash gate exercises CC merging AND the singleton path, not a single
+    * blob. */
+  private[graft] val densityCfg =
+    GridConfig(dim = Dim, lower = -0.4, upper = 0.4, partsPerDim = 32, gridDims = 2)
+  private[graft] val DensityMinPts = 3L
 
   /** Squared-L2 radius for the range-search queries (between the 5th and
     * 10th percentile of fixture query-to-corpus distances — selective but
@@ -3722,7 +3754,69 @@ object SparkEntry {
           |  CAST(b.n_segments - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
           |  COALESCE(k.clean_text, '') AS clean_text
           |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
-          |ORDER BY b.doc_id""".stripMargin
+          |ORDER BY b.doc_id""".stripMargin,
+      "text_pmi_bigrams" -> {
+        def q(v: String) =
+          s"CAST(round(ln(CAST($v AS DOUBLE)), 9) AS DECIMAL(18,9))"
+        s"""WITH words_t AS (SELECT string_split(text, ' ') AS w FROM documents),
+           |grams AS (
+           |  SELECT w[i+1] AS x, w[i+2] AS y
+           |  FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i
+           |        FROM words_t WHERE len(w) >= 2)),
+           |uni AS (SELECT unnest(w) AS t FROM words_t),
+           |cxy AS (SELECT x, y, COUNT(*) AS n FROM grams GROUP BY x, y),
+           |cx AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+           |tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nuni,
+           |               (SELECT COUNT(*) FROM grams) AS nbi)
+           |SELECT x, y, n,
+           |  CAST(${q("n")} - ${q("nbi")} - ${q("a.c")} - ${q("b.c")}
+           |    + ${q("nuni")} + ${q("nuni")} AS DOUBLE) AS pmi
+           |FROM cxy JOIN cx a ON a.t = cxy.x JOIN cx b ON b.t = cxy.y
+           |CROSS JOIN tot
+           |WHERE n >= 5
+           |ORDER BY pmi DESC, x ASC, y ASC LIMIT 20""".stripMargin
+      },
+      "text_letter_entropy" -> {
+        def q(v: String) =
+          s"CAST(round(ln(CAST($v AS DOUBLE)), 9) AS DECIMAL(18,9))"
+        val cCols = TextAnalysis.Letters.map(ch =>
+          s"(length(t) - length(replace(t, '$ch', ''))) AS c_$ch").mkString(", ")
+        val nExpr = TextAnalysis.Letters.map(ch => s"c_$ch").mkString(" + ")
+        val terms = TextAnalysis.Letters.map { ch =>
+          s"CASE WHEN c_$ch > 0 THEN CAST(CAST(c_$ch AS DECIMAL(10,0)) * ${q(s"c_$ch")} AS DECIMAL(29,9)) ELSE CAST(0 AS DECIMAL(29,9)) END"
+        }.mkString("(", " + ", ")")
+        s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+           |c0 AS (SELECT doc_id, $cCols FROM t0),
+           |n0 AS (SELECT *, ($nExpr) AS n FROM c0)
+           |SELECT doc_id, n AS n_letters,
+           |  CAST(CAST(CAST(n AS DECIMAL(10,0)) * ${q("n")} AS DECIMAL(29,9)) - $terms AS DOUBLE)
+           |    / CAST(n AS DOUBLE) AS entropy
+           |FROM n0 WHERE n >= 1 ORDER BY doc_id""".stripMargin
+      },
+      "cluster_density_grid" -> {
+        val bx = Grid.bucketSql("embedding", 0, densityCfg)
+        val by = Grid.bucketSql("embedding", 1, densityCfg)
+        s"""WITH RECURSIVE cells AS (
+           |  SELECT bx, by, COUNT(*) AS n
+           |  FROM (SELECT $bx AS bx, $by AS by FROM embeddings) GROUP BY bx, by),
+           |core AS (
+           |  SELECT CAST(bx AS BIGINT) * ${densityCfg.partsPerDim} + by AS cell, bx, by, n
+           |  FROM cells WHERE n >= $DensityMinPts),
+           |edges AS (
+           |  SELECT a.cell AS src, b.cell AS dst FROM core a JOIN core b
+           |  ON abs(a.bx - b.bx) <= 1 AND abs(a.by - b.by) <= 1 AND a.cell < b.cell),
+           |sym AS (SELECT src, dst FROM edges
+           |        UNION SELECT dst AS src, src AS dst FROM edges),
+           |reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM sym
+           |  UNION
+           |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+           |labels AS (SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id)
+           |SELECT cluster, COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points
+           |FROM (SELECT core.n AS n, COALESCE(l.canonical, core.cell) AS cluster
+           |      FROM core LEFT JOIN labels l ON l.id = core.cell)
+           |GROUP BY cluster ORDER BY cluster""".stripMargin
+      }
     )
   }
 }

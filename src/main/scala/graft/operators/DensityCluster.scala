@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.index.{Grid, GridConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Grid-density clustering — the corpus-scale DBSCAN analog over an
+  * embedding column.
+  *
+  * Classic DBSCAN needs an eps-neighborhood query per point (quadratic, or
+  * an index probe per row); neither survives 100 TB. The grid form keeps
+  * the density idea but works on the CELL histogram instead of points:
+  *
+  *   1. bucket every point into a 2-D grid cell (one codegen'd pass —
+  *      reuses [[Grid.bucket]], the proven kNN-index arithmetic),
+  *   2. aggregate to per-cell counts (|cells| rows out, REGARDLESS of
+  *      input size — the one corpus-scale shuffle),
+  *   3. core cells = count >= minPts (the density threshold),
+  *   4. connect 8-neighbor-adjacent core cells by replicating each core
+  *      cell to its 8 neighbor coordinates and EQUI-joining on the target
+  *      coordinate (a hash join on a |cells|-sized table — no non-equi
+  *      cross product),
+  *   5. label components with [[Dedup.connectedComponents]] (driver
+  *      union-find under the threshold, distributed min-label loop above).
+  *
+  * Everything after step 2 runs on data bounded by the grid resolution,
+  * not the corpus, so the plan's cost is one scan + one aggregation at any
+  * scale. Mirrors the reference's cell-bucketing data model
+  * (kd_tree_database.py:59-70) applied to density clustering.
+  */
+object DensityCluster {
+
+  /** Per-core-cell cluster labels: (cell, bx, by, n, cluster) where
+    * `cluster` is the min cell id of the connected core-cell component.
+    * `cfg` must grid exactly 2 leading dimensions. */
+  def gridClusters(points: DataFrame, vecCol: String, cfg: GridConfig,
+      minPts: Long): DataFrame = {
+    require(cfg.gridDims == 2, "gridClusters grids the 2 leading dims")
+    val cells = points
+      .select(Grid.bucket(col(vecCol), 0, cfg).as("bx"),
+        Grid.bucket(col(vecCol), 1, cfg).as("by"))
+      .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("n"))
+    val core = cells.filter(col("n") >= minPts)
+      .withColumn("cell",
+        col("bx").cast(LongType) * cfg.partsPerDim + col("by").cast(LongType))
+    // 8-neighborhood as an equi-join: each core cell probes its neighbor
+    // coordinates; matches against the core set itself.
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+      yield (dx, dy)
+    val probes = core.select(col("cell").as("id_a"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("bx") + dx).as("nx"), (col("by") + dy).as("ny"))
+        }: _*)).as("o"))
+      .select(col("id_a"), col("o.nx").as("nx"), col("o.ny").as("ny"))
+    val edges = probes
+      .join(core.select(col("cell").as("id_b"), col("bx").as("tbx"),
+          col("by").as("tby")),
+        col("nx") === col("tbx") && col("ny") === col("tby") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(edges)
+    // isolated core cells (no core neighbor) are their own cluster
+    core.join(labels, core("cell") === labels("id"), "left")
+      .select(core("cell"), col("bx"), col("by"), col("n"),
+        coalesce(col("canonical"), core("cell")).as("cluster"))
+  }
+
+  /** Cluster summary — one row per density cluster: id (min member cell),
+    * member-cell count, point count. */
+  def gridClusterSummary(points: DataFrame, vecCol: String, cfg: GridConfig,
+      minPts: Long): DataFrame =
+    gridClusters(points, vecCol, cfg, minPts)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+}

@@ -274,4 +274,88 @@ object TextAnalysis {
         (col("n_segments") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** ln() quantized to 9 decimals and carried as an exact decimal — the
+    * engine-exact log-arithmetic building block (same contract as the
+    * bigram-LM / Naive-Bayes log terms). */
+  private def q9ln(c: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    round(log(c.cast("double")), 9).cast(DecimalType(18, 9))
+  }
+
+  /** Bigram collocations ranked by pointwise mutual information —
+    * PMI(x,y) = ln(p(x,y) / (p(x)p(y))) over the corpus token stream, the
+    * classic collocation-extraction statistic (Church & Hanks 1990).
+    *
+    * Scale shape: the bigram explode is per-row; bigram and unigram counts
+    * are each ONE key-local aggregation; the two totals reduce to a 1-row
+    * broadcast; the count-table joins are |vocab|-sized hash joins, never
+    * corpus-sized. All five ln terms are 9-decimal-quantized and combined
+    * in exact decimal arithmetic, so the ranking (and the values) replay
+    * bit-for-bit in the oracle. */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(words(col(textCol)).as("w"))
+    val grams = base.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + 1).as("x"),
+          element_at(col("w"), i + 2).as("y")))).as("g"))
+      .select(col("g.x").as("x"), col("g.y").as("y"))
+    val uni = base.select(explode(col("w")).as("t"))
+    val cxy = grams.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val cx = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(count(lit(1)).as("nuni"))
+      .crossJoin(grams.agg(count(lit(1)).as("nbi")))
+    cxy.filter(col("n") >= minCount)
+      .join(cx.select(col("t").as("x"), col("c").as("cxc")), Seq("x"))
+      .join(cx.select(col("t").as("y"), col("c").as("cyc")), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        (q9ln(col("n")) - q9ln(col("nbi")) - q9ln(col("cxc")) -
+          q9ln(col("cyc")) + q9ln(col("nuni")) + q9ln(col("nuni")))
+          .cast("double"))
+      .select(col("x"), col("y"), col("n"), col("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** The 26 lowercase letters — the alphabet of [[letterEntropy]]. */
+  val Letters: Seq[String] = ('a' to 'z').map(_.toString)
+
+  /** Per-document Shannon entropy of the letter distribution — the
+    * Gopher-family "natural text has ~4.1 bits/letter-ish entropy" quality
+    * signal; gibberish and single-char spam score near 0, keyboard mash
+    * scores near ln(26).
+    *
+    * Scale shape: letter counts come from ONE codegen'd byte-scan per row
+    * ([[graft.functions.LetterHistogram]] — NO explode, ZERO shuffles; the
+    * whole operator streams). H = ln(n) − (Σ cᵢ·ln cᵢ)/n with each ln
+    * 9-decimal-quantized and the weighted sum kept in exact decimals
+    * (per-step re-cast to DECIMAL(29,9) so Spark's precision promotion
+    * never silently drops the 9th decimal), then ONE double division —
+    * engine-exact vs the oracle's `replace`-count formulation on ASCII. */
+  def letterEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val hist = toCol(graft.functions.LetterHistogram(toExpr(col(textCol))))
+    // per-row folds over the 26-slot histogram as higher-order `aggregate`s
+    // — a 26-term unrolled decimal expression tree made Catalyst's
+    // analyze/optimize/codegen pass the dominant cost (~3s per plan); the
+    // HOF form keeps the tree constant-size with identical exact-decimal
+    // semantics (per-step DECIMAL(29,9) re-cast)
+    val dec0 = lit(0).cast(DecimalType(29, 9))
+    val n = aggregate(col("h"), lit(0L), (acc, c) => acc + c)
+    val s = aggregate(col("h"), dec0, (acc, c) =>
+      (acc + when(c > lit(0L),
+        (c.cast(DecimalType(10, 0)) * q9ln(c)).cast(DecimalType(29, 9)))
+        .otherwise(dec0)).cast(DecimalType(29, 9)))
+    val hn = (col("n_letters").cast(DecimalType(10, 0)) *
+      q9ln(col("n_letters"))).cast(DecimalType(29, 9)) - s
+    docs.select(col(idCol), hist.as("h"))
+      .select(col(idCol), col("h"), n.as("n_letters"))
+      .select(col(idCol), col("n_letters"),
+        (hn.cast("double") / col("n_letters").cast("double")).as("entropy"))
+      .filter(col("n_letters") >= 1)
+  }
 }
