@@ -382,6 +382,28 @@ object ScaleProbe extends App {
       labeled.filter(col("doc_id") % 2 === 1))
     assert(conf.agg(sum(col("n"))).collect()(0).getLong(0) > 0L)
   }
+  // Grid-density clustering at 1M points: the cell histogram is the only
+  // corpus-scale stage; everything after runs on ≤1024 cells.
+  t("grid-density clustering (1M pts)") {
+    val cfg2 = GridConfig(dim = Fixtures.Dim, lower = -0.4, upper = 0.4,
+      partsPerDim = 32, gridDims = 2)
+    val sum = graft.operators.DensityCluster
+      .gridClusterSummary(indexed, "embedding", cfg2, minPts = 50)
+      .collect()
+    assert(sum.nonEmpty && sum.map(_.getLong(2)).sum <= nBase * reps)
+    val assigned = graft.operators.DensityCluster
+      .assign(indexed, "vec_id", "embedding", cfg2, minPts = 50).count()
+    assert(assigned == nBase * reps, "assign labels every point")
+  }
+  // Letter entropy at 100k docs: one codegen'd byte-scan per row, zero
+  // shuffles; PMI collocations: two count aggregations + vocab-sized joins.
+  t("letter entropy + PMI (100k docs)") {
+    val ent = graft.operators.TextAnalysis.letterEntropy(bigDocs)
+    assert(ent.agg(min(col("entropy"))).collect()(0).getDouble(0) >= 0.0)
+    val pmi = graft.operators.TextAnalysis.pmiBigrams(bigDocs, minCount = 50, k = 10)
+      .collect()
+    assert(pmi.nonEmpty)
+  }
   // PSI drift at 1M events: two flat aggregations; output is |types|×1.
   t("PSI drift (1M events)") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.1")

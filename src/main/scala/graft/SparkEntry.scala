@@ -1951,7 +1951,13 @@ object SparkEntry {
       graft.operators.DensityCluster.gridClusterSummary(
           emb(s, d), "embedding", densityCfg, minPts = DensityMinPts)
         .select(col("cluster"), col("n_cells"), col("n_points"))
-        .orderBy(col("cluster")))
+        .orderBy(col("cluster"))),
+    // per-point cluster assignment (the DBSCAN output contract): broadcast
+    // the grid-bounded label table against the point scan; noise = -1
+    "cluster_density_assign" -> ((s, d) =>
+      graft.operators.DensityCluster.assign(
+          emb(s, d), "vec_id", "embedding", densityCfg, minPts = DensityMinPts)
+        .orderBy(col("vec_id")))
   )
 
   /** 2-D grid for density clustering: 32×32 cells over the embedding's two
@@ -3816,6 +3822,33 @@ object SparkEntry {
            |FROM (SELECT core.n AS n, COALESCE(l.canonical, core.cell) AS cluster
            |      FROM core LEFT JOIN labels l ON l.id = core.cell)
            |GROUP BY cluster ORDER BY cluster""".stripMargin
+      },
+      "cluster_density_assign" -> {
+        val bx = Grid.bucketSql("embedding", 0, densityCfg)
+        val by = Grid.bucketSql("embedding", 1, densityCfg)
+        s"""WITH RECURSIVE cells AS (
+           |  SELECT bx, by, COUNT(*) AS n
+           |  FROM (SELECT $bx AS bx, $by AS by FROM embeddings) GROUP BY bx, by),
+           |core AS (
+           |  SELECT CAST(bx AS BIGINT) * ${densityCfg.partsPerDim} + by AS cell, bx, by, n
+           |  FROM cells WHERE n >= $DensityMinPts),
+           |edges AS (
+           |  SELECT a.cell AS src, b.cell AS dst FROM core a JOIN core b
+           |  ON abs(a.bx - b.bx) <= 1 AND abs(a.by - b.by) <= 1 AND a.cell < b.cell),
+           |sym AS (SELECT src, dst FROM edges
+           |        UNION SELECT dst AS src, src AS dst FROM edges),
+           |reach(id, lab) AS (
+           |  SELECT DISTINCT src AS id, src AS lab FROM sym
+           |  UNION
+           |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id),
+           |labels AS (SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id),
+           |cl AS (SELECT core.cell, COALESCE(l.canonical, core.cell) AS cluster
+           |       FROM core LEFT JOIN labels l ON l.id = core.cell)
+           |SELECT e.vec_id, COALESCE(cl.cluster, -1) AS cluster
+           |FROM (SELECT vec_id, CAST($bx AS BIGINT) * ${densityCfg.partsPerDim} + $by AS cell
+           |      FROM embeddings) e
+           |LEFT JOIN cl ON cl.cell = e.cell
+           |ORDER BY e.vec_id""".stripMargin
       }
     )
   }

@@ -75,28 +75,26 @@ object Bpe {
     * artifact a tokenizer ships. */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    // each iteration's state is a |vocab|-row dictionary; eager
+    // localCheckpoint (not cache) TRUNCATES the lineage so iteration i's
+    // pair-count argmax plans over a one-scan tree instead of re-optimizing
+    // i chained applyMerge folds — with cache() the growing logical plan
+    // made Catalyst time dominate the whole training loop
     var wf = wordFreq(docs, textCol)
       .select(toSymbols(col("word")).as("sym"), col("freq"))
-      .cache()
-    // each iteration's state is a |vocab|-row dictionary — keep the whole
-    // cache chain (bytes, not gigabytes) and drop it once at the end, so
-    // every iteration is exactly ONE job (the pair-count argmax)
-    val states = Seq.newBuilder[DataFrame]
-    states += wf
+      .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
-    try {
-      for (i <- 1 to nMerges) {
-        val top = pairCounts(wf)
-          .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val Row(p1: String, p2: String, cnt: Long) = top.head
-          merges += Merge(i, p1, p2, cnt)
-          wf = wf.select(applyMerge(col("sym"), p1, p2).as("sym"), col("freq")).cache()
-          states += wf
-        }
+    for (i <- 1 to nMerges) {
+      val top = pairCounts(wf)
+        .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val Row(p1: String, p2: String, cnt: Long) = top.head
+        merges += Merge(i, p1, p2, cnt)
+        wf = wf.select(applyMerge(col("sym"), p1, p2).as("sym"), col("freq"))
+          .localCheckpoint(true)
       }
-    } finally states.result().foreach(_.unpersist())
+    }
     val rows = merges.result().map(m =>
       Row(m.idx, m.p1, m.p2, m.p1 + m.p2, m.cnt))
     spark.createDataFrame(

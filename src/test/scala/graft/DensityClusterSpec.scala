@@ -41,6 +41,23 @@ class DensityClusterSpec extends SparkSpecBase {
     assert(sum.toSeq == Seq((0L, 2L, 10L)))
   }
 
+  test("assign labels every point; sub-minPts cells are noise (-1)") {
+    val df = pts((0, 0, 4), (0, 1, 5), (3, 3, 2), (6, 6, 4))
+    val got = DensityCluster.assign(df, "id", "v", cfg, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 15, "every point gets a row")
+    val byCell = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1))).toMap
+    val noise = byCell.collect { case (id, v) if v(0).toInt == 3 => id }
+    noise.foreach(id => assert(got(id) == -1L, s"point $id must be noise"))
+    // blob A spans cells (0,0)+(0,1) -> one label (min cell id 0)
+    byCell.collect { case (id, v) if v(0) < 1.0 => id }
+      .foreach(id => assert(got(id) == 0L))
+    // isolated core cell (6,6) keeps its own cell id as label
+    byCell.collect { case (id, v) if v(0).toInt == 6 => id }
+      .foreach(id => assert(got(id) == 6L * 8 + 6))
+  }
+
   test("PMI ranks the collocated bigram above an independent co-occurrence") {
     // "x y" always adjacent; "p"/"q" frequent but never adjacent
     val docs = Seq(
