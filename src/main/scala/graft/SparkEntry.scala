@@ -1788,6 +1788,49 @@ object SparkEntry {
         .select(col("src"), col("dst"))
       graft.operators.GraphOps.pageRank(edges, iters = 3).orderBy(col("node"))
     }),
+    // multi-source BFS hop distances over a denser similarity graph (the
+    // vec_id % 5 sample, cos >= 0.25): distance from the label-1 anchor
+    // set in 3 fixed supersteps — each superstep joins only the FRONTIER
+    // (nodes first reached last round) against the edge list; hops are
+    // integers so the unrolled oracle needs no quantization at all
+    "graph_bfs_hops" -> ((s, d) => {
+      val ve = emb(s, d).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val edges = ve.as("a").join(ve.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+        .select(col("src"), col("dst"))
+      val seeds = ve.filter(col("label") === 1).select(col("vec_id").as("node"))
+      graft.operators.GraphOps.bfsHops(edges, seeds, maxHops = 3)
+        .orderBy(col("node"))
+    }),
+    // semi-supervised label propagation on the same graph: every 4th
+    // sampled node keeps its true label (clamped seeds), 2 rounds of
+    // plurality voting with min-label tie-break — integer votes, so the
+    // loop replays engine-exact; the winner per node is ONE aggregation
+    // (max of (cnt, -label) structs), not a rank window
+    "graph_label_prop" -> ((s, d) => {
+      val ve = emb(s, d).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val edges = ve.as("a").join(ve.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+        .select(col("src"), col("dst"))
+      val seeds = ve.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("node"), col("label"))
+      graft.operators.GraphOps.labelProp(edges, seeds, iters = 2)
+        .orderBy(col("node"))
+    }),
+    // Welch's unequal-variance t-test of each event type's value against
+    // the REST of the corpus (the experiment readout): ONE aggregation
+    // pass collapses the table to per-group exact decimal power sums; the
+    // complement's sums come from an unpartitioned window over |groups|
+    // rows by exact subtraction — the input is never scanned twice
+    "stats_welch_value" -> ((s, d) =>
+      graft.operators.Stats.welchTTest(Tables.events(s, d), "event_type", "value")
+        .orderBy(col("grp"))),
     // distributed PCA (top principal direction of the first 8 dims): the
     // corpus collapses to its 8×8 second-moment Gram matrix in ONE
     // aggregation pass (decimal-exact sums), then fixed-seed power
@@ -3655,6 +3698,86 @@ object SparkEntry {
            |  FROM deg),
            |$iters
            |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin
+      },
+      "graph_bfs_hops" -> {
+        val cs = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
+        val steps = (1 to 3).map { i =>
+          s"""d$i AS (
+             |  SELECT node, MIN(hop) AS hop FROM (
+             |    SELECT node, hop FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, CAST($i AS BIGINT) AS hop
+             |    FROM dir e JOIN (SELECT node FROM d${i - 1} WHERE hop = ${i - 1}) f
+             |      ON e.src = f.node)
+             |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ve AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+           |edges0 AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+           |  WHERE $cs >= ${DuckSql.fmt(0.25)}),
+           |dir AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+           |d0 AS (SELECT DISTINCT vec_id AS node, CAST(0 AS BIGINT) AS hop FROM ve WHERE label = 1),
+           |$steps
+           |SELECT node, hop FROM d3 ORDER BY node""".stripMargin
+      },
+      "graph_label_prop" -> {
+        val cs = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
+        val rounds = (1 to 2).map { i =>
+          val prev = if (i == 1) "seeds" else s"l${i - 1}"
+          s"""v$i AS (
+             |  SELECT d.dst, l.label, COUNT(*) AS cnt
+             |  FROM dir d JOIN $prev l ON d.src = l.node GROUP BY d.dst, l.label),
+             |w$i AS (
+             |  SELECT dst AS node, label FROM (
+             |    SELECT dst, label,
+             |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+             |    FROM v$i) WHERE rn = 1),
+             |l$i AS (
+             |  SELECT node, label FROM seeds
+             |  UNION ALL
+             |  SELECT node, label FROM w$i w
+             |  WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.node = w.node))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ve AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+           |edges0 AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+           |  WHERE $cs >= ${DuckSql.fmt(0.25)}),
+           |dir AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+           |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS label
+           |          FROM ve WHERE vec_id % 20 = 0),
+           |$rounds
+           |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+      },
+      "stats_welch_value" -> {
+        val one = DuckSql.fmt(1.0)
+        s"""WITH g AS (
+           |  SELECT event_type AS grp, COUNT(*) AS n,
+           |    SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS sx,
+           |    SUM(CAST(round(round(value, 3) * round(value, 3), 6) AS DECIMAL(18,6))) AS sxx
+           |  FROM events GROUP BY event_type),
+           |b AS (
+           |  SELECT grp, n, sx, sxx,
+           |    SUM(n) OVER () - n AS rn,
+           |    SUM(sx) OVER () - sx AS rsx,
+           |    SUM(sxx) OVER () - sxx AS rsxx
+           |  FROM g),
+           |c AS (
+           |  SELECT grp, n,
+           |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+           |    CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE) AS m2,
+           |    ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           |      / (CAST(n AS DOUBLE) - $one)) / CAST(n AS DOUBLE) AS q1,
+           |    ((CAST(rsxx AS DOUBLE) - CAST(rsx AS DOUBLE) * CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE))
+           |      / (CAST(rn AS DOUBLE) - $one)) / CAST(rn AS DOUBLE) AS q2,
+           |    CAST(n AS DOUBLE) AS nd, CAST(rn AS DOUBLE) AS rnd
+           |  FROM b)
+           |SELECT grp, n, round(m1, 6) AS mean,
+           |  round((m1 - m2) / sqrt(q1 + q2), 6) AS t_welch,
+           |  round((q1 + q2) * (q1 + q2) /
+           |    (q1 * q1 / (nd - $one) + q2 * q2 / (rnd - $one)), 6) AS df_welch
+           |FROM c ORDER BY grp""".stripMargin
       },
       "ann_lsh_multiprobe_topk" -> {
         val planes8 = Fixtures.Planes16.take(8)

@@ -51,6 +51,67 @@ object GraphOps {
     } finally e.unpersist()
   }
 
+  /** Multi-source BFS hop distances with a FIXED superstep count — the
+    * "how far is everything from the seed set" read (e.g. distance from
+    * known-good anchor documents through the near-duplicate graph).
+    *
+    * Frontier-optimal: after the per-superstep `min(hop)` fold, a node
+    * carries `hop == i-1` iff superstep i-1 FIRST reached it, so the
+    * filter recovers exactly the frontier and superstep i joins |frontier|
+    * rows against the edge list — not |reached| — the textbook Pregel BFS
+    * shape. One join + one aggregation per superstep, both shuffling on
+    * node id. Hops are integers, so the unrolled SQL oracle replays the
+    * loop with no quantization at all.
+    *
+    * Output: (node, hop) for every node within `maxHops` of a seed;
+    * isolated seeds still appear at hop 0. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0L))
+    for (i <- 1 to maxHops) {
+      val frontier = dist.filter(col("hop") === (i - 1).toLong)
+      val next = dir.join(frontier, dir("src") === frontier("node"))
+        .select(col("dst").as("node"), lit(i.toLong).as("hop"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }
+    dist
+  }
+
+  /** Semi-supervised label propagation with FIXED rounds and clamped
+    * seeds: each round every node adjacent to a labeled node takes the
+    * plurality label of its labeled neighbors, ties broken by the SMALLEST
+    * label; seed nodes never change. Votes are integer counts, so the
+    * whole loop is engine-exact with no quantization.
+    *
+    * The winner per node is one aggregation — `max(struct(cnt, -label))`
+    * picks (highest count, then lowest label) lexicographically — instead
+    * of a rank window, so each round is two hash aggregations + one join,
+    * no sort. Labels must be non-negative (the negation trick). */
+  def labelProp(edges: DataFrame, seedLabels: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val dir = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = seedLabels
+      .select(col("node"), col("label").cast(LongType).as("label"))
+    var lab = seeds
+    for (_ <- 1 to iters) {
+      val votes = dir.join(lab, dir("src") === lab("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val win = votes
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      lab = seeds.unionByName(
+        win.join(seeds.select(col("node")), Seq("node"), "left_anti"))
+    }
+    lab
+  }
+
   /** PageRank with a FIXED iteration count over the undirected edge list —
     * the centrality read on the similarity graph (which documents anchor a
     * near-dup neighborhood). Undirected expansion gives every node
