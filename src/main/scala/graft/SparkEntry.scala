@@ -1831,6 +1831,25 @@ object SparkEntry {
     "stats_welch_value" -> ((s, d) =>
       graft.operators.Stats.welchTTest(Tables.events(s, d), "event_type", "value")
         .orderBy(col("grp"))),
+    // equi-depth histogram of order totals: boundaries are exact i/8
+    // quantiles (the proven percentile ≡ quantile_cont contract), so the
+    // bucket counts are engine-exact integers; classification is a
+    // codegen'd indicator sum against the broadcast 1-row boundary set —
+    // the skew-proof histogram an optimizer keeps where fixed-width bins
+    // collapse under a heavy tail
+    "agg_equidepth_hist" -> ((s, d) =>
+      graft.operators.Stats.equiDepthHistogram(Tables.orders(s, d), "o_totalprice", k = 8)
+        .orderBy(col("bucket"))),
+    // bounded-lookback EWMA over the hourly event-type series: the corpus
+    // collapses to |types|×|hours| bucket means first; the decay is the
+    // series self-joined through a broadcast 24-row offset table (one
+    // equi-shuffle), weights renormalized over PRESENT buckets so gaps
+    // don't drag the average toward zero
+    "events_ewma_hourly" -> ((s, d) =>
+      graft.operators.TimeSeries.ewmaHourly(
+          Tables.events(s, d), "event_type", "ts", "value",
+          alpha = 0.9, lookback = 24)
+        .orderBy(col("key"), col("bucket"))),
     // distributed PCA (top principal direction of the first 8 dims): the
     // corpus collapses to its 8×8 second-moment Gram matrix in ONE
     // aggregation pass (decimal-exact sums), then fixed-seed power
@@ -3778,6 +3797,34 @@ object SparkEntry {
            |  round((q1 + q2) * (q1 + q2) /
            |    (q1 * q1 / (nd - $one) + q2 * q2 / (rnd - $one)), 6) AS df_welch
            |FROM c ORDER BY grp""".stripMargin
+      },
+      "agg_equidepth_hist" -> {
+        val k = 8
+        val bs = (1 until k).map(i =>
+          s"quantile_cont(o_totalprice, ${DuckSql.fmt(i.toDouble / k)}) AS b$i").mkString(", ")
+        val cls = (1 until k).map(i =>
+          s"(CASE WHEN o_totalprice >= b$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH bounds AS (SELECT $bs FROM orders)
+           |SELECT CAST($cls AS BIGINT) AS bucket, COUNT(*) AS n,
+           |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           |FROM orders, bounds
+           |GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
+      "events_ewma_hourly" -> {
+        val vals = (0 until 24).map(j =>
+          s"($j, ${DuckSql.fmt(math.pow(0.9, j))})").mkString(", ")
+        s"""WITH series AS (
+           |  SELECT event_type AS key, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+           |    round(CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE), 6) AS x
+           |  FROM events GROUP BY 1, 2),
+           |weights(j, w) AS (VALUES $vals)
+           |SELECT c.key AS key, c.bucket AS bucket,
+           |  round(CAST(SUM(CAST(round(p.x * wt.w, 9) AS DECIMAL(18,9))) AS DOUBLE)
+           |    / CAST(SUM(CAST(round(wt.w, 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS ewma
+           |FROM series c CROSS JOIN weights wt
+           |JOIN series p ON p.key = c.key AND p.bucket = c.bucket - wt.j * 3600
+           |GROUP BY c.key, c.bucket ORDER BY key, bucket""".stripMargin
       },
       "ann_lsh_multiprobe_topk" -> {
         val planes8 = Fixtures.Planes16.take(8)

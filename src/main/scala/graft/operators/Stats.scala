@@ -61,4 +61,32 @@ object Stats {
           (q1 * q1 / (col("n").cast("double") - lit(1.0)) +
             q2 * q2 / (col("rn").cast("double") - lit(1.0))), 6).as("df_welch"))
   }
+
+  /** Equi-depth (equal-frequency) histogram: bucket boundaries are the
+    * exact interpolated i/k quantiles, so every bucket holds ~n/k rows
+    * regardless of skew — the histogram an optimizer keeps where a
+    * fixed-width one collapses under a heavy tail.
+    *
+    * Two passes, both flat aggregations: one for the k-1 boundaries
+    * (a single 1-row result, broadcast), one to classify and count.
+    * Classification is a sum of `value >= b_i` indicators — a codegen'd
+    * per-row expression, no join, no sort of the data. Boundaries are
+    * interpolated doubles computed identically in both engines (the
+    * proven `percentile` ≡ `quantile_cont` contract), so the integer
+    * bucket counts are engine-exact with no rounding anywhere.
+    *
+    * Returns (bucket, n, lo, hi) for non-empty buckets, bucket in [0, k). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "equiDepthHistogram: need k >= 2")
+    val qs = (1 until k).map(i =>
+      percentile(col(valueCol), lit(i.toDouble / k)).as(s"b$i"))
+    val bounds = df.agg(qs.head, qs.tail: _*)
+    val bucket = (1 until k)
+      .map(i => when(col(valueCol) >= col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

@@ -80,4 +80,46 @@ object TimeSeries {
         max(when(col("__rn") === col("__nb"), v)).cast("double").as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** Exponentially weighted moving average over fixed hourly buckets with
+    * a bounded lookback — the smoothing read a metrics dashboard runs on
+    * an uneven event stream. Each bucket's EWMA is the decay-weighted mean
+    * of the last `lookback` hourly bucket means that EXIST (weights
+    * renormalized over present buckets, so gaps don't drag the average
+    * toward zero).
+    *
+    * Shape: the corpus collapses to the (key, hour) series first; the
+    * EWMA is then the series joined against itself through a broadcast
+    * `lookback`-row offset table — ONE equi-shuffle on (key, hour), never
+    * a window over the raw events and no per-row state. Weights α^j are
+    * computed once driver-side and shipped as literals, so the oracle
+    * replays them exactly; per-term products are 9-decimal-quantized for
+    * order-independent sums.
+    *
+    * Returns (key, bucket, ewma) with bucket = whole-hour epoch seconds. */
+  def ewmaHourly(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alpha: Double = 0.9, lookback: Int = 24): DataFrame = {
+    require(lookback >= 1 && alpha > 0.0 && alpha <= 1.0,
+      "ewmaHourly: need lookback >= 1 and alpha in (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val series = events
+      .groupBy(col(keyCol).as("key"),
+        unix_timestamp(date_trunc("hour", col(tsCol))).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(valCol), 3).cast(DecimalType(18, 3))).as("sv"))
+      .select(col("key"), col("bucket"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6).as("x"))
+    val weights = Seq.tabulate(lookback)(j => (j.toLong, math.pow(alpha, j)))
+      .toDF("j", "w")
+    series.as("cur").join(broadcast(weights))
+      .join(series.as("prev"),
+        col("prev.key") === col("cur.key") &&
+          col("prev.bucket") === col("cur.bucket") - col("j") * lit(3600L))
+      .groupBy(col("cur.key").as("key"), col("cur.bucket").as("bucket"))
+      .agg(sum(round(col("prev.x") * col("w"), 9).cast(DecimalType(18, 9))).as("num"),
+        sum(round(col("w"), 9).cast(DecimalType(18, 9))).as("den"))
+      .select(col("key"), col("bucket"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("ewma"))
+  }
 }
