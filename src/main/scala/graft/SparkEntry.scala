@@ -1292,6 +1292,35 @@ object SparkEntry {
         .withColumn("contaminated", col("contaminated").cast("int"))
         .orderBy(col("doc_id"))
     }),
+    // exact-span contamination report: hashed-gram candidates VERIFIED by
+    // string equality (a 60-bit collision costs a compare, never a false
+    // flag), overlapping verified grams merged into maximal spans — the
+    // span-level leakage audit (Lee et al. framing) on top of the cheap
+    // ngramOverlap gate
+    "decontam_exact_spans" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      graft.operators.Decontam.exactSpans(
+        all.filter(col("doc_id") % 50 =!= 0),
+        all.filter(col("doc_id") % 50 === 0), n = 4)
+        .orderBy(col("doc_id"))
+    }),
+    // NDCG@10 of the BM25 page against term-coverage relevance grades:
+    // the offline ranking-quality readout (lexical sibling of
+    // ann_ivf_recall). Discounts ship as driver-computed literals and
+    // per-rank terms are 9-decimal-quantized, so DCG/IDCG/NDCG replay
+    // engine-exact; the ideal ranking is a distributed top-k, never a
+    // full sort
+    "rank_ndcg_bm25" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      val terms = Seq("spark", "table", "query")
+      val run = graft.operators.Rerank.rankPage(
+        TextAnalysis.bm25TopK(all, terms, k = K), "doc_id", "bm25")
+      val rel = all.select(col("doc_id"),
+        terms.map(t =>
+          when(array_contains(split(col("text"), " "), t), 1L).otherwise(0L))
+          .reduce(_ + _).as("grade"))
+      graft.operators.Rerank.ndcgAtK(run, rel, "doc_id", k = K)
+    }),
     // bloom-prefiltered join ≡ plain join (false positives only cost
     // bytes; the oracle IS the plain form) — the explicit runtime-filter
     // operator for when Spark's InjectRuntimeFilter lacks stats
@@ -3201,6 +3230,66 @@ object SparkEntry {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |WHERE c_mktsegment = 'BUILDING'
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      // the oracle is definitional: exact string grams, no hashing at all
+      // — hash-transport + string-verify must agree with it exactly
+      "decontam_exact_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |tg AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(w[i+1:i+4], ' ') AS g
+          |  FROM (SELECT doc_id, w,
+          |          unnest(range(0, CASE WHEN len(w) >= 4 THEN len(w) - 3 ELSE 0 END)) AS i
+          |        FROM w WHERE doc_id % 50 <> 0)),
+          |bg AS (
+          |  SELECT DISTINCT array_to_string(w[i+1:i+4], ' ') AS g
+          |  FROM (SELECT w,
+          |          unnest(range(0, CASE WHEN len(w) >= 4 THEN len(w) - 3 ELSE 0 END)) AS i
+          |        FROM w WHERE doc_id % 50 = 0)),
+          |v AS (SELECT DISTINCT t.doc_id, t.pos FROM tg t JOIN bg USING (g)),
+          |m AS (
+          |  SELECT doc_id, pos,
+          |    MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          |  FROM v),
+          |i AS (
+          |  SELECT doc_id, pos,
+          |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM m),
+          |sp AS (
+          |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 4 AS e, COUNT(*) AS ng
+          |  FROM i GROUP BY doc_id, island)
+          |SELECT doc_id, COUNT(*) AS n_spans,
+          |  CAST(MAX(e - s) AS BIGINT) AS max_span_words,
+          |  CAST(SUM(ng) AS BIGINT) AS n_grams
+          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "rank_ndcg_bm25" -> {
+        val discVals = (1 to K).map(r =>
+          s"($r, ${DuckSql.fmt(1.0 / (math.log(r + 1.0) / math.log(2.0)))})").mkString(", ")
+        val gradeSql = Seq("spark", "table", "query").map(t =>
+          s"(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH page AS (${bm25ScoredSql(K)}),
+           |run AS (SELECT doc_id,
+           |          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+           |        FROM page),
+           |rel AS (SELECT doc_id, CAST($gradeSql AS BIGINT) AS grade FROM documents),
+           |discounts(rank, disc) AS (VALUES $discVals),
+           |d AS (
+           |  SELECT SUM(CAST(round(CAST(g.grade AS DOUBLE) * w.disc, 9) AS DECIMAL(18,9))) AS dcg
+           |  FROM run r JOIN rel g USING (doc_id) JOIN discounts w ON w.rank = r.rank),
+           |ideal AS (
+           |  SELECT grade, ROW_NUMBER() OVER (ORDER BY grade DESC, doc_id ASC) AS rank
+           |  FROM rel ORDER BY grade DESC, doc_id ASC LIMIT $K),
+           |idl AS (
+           |  SELECT SUM(CAST(round(CAST(i.grade AS DOUBLE) * w.disc, 9) AS DECIMAL(18,9))) AS idcg
+           |  FROM ideal i JOIN discounts w ON w.rank = i.rank)
+           |SELECT CAST($K AS INT) AS k,
+           |  round(CAST(dcg AS DOUBLE), 6) AS dcg,
+           |  round(CAST(idcg AS DOUBLE), 6) AS idcg,
+           |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+           |FROM d, idl""".stripMargin
+      },
       "pack_sequences_greedy" ->
         """WITH RECURSIVE t AS (
           |  SELECT doc_id % 8 AS grp, doc_id, CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok,

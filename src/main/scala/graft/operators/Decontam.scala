@@ -45,4 +45,62 @@ object Decontam {
         col("n_hits").as("n_contaminated_ngrams"),
         (col("n_hits") > 0L).as("contaminated"))
   }
+
+  /** Exact-span verification of n-gram contamination: where [[ngramOverlap]]
+    * counts HASHED gram hits (a 60-bit collision can flag a clean doc),
+    * this verifies each candidate by exact string equality and then merges
+    * verified gram positions into maximal contaminated SPANS — the
+    * report a leakage audit actually reads ("doc X shares a 23-word run
+    * with the benchmark"), per Lee et al.'s span-level dedup framing.
+    *
+    * The join carries the hash AND the gram text: the hash is the compact
+    * equi key (what the broadcast hashmap stores at 100 TB), the string
+    * equality is the residual verify filter — collisions cost a compare,
+    * never a false flag. Overlapping/adjacent verified grams merge via
+    * the islands-and-gaps window (the `dedup_repeated_ngram_spans`
+    * machinery), all integer arithmetic.
+    *
+    * Returns per contaminated doc: (idCol, n_spans, max_span_words,
+    * n_grams); clean docs are absent (the cheap `ngramOverlap` pass is
+    * the keep-everything gate). */
+  def exactSpans(train: DataFrame, bench: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // positional grams, NOT Dedup.shingles: that one is array_distinct'd,
+    // so posexplode positions would index the DISTINCT array and a gram
+    // repeated earlier in the doc would shift every later span
+    val wsCol = split(col(textCol), " ")
+    val posGrams = when(size(wsCol) >= n,
+      transform(sequence(lit(0), size(wsCol) - n),
+        i => concat_ws(" ", slice(wsCol, i + 1, lit(n)))))
+      .otherwise(array())
+    val trainGrams = train
+      .select(col(idCol), posexplode(posGrams))
+      .toDF(idCol, "pos", "g")
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("bg"))
+      .distinct()
+      .select(Dedup.md5Long(col("bg")).as("gh"), col("bg"))
+    val verified = trainGrams
+      .join(broadcast(benchGrams),
+        Dedup.md5Long(col("g")) === col("gh") && col("g") === col("bg"))
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+      .distinct()
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    verified
+      .withColumn("prev_end", max(col("pos") + n).over(wPrev))
+      .withColumn("island",
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"),
+        count(lit(1)).as("ng"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("e") - col("s")).as("max_span_words"),
+        sum(col("ng")).as("n_grams"))
+  }
 }

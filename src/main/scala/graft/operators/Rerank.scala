@@ -52,6 +52,44 @@ object Rerank {
         row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
       .select(col(idCol), col("rank"))
 
+  /** NDCG@k of a ranked retrieval page against graded relevance — the
+    * standard offline quality readout of a retrieval deploy (its lexical
+    * sibling is `ann_ivf_recall` on the vector side).
+    *
+    * `run` is the (id, rank) page (1-based, ≤ k rows); `rel` maps ids to
+    * integer relevance grades (missing id → grade 0). The ideal ranking
+    * is the corpus-wide top-k by (grade DESC, id ASC) — a distributed
+    * `TakeOrderedAndProject`, never a full sort. Discount weights
+    * 1/log2(rank+1) are computed ONCE driver-side and shipped as
+    * literals, per-rank terms are 9-decimal-quantized, so DCG, IDCG and
+    * their ratio replay engine-exact.
+    *
+    * Returns one row: (k, dcg, idcg, ndcg), rounded to 6 decimals. */
+  def ndcgAtK(run: DataFrame, rel: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = run.sparkSession
+    import spark.implicits._
+    val discounts = (1 to k)
+      .map(r => (r, 1.0 / (math.log(r + 1.0) / math.log(2.0))))
+      .toDF("rank", "disc")
+    def dcgOf(page: DataFrame): DataFrame = page
+      .join(broadcast(discounts), Seq("rank"))
+      .agg(sum(round(col("grade").cast("double") * col("disc"), 9)
+        .cast(DecimalType(18, 9))).as("dcg"))
+    val runGraded = run.join(rel, Seq(idCol), "left_outer")
+      .select(col("rank"), coalesce(col("grade"), lit(0L)).as("grade"))
+    val ideal = rel
+      .orderBy(col("grade").desc, col(idCol).asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("grade").desc, col(idCol).asc)))
+    val d = dcgOf(runGraded).select(col("dcg"))
+    val i = dcgOf(ideal).select(col("dcg").as("idcg"))
+    d.crossJoin(i).select(lit(k).as("k"),
+      round(col("dcg").cast("double"), 6).as("dcg"),
+      round(col("idcg").cast("double"), 6).as("idcg"),
+      round(col("dcg").cast("double") / col("idcg").cast("double"), 6).as("ndcg"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein):
     * from the top-`nCand` cosine candidates, greedily select k documents
     * maximizing `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`.

@@ -26,4 +26,41 @@ class DecontamSpec extends SparkSpecBase {
     val got = Decontam.ngramOverlap(train, bench, n = 4).collect()
     assert(got.length == 1 && got(0).getLong(1) == 0L)
   }
+
+  test("exactSpans merges overlapping verified grams into maximal spans") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // one 6-word run (grams at pos 1 and 2 overlap → one span of 5+1
+      // words) plus a separate 4-word run later in the doc
+      (1L, "said the quick brown fox jumps x y over the lazy dog z"),
+      // clean: no shared 4-gram
+      (2L, "fox brown quick the dog lazy over jumps")).toDF("doc_id", "text")
+    val got = Decontam.exactSpans(train, bench, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: spans [1,6) len 5 and [8,12) len 4 → 2 spans, max 5, 3 grams
+    assert(got.toSeq == Seq((1L, 2L, 5L, 3L)))
+  }
+
+  test("exactSpans counts each position once even if many bench docs share it") {
+    val bench = Seq((100L, "a b c d"), (101L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq((1L, "x a b c d e")).toDF("doc_id", "text")
+    val got = Decontam.exactSpans(train, bench, n = 4).collect()
+    // verified grams at pos 1 ("a b c d") and 2 ("b c d e") → one span [1,6)
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 5L, 2L)))
+  }
+
+  test("exactSpans positions survive a gram repeated earlier in the doc") {
+    // "a b c d" occurs at pos 0 AND pos 5 — a distinct-shingle pipeline
+    // would collapse them and misplace the second span
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c d x a b c d e")).toDF("doc_id", "text")
+    val got = Decontam.exactSpans(train, bench, n = 4).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // verified pos {0, 5, 6} → spans [0,4) and [5,10): 2 spans, max 5, 3 grams
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 5L, 3L)))
+  }
 }

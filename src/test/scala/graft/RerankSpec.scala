@@ -39,6 +39,29 @@ class RerankSpec extends SparkSpecBase {
     assert(ranks == Map(11L -> 1, 10L -> 2, 12L -> 3))
   }
 
+  test("ndcgAtK: perfect ranking scores 1, reversed ranking less") {
+    val rel = Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 0L)).toDF("doc_id", "grade")
+    val perfect = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val p = Rerank.ndcgAtK(perfect, rel, "doc_id", k = 3).collect().head
+    assert(p.getDouble(3) == 1.0)
+    val reversed = Seq((3L, 1), (2L, 2), (1L, 3)).toDF("doc_id", "rank")
+    val r = Rerank.ndcgAtK(reversed, rel, "doc_id", k = 3).collect().head
+    val disc = (i: Int) => 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    val idcg = 3.0 * disc(1) + 2.0 * disc(2) + 1.0 * disc(3)
+    val dcg = 1.0 * disc(1) + 2.0 * disc(2) + 3.0 * disc(3)
+    assert(math.abs(r.getDouble(1) - dcg) < 1e-6)
+    assert(math.abs(r.getDouble(3) - dcg / idcg) < 1e-6)
+  }
+
+  test("ndcgAtK: ids missing from the relevance table count as grade 0") {
+    val rel = Seq((1L, 2L)).toDF("doc_id", "grade")
+    val run = Seq((99L, 1), (1L, 2)).toDF("doc_id", "rank")
+    val r = Rerank.ndcgAtK(run, rel, "doc_id", k = 2).collect().head
+    val disc2 = 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(math.abs(r.getDouble(1) - 2.0 * disc2) < 1e-6) // only rank-2 hit
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-6)         // ideal: grade 2 at rank 1
+  }
+
   test("mmr matches an independent greedy reference on the fixture") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nCand = 20; val k = 5; val lambda = 0.7
