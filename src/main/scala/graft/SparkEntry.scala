@@ -1304,7 +1304,9 @@ object SparkEntry {
         all.filter(col("doc_id") % 50 === 0), n = 4)
         .orderBy(col("doc_id"))
     }),
-    // NDCG@10 of the BM25 page against term-coverage relevance grades:
+    // NDCG@10 of the BM25 page against term-FREQUENCY relevance grades
+    // (raw occurrence counts, which BM25's tf saturation deliberately does
+    // NOT chase — so run ≠ ideal and the metric is non-vacuous):
     // the offline ranking-quality readout (lexical sibling of
     // ann_ivf_recall). Discounts ship as driver-computed literals and
     // per-rank terms are 9-decimal-quantized, so DCG/IDCG/NDCG replay
@@ -1317,7 +1319,7 @@ object SparkEntry {
         TextAnalysis.bm25TopK(all, terms, k = K), "doc_id", "bm25")
       val rel = all.select(col("doc_id"),
         terms.map(t =>
-          when(array_contains(split(col("text"), " "), t), 1L).otherwise(0L))
+          size(filter(split(col("text"), " "), w => w === t)).cast("long"))
           .reduce(_ + _).as("grade"))
       graft.operators.Rerank.ndcgAtK(run, rel, "doc_id", k = K)
     }),
@@ -3267,7 +3269,7 @@ object SparkEntry {
         val discVals = (1 to K).map(r =>
           s"($r, ${DuckSql.fmt(1.0 / (math.log(r + 1.0) / math.log(2.0)))})").mkString(", ")
         val gradeSql = Seq("spark", "table", "query").map(t =>
-          s"(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END)")
+          s"len(list_filter(string_split(text, ' '), w -> w = '$t'))")
           .mkString(" + ")
         s"""WITH page AS (${bm25ScoredSql(K)}),
            |run AS (SELECT doc_id,
