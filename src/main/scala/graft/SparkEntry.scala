@@ -30,6 +30,12 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** Fixed literal codebook for the incremental-IVF demo: the LSH planes
+    * scaled into the fixture's data range (‖0.05·plane‖ ≈ 0.4 vs raw ≈ 8,
+    * which would collapse every row into one or two cells). */
+  private val IncrCentroids: Array[Array[Double]] =
+    Planes16.take(8).map(_.map(_ * 0.05))
+
   /** Spread a small-but-CPU-heavy input across all cores. The fixture
     * parquet files are single-row-group (one split), so md5/shingle-heavy
     * per-row stages would otherwise serialize on ONE task; at 100 TB inputs
@@ -2050,7 +2056,58 @@ object SparkEntry {
     "cluster_density_assign" -> ((s, d) =>
       graft.operators.DensityCluster.assign(
           emb(s, d), "vec_id", "embedding", densityCfg, minPts = DensityMinPts)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+    // --- round-4c: distance-based outlier scoring, incremental index
+    // maintenance, bucket-co-located joins
+    // k-th-NN-distance outlier scores (Ramaswamy SIGMOD'00) over a scored
+    // subset vs the full corpus — the embedding-noise gate of a curation
+    // pipeline. kth dist = MAX over the k nearest (order-independent ⇒
+    // engine-exact); self-pair excluded
+    "knn_outlier_kth_dist" -> ((s, d) => {
+      val db = emb(s, d)
+      graft.operators.Outlier.kthNnDistance(
+          db, db.filter(col("vec_id") % 7 === 0), k = 5, dim = Dim,
+          threshold = 2.5)
+        .orderBy(col("vec_id"))
+    }),
+    // incremental IVF maintenance: only the NEW batch is assigned to the
+    // (fixed) codebook; per-cell counts merge additively with the base
+    // index stats — the 100 TB base is never rescanned. Both assignment
+    // passes + the merge are replayed by the oracle (argmin over the same
+    // literal centroids)
+    "ann_ivf_incremental" -> ((s, d) => {
+      val cents = IncrCentroids
+      val db = emb(s, d)
+      val baseCounts = Ann.assign(db.filter(col("vec_id") % 2 === 0), cents)
+        .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n_base"))
+      val batchCounts = Ann.assign(db.filter(col("vec_id") % 2 =!= 0), cents)
+        .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n_batch"))
+      baseCounts.join(batchCounts, Seq("ivf_cell"), "full_outer")
+        .select(col("ivf_cell"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+          (coalesce(col("n_base"), lit(0L)) +
+            coalesce(col("n_batch"), lit(0L))).as("n_after"))
+        .orderBy(col("ivf_cell"))
+    }),
+    // bucket-co-located join: both sides written bucketed on the join key,
+    // then joined reading the buckets — at 100 TB the fact/fact join runs
+    // with ZERO shuffle (plan pinned in BucketedJoinSpec; result oracle =
+    // the plain join)
+    "join_bucketed_colocated" -> ((s, d) => {
+      graft.store.Bucketed.writeBucketed(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        "graft_orders_bk", "o_custkey", nBuckets = 8)
+      graft.store.Bucketed.writeBucketed(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "graft_customer_bk", "c_custkey", nBuckets = 8)
+      s.table("graft_orders_bk")
+        .join(s.table("graft_customer_bk"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    })
   )
 
   /** 2-D grid for density clustering: 32×32 cells over the embedding's two
@@ -4110,7 +4167,43 @@ object SparkEntry {
            |      FROM embeddings) e
            |LEFT JOIN cl ON cl.cell = e.cell
            |ORDER BY e.vec_id""".stripMargin
-      }
+      },
+      // --- round-4c
+      "knn_outlier_kth_dist" -> {
+        val pd = DuckSql.squaredL2Cols("q_embedding", "embedding", Dim)
+        s"""SELECT query_id AS vec_id, MAX(dist) AS kth_dist,
+           |  CAST(CASE WHEN MAX(dist) > ${DuckSql.fmt(2.5)} THEN 1 ELSE 0 END AS INT) AS is_outlier
+           |FROM (
+           |  SELECT query_id, dist,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+           |  FROM (
+           |    SELECT q.query_id, d.vec_id, $pd AS dist
+           |    FROM (SELECT vec_id AS query_id, embedding AS q_embedding
+           |          FROM embeddings WHERE vec_id % 7 = 0) q
+           |    CROSS JOIN embeddings d
+           |    WHERE d.vec_id <> q.query_id))
+           |WHERE rn <= 5 GROUP BY query_id ORDER BY vec_id""".stripMargin
+      },
+      "ann_ivf_incremental" -> {
+        val dists = IncrCentroids
+          .map(c => DuckSql.squaredL2Lit("embedding", c)).mkString(",\n    ")
+        s"""WITH assigned AS (
+           |  SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS ivf_cell
+           |  FROM (SELECT vec_id, [$dists] AS l FROM embeddings)),
+           |b AS (SELECT ivf_cell, COUNT(*) AS n_base FROM assigned
+           |      WHERE vec_id % 2 = 0 GROUP BY ivf_cell),
+           |nb AS (SELECT ivf_cell, COUNT(*) AS n_batch FROM assigned
+           |       WHERE vec_id % 2 <> 0 GROUP BY ivf_cell)
+           |SELECT COALESCE(b.ivf_cell, nb.ivf_cell) AS ivf_cell,
+           |  COALESCE(n_base, 0) AS n_base, COALESCE(n_batch, 0) AS n_batch,
+           |  COALESCE(n_base, 0) + COALESCE(n_batch, 0) AS n_after
+           |FROM b FULL OUTER JOIN nb ON b.ivf_cell = nb.ivf_cell
+           |ORDER BY ivf_cell""".stripMargin
+      },
+      "join_bucketed_colocated" ->
+        s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
     )
   }
 }

@@ -1,59 +1,74 @@
 package graft
 
-import graft.api.VectorDatabase
-import graft.index.GridConfig
+import graft.core.Tables
+import graft.store.Bucketed
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
 
-/** Bucketing = the co-located-join technique for repeated large joins at
-  * 100 TB: both sides pre-hashed into the same bucket layout at write time,
-  * so the join needs NO shuffle at read time. Proven here on the orders ⋈
-  * customer key with plan-shape assertions (facade kNN join sugar is
-  * exercised alongside). */
+/** The bucketed-layout contract: a join of two tables bucketed on the join
+  * key runs with ZERO shuffle exchanges (the scans already satisfy the
+  * join's distribution), and returns exactly the rows of the plain join.
+  * Broadcast is disabled inside the suite so the co-location claim is
+  * tested against the sort-merge path it exists for — at 100 TB neither
+  * fact side broadcasts. */
 class BucketedJoinSpec extends SparkSpecBase {
 
-  test("joining two tables bucketed on the key needs zero shuffles") {
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // bucketed-join requires the shuffle-less path not be beaten by a
-    // broadcast: disable auto-broadcast for this check
-    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      spark.read.parquet(s"$sfDir/orders.parquet")
-        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("orders_b")
-      spark.read.parquet(s"$sfDir/customer.parquet")
-        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("customer_b")
-      val joined = spark.table("orders_b")
-        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
-        .select("o_orderkey", "c_name")
-      val shuffles = joined.queryExecution.executedPlan
-        .collect { case e: ShuffleExchangeExec => e }.size
-      assert(shuffles == 0, s"bucketed join must not shuffle, got $shuffles exchanges")
-      // and it is still correct
-      val viaBuckets = joined.count()
-      val direct = spark.read.parquet(s"$sfDir/orders.parquet")
-        .join(spark.read.parquet(s"$sfDir/customer.parquet"),
-          col("o_custkey") === col("c_custkey")).count()
-      assert(viaBuckets == direct)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-      spark.sql("DROP TABLE IF EXISTS orders_b")
-      spark.sql("DROP TABLE IF EXISTS customer_b")
+  private def withConf[T](pairs: (String, String)*)(f: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
-  test("facade knnJoin returns k rows per query, ranked by (dist, id)") {
-    val cfg = GridConfig(dim = 64, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
-    val db = VectorDatabase.fromDataFrame(spark,
-      spark.read.parquet(s"$sfDir/embeddings.parquet"), cfg)
-    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter(col("vec_id") < 4).select(col("vec_id").as("query_id"), col("embedding"))
-    val out = db.knnJoin(queries, k = 5).collect()
-    assert(out.length == 4 * 5)
-    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  test("bucketed fact-to-fact join: zero shuffles, result equals plain join") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_totalprice"))
+      val cust = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Bucketed.writeBucketed(orders, "spec_orders_bk", "o_custkey", 4)
+      Bucketed.writeBucketed(cust, "spec_customer_bk", "c_custkey", 4)
+
+      val j = spark.table("spec_orders_bk")
+        .join(spark.table("spec_customer_bk"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan
+      assert(plan.collect { case s: SortMergeJoinExec => s }.size == 1,
+        s"expected a sort-merge join:\n$plan")
+      val nShuffles = plan.collect { case e: ShuffleExchangeExec => e }.size
+      assert(nShuffles == 0, s"expected 0 shuffles, got $nShuffles:\n$plan")
+
+      val got = j.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    }
+  }
+
+  test("mismatched bucket counts still join correctly (Spark re-shuffles one side)") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"))
+      Bucketed.writeBucketed(orders, "spec_orders_bk8", "o_custkey", 8)
+      val cust = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"))
+      Bucketed.writeBucketed(cust, "spec_customer_bk4", "c_custkey", 4)
+      val j = spark.table("spec_orders_bk8")
+        .join(spark.table("spec_customer_bk4"),
+          col("o_custkey") === col("c_custkey"))
+      assert(j.count() == orders.join(cust,
+        col("o_custkey") === col("c_custkey")).count())
+    }
   }
 }
