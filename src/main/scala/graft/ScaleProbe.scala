@@ -414,5 +414,39 @@ object ScaleProbe extends App {
     val psi = graft.operators.Drift.psi(big, "event_type", "bin", "is_ref", 10).collect()
     assert(psi.length == 5 && psi.forall(r => r.getDouble(1) >= 0.0))
   }
+  // kth-NN outlier scoring: 1k scored rows (the broadcast side) against
+  // the 1M-row corpus — corpus side never shuffles; the window runs on
+  // 1k × 1M candidate pairs cut by the broadcast-pairs kernel.
+  t("kth-NN outlier scores (1k vs 1M)") {
+    val scored = graft.operators.Outlier.kthNnDistance(
+        indexed, indexed.filter(col("vec_id") % 1000 === 0),
+        k = 5, dim = Fixtures.Dim, threshold = 1e9)
+      .count()
+    assert(scored >= 999, s"scored only $scored")
+  }
+  // Bucketed co-located join at 1M x 1M: both sides written bucketed on
+  // vec_id, joined with broadcast disabled — zero shuffle exchanges.
+  t("bucketed 1M x 1M join (0 shuffles)") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      graft.store.Bucketed.writeBucketed(
+        indexed.select(col("vec_id"), col("label")), "probe_a_bk", "vec_id", 16)
+      graft.store.Bucketed.writeBucketed(
+        indexed.select(col("vec_id"), col("cell_id")), "probe_b_bk", "vec_id", 16)
+      val j = spark.table("probe_a_bk")
+        .join(spark.table("probe_b_bk"), Seq("vec_id"))
+      val nShuffles = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(nShuffles == 0, s"expected 0 shuffles, got $nShuffles")
+      assert(j.count() == nBase * reps)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
   spark.stop()
 }

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension point: the batch-kNN-join logical node
     // (graft.plans.KnnJoinPlan) planned to its dedicated physical operator
     ext.injectPlannerStrategy(_ => graft.plans.KnnJoinStrategy)
+    // optimizer rule: Filter(rn <= m) above the node shrinks its k to m
+    ext.injectOptimizerRule(_ => graft.plans.KnnTopKPushdown)
   }
 }
 

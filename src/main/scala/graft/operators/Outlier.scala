@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.Distances
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distance-based outlier scoring over an embedding corpus: a point's
@@ -30,24 +29,26 @@ object Outlier {
 
   /** (vec_id, kth_dist, is_outlier) for every row of `queries`: squared-L2
     * distance to the k-th nearest OTHER row of `db`, flagged when above
-    * `threshold`. Requires `db` to hold at least k+1 rows. */
+    * `threshold`. Requires `db` to hold at least k+1 rows.
+    *
+    * Top-k runs through the bounded [[KnnTopK]] aggregator, not a window:
+    * a window rank shuffles EVERY candidate pair on query_id (measured
+    * 290s at 1k scored × 1M corpus in ScaleProbe), while the aggregator's
+    * map-side partials cap the shuffle at k rows per query per map task —
+    * same (dist ASC, id ASC) order, bit-identical kth distance. */
   def kthNnDistance(db: DataFrame, queries: DataFrame, k: Int, dim: Int,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val qs = queries.select(
       col(idCol).as("__query_id"), col(vecCol).as("__q_vec"))
-    val pairs = db
+    val cands = db
       .crossJoin(broadcast(qs))
       .filter(col(idCol) =!= col("__query_id"))
-      .withColumn("__dist",
-        Distances.squaredL2Cols(col("__q_vec"), col(vecCol), dim))
-    val w = Window.partitionBy(col("__query_id"))
-      .orderBy(col("__dist").asc, col(idCol).asc)
-    pairs
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .groupBy(col("__query_id").as(idCol))
-      .agg(max(col("__dist")).as("kth_dist"))
+      .select(col("__query_id").as("query_id"), col(idCol).as("vec_id"),
+        Distances.squaredL2Cols(col("__q_vec"), col(vecCol), dim).as("dist"))
+    KnnTopK.topK(cands, k)
+      .groupBy(col("query_id").as(idCol))
+      .agg(max(col("dist")).as("kth_dist"))
       .withColumn("is_outlier", (col("kth_dist") > threshold).cast("int"))
   }
 }

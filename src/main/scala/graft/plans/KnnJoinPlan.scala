@@ -81,9 +81,56 @@ object KnnJoinPlan {
         k, freshOutput()))
   }
 
-  /** Idempotently register the planner strategy on a live session. */
-  def install(spark: SparkSession): Unit =
+  /** Idempotently register the planner strategy + optimizer rule on a
+    * live session. */
+  def install(spark: SparkSession): Unit = {
     DatasetBridge.addStrategy(spark, KnnJoinStrategy)
+    DatasetBridge.addOptimization(spark, KnnTopKPushdown)
+  }
+}
+
+/** Optimizer rule completing the custom-operator stack (SURVEY.md §2
+  * disposition (c): LogicalPlan + Rule[LogicalPlan] + SparkStrategy +
+  * SparkPlan): a `Filter` directly above [[KnnJoinPlan]] that bounds the
+  * rank column (`rn <= m`, `rn < m`, `rn = m`, conjunctions thereof)
+  * shrinks the operator's k to m — the top-m of a top-k IS the top-m
+  * (the per-query order is total: dist ASC, vec_id ASC), so the rewrite
+  * is semantics-preserving while every executor heap, partial result,
+  * and shuffle row count drops from k to m per query. The filter itself
+  * is kept (other conjuncts, and `rn = m` selecting one rank, still
+  * apply). Runs to fixed point: after the rewrite m == k and the guard
+  * `m < k` stops matching. */
+object KnnTopKPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Upper bound on rn implied by one conjunct, if any. */
+  private def rnBound(p: Expression, rn: Attribute): Option[Int] = p match {
+    case LessThanOrEqual(a: Attribute, Literal(m: Int, IntegerType)) if a.semanticEquals(rn) => Some(m)
+    case LessThan(a: Attribute, Literal(m: Int, IntegerType)) if a.semanticEquals(rn) => Some(m - 1)
+    case EqualTo(a: Attribute, Literal(m: Int, IntegerType)) if a.semanticEquals(rn) => Some(m)
+    case EqualTo(Literal(m: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(m)
+    case GreaterThanOrEqual(Literal(m: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(m)
+    case GreaterThan(Literal(m: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(m - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, kj: KnnJoinPlan) =>
+      val bound = kj.outputAttrs.find(_.name == "rn").toSeq
+        .flatMap(rn => conjuncts(cond).flatMap(rnBound(_, rn)))
+        .reduceOption(_ min _)
+      bound match {
+        case Some(m) if m >= 1 && m < kj.k => Filter(cond, kj.copy(k = m))
+        case _ => f
+      }
+  }
 }
 
 /** Plans [[KnnJoinPlan]] into [[KnnJoinExec]], resolving the input columns

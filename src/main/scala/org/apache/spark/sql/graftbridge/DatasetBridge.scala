@@ -29,4 +29,14 @@ object DatasetBridge {
     if (!exp.extraStrategies.contains(s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Idempotently add an optimizer rule to a LIVE session
+    * (`experimental.extraOptimizations` — runs in the optimizer's
+    * user-provided batch, to fixed point). */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = classic(spark).experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }
