@@ -71,7 +71,10 @@ object Bench {
       "store_time_travel")
     val resMap = results.toMap
     val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    // stop FIRST, print LAST: the driver keeps only the tail of stdout, so
+    // nothing (shutdown warnings included) may follow the metric line
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
