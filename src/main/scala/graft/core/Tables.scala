@@ -17,16 +17,20 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default; read nanos as long and convert to a microsecond timestamp
-    * (integer DIV keeps full precision — long/long division in Spark
-    * returns double, which loses bits above 2^53). DuckDB reads the same
-    * column natively as TIMESTAMP_NS; both engines agree at ≥µs
-    * granularity. */
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses by default —
+    * read nanos as long and integer-DIV to microseconds; long/long `/`
+    * returns double and loses bits above 2^53) and plain TIMESTAMP(MICROS)
+    * (pass through). Dispatch on the loaded type so either fixture works;
+    * DuckDB reads both natively and the engines agree at ≥µs granularity. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
