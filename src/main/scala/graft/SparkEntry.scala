@@ -1719,14 +1719,17 @@ object SparkEntry {
     // SCD Type-2 dimension history from the event change log: collapse
     // consecutive repeats per user, emit [valid_from, valid_to) + current
     // flag — two windows over ONE (user, time) shuffle. The open interval
-    // carries the classic far-future sentinel instead of NULL (the
-    // warehouse convention, and it keeps the cross-engine hash off
-    // null-timestamp representation)
+    // carries a far-future sentinel instead of NULL (the warehouse
+    // convention, and it keeps the cross-engine hash off null-timestamp
+    // representation). Sentinel is 2200-01-01, NOT 9999-12-31: the classic
+    // sentinel overflows int64 NANOSECONDS (max 2262-04-11), and any
+    // ns-based reader of the parquet dump (pyarrow/pandas) silently wraps
+    // it to 1816-03-29 — which is exactly how it hash-mismatched in r04
     "scd2_user_event_history" -> ((s, d) =>
       Snapshot.scd2(Tables.events(s, d).filter(col("user_id") % 20 === 0),
           "user_id", "event_type", "ts", "event_id")
         .withColumn("valid_to",
-          coalesce(col("valid_to"), lit("9999-12-31 00:00:00").cast("timestamp")))
+          coalesce(col("valid_to"), lit("2200-01-01 00:00:00").cast("timestamp")))
         // valid_to joins the sort so duplicate-timestamp change points of
         // one attribute order totally (remaining ties are full-row dups)
         .orderBy(col("user_id"), col("valid_from"), col("event_type"), col("valid_to"))),
@@ -2093,12 +2096,14 @@ object SparkEntry {
     // bucket-co-located join: both sides written bucketed on the join key,
     // then joined reading the buckets — at 100 TB the fact/fact join runs
     // with ZERO shuffle (plan pinned in BucketedJoinSpec; result oracle =
-    // the plain join)
+    // the plain join). The layout writes are memoized on catalog
+    // existence, so only the FIRST build of this entry pays them —
+    // rebuilding the plan (bench reruns) is pure
     "join_bucketed_colocated" -> ((s, d) => {
-      graft.store.Bucketed.writeBucketed(
+      graft.store.Bucketed.writeBucketedIfAbsent(
         Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
         "graft_orders_bk", "o_custkey", nBuckets = 8)
-      graft.store.Bucketed.writeBucketed(
+      graft.store.Bucketed.writeBucketedIfAbsent(
         Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
         "graft_customer_bk", "c_custkey", nBuckets = 8)
       s.table("graft_orders_bk")
@@ -3713,7 +3718,7 @@ object SparkEntry {
       "rerank_mmr_diverse" -> mmrSql(nCand = 20, k = 5, lambda = 0.7),
       "scd2_user_event_history" ->
         """SELECT user_id, event_type, valid_from,
-          |  COALESCE(valid_to0, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+          |  COALESCE(valid_to0, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
           |  CAST(CASE WHEN valid_to0 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
           |FROM (
           |  SELECT user_id, event_type, ts AS valid_from,
@@ -4172,6 +4177,7 @@ object SparkEntry {
       "knn_outlier_kth_dist" -> {
         val pd = DuckSql.squaredL2Cols("q_embedding", "embedding", Dim)
         s"""SELECT query_id AS vec_id, MAX(dist) AS kth_dist,
+           |  COUNT(*) AS n_neighbors,
            |  CAST(CASE WHEN MAX(dist) > ${DuckSql.fmt(2.5)} THEN 1 ELSE 0 END AS INT) AS is_outlier
            |FROM (
            |  SELECT query_id, dist,

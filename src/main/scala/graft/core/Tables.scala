@@ -29,6 +29,14 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // TIMESTAMP(MICROS) with isAdjustedToUTC=false infers as
+      // TIMESTAMP_NTZ (a third fixture generation) — normalize to the
+      // instant type the engine standardizes on. The session timezone is
+      // pinned to UTC by every entry point, so the cast is
+      // value-preserving and DuckDB (which reads the column naively)
+      // sees identical values.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

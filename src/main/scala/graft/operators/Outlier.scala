@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Outlier {
 
-  /** (vec_id, kth_dist, is_outlier) for every row of `queries`: squared-L2
-    * distance to the k-th nearest OTHER row of `db`, flagged when above
-    * `threshold`. Requires `db` to hold at least k+1 rows.
+  /** (vec_id, kth_dist, n_neighbors, is_outlier) for every row of
+    * `queries`: squared-L2 distance to the k-th nearest OTHER row of `db`,
+    * flagged when above `threshold`. `n_neighbors` is the count of
+    * neighbors actually scored — when `db` holds fewer than k+1 rows it
+    * comes back < k and `kth_dist` is the (n-1)-th distance, an
+    * UNDERESTIMATE of the true k-th; callers gate on `n_neighbors = k`
+    * (checking it here would cost an eager count job at plan-build time).
     *
     * Top-k runs through the bounded [[KnnTopK]] aggregator, not a window:
     * a window rank shuffles EVERY candidate pair on query_id (measured
@@ -48,7 +52,8 @@ object Outlier {
         Distances.squaredL2Cols(col("__q_vec"), col(vecCol), dim).as("dist"))
     KnnTopK.topK(cands, k)
       .groupBy(col("query_id").as(idCol))
-      .agg(max(col("dist")).as("kth_dist"))
+      .agg(max(col("dist")).as("kth_dist"),
+        count(lit(1)).as("n_neighbors"))
       .withColumn("is_outlier", (col("kth_dist") > threshold).cast("int"))
   }
 }

@@ -99,37 +99,93 @@ object KnnJoinPlan {
   * and shuffle row count drops from k to m per query. The filter itself
   * is kept (other conjuncts, and `rn = m` selecting one rank, still
   * apply). Runs to fixed point: after the rewrite m == k and the guard
-  * `m < k` stops matching. */
+  * `m < k` stops matching.
+  *
+  * Robustness: the rn side may sit under type-coercion casts
+  * (`rn <= 3L` becomes `CAST(rn AS BIGINT) <= 3L`) and the literal may
+  * be any integral type — both are normalized before matching. A single
+  * TRIVIAL `Project` (attributes/aliases only, the shape ColumnPruning
+  * and `.select` insert) between the Filter and the node is matched
+  * through; deeper or computing projections are left alone (correctness
+  * unaffected — the filter still applies, only the shrink is missed). */
 object KnnTopKPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+  import org.apache.spark.sql.types.{ByteType, ShortType}
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }
 
-  /** Upper bound on rn implied by one conjunct, if any. */
-  private def rnBound(p: Expression, rn: Attribute): Option[Int] = p match {
-    case LessThanOrEqual(a: Attribute, Literal(m: Int, IntegerType)) if a.semanticEquals(rn) => Some(m)
-    case LessThan(a: Attribute, Literal(m: Int, IntegerType)) if a.semanticEquals(rn) => Some(m - 1)
-    case EqualTo(a: Attribute, Literal(m: Int, IntegerType)) if a.semanticEquals(rn) => Some(m)
-    case EqualTo(Literal(m: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(m)
-    case GreaterThanOrEqual(Literal(m: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(m)
-    case GreaterThan(Literal(m: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(m - 1)
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  /** Integral literal folded to Int (the operator's k domain). */
+  private def litInt(e: Expression): Option[Int] = stripCast(e) match {
+    case Literal(m: Int, IntegerType) => Some(m)
+    case Literal(m: Long, LongType) if m >= Int.MinValue && m <= Int.MaxValue => Some(m.toInt)
+    case Literal(m: Short, ShortType) => Some(m.toInt)
+    case Literal(m: Byte, ByteType) => Some(m.toInt)
     case _ => None
+  }
+
+  /** Upper bound on rn implied by one conjunct, if any. `rnIds` holds the
+    * attributes that carry the rank column at the Filter's level (the
+    * node's own rn, plus any pass-through aliases of it). */
+  private def rnBound(p: Expression, rnIds: Seq[Attribute]): Option[Int] = {
+    def isRn(e: Expression): Boolean = stripCast(e) match {
+      case a: Attribute => rnIds.exists(_.semanticEquals(a))
+      case _ => false
+    }
+    p match {
+      case LessThanOrEqual(a, l) if isRn(a) => litInt(l)
+      case LessThan(a, l) if isRn(a) => litInt(l).map(_ - 1)
+      case EqualTo(a, l) if isRn(a) => litInt(l)
+      case EqualTo(l, a) if isRn(a) => litInt(l)
+      case GreaterThanOrEqual(l, a) if isRn(a) => litInt(l)
+      case GreaterThan(l, a) if isRn(a) => litInt(l).map(_ - 1)
+      case _ => None
+    }
+  }
+
+  /** Attributes at the Filter's level that carry kj's rn column: the rn
+    * attribute itself, or its pass-through image in a trivial Project. */
+  private def rnAt(projList: Option[Seq[NamedExpression]],
+      kj: KnnJoinPlan): Seq[Attribute] =
+    kj.outputAttrs.find(_.name == "rn").toSeq.flatMap { rn =>
+      projList match {
+        case None => Seq(rn)
+        case Some(ps) => ps.collect {
+          case a: Attribute if a.semanticEquals(rn) => a
+          case al @ Alias(a: Attribute, _) if a.semanticEquals(rn) => al.toAttribute
+        }
+      }
+    }
+
+  private def shrink(cond: Expression, rnIds: Seq[Attribute],
+      kj: KnnJoinPlan): Option[KnnJoinPlan] =
+    conjuncts(cond).flatMap(rnBound(_, rnIds)).reduceOption(_ min _) match {
+      case Some(m) if m >= 1 && m < kj.k => Some(kj.copy(k = m))
+      case _ => None
+    }
+
+  private def isTrivial(ps: Seq[NamedExpression]): Boolean = ps.forall {
+    case _: Attribute => true
+    case Alias(_: Attribute, _) => true
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, kj: KnnJoinPlan) =>
-      val bound = kj.outputAttrs.find(_.name == "rn").toSeq
-        .flatMap(rn => conjuncts(cond).flatMap(rnBound(_, rn)))
-        .reduceOption(_ min _)
-      bound match {
-        case Some(m) if m >= 1 && m < kj.k => Filter(cond, kj.copy(k = m))
-        case _ => f
-      }
+      shrink(cond, rnAt(None, kj), kj)
+        .map(Filter(cond, _)).getOrElse(f)
+    case f @ Filter(cond, p @ Project(ps, kj: KnnJoinPlan)) if isTrivial(ps) =>
+      shrink(cond, rnAt(Some(ps), kj), kj)
+        .map(k2 => Filter(cond, p.copy(child = k2))).getOrElse(f)
   }
 }
 

@@ -67,4 +67,23 @@ class KnnTopKPushdownSpec extends SparkSpecBase {
       assert(empty.count() == 0L)
     }
   }
+
+  test("Long literal bound (rn <= 3L, coerced under a cast) still shrinks") {
+    withoutAqe {
+      val f = KnnJoinPlan.join(queries, db, k = 10).filter(col("rn") <= lit(3L))
+      assert(execK(f) == Seq(3), s"plan k: ${execK(f)}")
+      assert(f.collect().toSet ===
+        KnnJoinPlan.join(queries, db, k = 3).collect().toSet)
+    }
+  }
+
+  test("bound reaches through a trivial Project (select/rename)") {
+    withoutAqe {
+      val f = KnnJoinPlan.join(queries, db, k = 10)
+        .select(col("query_id"), col("vec_id"), col("rn").as("rank"))
+        .filter(col("rank") <= 2)
+      assert(execK(f) == Seq(2), s"plan k: ${execK(f)}")
+      assert(f.count() == 4L * 2)
+    }
+  }
 }

@@ -22,7 +22,11 @@ class OutlierSpec extends SparkSpecBase {
   test("far point scores high, cluster members low; self excluded") {
     val df = pts.toDF("vec_id", "embedding")
     val out = Outlier.kthNnDistance(df, df, k = 3, dim = 2, threshold = 1.0)
-      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+      .select("vec_id", "kth_dist", "is_outlier", "n_neighbors")
+      .collect().map { r =>
+        assert(r.getLong(3) == 3L, s"expected full-k scoring, got ${r.getLong(3)}")
+        r.getLong(0) -> (r.getDouble(1), r.getInt(2))
+      }.toMap
     assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 9L))
     // the far point: 3rd nearest is a cluster point ~(10-0.2)^2 away
     assert(out(9L)._1 > 90.0 && out(9L)._2 == 1)
@@ -45,5 +49,16 @@ class OutlierSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(sub.keySet == Set(9L))
     assert(math.abs(sub(9L) - 9.8 * 9.8) < 1e-4)
+  }
+
+  test("under-k db is detectable via n_neighbors") {
+    val df = pts.toDF("vec_id", "embedding")
+    // db of 3 rows, k=5: only 2 non-self neighbors exist, so kth_dist is
+    // the 2nd distance (an underestimate) and n_neighbors says so
+    val small = df.filter(col("vec_id") <= 2L)
+    val out = Outlier.kthNnDistance(small, small, k = 5, dim = 2, threshold = 1e9)
+      .select("vec_id", "n_neighbors").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(2L))
   }
 }
