@@ -174,23 +174,30 @@ object Dedup {
       idB: String = "id_b", maxIter: Int = 15,
       driverThreshold: Long = 500000): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint(true)
     // Cost-based path choice (same pattern as Knn's bruteForceThreshold):
     // the near-dup edge set is tiny relative to the corpus — edges exist
     // only BETWEEN near-duplicate docs — so even a 100 TB corpus usually
     // yields a graph that fits on the driver, where path-compressed
     // union-find finishes in milliseconds instead of a multi-job loop.
-    // Above the threshold — or for non-long id columns, which the driver
-    // path's primitive union-find can't carry — fall through to the
-    // type-generic distributed min-label propagation (covered by specs
-    // with driverThreshold = 0).
-    val longIds = sym.schema.fields.forall(_.dataType ==
-      org.apache.spark.sql.types.LongType)
-    val nEdges = sym.count()
-    if (longIds && nEdges > 0 && nEdges <= driverThreshold)
-      return unionFindDriver(sym, edges.sparkSession)
+    // The small-graph probe is ONE job: collect at most threshold+1 raw
+    // edges (no symmetrize/distinct/checkpoint first — union-find needs
+    // neither, and the eager materialization cost three jobs per call,
+    // ~2s of the curation pipeline's wall time at bench scale). Above the
+    // threshold — or for non-long id columns, which the driver path's
+    // primitive union-find can't carry — fall through to the type-generic
+    // distributed min-label propagation (covered by specs with
+    // driverThreshold = 0).
+    val rawLong = Seq(idA, idB).forall(c =>
+      edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (rawLong && driverThreshold > 0 && driverThreshold < Int.MaxValue) {
+      val probe = edges.select(col(idA), col(idB))
+        .limit(driverThreshold.toInt + 1).collect()
+      if (probe.length <= driverThreshold)
+        return unionFindDriver(probe, edges.sparkSession)
+    }
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     if (labels.isEmpty) return labels.withColumnRenamed("label", "canonical")
@@ -225,10 +232,10 @@ object Dedup {
     labels.withColumnRenamed("label", "canonical")
   }
 
-  /** Driver-side union-find over a collected symmetric edge list; canonical
-    * label = min id per component (identical contract to the distributed
-    * loop). */
-  private def unionFindDriver(sym: DataFrame,
+  /** Driver-side union-find over a collected edge list (raw pairs —
+    * duplicates and one-directional edges are fine); canonical label =
+    * min id per component (identical contract to the distributed loop). */
+  private def unionFindDriver(edgeRows: Array[org.apache.spark.sql.Row],
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -239,14 +246,13 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    sym.select(col("src").cast("long"), col("dst").cast("long")).collect()
-      .foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by min keeps roots = component minima
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
+    edgeRows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by min keeps roots = component minima
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "canonical")
   }
 

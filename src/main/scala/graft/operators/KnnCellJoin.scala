@@ -79,6 +79,21 @@ object KnnCellJoin {
     // aggregator cross join; above it, cell pruning skips most of the db
     // per query. Identical results either way (specs pin threshold = 0).
     if (indexedDb.count() <= bruteForceThreshold) return bruteOn(qs0)
+
+    // Driver-tracked finished set for SMALL query batches (the common
+    // serving shape; the query side is broadcast every round anyway, so
+    // its ids fit on the driver by construction). Cuts the per-round job
+    // count from ~5 (topk checkpoint + acc checkpoint + remaining
+    // checkpoint + isEmpty + finished join) to 2 (topk checkpoint +
+    // finished-id collect): membership tests become `isin` literal
+    // filters over the checkpointed query table instead of joins. Large
+    // batches (isin over 10k+ literals bloats the plan) keep the
+    // DataFrame anti-join loop below.
+    val idProbe = qs0.select(col(queryIdCol)).limit(DriverIdLimit + 1).collect()
+    if (idProbe.length <= DriverIdLimit)
+      return joinDriverTracked(qs0, indexedDb, cfg, k, queryIdCol, dbIdCol,
+        vecCol, idProbe.map(_.get(0)), bruteOn)
+
     var s = cfg.width // start at one cell width
     var remaining = qs0
     var acc: Option[DataFrame] = None
@@ -134,5 +149,61 @@ object KnnCellJoin {
       acc = Some(acc.map(_.unionByName(taken)).getOrElse(taken))
     }
     acc.getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Query batches up to this size run the driver-tracked loop (ids in a
+    * driver set, membership via isin literals). */
+  private val DriverIdLimit = 10000
+
+  /** The widening loop with the finished/remaining bookkeeping held on
+    * the driver — same rounds, same certification rule, same results as
+    * the DataFrame loop; only the set algebra moved off the cluster. */
+  private def joinDriverTracked(qs0: DataFrame, indexedDb: DataFrame,
+      cfg: GridConfig, k: Int, queryIdCol: String, dbIdCol: String,
+      vecCol: String, allIds: Array[Any],
+      bruteOn: DataFrame => DataFrame): DataFrame = {
+    def coversAll(v: Column, radius: Double): Column =
+      (0 until cfg.gridDims).map { d =>
+        val q = element_at(v, d + 1).cast("double")
+        (q - lit(radius) <= lit(cfg.lower)) && (q + lit(radius) >= lit(cfg.upper))
+      }.reduce(_ && _)
+    val maxS = 4.0 * (cfg.upper - cfg.lower)
+    var remainingIds: Set[Any] = allIds.toSet
+    var s = cfg.width
+    val accParts = Seq.newBuilder[DataFrame]
+    while (remainingIds.nonEmpty && s <= maxS) {
+      val rem =
+        if (remainingIds.size == allIds.length) qs0
+        else qs0.filter(col(queryIdCol).isin(remainingIds.toSeq: _*))
+      val cand = rem
+        .withColumn("cell_id", explode(cellsInBox(col("q_embedding"), cfg, s)))
+      val topk = KnnTopK.topK(
+          broadcast(cand).join(indexedDb, "cell_id")
+            .select(col(queryIdCol).as("query_id"), col(dbIdCol).as("vec_id"),
+              Distances.squaredL2Cols(col("q_embedding"), col(vecCol), cfg.dim).as("dist")),
+          k)
+        .withColumnRenamed("query_id", queryIdCol)
+        .withColumnRenamed("vec_id", dbIdCol)
+        .localCheckpoint(true)
+      val certified = topk.groupBy(col(queryIdCol))
+        .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
+        .filter(col("n") === k && col("kth") <= lit(s * s))
+        .select(col(queryIdCol))
+      val fullCover = rem.filter(coversAll(col("q_embedding"), s))
+        .select(col(queryIdCol))
+      val finished = certified.unionByName(fullCover).distinct()
+        .collect().map(_.get(0)).toSet
+      if (finished.nonEmpty) {
+        accParts += topk.filter(col(queryIdCol).isin(finished.toSeq: _*))
+        remainingIds --= finished
+      }
+      s *= 4
+    }
+    if (remainingIds.nonEmpty)
+      accParts += bruteOn(
+        if (remainingIds.size == allIds.length) qs0
+        else qs0.filter(col(queryIdCol).isin(remainingIds.toSeq: _*)))
+    accParts.result().reduceOption(_ unionByName _)
+      .getOrElse(qs0.sparkSession.emptyDataFrame)
   }
 }
