@@ -70,11 +70,32 @@ object Bpe {
   /** One learned merge. */
   final case class Merge(idx: Int, p1: String, p2: String, cnt: Long)
 
+  /** Dictionaries up to this many distinct words train on the driver. */
+  private val DriverDictLimit = 2000000
+
   /** Train `nMerges` BPE merges from the corpus. The returned DataFrame is
     * the merge table (merge_idx, p1, p2, merged, pair_count) — the
-    * artifact a tokenizer ships. */
-  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    * artifact a tokenizer ships.
+    *
+    * Cost-based path choice (the connectedComponents pattern): the corpus
+    * collapses to the word-frequency dictionary in ONE aggregation, and
+    * BPE training touches only that dictionary — a driver-sized problem
+    * for any real vocabulary (even 100 TB of text yields dictionaries in
+    * the low millions of rows). Up to [[DriverDictLimit]] words, the
+    * merge loop runs in local Scala (identical pair counting, tie order,
+    * and left-fold merge — pinned against the distributed loop in
+    * BpeSpec), turning 2 Spark jobs per merge into zero. Beyond it, the
+    * distributed dictionary loop below handles the pathological case. */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      driverDictLimit: Int = DriverDictLimit): DataFrame = {
     val spark = docs.sparkSession
+    val probe =
+      if (driverDictLimit > 0)
+        wordFreq(docs, textCol).limit(driverDictLimit + 1).collect()
+      else Array.empty[Row]
+    if (driverDictLimit > 0 && probe.length <= driverDictLimit)
+      return mergeTable(spark,
+        trainDriver(probe.map(r => (r.getString(0), r.getLong(1))), nMerges))
     // each iteration's state is a |vocab|-row dictionary; eager
     // localCheckpoint (not cache) TRUNCATES the lineage so iteration i's
     // pair-count argmax plans over a one-scan tree instead of re-optimizing
@@ -95,8 +116,11 @@ object Bpe {
           .localCheckpoint(true)
       }
     }
-    val rows = merges.result().map(m =>
-      Row(m.idx, m.p1, m.p2, m.p1 + m.p2, m.cnt))
+    mergeTable(spark, merges.result())
+  }
+
+  private def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    val rows = merges.map(m => Row(m.idx, m.p1, m.p2, m.p1 + m.p2, m.cnt))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
@@ -105,6 +129,67 @@ object Bpe {
         StructField("p2", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Unicode-code-point string order == UTF-8 binary order == what Spark's
+    * UTF8String and DuckDB's VARCHAR comparisons use. Java's
+    * String.compareTo orders by UTF-16 code unit, which DISAGREES for
+    * supplementary characters — the driver loop must replay the cluster
+    * tie-break exactly. */
+  private def cpCompare(a: String, b: String): Int = {
+    val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
+    while (ai.hasNext && bi.hasNext) {
+      val c = Integer.compare(ai.next(), bi.next())
+      if (c != 0) return c
+    }
+    java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+  }
+
+  /** The merge loop in local Scala — same pair counting (adjacent symbol
+    * pairs weighted by word frequency), same argmax order (cnt DESC,
+    * p1 ASC, p2 ASC by binary string order), same left-fold merge as the
+    * distributed loop and the DuckDB oracle. */
+  private def trainDriver(wf: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    var dict: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+    val merges = Seq.newBuilder[Merge]
+    for (i <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val (p1, p2, cnt) = counts.foldLeft(null: (String, String, Long)) {
+          case (null, ((a, b), c)) => (a, b, c)
+          case (best @ (ba, bb, bc), ((a, b), c)) =>
+            val better = c > bc || (c == bc && {
+              val ca = cpCompare(a, ba)
+              ca < 0 || (ca == 0 && cpCompare(b, bb) < 0)
+            })
+            if (better) (a, b, c) else best
+        }
+        merges += Merge(i, p1, p2, cnt)
+        dict = dict.map { case (syms, f) => (applyMergeLocal(syms, p1, p2), f) }
+      }
+    }
+    merges.result()
+  }
+
+  /** Local mirror of [[applyMerge]]'s left fold. */
+  private[operators] def applyMergeLocal(syms: Array[String], p1: String,
+      p2: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == p1 && x == p2)
+        out(out.length - 1) = p1 + p2
+      else out += x
+    }
+    out.toArray
   }
 
   /** Encode: apply an ordered merge list to the corpus and report each

@@ -60,6 +60,17 @@ class BpeSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L, 4L)))
   }
 
+  test("driver trainer == distributed dictionary loop, merge for merge") {
+    val docs = Seq(
+      (1L, "the theme there then the"), (2L, "other mother the bother"),
+      (3L, "aaa abab xy xz aaaa"), (4L, "the then there other")).toDF("doc_id", "text")
+    val driver = Bpe.train(docs, nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val dist = Bpe.train(docs, nMerges = 6, driverDictLimit = 0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(driver.toSeq == dist.toSeq)
+  }
+
   test("corpus with no adjacent pairs trains zero merges; encode still counts tokens") {
     // every word is a single char -> no pairs -> empty merge table; the
     // nMerges=3 request must not loop or throw
