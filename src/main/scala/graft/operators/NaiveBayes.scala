@@ -47,23 +47,29 @@ object NaiveBayes {
       .filter(col("w") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cw = toks.groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cw"))
-    val v = toks.select(col("w")).distinct().count()
-    val nDocs = train.count()
+    // model scalars stay IN the plan (no eager count jobs at build time):
+    // |V| rides along as a one-row broadcast cross join, and the prior's
+    // denominator is the window sum of the per-class doc counts (== total
+    // docs; the class table is dictionary-sized, so the unpartitioned
+    // window is a no-op shuffle). Same doubles in, same decimals out.
+    val vDf = toks.select(col("w")).distinct().agg(count(lit(1)).as("v"))
     // class list and priors come from the DOCS, not the token stream — a
     // class whose training texts are all empty still has a prior and must
     // stay predictable (its likelihoods are all the unseen fallback)
     val classes = train.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).as("nd"))
+    val priors = classes.select(col("cls"),
+      qlog(col("nd").cast("double") /
+        sum(col("nd")).over(Window.partitionBy()).cast("double")).as("prior_lp"))
     val cc = classes.join(
         toks.groupBy(col("cls")).agg(count(lit(1)).as("cc0")), Seq("cls"), "left")
-      .select(col("cls"), coalesce(col("cc0"), lit(0L)).as("cc"))
-    val priors = classes.select(col("cls"),
-      qlog(col("nd").cast("double") / lit(nDocs.toDouble)).as("prior_lp"))
+      .crossJoin(broadcast(vDf))
+      .select(col("cls"), coalesce(col("cc0"), lit(0L)).as("cc"), col("v"))
     val unseen = cc.select(col("cls"),
-      qlog(lit(1.0) / (col("cc") + v).cast("double")).as("unseen_lp"))
+      qlog(lit(1.0) / (col("cc") + col("v")).cast("double")).as("unseen_lp"))
     val lik = cw.join(cc, "cls")
       .select(col("cls"), col("w"),
-        qlog((col("cw") + 1).cast("double") / (col("cc") + v).cast("double")).as("lp"))
+        qlog((col("cw") + 1).cast("double") / (col("cc") + col("v")).cast("double")).as("lp"))
     val testToks = test
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
