@@ -85,11 +85,22 @@ final class VectorDatabase private (
 
   /** insert: assign fresh monotonic ids, bucket, append
     * (kd_tree_database.py:262-270). Returns (new snapshot, assigned-id df).
-    */
+    *
+    * Dense ids come from `zipWithIndex` (per-partition counts + offset
+    * cumsum), NOT a global `row_number()` window — the window formulation
+    * moves the whole insert batch through ONE partition, which is the
+    * first thing to fall over on a large ingest. The assigned ids are
+    * identical: zipWithIndex orders by (partition, row-in-partition),
+    * exactly the global order of `monotonically_increasing_id`. */
   def insert(rows: DataFrame): (VectorDatabase, DataFrame) = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
-    val withIds = rows
-      .withColumn("vec_id", row_number().over(w).cast("long") + lit(nextIdBase - 1))
+    val base = nextIdBase
+    val schema = org.apache.spark.sql.types.StructType(
+      rows.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "vec_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = rows.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i))
+    }
+    val withIds = spark.createDataFrame(indexed, schema)
       .withColumn("cell_id", Grid.cellId(col("embedding"), cfg))
     val n = withIds.count()
     val next = new VectorDatabase(spark, Snapshot.insert(state, withIds.select(state.columns.map(col).toSeq: _*)),
