@@ -1998,6 +1998,57 @@ object SparkEntry {
         .withColumn("expected_tokens",
           round(col("rate") * col("tokens").cast("double"), 3))
         .orderBy(col("lang"))),
+    // temperature-weighted domain mixing (the T5/mT5 alpha-sampling rule):
+    // per-language mass n^alpha normalized into mixture weights q, keep
+    // rate min(1, T·q/n), then the SAME md5-permille gate executes the
+    // plan — both the sizing math (pow quantized to 9 decimals, decimal
+    // window total) and the gated sample are oracle-replayed. One corpus
+    // aggregation + one broadcast-join scan; the window runs over |langs|
+    "sample_temperature_mix" -> ((s, d) => {
+      val alpha = 0.3
+      val plan = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          round(pow(col("n_docs").cast("double"), lit(alpha)), 9)
+            .cast(DecimalType(18, 9)))
+        .withColumn("q", round(col("w").cast("double") /
+          sum(col("w")).over(Window.partitionBy()).cast("double"), 9))
+        .withColumn("rate",
+          least(lit(1.0), round(lit(1000.0) * col("q") / col("n_docs").cast("double"), 9)))
+        .select(col("lang"), col("n_docs"), col("rate"))
+      val sampled = docs(s, d).join(broadcast(plan), "lang")
+        .filter(pmod(Dedup.md5Int32(col("doc_id").cast("string")), lit(1000000L)) <
+          floor(col("rate") * lit(1000000.0)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+      plan.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+    // rank-based AUC of the fastText-shape classifier against the binary
+    // en/non-en label — the calibration statistic a quality-gate deploy
+    // monitors. Pair counting over the per-SCORE histogram (concordant +
+    // half of ties), so everything but the final division is integer-
+    // exact; the running-negatives window is over |distinct scores| rows
+    // (at 100 TB, bucket the scores first — the histogram, not the
+    // corpus, bounds the window)
+    "rank_auc_classifier" -> ((s, d) => {
+      val g = par(s, docs(s, d))
+        .select(TextAnalysis.classifierRawScore(col("text")).as("score"),
+          (col("lang") === "en").cast("int").as("pos"))
+        .groupBy(col("score"))
+        .agg(sum(col("pos")).as("pos_g"), sum(lit(1) - col("pos")).as("neg_g"))
+      val below = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("neg_below", coalesce(sum(col("neg_g")).over(below), lit(0L)))
+        .agg(sum(col("pos_g")).as("n_pos"), sum(col("neg_g")).as("n_neg"),
+          sum(col("pos_g") * col("neg_below")).as("conc"),
+          sum(col("pos_g") * col("neg_g")).as("tied"))
+        .select(col("n_pos"), col("n_neg"),
+          ((lit(2L) * col("conc") + col("tied")).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+    }),
     // skyline (Pareto frontier): orders no other order beats on BOTH
     // price (lower) and recency (later) — the preference-query operator;
     // banded scale form (per-band maxima broadcast prefilter + exact
@@ -4029,6 +4080,42 @@ object SparkEntry {
            |    CAST(SUM(CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS tokens
            |  FROM documents GROUP BY lang)
            |ORDER BY lang""".stripMargin,
+      "sample_temperature_mix" ->
+        s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+           |planw AS (SELECT lang, n_docs,
+           |    CAST(ROUND(POW(CAST(n_docs AS DOUBLE), ${DuckSql.fmt(0.3)}), 9) AS DECIMAL(18,9)) AS w
+           |  FROM counts),
+           |planq AS (SELECT lang, n_docs,
+           |    ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 9) AS q
+           |  FROM planw),
+           |plan AS (SELECT lang, n_docs,
+           |    LEAST(1.0, ROUND(${DuckSql.fmt(1000.0)} * q / CAST(n_docs AS DOUBLE), 9)) AS rate
+           |  FROM planq),
+           |sampled AS (
+           |  SELECT d.lang, COUNT(*) AS n_sampled, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+           |  FROM documents d JOIN plan p ON d.lang = p.lang
+           |  WHERE (${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")} % 1000000)
+           |    < CAST(FLOOR(rate * ${DuckSql.fmt(1000000.0)}) AS BIGINT)
+           |  GROUP BY d.lang)
+           |SELECT p.lang, p.n_docs, p.rate,
+           |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           |  CAST(COALESCE(s.id_sum, 0) AS BIGINT) AS id_sum
+           |FROM plan p LEFT JOIN sampled s ON p.lang = s.lang
+           |ORDER BY p.lang""".stripMargin,
+      "rank_auc_classifier" ->
+        s"""WITH g AS (
+           |  SELECT score, SUM(pos) AS pos_g, SUM(1 - pos) AS neg_g FROM (
+           |    SELECT CAST(list_sum(list_transform(string_split(text, ' '), w -> (${Dedup.md5Int32Sql("w")} % 21) - 10)) AS BIGINT) AS score,
+           |      CAST(lang = 'en' AS INT) AS pos
+           |    FROM documents) GROUP BY score),
+           |b AS (
+           |  SELECT pos_g, neg_g,
+           |    COALESCE(SUM(neg_g) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+           |  FROM g)
+           |SELECT CAST(SUM(pos_g) AS BIGINT) AS n_pos, CAST(SUM(neg_g) AS BIGINT) AS n_neg,
+           |  CAST(2 * SUM(pos_g * neg_below) + SUM(pos_g * neg_g) AS DOUBLE)
+           |    / CAST(2 * SUM(pos_g) * SUM(neg_g) AS DOUBLE) AS auc
+           |FROM b""".stripMargin,
       "skyline_orders" ->
         """WITH o AS (
           |  SELECT o_orderkey, o_totalprice, o_orderdate,
