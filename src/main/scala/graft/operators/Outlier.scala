@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.Distances
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,14 +42,23 @@ object Outlier {
   def kthNnDistance(db: DataFrame, queries: DataFrame, k: Int, dim: Int,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val qs = queries.select(
-      col(idCol).as("__query_id"), col(vecCol).as("__q_vec"))
-    val cands = db
-      .crossJoin(broadcast(qs))
-      .filter(col(idCol) =!= col("__query_id"))
-      .select(col("__query_id").as("query_id"), col(idCol).as("vec_id"),
-        Distances.squaredL2Cols(col("__q_vec"), col(vecCol), dim).as("dist"))
-    KnnTopK.topK(cands, k)
+    // Top-(k+1) through the dedicated KnnJoinExec kernel, then drop the
+    // self-pair. The composition form (crossJoin + aggregator) pays
+    // Tungsten row materialization for EVERY candidate pair — measured
+    // 256s at 1k × 1M in ScaleProbe; the physical operator streams the
+    // corpus once per partition through a primitive-array distance loop.
+    // k+1 is exact: removing at most one self row from the top-(k+1)
+    // leaves at least the k nearest others.
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("embedding"))
+    val dbq = db.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val topk1 = graft.plans.KnnJoinPlan.join(qs, dbq, k + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+    // per-query re-rank after self-exclusion: ≤ k+1 rows per query reach
+    // the window, so the sort is over (queries × (k+1)) rows total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rn"))
+    topk1.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
       .groupBy(col("query_id").as(idCol))
       .agg(max(col("dist")).as("kth_dist"),
         count(lit(1)).as("n_neighbors"))
