@@ -70,13 +70,22 @@ object NaiveBayes {
     val lik = cw.join(cc, "cls")
       .select(col("cls"), col("w"),
         qlog((col("cw") + 1).cast("double") / (col("cc") + col("v")).cast("double")).as("lp"))
+    // collapse the test token stream to (doc, word, tf) BEFORE the ×|C|
+    // class expansion and the model join — tf·lp in exact decimals equals
+    // the per-occurrence sum term for term (decimal multiply by an
+    // integer is exact; the (18,9) re-cast holds to |lp|·tf ≈ 1e9, far
+    // past any real document), so scores are bit-identical while the
+    // join and shuffle see distinct words, not occurrences
     val testToks = test
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
     val ll = testToks
       .crossJoin(broadcast(unseen))
       .join(broadcast(lik), Seq("cls", "w"), "left")
-      .withColumn("term", coalesce(col("lp"), col("unseen_lp")))
+      .withColumn("term",
+        (coalesce(col("lp"), col("unseen_lp")) *
+          col("tf").cast(DecimalType(9, 0))).cast(DecimalType(18, 9)))
       .groupBy(col(idCol), col("cls"))
       .agg(sum(col("term")).as("ll"))
     // every (test doc × class) pair scores — a token-empty doc keeps its
