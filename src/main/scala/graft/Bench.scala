@@ -29,8 +29,9 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // min of two runs per query: the host is shared, so single-shot numbers
-    // carry contention noise; the min is the reproducible compute cost.
+    // min of three runs per query: the host is shared and single-shot
+    // numbers carry 20-30% contention noise (observed cross-round on
+    // unchanged code); the min is the reproducible compute cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,7 +39,7 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }
     val total = results.map(_._2).sum
     def jmap(rs: Seq[(String, Double)]): String =
