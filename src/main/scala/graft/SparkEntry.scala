@@ -86,6 +86,48 @@ object SparkEntry {
   /** distinct width-3 word shingles of a split-words column `w`. */
   private val ssetSql =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
+  /** The full curation-pipeline CTE chain (gate → exact dedup → MinHash
+    * sigs → LSH buckets → verified edges → recursive CC `clusters`) —
+    * shared by the pipeline_curation result query and the funnel report,
+    * so both oracles replay literally the same stages. */
+  private def curationChainSql: String =
+    s"""WITH RECURSIVE gated AS (
+       |  ${qualityGateSql(0.3, "en")}
+       |), exact AS (
+       |  SELECT doc_id, text FROM gated
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
+       |), words_t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM exact
+       |), sig AS (
+       |  SELECT doc_id, $minsSql
+       |  FROM (
+       |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+       |      SELECT doc_id, unnest($ssetSql) AS shingle FROM words_t
+       |    )
+       |  ) GROUP BY doc_id
+       |), buckets AS (
+       |  $bandSelectsSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, $ssetSql AS sset FROM words_t
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
+       |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
+       |  ) WHERE jac >= ${DuckSql.fmt(0.5)}
+       |), sym AS (
+       |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+       |), reach(id, lab) AS (
+       |  SELECT DISTINCT src AS id, src AS lab FROM sym
+       |  UNION
+       |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+       |), clusters AS (
+       |  SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id
+       |)""".stripMargin
+
   /** quality score + lang_pred over a relation providing (doc_id, text). */
   private def qualityGateSql(minQuality: Double, lang: String): String = {
     val nw = nWordsSql("text"); val ns = nStopSql("text")
@@ -742,6 +784,53 @@ object SparkEntry {
       val (curated, _) = graft.pipeline.Curation.curate(par(s, docs(s, d)),
         withFunnel = false)
       curated.select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // the funnel report of the SAME pipeline: per-stage survivor counts
+    // (input → gate → exact dedup → near-dup dedup) — the observability
+    // surface a production curation run ships to its dashboard; the
+    // oracle recomputes every stage from the shared SQL chain
+    "pipeline_funnel_report" -> ((s, d) => {
+      import s.implicits._
+      val (_, funnel) = graft.pipeline.Curation.curate(par(s, docs(s, d)),
+        withFunnel = true)
+      funnel.zipWithIndex
+        .map { case ((stage, n), i) => (i.toLong, stage, n) }
+        .toDF("stage_idx", "stage", "n_rows")
+        .orderBy(col("stage_idx"))
+    }),
+    // banding recall eval: LSH near-dup pairs vs exact ground truth,
+    // restricted to pairs INCIDENT to a 1-in-20 probe sample — a mod
+    // subset of pairs would split almost every duplicate pair (endpoints
+    // are unrelated ids), while probe-incidence keeps the truth set
+    // intact and the brute side linear: |probes| × |corpus| distances,
+    // never corpus². Precision is 1 by construction (candidates are
+    // jaccard-verified); recall measures what the bands miss — the
+    // accuracy dial of the dedup deploy, sibling of ann_ivf_recall
+    "dedup_lsh_recall" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      val sets = all.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sset"))
+      val psets = sets.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("pid"), col("sset").as("pset"))
+      val brute = sets.crossJoin(broadcast(psets))
+        .filter(col("doc_id") =!= col("pid"))
+        .filter(Dedup.jaccard(col("sset"), col("pset")) >= 0.5)
+        .select(least(col("doc_id"), col("pid")).as("id_a"),
+          greatest(col("doc_id"), col("pid")).as("id_b"))
+        .distinct()
+        .withColumn("in_brute", lit(1L))
+      val lsh = Dedup.minHashLshNearDupPairs(all, "text", "doc_id",
+          shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .filter(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+      lsh.join(brute, Seq("id_a", "id_b"), "full_outer")
+        .agg(coalesce(sum(col("in_lsh")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("in_brute")), lit(0L)).as("n_brute"),
+          coalesce(sum(col("in_lsh") * col("in_brute")), lit(0L)).as("n_common"))
+        .select(col("n_lsh"), col("n_brute"), col("n_common"),
+          when(col("n_lsh") > 0,
+            col("n_common").cast("double") / col("n_lsh").cast("double")).as("precision"),
+          when(col("n_brute") > 0,
+            col("n_common").cast("double") / col("n_brute").cast("double")).as("recall"))
     }),
     // end-to-end PRETRAINING data prep: quality/language gate →
     // benchmark decontamination → exact dedup → per-doc token stats. Like
@@ -2609,6 +2698,43 @@ object SparkEntry {
            |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
            |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
            |) WHERE jac >= ${DuckSql.fmt(0.5)} ORDER BY id_a, id_b""".stripMargin,
+      "dedup_lsh_recall" ->
+        s"""WITH words_t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sig AS (
+           |  SELECT doc_id, $minsSql
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+           |      SELECT doc_id, unnest($ssetSql) AS shingle FROM words_t
+           |    )
+           |  ) GROUP BY doc_id
+           |), buckets AS (
+           |  $bandSelectsSql
+           |), sets AS (SELECT doc_id, $ssetSql AS sset FROM words_t),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), lsh AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b,
+           |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
+           |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
+           |  ) WHERE jac >= ${DuckSql.fmt(0.5)} AND (id_a % 20 = 0 OR id_b % 20 = 0)
+           |), brute AS (
+           |  SELECT DISTINCT LEAST(s.doc_id, p.doc_id) AS id_a,
+           |    GREATEST(s.doc_id, p.doc_id) AS id_b
+           |  FROM sets s JOIN (SELECT * FROM sets WHERE doc_id % 20 = 0) p
+           |    ON s.doc_id <> p.doc_id
+           |  WHERE CAST(len(list_intersect(s.sset, p.sset)) AS DOUBLE)
+           |    / CAST(len(list_distinct(list_cat(s.sset, p.sset))) AS DOUBLE) >= ${DuckSql.fmt(0.5)}
+           |), counts AS (
+           |  SELECT CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+           |    CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS n_brute,
+           |    CAST((SELECT COUNT(*) FROM lsh l JOIN brute br
+           |          ON l.id_a = br.id_a AND l.id_b = br.id_b) AS BIGINT) AS n_common)
+           |SELECT n_lsh, n_brute, n_common,
+           |  CASE WHEN n_lsh > 0 THEN CAST(n_common AS DOUBLE) / CAST(n_lsh AS DOUBLE) END AS precision,
+           |  CASE WHEN n_brute > 0 THEN CAST(n_common AS DOUBLE) / CAST(n_brute AS DOUBLE) END AS recall
+           |FROM counts""".stripMargin,
       "dedup_exact_groups" ->
         "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id FROM documents GROUP BY content_hash ORDER BY content_hash",
       "dedup_incremental_batch" ->
@@ -2727,45 +2853,25 @@ object SparkEntry {
            |SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id ORDER BY id""".stripMargin
       },
       "pipeline_curation" -> {
-        s"""WITH RECURSIVE gated AS (
-           |  ${qualityGateSql(0.3, "en")}
-           |), exact AS (
-           |  SELECT doc_id, text FROM gated
-           |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
-           |), words_t AS (
-           |  SELECT doc_id, string_split(text, ' ') AS w FROM exact
-           |), sig AS (
-           |  SELECT doc_id, $minsSql
-           |  FROM (
-           |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
-           |      SELECT doc_id, unnest($ssetSql) AS shingle FROM words_t
-           |    )
-           |  ) GROUP BY doc_id
-           |), buckets AS (
-           |  $bandSelectsSql
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |), sets AS (
-           |  SELECT doc_id, $ssetSql AS sset FROM words_t
-           |), edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM (
-           |    SELECT id_a, id_b,
-           |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
-           |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
-           |  ) WHERE jac >= ${DuckSql.fmt(0.5)}
-           |), sym AS (
-           |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
-           |), reach(id, lab) AS (
-           |  SELECT DISTINCT src AS id, src AS lab FROM sym
-           |  UNION
-           |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
-           |), clusters AS (
-           |  SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id
-           |)
+        s"""$curationChainSql
            |SELECT doc_id FROM exact
            |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> canonical)
            |ORDER BY doc_id""".stripMargin
+      },
+      // funnel observability over the SAME chain: per-stage survivor
+      // counts (input → gate → exact dedup → near-dup dedup)
+      "pipeline_funnel_report" -> {
+        s"""$curationChainSql,
+           |curated AS (
+           |  SELECT doc_id FROM exact
+           |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> canonical))
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+           |    (SELECT COUNT(*) FROM documents) AS n_rows
+           |  UNION ALL SELECT 1, 'quality_lang_gate', (SELECT COUNT(*) FROM gated)
+           |  UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM exact)
+           |  UNION ALL SELECT 3, 'near_dup_dedup', (SELECT COUNT(*) FROM curated)
+           |) ORDER BY stage_idx""".stripMargin
       },
       "sample_documents_hashmod" ->
         "SELECT doc_id, n_chars FROM documents WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10 ORDER BY doc_id",
