@@ -156,6 +156,20 @@ object SparkEntry {
     // --- reference surface: filtered kNN under 4 metrics (SURVEY §2.1 #1-2, #12-17)
     "knn_l2_brute" -> ((s, d) =>
       Knn.bruteForce(emb(s, d), Distances.squaredL2Lit(col("embedding"), Q64), K)),
+    // the SAME flagship query authored through the SQL surface: the
+    // registered vec_sql2 folds its query literal into the identical
+    // codegen'd VecMetricLit at plan time, so spark.sql text and the
+    // Column API produce one plan — proven here under the driver's hash
+    // gate (Double.toString round-trips bit-exactly through the CAST)
+    "sql_knn_topk" -> ((s, d) => {
+      graft.functions.GraftExtensions.install(s)
+      emb(s, d).createOrReplaceTempView("graft_embeddings_v")
+      val qlit = Q64.map(v => s"CAST('$v' AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      s.sql(s"""SELECT vec_id, label, vec_sql2(embedding, $qlit) AS dist
+               |FROM graft_embeddings_v
+               |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin)
+    }),
     "knn_l2_filtered" -> ((s, d) =>
       Knn.bruteForce(emb(s, d), Distances.squaredL2Lit(col("embedding"), Q64), K,
         pred = Some(col("label") === 3))),
@@ -2458,6 +2472,7 @@ object SparkEntry {
     }
     Map(
       "knn_l2_brute" -> knnSql(sq, K),
+      "sql_knn_topk" -> knnSql(sq, K),
       "knn_l2_filtered" -> knnSql(sq, K, "WHERE label = 3"),
       "knn_l1" -> knnSql(DuckSql.l1Lit(e, Q64), K),
       "knn_linf" -> knnSql(DuckSql.lInfLit(e, Q64), K),
