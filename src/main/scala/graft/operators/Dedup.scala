@@ -328,12 +328,18 @@ object Dedup {
     val words = split(col(textCol), " ")
     // positioned gram hashes; docs shorter than n words produce none
     // (sequence() would count DOWN for a negative upper bound — guard it)
+    // persisted: the positioned gram table feeds BOTH the df aggregation
+    // and the flagged join — without it the posexplode + per-gram md5
+    // over the whole corpus runs twice (the two consumers' shuffles
+    // can't share the subtree). Freed by the ContextCleaner with the
+    // returned plan, same as the LSH signature persist.
     val grams = docs.select(col(idCol), posexplode(
         when(size(words) >= n,
           transform(sequence(lit(0), size(words) - n),
             i => md5Long(concat_ws(" ", slice(words, i + 1, lit(n))))))
           .otherwise(array()))
         .as(Seq("pos", "gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = grams.groupBy(col("gh"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
