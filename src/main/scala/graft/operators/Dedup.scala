@@ -139,7 +139,11 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    // persisted: both verification joins (id_a side, id_b side) stream
+    // this table — without the persist the shingle split+distinct runs
+    // over the corpus twice
     val sets = docs.select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), "id_b")
