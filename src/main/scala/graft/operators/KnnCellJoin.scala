@@ -56,7 +56,8 @@ object KnnCellJoin {
 
   def join(queries: DataFrame, indexedDb: DataFrame, cfg: GridConfig, k: Int,
       queryIdCol: String = "query_id", dbIdCol: String = "vec_id",
-      vecCol: String = "embedding", bruteForceThreshold: Long = 200000L): DataFrame = {
+      vecCol: String = "embedding", bruteForceThreshold: Long = 200000L,
+      driverIdLimit: Int = DriverIdLimit): DataFrame = {
     val spark = queries.sparkSession
     // Query-side dim validation (the reference asserts vector shape on every
     // call, kd_tree_database.py:84-85): a null or short query embedding would
@@ -89,10 +90,12 @@ object KnnCellJoin {
     // filters over the checkpointed query table instead of joins. Large
     // batches (isin over 10k+ literals bloats the plan) keep the
     // DataFrame anti-join loop below.
-    val idProbe = qs0.select(col(queryIdCol)).limit(DriverIdLimit + 1).collect()
-    if (idProbe.length <= DriverIdLimit)
-      return joinDriverTracked(qs0, indexedDb, cfg, k, queryIdCol, dbIdCol,
-        vecCol, idProbe.map(_.get(0)), bruteOn)
+    if (driverIdLimit > 0) {
+      val idProbe = qs0.select(col(queryIdCol)).limit(driverIdLimit + 1).collect()
+      if (idProbe.length <= driverIdLimit)
+        return joinDriverTracked(qs0, indexedDb, cfg, k, queryIdCol, dbIdCol,
+          vecCol, idProbe.map(_.get(0)), bruteOn)
+    }
 
     var s = cfg.width // start at one cell width
     var remaining = qs0

@@ -25,6 +25,21 @@ class KnnCellJoinSpec extends SparkSpecBase {
     assert(viaCells.toSeq == viaCross.toSeq)
   }
 
+  test("driver-tracked widening loop == DataFrame anti-join loop, row for row") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cfg = SparkEntry.gridCfg
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val indexed = Grid.withCellId(emb, "embedding", cfg)
+    def run(limit: Int) = KnnCellJoin.join(queries, indexed, cfg, k = 4,
+        bruteForceThreshold = 0, driverIdLimit = limit)
+      .orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // limit 0 forces the legacy DataFrame loop; default takes the
+    // driver-tracked path — identical rounds, identical rows
+    assert(run(10000).toSeq == run(0).toSeq)
+  }
+
   test("NaN-component query terminates via the brute-force escape; null/short query embeddings throw") {
     val cfg = GridConfig(dim = 2, lower = -1.0, upper = 1.0, partsPerDim = 4, gridDims = 2)
     val db = (0L until 10L).map(i => (i, Array(i.toFloat / 10f, i.toFloat / 10f)))
