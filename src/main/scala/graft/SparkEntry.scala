@@ -1640,6 +1640,21 @@ object SparkEntry {
         .agg(concat_ws(",", array_sort(collect_list(col("s_name")))).as("suppliers"),
           count(lit(1)).as("n"))
         .orderBy(col("n_name"))),
+    // behavior-sequence assembly: each user's event types concatenated in
+    // the engine-wide (ts, event_id) total order — the trajectory-building
+    // step of a behavioral training set (one shuffle on the key; the
+    // sequence is assembled per key, never globally). Same ordered-listagg
+    // kernel as agg_listagg_suppliers, with the struct sort carrying the
+    // time axis
+    "seq_user_event_trajectory" -> ((s, d) =>
+      Tables.events(s, d).filter(col("user_id") % 50 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(" ",
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x("event_type"))).as("trajectory"))
+        .orderBy(col("user_id"))),
     // incremental-ETL shape: daily partial aggregates merged to monthly ==
     // direct monthly aggregation (sums/counts re-aggregate losslessly;
     // the pattern that lets a 100 TB pipeline recompute only changed days)
@@ -3673,6 +3688,11 @@ object SparkEntry {
           |  COUNT(*) AS n
           |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
           |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+      "seq_user_event_trajectory" ->
+        """SELECT user_id, COUNT(*) AS n_events,
+          |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS trajectory
+          |FROM events WHERE user_id % 50 = 0
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
       "agg_partial_merge_monthly" ->
         """SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
           |  COUNT(*) AS n,
