@@ -19,7 +19,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver records the stdout/stderr TAIL of this
+    // run, and benign per-query warnings (tiny-window WindowExec notes on
+    // |months|-row frames, etc.) would crowd out the metric line
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm-up outside the timed region: one small end-to-end run (JIT +
     // codegen paths) and a footer-deep read of every fixture table so the
     // first measured query isn't charged for cold file-cache I/O.
