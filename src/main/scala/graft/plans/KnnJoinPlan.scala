@@ -256,18 +256,28 @@ case class KnnJoinExec(
       val qs = bc.value
       if (qs.isEmpty) Iterator.empty
       else {
-        val bufs = Array.fill(qs.length)(Array.empty[(Long, Double)])
+        // hot-loop layout: parallel primitive-friendly arrays instead of
+        // tuple derefs, and a primitive acceptance check BEFORE the
+        // allocating insert — the naive form allocated a (Long, Double)
+        // tuple per candidate pair (10^9 allocations at 1k × 1M), which
+        // dominated the kernel
+        val nq = qs.length
+        val qIds = new Array[Long](nq)
+        val qVecs = new Array[Array[Float]](nq)
+        var p = 0
+        while (p < nq) { qIds(p) = qs(p)._1; qVecs(p) = qs(p)._2; p += 1 }
+        val bufs = Array.fill(nq)(Array.empty[(Long, Double)])
         it.foreach { row =>
           if (!row.isNullAt(did) && !row.isNullAt(dv)) {
             val id = row.getLong(did)
             val v = row.getArray(dv).toFloatArray
             var i = 0
-            while (i < qs.length) {
-              val q = qs(i)._2
+            while (i < nq) {
+              val q = qVecs(i)
               if (v.length != q.length)
                 throw new IllegalArgumentException(
                   s"KnnJoinExec: data vector id=$id has dim ${v.length}, " +
-                    s"query id=${qs(i)._1} has dim ${q.length}; mixed-dimension " +
+                    s"query id=${qIds(i)} has dim ${q.length}; mixed-dimension " +
                     "input is a data error (validate at ingest, cf. Grid.requireDim)")
               // identical IEEE order to VecMetricCols SqL2: per-element
               // float→double subtraction, left-to-right d*d accumulation
@@ -278,14 +288,22 @@ case class KnnJoinExec(
                 s += d * d
                 j += 1
               }
-              bufs(i) = insertFn(bufs(i), (id, s))
+              // same acceptance rule as insertBounded's (dist ASC, id ASC)
+              // bound — evaluated on primitives so rejected pairs (the
+              // overwhelming majority once the heap warms) allocate nothing
+              val buf = bufs(i)
+              val accept = buf.length < kk || {
+                val last = buf(buf.length - 1)
+                s < last._2 || (s == last._2 && id < last._1)
+              }
+              if (accept) bufs(i) = insertFn(buf, (id, s))
               i += 1
             }
           }
         }
-        Iterator.range(0, qs.length)
+        Iterator.range(0, nq)
           .filter(i => bufs(i).nonEmpty)
-          .map(i => (qs(i)._1, bufs(i)))
+          .map(i => (qIds(i), bufs(i)))
       }
     }
 
