@@ -131,8 +131,14 @@ object GraphOps {
       damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
     import org.apache.spark.sql.types.DecimalType
+    // hash-partitioned on src BEFORE the persist: every superstep joins
+    // this table on src, and the cached partitioning is recognized by the
+    // planner — so per iteration only the (|nodes|-row) rank side
+    // exchanges, never the edge list (the big side shuffles once, here);
+    // the degree aggregation rides the same partitioning for free
     val dir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
