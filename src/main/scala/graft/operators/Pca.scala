@@ -25,13 +25,23 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StructF
   */
 object Pca {
 
-  /** Gram entries g(i)(j) = Σ_rows round(eᵢ·eⱼ, 9), as exact-cast doubles. */
+  /** Gram entries g(i)(j) = Σ_rows round(eᵢ·eⱼ, 9), as exact-cast doubles.
+    * Only the upper triangle is aggregated — IEEE multiplication commutes
+    * exactly, so g(j)(i) is the SAME decimal sum and mirrors for free
+    * (dims·(dims+1)/2 decimal sums instead of dims²). */
   def gram(emb: DataFrame, dims: Int, vecCol: String = "embedding"): Array[Array[Double]] = {
     def e(i: Int) = element_at(col(vecCol), i + 1).cast(DoubleType)
-    val aggs = for (i <- 0 until dims; j <- 0 until dims) yield
+    val aggs = for (i <- 0 until dims; j <- i until dims) yield
       sum(round(e(i) * e(j), 9).cast(DecimalType(28, 9))).cast("double").as(s"g_${i}_$j")
     val row = emb.agg(aggs.head, aggs.tail: _*).collect().head
-    Array.tabulate(dims, dims)((i, j) => row.getDouble(i * dims + j))
+    val m = Array.ofDim[Double](dims, dims)
+    var idx = 0
+    for (i <- 0 until dims; j <- i until dims) {
+      m(i)(j) = row.getDouble(idx)
+      m(j)(i) = m(i)(j)
+      idx += 1
+    }
+    m
   }
 
   /** `iters` power-iteration steps from the uniform unit seed; all driver
