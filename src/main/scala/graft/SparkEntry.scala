@@ -128,6 +128,40 @@ object SparkEntry {
        |  SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id
        |)""".stripMargin
 
+  /** DuckDB replay of Multimodal.{mediaFromDocuments, extractFeatures}:
+    * the stub decode's Long-wraparound polynomial checksum folds in
+    * HUGEINT mod 2^64 (list_reduce over the text's chars — the fixture is
+    * ASCII, so code points == UTF-8 bytes), then re-signs; width/height
+    * read power-of-two bit fields (identical for signed/unsigned), and
+    * the frame counts correct the arithmetic-shift sign extension with
+    * (m - 2^44 mod m) offsets for the non-power-of-two moduli. */
+  private def mediaFeaturesSql: String =
+    """WITH u AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    list_reduce(
+      |      list_prepend(CAST(17 AS HUGEINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+      |      (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)
+      |    ) AS uh
+      |  FROM documents
+      |), f AS (
+      |  SELECT media_id, kind, n_bytes,
+      |    CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+      |         THEN uh - CAST('18446744073709551616' AS HUGEINT) ELSE uh END AS BIGINT) AS checksum,
+      |    CAST(16 + uh % 1024 AS INT) AS width,
+      |    CAST(16 + (uh // 1024) % 1024 AS INT) AS height,
+      |    CAST(uh // 1048576 AS BIGINT) AS h20,
+      |    (uh >= CAST('9223372036854775808' AS HUGEINT)) AS neg
+      |  FROM u
+      |)
+      |SELECT media_id, kind, n_bytes, checksum, width, height,
+      |  CAST(CASE kind
+      |    WHEN 'video' THEN 1 + (h20 % 300 + CASE WHEN neg THEN 284 ELSE 0 END) % 300
+      |    WHEN 'audio' THEN 1 + (h20 % 48000 + CASE WHEN neg THEN 3584 ELSE 0 END) % 48000
+      |    ELSE 1 END AS INT) AS n_frames
+      |FROM f""".stripMargin
+
   /** quality score + lang_pred over a relation providing (doc_id, text). */
   private def qualityGateSql(minQuality: Double, lang: String): String = {
     val nw = nWordsSql("text"); val ns = nStopSql("text")
@@ -2659,6 +2693,15 @@ object SparkEntry {
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 3)
           |SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
           |FROM alldocs GROUP BY digest HAVING COUNT(*) >= 2 ORDER BY digest""".stripMargin,
+      "media_features" ->
+        s"""$mediaFeaturesSql
+           |ORDER BY media_id""".stripMargin,
+      "media_frame_sample_plan" ->
+        s"""SELECT media_id, n_frames,
+           |  CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+           |FROM ($mediaFeaturesSql)
+           |WHERE kind = 'video'
+           |ORDER BY media_id, frame_idx""".stripMargin,
       "text_quality" -> {
         val nw = nWordsSql("text"); val ns = nStopSql("text")
         s"""SELECT doc_id,
