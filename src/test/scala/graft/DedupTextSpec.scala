@@ -121,6 +121,26 @@ class DedupTextSpec extends SparkSpecBase {
       (127L, "keep", -1L)))
   }
 
+  test("one prebuilt dedup index serves successive batches == one-shot per batch") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (1L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val batchA = Seq(
+      (107L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (127L, "totally novel words that appear nowhere else in any corpus document at all today")).toDF("doc_id", "text")
+    val batchB = Seq(
+      (217L, "one two three four five six seven eight nine CHANGED"),
+      (227L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau CHANGED")).toDF("doc_id", "text")
+    val idx = Dedup.buildDedupIndex(corpus)
+    for (b <- Seq(batchA, batchB)) {
+      val viaIndex = Dedup.admitBatch(idx, b).orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val oneShot = Dedup.incrementalDedup(corpus, b).orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(viaIndex.toSeq === oneShot.toSeq)
+    }
+  }
+
   test("repeated n-gram spans on the fixture: spans exist, lie inside docs, never overlap") {
     val spans = Dedup.repeatedNgramSpans(docs, n = 5).cache()
     assert(spans.count() > 0)
