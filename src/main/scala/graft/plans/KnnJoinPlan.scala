@@ -280,23 +280,44 @@ case class KnnJoinExec(
                     s"query id=${qIds(i)} has dim ${q.length}; mixed-dimension " +
                     "input is a data error (validate at ingest, cf. Grid.requireDim)")
               // identical IEEE order to VecMetricCols SqL2: per-element
-              // float→double subtraction, left-to-right d*d accumulation
-              var s = 0.0
-              var j = 0
-              while (j < q.length) {
-                val d = q(j).toDouble - v(j).toDouble
-                s += d * d
-                j += 1
-              }
-              // same acceptance rule as insertBounded's (dist ASC, id ASC)
-              // bound — evaluated on primitives so rejected pairs (the
-              // overwhelming majority once the heap warms) allocate nothing
+              // float→double subtraction, left-to-right d*d accumulation.
+              // Once the per-query heap is full, the running sum is
+              // monotone non-decreasing, so the loop aborts as soon as it
+              // strictly exceeds the kth distance — the pair would be
+              // rejected on any completion (exact: ties at == kth run to
+              // the end and tie-break on id as before)
               val buf = bufs(i)
-              val accept = buf.length < kk || {
-                val last = buf(buf.length - 1)
-                s < last._2 || (s == last._2 && id < last._1)
+              val len = q.length
+              if (buf.length < kk) {
+                var s = 0.0
+                var j = 0
+                while (j < len) {
+                  val d = q(j).toDouble - v(j).toDouble
+                  s += d * d
+                  j += 1
+                }
+                bufs(i) = insertFn(buf, (id, s))
+              } else {
+                // chunked early exit: accumulate 16 elements branch-free,
+                // then test — a per-element test defeats the JIT's
+                // reduction pipelining (measured SLOWER than no pruning)
+                val last = buf(kk - 1)
+                val thr = last._2
+                var s = 0.0
+                var j = 0
+                var live = true
+                while (live && j < len) {
+                  val end = if (j + 16 < len) j + 16 else len
+                  while (j < end) {
+                    val d = q(j).toDouble - v(j).toDouble
+                    s += d * d
+                    j += 1
+                  }
+                  if (s > thr) live = false
+                }
+                if (live && (s < thr || (s == thr && id < last._1)))
+                  bufs(i) = insertFn(buf, (id, s))
               }
-              if (accept) bufs(i) = insertFn(buf, (id, s))
               i += 1
             }
           }
