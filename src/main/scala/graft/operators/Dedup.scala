@@ -199,9 +199,13 @@ object Dedup {
       if (probe.length <= driverThreshold)
         return unionFindDriver(probe, edges.sparkSession)
     }
+    // hash-partitioned on src before the eager checkpoint: every hop
+    // joins the edge list on src, and the checkpointed partitioning is
+    // reused — per iteration only the (|nodes|-row) label table
+    // exchanges, not the edges (same trick as GraphOps.pageRank)
     val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(edges.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("src")).localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     if (labels.isEmpty) return labels.withColumnRenamed("label", "canonical")
