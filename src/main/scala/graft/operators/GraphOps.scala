@@ -66,8 +66,11 @@ object GraphOps {
     * Output: (node, hop) for every node within `maxHops` of a seed;
     * isolated seeds still appear at hop 0. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // partitioned on src before the persist — each hop joins on src, so
+    // only the frontier exchanges per round (cf. pageRank)
     val dir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0L))
@@ -93,8 +96,11 @@ object GraphOps {
     * no sort. Labels must be non-negative (the negation trick). */
   def labelProp(edges: DataFrame, seedLabels: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    // partitioned on src before the persist — each round's vote join is
+    // on src, so only the label table exchanges per round (cf. pageRank)
     val dir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = seedLabels
       .select(col("node"), col("label").cast(LongType).as("label"))
