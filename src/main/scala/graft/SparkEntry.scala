@@ -833,6 +833,23 @@ object SparkEntry {
         withFunnel = false)
       curated.select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // one-row corpus data card: the summary a curation run publishes
+    // next to its output (doc/token/language counts, mean quality,
+    // exact-dup rate) — one flat aggregation; the quality mean sums
+    // 9-decimal-quantized per-row scores in exact decimals so the single
+    // double division is engine-exact
+    "corpus_stats_card" -> ((s, d) => {
+      val dd = par(s, docs(s, d)).withColumn("q",
+        round(TextAnalysis.qualityScore(col("text")), 9).cast(DecimalType(18, 9)))
+      dd.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenEstimate(col("text"))).as("n_tokens_est"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("q")).cast("double") / count(lit(1)).cast("double")).as("mean_quality"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"))
+        .withColumn("exact_dup_rate",
+          lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs").cast("double"))
+    }),
     // the funnel report of the SAME pipeline: per-stage survivor counts
     // (input → gate → exact dedup → near-dup dedup) — the observability
     // surface a production curation run ships to its dashboard; the
@@ -2702,6 +2719,27 @@ object SparkEntry {
            |FROM ($mediaFeaturesSql)
            |WHERE kind = 'video'
            |ORDER BY media_id, frame_idx""".stripMargin,
+      "corpus_stats_card" -> {
+        val nw = nWordsSql("text"); val ns = nStopSql("text")
+        s"""WITH scored AS (
+           |  SELECT lang, text,
+           |    ((LEAST(chars / 500.0, 1.0) + LEAST((nsd / nwd) * 10.0, 1.0))
+           |      + CASE WHEN awl >= 3.0 AND awl <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
+           |  FROM (
+           |    SELECT lang, text,
+           |      CAST(length(text) AS DOUBLE) AS chars,
+           |      CAST($nw AS DOUBLE) AS nwd,
+           |      CAST($ns AS DOUBLE) AS nsd,
+           |      CAST(length(text) - ($nw - 1) AS DOUBLE) / CAST($nw AS DOUBLE) AS awl
+           |    FROM documents))
+           |SELECT COUNT(*) AS n_docs,
+           |  CAST(SUM(CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens_est,
+           |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(SUM(CAST(ROUND(quality, 9) AS DECIMAL(18,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+           |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           |  ${DuckSql.fmt(1.0)} - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate
+           |FROM scored""".stripMargin
+      },
       "text_quality" -> {
         val nw = nWordsSql("text"); val ns = nStopSql("text")
         s"""SELECT doc_id,
