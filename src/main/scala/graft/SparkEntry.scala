@@ -65,6 +65,15 @@ object SparkEntry {
 
   private val stopListSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private def nWordsSql(t: String) = s"CAST(len(string_split($t, ' ')) AS INT)"
+  /** The [[TextAnalysis.qualityScore]] formula as DuckDB SQL, with the
+    * same IEEE double association as the Column tree. */
+  private def qualitySql(t: String): String = {
+    val nw = nWordsSql(t); val ns = nStopSql(t)
+    val awl = s"(CAST(length($t) - ($nw - 1) AS DOUBLE) / CAST($nw AS DOUBLE))"
+    s"""((LEAST(CAST(length($t) AS DOUBLE) / 500.0, 1.0)
+       |    + LEAST((CAST($ns AS DOUBLE) / CAST($nw AS DOUBLE)) * 10.0, 1.0))
+       |   + CASE WHEN $awl >= 3.0 AND $awl <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0""".stripMargin
+  }
   private def nStopSql(t: String) =
     s"CAST(len(list_filter(string_split($t, ' '), w -> w IN $stopListSql)) AS INT)"
 
@@ -1529,6 +1538,92 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"))
+    }),
+    // per-source document cap: at most 10 docs per source, kept in
+    // (quality DESC, doc_id) order — the Common-Crawl per-host cap that
+    // stops one domain from dominating the mixture. row_number <= n plans
+    // as WindowGroupLimitExec: each map task keeps its local top-n per
+    // key BEFORE the shuffle, so the exchange is bounded by n·keys·tasks
+    "sample_source_cap" -> ((s, d) => {
+      val q = par(s, docs(s, d)).withColumn("qq",
+        round(TextAnalysis.qualityScore(col("text")), 9).cast(DecimalType(18, 9)))
+      graft.operators.Governance.capPerKey(q, "source", 10,
+          Seq(col("qq").desc, col("doc_id").asc))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          max(col("qq")).as("best_q"), min(col("qq")).as("worst_kept_q"))
+        .orderBy(col("source"))
+    }),
+    // priority-resolved exact dedup across sources: within a content-
+    // digest group the survivor is the lowest (source priority, doc_id) —
+    // "the curated dump beats the raw crawl for the same document". The
+    // audit rollup counts, per source, docs owned / survived / lost to a
+    // higher-priority copy — the provenance report a multi-dump merge
+    // ships. The fixture corpus has no exact dups, so cross-source copies
+    // are INJECTED deterministically (the audit_referential pattern):
+    // %40=3 docs re-appear under top-priority src0 (originals lose),
+    // %40=7 docs under bottom-priority src19 (originals win)
+    "dedup_priority_source" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+      val hiPri = base.filter(col("doc_id") % 40 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("src0").as("source"))
+      val loPri = base.filter(col("doc_id") % 40 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          lit("src19").as("source"))
+      val pri = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+      graft.operators.Governance
+        .priorityDedup(par(s, base.unionAll(hiPri).unionAll(loPri)),
+          "text", "doc_id", pri)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_kept")).cast(LongType).as("n_kept"),
+          sum(when(col("group_size") > 1 && col("is_kept") === 1, 1L)
+            .otherwise(0L)).as("n_dup_won"),
+          sum(when(col("is_kept") === 0, 1L).otherwise(0L)).as("n_dup_lost"))
+        .orderBy(col("source"))
+    }),
+    // cross-language quality calibration: raw quality scores are only
+    // comparable WITHIN a language, so the gate runs on the per-language
+    // percentile. Computed via the histogram collapse (score quantized to
+    // 4 decimals → per-(lang, score) counts → running-below window over
+    // the ≤10^4-bucket histogram → broadcast join back), NOT a row-level
+    // per-language sort of the corpus
+    "text_quality_percentile" -> ((s, d) => {
+      val q4 = round(TextAnalysis.qualityScore(col("text")), 4)
+        .cast(DecimalType(9, 4))
+      graft.operators.Governance.percentileByGroup(
+          par(s, docs(s, d)).select(col("doc_id"), col("lang"), col("text")),
+          "lang", q4)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("score_q"), col("pctl"),
+          (col("pctl") >= 0.2).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+    // corpus n-gram diversity per language: distinct trigrams / total
+    // trigram occurrences — the type/token health statistic that drops
+    // when a crawl is template-heavy or a generator loops. Totals need no
+    // explode (per-row max(words-2,0), summed map-side); only the
+    // distinct count walks exploded per-doc gram sets
+    "text_ngram_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(par(s, docs(s, d)), n = 3)
+        .orderBy(col("lang"))),
+    // malformed-record accounting on JSON ingest: rows with event_id
+    // % 17 = 0 get a deterministically corrupted payload; the audit
+    // counts parse failures and aggregates the surviving field per type —
+    // the ingest-quality report a raw-crawl JSON reader ships. One
+    // codegen pass, no shuffle beyond the |types| aggregation
+    "json_corrupt_audit" -> ((s, d) => {
+      val raw = when(col("event_id") % 17 === 0,
+        concat(lit("{"), col("props"))).otherwise(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(raw, "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(coalesce(col("k"), lit(0L))).as("k_sum"))
+        .orderBy(col("event_type"))
     }),
     // fuzzy dedup by edit distance on document prefixes (candidate pairs
     // from a deterministic sample; at scale candidates come from LSH)
@@ -3660,6 +3755,85 @@ object SparkEntry {
            |  ON lang = r_lang
            |WHERE (${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")} % 1000) < permille
            |GROUP BY lang ORDER BY lang""".stripMargin,
+      "sample_source_cap" ->
+        s"""SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           |  MAX(qq) AS best_q, MIN(qq) AS worst_kept_q
+           |FROM (
+           |  SELECT source, doc_id, qq,
+           |    row_number() OVER (PARTITION BY source ORDER BY qq DESC, doc_id ASC) AS rnk
+           |  FROM (SELECT source, doc_id,
+           |          CAST(round(${qualitySql("text")}, 9) AS DECIMAL(18,9)) AS qq
+           |        FROM documents)
+           |) WHERE rnk <= 10
+           |GROUP BY source ORDER BY source""".stripMargin,
+      "dedup_priority_source" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text, 'src0' FROM documents WHERE doc_id % 40 = 3
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, text, 'src19' FROM documents WHERE doc_id % 40 = 7
+           |), g AS (
+           |  SELECT source, doc_id,
+           |    COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+           |    row_number() OVER (PARTITION BY md5(text)
+           |      ORDER BY CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) ASC,
+           |               doc_id ASC) AS rn
+           |  FROM corpus)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN rn = 1 AND group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_won,
+           |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lost
+           |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      "text_quality_percentile" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    CAST(round(${qualitySql("text")}, 4) AS DECIMAL(9,4)) AS score_q
+           |  FROM documents),
+           |hist AS (SELECT lang, score_q, COUNT(*) AS c FROM scored GROUP BY lang, score_q),
+           |pr AS (
+           |  SELECT lang, score_q,
+           |    COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score_q ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+           |    SUM(c) OVER (PARTITION BY lang) AS n
+           |  FROM hist)
+           |SELECT s.doc_id, s.lang, s.score_q,
+           |  CASE WHEN p.n > 1
+           |    THEN round(CAST(p.below AS DOUBLE) / CAST(p.n - 1 AS DOUBLE), 9)
+           |    ELSE 0.0 END AS pctl,
+           |  CAST(CASE WHEN p.n > 1
+           |    THEN round(CAST(p.below AS DOUBLE) / CAST(p.n - 1 AS DOUBLE), 9)
+           |    ELSE 0.0 END >= 0.2 AS INT) AS keep
+           |FROM scored s JOIN pr p ON s.lang = p.lang AND s.score_q = p.score_q
+           |WHERE s.doc_id % 3 = 0 ORDER BY s.doc_id""".stripMargin,
+      "text_ngram_diversity" ->
+        s"""WITH tot AS (
+           |  SELECT lang,
+           |    CAST(SUM(GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT) - 2, 0)) AS BIGINT) AS n_grams
+           |  FROM documents GROUP BY lang),
+           |dist AS (
+           |  SELECT lang, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+           |  FROM (
+           |    SELECT lang, unnest($ssetSql) AS g
+           |    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+           |  ) GROUP BY lang)
+           |SELECT t.lang, t.n_grams, d.n_distinct,
+           |  CASE WHEN t.n_grams > 0
+           |    THEN CAST(d.n_distinct AS DOUBLE) / CAST(t.n_grams AS DOUBLE) END AS diversity
+           |FROM tot t JOIN dist d ON t.lang = d.lang ORDER BY t.lang""".stripMargin,
+      "json_corrupt_audit" ->
+        s"""SELECT event_type, COUNT(*) AS n_events,
+           |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_sum
+           |FROM (
+           |  SELECT event_type,
+           |    CASE WHEN json_valid(raw)
+           |      THEN CAST(json_extract_string(raw, '$$.k') AS BIGINT) END AS k
+           |  FROM (
+           |    SELECT event_type,
+           |      CASE WHEN event_id % 17 = 0 THEN '{' || props ELSE props END AS raw
+           |    FROM events)
+           |) GROUP BY event_type ORDER BY event_type""".stripMargin,
       "dedup_edit_distance" ->
         """SELECT id_a, id_b, lev FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS INT) AS lev

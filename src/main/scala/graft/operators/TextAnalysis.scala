@@ -358,4 +358,30 @@ object TextAnalysis {
         (hn.cast("double") / col("n_letters").cast("double")).as("entropy"))
       .filter(col("n_letters") >= 1)
   }
+
+  /** Corpus n-gram diversity per group: distinct word n-grams over total
+    * n-gram occurrences — the type/token ratio at n-gram granularity, the
+    * corpus-health statistic that drops when a crawl is template-heavy or
+    * a generator loops (the corpus-level sibling of the per-doc
+    * repetition signals). Total occurrences need NO explode — each doc
+    * contributes max(words − n + 1, 0), a per-row expression summed
+    * map-side; only the DISTINCT count walks exploded grams (per-doc
+    * distinct first via [[Dedup.shingles]], so the explode carries each
+    * doc's gram SET, then one distinct-aggregate per group — the same two
+    * shuffle-light passes at any corpus size). */
+  def ngramDiversity(docs: DataFrame, n: Int, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val totals = docs.groupBy(col(groupCol))
+      .agg(sum(greatest(nWords(col(textCol)) - (n - 1), lit(0)).cast("long"))
+        .as("n_grams"))
+    val distincts = docs
+      .select(col(groupCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count_distinct(col("g")).as("n_distinct"))
+    totals.join(distincts, Seq(groupCol))
+      .select(col(groupCol), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .as("diversity"))
+  }
 }

@@ -75,6 +75,15 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("per-source cap plans as WindowGroupLimit (map-side per-key top-n before the shuffle)") {
+    withoutAqe {
+      val p = planOf(SparkEntry.queries("sample_source_cap")(spark, sfDir))
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }.nonEmpty, "WindowGroupLimitExec missing — capPerKey shuffles the corpus")
+    }
+  }
+
   test("aggregator kNN join: partial+final object hash aggregate (map-side top-k)") {
     withoutAqe {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
