@@ -92,6 +92,29 @@ object SparkEntry {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $keyExpr AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
+  /** Brute-force 60-bit word-SimHash Hamming pairs over a (doc_id, text)
+    * relation — the oracle for every banded SimHash pairing (document
+    * near-dup AND the media perceptual-hash path share it). */
+  private def simhashPairsSql(docsSql: String, maxHamming: Int): String = {
+    val bitSums = (0 until 60).map { i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i"
+    }.mkString(",\n  ")
+    val sig = (0 until 60).map { i =>
+      s"(CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT doc_id, ($sig) AS simhash FROM (
+       |    SELECT doc_id, $bitSums
+       |    FROM (
+       |      SELECT doc_id, ${Dedup.md5LongSql("w")} AS h
+       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ($docsSql))
+       |    ) GROUP BY doc_id))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
   /** distinct width-3 word shingles of a split-words column `w`. */
   private val ssetSql =
     "list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))"
@@ -1608,6 +1631,65 @@ object SparkEntry {
     "text_ngram_diversity" -> ((s, d) =>
       TextAnalysis.ngramDiversity(par(s, docs(s, d)), n = 3)
         .orderBy(col("lang"))),
+    // IVF index-health report: per-cell population of the fixed-codebook
+    // index plus each cell's load factor vs uniform — the balance
+    // statistic that decides when an IVF index needs re-training (hot
+    // cells = slow probes, empty cells = wasted codebook). One
+    // aggregation to |cells| rows; the 1-row totals broadcast back
+    "ann_ivf_cell_stats" -> ((s, d) => {
+      import s.implicits._
+      val nCells = 8
+      val counted = Ann.assign(emb(s, d), Planes16.take(nCells))
+        .groupBy(col("ivf_cell").cast("int").as("ivf_cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      // every codebook entry appears, populated or not — empty cells ARE
+      // the finding (wasted codebook); load factor is vs uniform over the
+      // full codebook
+      val cells = (0 until nCells).toDF("ivf_cell")
+        .join(counted, Seq("ivf_cell"), "left")
+        .select(col("ivf_cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      val tot = cells.agg(sum(col("n_vecs")).as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("ivf_cell"), col("n_vecs"),
+          round((col("n_vecs") * nCells).cast("double") /
+            col("total").cast("double"), 9).as("load_factor"))
+        .orderBy(col("ivf_cell"))
+    }),
+    // perceptual-hash near-dup over media payloads: binary payload →
+    // (stub) decoded token stream → 60-bit SimHash → pigeonhole banded
+    // Hamming pairing, recall 1 with no cross product. A real pHash swaps
+    // in at the feature extractor; the binary→fingerprint→banded-join
+    // plumbing is what's pinned. Near-dup payloads INJECTED (perturbed
+    // copies of %28 docs) so the pairing is non-vacuous
+    "media_phash_neardup" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 4 === 0)
+      val perturbed = docs(s, d).filter(col("doc_id") % 28 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz qq")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val media = Multimodal.mediaFromDocuments(
+        par(s, base.unionByName(perturbed)))
+      Dedup.simHashNearDupPairs(
+          media.select(col("media_id").as("doc_id"),
+            col("payload").cast("string").as("text")),
+          "text", "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // cross-split contamination audit: near-dup pairs (the proven
+    // MinHash-LSH path) whose members land in DIFFERENT deterministic
+    // k-fold splits — exactly the train/eval leakage a dedup-after-split
+    // pipeline ships. |pairs| rows into a |folds|² aggregation
+    "split_leakage_audit" -> ((s, d) => {
+      def fold(c: Column) =
+        pmod(Dedup.md5Int32(c.cast("string")), lit(5L))
+      Dedup.minHashLshNearDupPairs(par(s, docs(s, d)), "text", "doc_id",
+          shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select(fold(col("id_a")).as("fold_a"), fold(col("id_b")).as("fold_b"))
+        .groupBy(col("fold_a"), col("fold_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_fold", (col("fold_a") =!= col("fold_b")).cast("int"))
+        .orderBy(col("fold_a"), col("fold_b"))
+    }),
     // malformed-record accounting on JSON ingest: rows with event_id
     // % 17 = 0 get a deterministically corrupted payload; the audit
     // counts parse failures and aggregates the surviving field per type —
@@ -3011,26 +3093,13 @@ object SparkEntry {
       },
       // oracle for the banded pairing IS the brute form — exactness of the
       // pigeonhole candidate generation is the claim under test
-      "dedup_simhash_pairs" -> {
-        val bitSums = (0 until 60).map { i =>
-          s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i"
-        }.mkString(",\n  ")
-        val sig = (0 until 60).map { i =>
-          s"(CASE WHEN b_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        }.mkString(" + ")
-        s"""WITH s AS (
-           |  SELECT doc_id, ($sig) AS simhash FROM (
-           |    SELECT doc_id, $bitSums
-           |    FROM (
-           |      SELECT doc_id, ${Dedup.md5LongSql("w")} AS h
-           |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 5 = 0)
-           |    ) GROUP BY doc_id))
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-           |FROM s a JOIN s b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-           |ORDER BY id_a, id_b""".stripMargin
-      },
+      "dedup_simhash_pairs" -> simhashPairsSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0", 8),
+      "media_phash_neardup" -> simhashPairsSql(
+        """SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+          |    UNION ALL
+          |    SELECT doc_id + 1000000, text || ' zz qq' FROM documents
+          |    WHERE doc_id % 28 = 0""".stripMargin, 8),
       "dedup_cluster_canonical" -> {
         val winnowFps =
           """SELECT doc_id, unnest(
@@ -3821,6 +3890,53 @@ object SparkEntry {
            |  CASE WHEN t.n_grams > 0
            |    THEN CAST(d.n_distinct AS DOUBLE) / CAST(t.n_grams AS DOUBLE) END AS diversity
            |FROM tot t JOIN dist d ON t.lang = d.lang ORDER BY t.lang""".stripMargin,
+      "ann_ivf_cell_stats" -> {
+        val dists = Planes16.take(8)
+          .map(c => DuckSql.squaredL2Lit(e, c)).mkString(",\n    ")
+        s"""WITH counted AS (
+           |  SELECT CAST(list_position(l, list_min(l)) - 1 AS INT) AS ivf_cell,
+           |    COUNT(*) AS n_vecs
+           |  FROM (SELECT vec_id, [$dists] AS l FROM embeddings)
+           |  GROUP BY 1
+           |), cells AS (
+           |  SELECT CAST(r.range AS INT) AS ivf_cell,
+           |    CAST(COALESCE(c.n_vecs, 0) AS BIGINT) AS n_vecs
+           |  FROM range(0, 8) r LEFT JOIN counted c ON r.range = c.ivf_cell
+           |), tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cells)
+           |SELECT ivf_cell, n_vecs,
+           |  round(CAST(n_vecs * 8 AS DOUBLE) / CAST(total AS DOUBLE), 9) AS load_factor
+           |FROM cells, tot ORDER BY ivf_cell""".stripMargin
+      },
+      "split_leakage_audit" -> {
+        val foldSql = (c: String) =>
+          s"(${Dedup.md5Int32Sql(s"CAST($c AS VARCHAR)")} % 5)"
+        s"""WITH sig AS (
+           |  SELECT doc_id, $minsSql
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+           |      SELECT doc_id, unnest($ssetSql) AS shingle
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |    )
+           |  ) GROUP BY doc_id
+           |), buckets AS (
+           |  $bandSelectsSql
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), sets AS (
+           |  SELECT doc_id, $ssetSql AS sset
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |), pairs AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b,
+           |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
+           |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
+           |  ) WHERE jac >= ${DuckSql.fmt(0.5)})
+           |SELECT fold_a, fold_b, COUNT(*) AS n_pairs,
+           |  CAST(fold_a <> fold_b AS INT) AS cross_fold
+           |FROM (SELECT ${foldSql("id_a")} AS fold_a, ${foldSql("id_b")} AS fold_b FROM pairs)
+           |GROUP BY fold_a, fold_b ORDER BY fold_a, fold_b""".stripMargin
+      },
       "json_corrupt_audit" ->
         s"""SELECT event_type, COUNT(*) AS n_events,
            |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
