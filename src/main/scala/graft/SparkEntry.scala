@@ -280,6 +280,42 @@ object SparkEntry {
           Distances.cosineSimLit(col("embedding"), Q64).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(K)),
+    // ColBERT-style late-interaction retrieval: the packed 64-d vector is
+    // viewed as 4 sub-vectors of 16 ("token embeddings"), score = MaxSim =
+    // Σ_i max_j dot(q_i, doc_j). Per-row codegen'd expression (same
+    // multiply count as 4 full dots), zero shuffles, TakeOrderedAndProject
+    // top-k; sub-dots 9-decimal-rounded so max/sum replay bit-for-bit
+    "sim_maxsim_topk" -> ((s, d) =>
+      emb(s, d)
+        .select(col("vec_id"), col("label"),
+          graft.operators.LateInteraction.maxSimLit(col("embedding"), Q64, 4).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(K)),
+    // Matryoshka truncation eval: recall@10 of PREFIX-16-dim L2 top-k
+    // against full 64-dim top-k per held-out query — the dimension-vs-
+    // accuracy dial of truncatable (MRL) embeddings. Prefix-L2 is
+    // squaredL2Cols over the first 16 elements, so unlike the kmeans-
+    // trained ann_ivf_recall this eval is EXACT and fully hash-checked.
+    // Cost shape: |queries| × |corpus| scored once, ranked twice — the
+    // standard eval-harness cost, queries are a small broadcast sample
+    "vec_truncate_recall" -> ((s, d) => {
+      val qs = emb(s, d).filter(col("vec_id") % 67 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb(s, d).crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          Distances.squaredL2Cols(col("embedding"), col("qv"), Dim).as("d_full"),
+          Distances.squaredL2Cols(col("embedding"), col("qv"), 16).as("d_pre"))
+      val wf = Window.partitionBy(col("query_id")).orderBy(col("d_full"), col("vec_id"))
+      val wp = Window.partitionBy(col("query_id")).orderBy(col("d_pre"), col("vec_id"))
+      scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rp", row_number().over(wp))
+        .filter(col("rf") <= K)
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("rp") <= K, 1).otherwise(0)).cast(LongType).as("overlap"),
+          round(sum(when(col("rp") <= K, 1).otherwise(0)).cast("double") / K, 3).as("recall10"))
+        .orderBy(col("query_id"))
+    }),
     // max-inner-product search (the Dot metric end-to-end; retrieval-style
     // scoring where magnitude matters, unlike cosine)
     "sim_dot_topk" -> ((s, d) =>
@@ -2372,6 +2408,47 @@ object SparkEntry {
           coalesce(col("id_sum"), lit(0L)).as("id_sum"))
         .orderBy(col("lang"))
     }),
+    // length-bucketed batching report (dynamic-batching prep): docs
+    // bucketed by whitespace-token count (width 16), per bucket the
+    // padding arithmetic a batched trainer/inference server pays when
+    // padding to the bucket max — batches of 32, padded = n_docs·max_len,
+    // efficiency = Σlen/padded. One |docs|→|buckets| aggregation; the
+    // integer sums are exact, the single division is rounded at 9
+    "batch_length_buckets" -> ((s, d) =>
+      par(s, docs(s, d))
+        .select(TextAnalysis.nWords(col("text")).cast(LongType).as("len"))
+        .withColumn("bucket", floor(col("len") / 16).cast(LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("len")).as("max_len"),
+          sum(col("len")).as("sum_len"))
+        .withColumn("n_batches", ceil(col("n_docs").cast("double") / 32.0).cast(LongType))
+        .withColumn("padded_tokens", (col("n_docs") * col("max_len")).cast(LongType))
+        .withColumn("pad_waste", (col("padded_tokens") - col("sum_len")).cast(LongType))
+        .withColumn("efficiency",
+          round(col("sum_len").cast("double") / col("padded_tokens").cast("double"), 9))
+        .orderBy(col("bucket"))),
+    // deterministic round-robin source interleaving (training-order
+    // construction): rank docs within each source by doc_id, dense-index
+    // the sources, global position = (rank-1)·n_sources + source_idx — no
+    // contiguous training window is dominated by one source. The source
+    // index/count come from a |sources|-row aggregate (broadcast back);
+    // the per-source rank is one key-local window; first 100 positions
+    "sample_interleave_sources" -> ((s, d) => {
+      val srcs = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_src_docs"))
+      val idx = srcs
+        .withColumn("source_idx",
+          row_number().over(Window.orderBy(col("source"))).cast(LongType))
+        .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()).cast(LongType))
+      val ranked = docs(s, d)
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast(LongType))
+      ranked.join(broadcast(idx), "source")
+        .withColumn("pos", (col("r") - 1) * col("n_sources") + (col("source_idx") - 1))
+        .select(col("pos"), col("source"), col("doc_id"))
+        .orderBy(col("pos"), col("source"))
+        .limit(100)
+    }),
     // rank-based AUC of the fastText-shape classifier against the binary
     // en/non-en label — the calibration statistic a quality-gate deploy
     // monitors. Pair counting over the per-SCORE histogram (concordant +
@@ -2729,6 +2806,27 @@ object SparkEntry {
       "knn_l2_pruned_filtered" -> knnSql(sq, K, "WHERE label = 3"),
       "sim_cosine_topk" ->
         s"SELECT vec_id, label, ${DuckSql.cosineSimLit(e, Q64)} AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT $K",
+      "sim_maxsim_topk" ->
+        s"SELECT vec_id, label, ${DuckSql.maxSimLit(e, Q64, 4)} AS maxsim FROM embeddings ORDER BY maxsim DESC, vec_id ASC LIMIT $K",
+      "vec_truncate_recall" ->
+        s"""WITH qs AS (
+           |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           |  WHERE vec_id % 67 = 7),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ${DuckSql.squaredL2Cols("c.embedding", "q.qv", Dim)} AS d_full,
+           |    ${DuckSql.squaredL2Cols("c.embedding", "q.qv", 16)} AS d_pre
+           |  FROM embeddings c CROSS JOIN qs q),
+           |ranked AS (
+           |  SELECT query_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d_full, vec_id) AS rf,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d_pre, vec_id) AS rp
+           |  FROM scored)
+           |SELECT query_id,
+           |  CAST(SUM(CASE WHEN rp <= $K THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+           |  ROUND(CAST(SUM(CASE WHEN rp <= $K THEN 1 ELSE 0 END) AS DOUBLE) / $K, 3) AS recall10
+           |FROM ranked WHERE rf <= $K
+           |GROUP BY query_id ORDER BY query_id""".stripMargin,
       "sim_dot_topk" ->
         s"SELECT vec_id, label, ${DuckSql.dotLit(e, Q64)} AS dot FROM embeddings ORDER BY dot DESC, vec_id ASC LIMIT $K",
       "sim_dot_pruned" ->
@@ -4614,6 +4712,32 @@ object SparkEntry {
            |  CAST(COALESCE(s.id_sum, 0) AS BIGINT) AS id_sum
            |FROM plan p LEFT JOIN sampled s ON p.lang = s.lang
            |ORDER BY p.lang""".stripMargin,
+      "batch_length_buckets" ->
+        """WITH lens AS (
+          |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+          |b AS (
+          |  SELECT CAST(FLOOR(len / 16) AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+          |    MAX(len) AS max_len, CAST(SUM(len) AS BIGINT) AS sum_len
+          |  FROM lens GROUP BY 1)
+          |SELECT bucket, n_docs, max_len, sum_len,
+          |  CAST(CEIL(CAST(n_docs AS DOUBLE) / 32.0) AS BIGINT) AS n_batches,
+          |  CAST(n_docs * max_len AS BIGINT) AS padded_tokens,
+          |  CAST(n_docs * max_len - sum_len AS BIGINT) AS pad_waste,
+          |  ROUND(CAST(sum_len AS DOUBLE) / CAST(n_docs * max_len AS DOUBLE), 9) AS efficiency
+          |FROM b ORDER BY bucket""".stripMargin,
+      "sample_interleave_sources" ->
+        """WITH idx AS (
+          |  SELECT source,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS source_idx,
+          |    CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |ranked AS (
+          |  SELECT doc_id, source,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS r
+          |  FROM documents)
+          |SELECT (r.r - 1) * i.n_sources + (i.source_idx - 1) AS pos, r.source, r.doc_id
+          |FROM ranked r JOIN idx i ON r.source = i.source
+          |ORDER BY pos, r.source LIMIT 100""".stripMargin,
       "rank_auc_classifier" ->
         s"""WITH g AS (
            |  SELECT score, SUM(pos) AS pos_g, SUM(1 - pos) AS neg_g FROM (

@@ -106,6 +106,13 @@ object Distances {
   def squaredL2ColsUnrolled(a: Column, b: Column, dim: Int): Column =
     (0 until dim).map { i => val d = e(a, i) - e(b, i); d * d }.reduce(_ + _)
 
+  /** Dot of `q` against the width-q.length window of `v` starting at
+    * 0-based `off` — the sub-vector primitive of late-interaction
+    * (MaxSim) scoring over packed multi-vector embeddings. Left-assoc
+    * unrolled, so the DuckDB mirror (DuckSql.dotLitOffset) is bit-equal. */
+  def dotLitOffsetUnrolled(v: Column, q: Array[Double], off: Int): Column =
+    q.indices.map { i => e(v, off + i) * lit(q(i)) }.reduce(_ + _)
+
   // ---- generic-dim fallbacks (dim not known at plan time) ----
   // Higher-order functions: not whole-stage-codegen'd but still native.
 

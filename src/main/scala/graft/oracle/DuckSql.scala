@@ -55,6 +55,25 @@ object DuckSql {
     q.indices.map { i => s"(${elem(col, i)} * (${fmt(q(i))}))" }
       .mkString("(", " + ", ")")
 
+  /** Dot of `q` against the window of `col` starting at 0-based `off` —
+    * mirrors Distances.dotLitOffsetUnrolled (left-assoc). */
+  def dotLitOffset(col: String, q: Array[Double], off: Int): String =
+    q.indices.map { i => s"(${elem(col, off + i)} * (${fmt(q(i))}))" }
+      .mkString("(", " + ", ")")
+
+  /** MaxSim (late interaction) over packed sub-vectors — mirrors
+    * graft.operators.LateInteraction.maxSimLit: per (query-sub, doc-sub)
+    * dot rounded to 9 decimals, GREATEST per query-sub, summed. */
+  def maxSimLit(col: String, q: Array[Double], nSub: Int): String = {
+    val w = q.length / nSub
+    val offsets = (0 until nSub).map(_ * w)
+    (0 until nSub).map { i =>
+      val qi = q.slice(i * w, i * w + w)
+      offsets.map { o => s"ROUND(${dotLitOffset(col, qi, o)}, 9)" }
+        .mkString("GREATEST(", ", ", ")")
+    }.mkString("(", " + ", ")")
+  }
+
   /** Mirrors Distances.cosineSimLit: dot / (sqrt(Σ v_i^2) * ||q||). */
   def cosineSimLit(col: String, q: Array[Double]): String = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)

@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.Fixtures
+import graft.operators.LateInteraction
+import org.apache.spark.sql.functions._
+
+/** MaxSim late-interaction scoring: the Column expression must equal a
+  * driver-side brute-force computation of Σ_i max_j round(dot(q_i,d_j),9)
+  * over the packed sub-vectors, and degenerate nSub=1 must reduce to the
+  * plain (rounded) dot product. */
+class LateInteractionSpec extends SparkSpecBase {
+  import Fixtures.Q64
+
+  private def bruteMaxSim(v: Array[Float], q: Array[Double], nSub: Int): Double = {
+    val w = q.length / nSub
+    (0 until nSub).map { i =>
+      (0 until nSub).map { j =>
+        var s = 0.0; var t = 0
+        while (t < w) { s += v(j * w + t).toDouble * q(i * w + t); t += 1 }
+        BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.max
+    }.sum
+  }
+
+  test("maxSimLit equals driver-side brute force on the fixture corpus") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        col("embedding"),
+        LateInteraction.maxSimLit(col("embedding"), Q64, 4).as("maxsim"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val expected = bruteMaxSim(v, Q64, 4)
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12,
+        s"vec_id=${r.getLong(0)}: got ${r.getDouble(2)}, want $expected")
+    }
+  }
+
+  test("nSub=1 reduces to the rounded full dot product") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 20)
+      .select(
+        LateInteraction.maxSimLit(col("embedding"), Q64, 1).as("m"),
+        round(graft.functions.Distances.dotLit(col("embedding"), Q64), 9).as("d"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("prefix squared-L2 is a lower bound of the full distance (Matryoshka monotonicity)") {
+    import graft.functions.Distances
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+      .select(
+        Distances.squaredL2Lit(col("embedding"), Q64).as("full"),
+        Distances.squaredL2Lit(col("embedding"), Q64.take(16)).as("prefix"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(0) + 1e-12)
+    }
+  }
+}
