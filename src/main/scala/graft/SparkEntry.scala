@@ -1667,6 +1667,45 @@ object SparkEntry {
     "text_ngram_diversity" -> ((s, d) =>
       TextAnalysis.ngramDiversity(par(s, docs(s, d)), n = 3)
         .orderBy(col("lang"))),
+    // T5-style span corruption (denoising-objective example construction):
+    // md5-deterministic ~20% token masking, consecutive masked runs
+    // collapsed to numbered <extra_id_k> sentinels in the input, spans
+    // emitted sentinel-prefixed as the target. One token explode + ONE
+    // (doc, pos) shuffle shared by both windows + per-doc reconstruction
+    "prep_span_corruption" -> ((s, d) =>
+      TextAnalysis.spanCorrupt(par(s, docs(s, d).filter(col("doc_id") % 10 === 0)),
+          maskMod = 5)
+        .orderBy(col("doc_id"))),
+    // cross-language z-score calibration of the quality score: per-lang
+    // mean/std from EXACT decimal power sums (the agg_corr_stats
+    // contract) broadcast back onto the corpus — the standardization a
+    // mixed-language quality gate needs (raw scores aren't comparable
+    // across languages; sibling of the percentile calibration, but
+    // parametric). Quality quantized to 9 decimals pre-sum so the power
+    // sums are order- and engine-exact
+    "text_quality_zscore" -> ((s, d) => {
+      val q = round(TextAnalysis.qualityScore(col("text")), 9)
+        .cast(DecimalType(18, 9))
+      val scored = par(s, docs(s, d)).select(col("doc_id"), col("lang"), q.as("q"))
+      // the sums are EXACT decimals; they cast to identical doubles in
+      // both engines, and from there the mean/std arithmetic is the same
+      // IEEE expression tree (decimal×decimal×n would instead hit Spark's
+      // precision-loss scale reduction, which DuckDB doesn't replicate)
+      val stats = scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sqq"))
+        .select(col("lang"), col("n"),
+          (col("sq").cast("double") / col("n").cast("double")).as("mean_q"),
+          sqrt((col("n").cast("double") * col("sqq").cast("double") -
+              col("sq").cast("double") * col("sq").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0))).as("std_q"))
+      scored.join(broadcast(stats), "lang")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          col("q").cast("double").as("quality"),
+          round((col("q").cast("double") - col("mean_q")) / col("std_q"), 6).as("z"))
+        .orderBy(col("doc_id"))
+    }),
     // IVF index-health report: per-cell population of the fixed-codebook
     // index plus each cell's load factor vs uniform — the balance
     // statistic that decides when an IVF index needs re-training (hot
@@ -3988,6 +4027,55 @@ object SparkEntry {
            |  CASE WHEN t.n_grams > 0
            |    THEN CAST(d.n_distinct AS DOUBLE) / CAST(t.n_grams AS DOUBLE) END AS diversity
            |FROM tot t JOIN dist d ON t.lang = d.lang ORDER BY t.lang""".stripMargin,
+      "prep_span_corruption" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(range(0, len(w))) AS pos, w
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+           |        FROM documents WHERE doc_id % 10 = 0)),
+           |t2 AS (
+           |  SELECT doc_id, pos, w[pos + 1] AS word,
+           |    (${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} % 5) = 0 AS m
+           |  FROM toks),
+           |f AS (
+           |  SELECT *, m AND NOT COALESCE(LAG(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS run_start
+           |  FROM t2),
+           |kk AS (
+           |  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+           |  FROM f),
+           |p AS (
+           |  SELECT doc_id, pos, run_start, m,
+           |    CASE WHEN NOT m THEN word
+           |         WHEN run_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' END AS piece_in,
+           |    CASE WHEN run_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' || ' ' || word
+           |         WHEN m THEN word END AS piece_tgt
+           |  FROM kk)
+           |SELECT doc_id,
+           |  COALESCE(string_agg(piece_in, ' ' ORDER BY pos), '') AS input_text,
+           |  COALESCE(string_agg(piece_tgt, ' ' ORDER BY pos), '') AS target_text,
+           |  CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_quality_zscore" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    CAST(round(${qualitySql("text")}, 9) AS DECIMAL(18,9)) AS q
+           |  FROM documents),
+           |stats AS (
+           |  SELECT lang, COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sqq
+           |  FROM scored GROUP BY lang),
+           |st AS (
+           |  SELECT lang, n,
+           |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+           |    SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+           |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+           |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_q
+           |  FROM stats)
+           |SELECT s.doc_id, s.lang, CAST(s.q AS DOUBLE) AS quality,
+           |  round((CAST(s.q AS DOUBLE) - st.mean_q) / st.std_q, 6) AS z
+           |FROM scored s JOIN st ON s.lang = st.lang
+           |WHERE s.doc_id % 3 = 0 ORDER BY s.doc_id""".stripMargin,
       "ann_ivf_cell_stats" -> {
         val dists = Planes16.take(8)
           .map(c => DuckSql.squaredL2Lit(e, c)).mkString(",\n    ")

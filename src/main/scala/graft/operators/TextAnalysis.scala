@@ -384,4 +384,50 @@ object TextAnalysis {
           col("n_distinct").cast("double") / col("n_grams").cast("double"))
           .as("diversity"))
   }
+
+  /** T5/UL2-style span-corruption prep: deterministically mask ~1/maskMod
+    * of each document's tokens (md5 of doc_id:pos — RNG-free, so the
+    * (input, target) pair set is reproducible across runs and engines),
+    * collapse each CONSECUTIVE masked run into one numbered sentinel
+    * `<extra_id_k>` in the input, and emit the masked spans prefixed by
+    * their sentinel as the target — the denoising-objective example
+    * construction of T5 pretraining (span corruption), as a corpus job.
+    *
+    * Scale shape: one token explode, ONE (doc, pos) shuffle shared by
+    * both windows (run detection + numbering), one per-doc re-aggregation
+    * with an explicit position sort inside the collected array; nothing
+    * global, so it streams over any corpus size.
+    *
+    * Returns (doc_id, input_text, target_text, n_spans, n_masked). Docs
+    * with no masked token keep their full text and an empty target. */
+  def spanCorrupt(docs: DataFrame, maskMod: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "word")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = toks
+      .withColumn("m",
+        Dedup.md5Int32(concat(col(idCol).cast("string"), lit(":"),
+          col("pos").cast("string"))) % maskMod === 0)
+      .withColumn("run_start",
+        col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k", sum(col("run_start").cast("int")).over(running))
+    val sentinel = concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
+    val pieceIn = when(!col("m"), col("word"))
+      .when(col("run_start"), sentinel)
+    val pieceTgt = when(col("run_start"), concat(sentinel, lit(" "), col("word")))
+      .when(col("m"), col("word"))
+    flagged.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), pieceIn.as("p")))),
+          s => s.getField("p"))).as("input_text"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), pieceTgt.as("p")))),
+          s => s.getField("p"))).as("target_text"),
+        sum(col("run_start").cast("int")).cast("long").as("n_spans"),
+        sum(col("m").cast("int")).cast("long").as("n_masked"))
+  }
 }
