@@ -316,6 +316,57 @@ object SparkEntry {
           round(sum(when(col("rp") <= K, 1).otherwise(0)).cast("double") / K, 3).as("recall10"))
         .orderBy(col("query_id"))
     }),
+    // batch MaxSim join: multi-vector late-interaction retrieval for a
+    // SET of queries — broadcast query page × corpus, per-query top-3 by
+    // the same rounded-sub-dot MaxSim contract, rank via one key-local
+    // window over the scored pairs (queries are a sample; the cross
+    // product is |queries|×|corpus| scored once, the shuffle carries it
+    // partitioned by query)
+    "sim_maxsim_join" -> ((s, d) => {
+      val qs = emb(s, d).filter(col("vec_id") % 101 === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+      emb(s, d).crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          graft.operators.LateInteraction.maxSimCols(col("qv"), col("embedding"), Dim, 4)
+            .as("maxsim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+    // per-dimension corpus statistics (the SQ8 calibration pass): min/max
+    // per embedding dimension — exact float comparisons — plus the mean
+    // over 2^-24-quantized values (floor(v·2^24) is an exact integer sum;
+    // double→decimal casts of raw floats would round differently per
+    // engine) and the implied symmetric int8 scale 127/max|·|. One
+    // explode + one map-side-combinable aggregation to |dims| rows
+    "vec_dim_stats" -> ((s, d) =>
+      emb(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), col("v").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          sum(floor(col("v") * 16777216.0).cast(LongType)).as("sq24"))
+        .select(col("dim"), col("n"), col("min_v"), col("max_v"),
+          round(col("sq24").cast("double") / (col("n").cast("double") * 16777216.0), 9)
+            .as("mean_q24"),
+          round(lit(127.0) / greatest(abs(col("min_v")), abs(col("max_v"))), 6)
+            .as("scale127"))
+        .orderBy(col("dim"))),
+    // embedding-space distribution drift: PSI per label between the
+    // even-id (reference) and odd-id (current) halves of the corpus, with
+    // the proven Grid cells as bins — the drift monitor for an embedding
+    // distribution (re-train the IVF codebook when cells shift), composing
+    // two hash-proven kernels; two |corpus|→|labels|×|cells| aggregations
+    "drift_embedding_cells" -> ((s, d) =>
+      graft.operators.Drift.psi(
+          Grid.withCellId(emb(s, d), "embedding", gridCfg)
+            .select(col("label"), col("cell_id"), (col("vec_id") % 2 === 0).as("is_ref")),
+          "label", "cell_id", "is_ref",
+          nBins = gridCfg.numCells.toInt)
+        .orderBy(col("label"))),
     // max-inner-product search (the Dot metric end-to-end; retrieval-style
     // scoring where magnitude matters, unlike cosine)
     "sim_dot_topk" -> ((s, d) =>
@@ -2866,6 +2917,57 @@ object SparkEntry {
            |  ROUND(CAST(SUM(CASE WHEN rp <= $K THEN 1 ELSE 0 END) AS DOUBLE) / $K, 3) AS recall10
            |FROM ranked WHERE rf <= $K
            |GROUP BY query_id ORDER BY query_id""".stripMargin,
+      "sim_maxsim_join" ->
+        s"""WITH qs AS (
+           |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           |  WHERE vec_id % 101 = 3),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ${DuckSql.maxSimCols("q.qv", "c.embedding", Dim, 4)} AS maxsim
+           |  FROM embeddings c CROSS JOIN qs q),
+           |ranked AS (
+           |  SELECT query_id, vec_id, maxsim,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY maxsim DESC, vec_id ASC) AS INT) AS rn
+           |  FROM scored)
+           |SELECT query_id, vec_id, maxsim, rn FROM ranked
+           |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+      "vec_dim_stats" ->
+        """WITH el AS (
+          |  SELECT dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+          |  FROM (SELECT embedding, unnest(range(0, len(embedding))) AS dim
+          |        FROM embeddings)),
+          |st AS (
+          |  SELECT dim, COUNT(*) AS n, MIN(v) AS min_v, MAX(v) AS max_v,
+          |    CAST(SUM(CAST(FLOOR(v * 16777216.0) AS BIGINT)) AS BIGINT) AS sq24
+          |  FROM el GROUP BY dim)
+          |SELECT CAST(dim AS INT) AS dim, n, min_v, max_v,
+          |  ROUND(CAST(sq24 AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0), 9) AS mean_q24,
+          |  ROUND(127.0 / GREATEST(ABS(min_v), ABS(max_v)), 6) AS scale127
+          |FROM st ORDER BY dim""".stripMargin,
+      "drift_embedding_cells" ->
+        s"""WITH binned AS (
+           |  SELECT label, ${Grid.cellIdSql(e, gridCfg)} AS bin,
+           |    (vec_id % 2 = 0) AS is_ref
+           |  FROM embeddings
+           |), counts AS (
+           |  SELECT label, bin,
+           |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           |  FROM binned GROUP BY 1, 2
+           |), tot AS (
+           |  SELECT label,
+           |    CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur
+           |  FROM counts GROUP BY 1
+           |), terms AS (
+           |  SELECT c.label,
+           |    (CAST(n_ref AS DOUBLE) + CAST('0.5' AS DOUBLE)) / (CAST(t_ref AS DOUBLE) + CAST('${gridCfg.numCells * 0.5}' AS DOUBLE)) AS pa,
+           |    (CAST(n_cur AS DOUBLE) + CAST('0.5' AS DOUBLE)) / (CAST(t_cur AS DOUBLE) + CAST('${gridCfg.numCells * 0.5}' AS DOUBLE)) AS pb
+           |  FROM counts c JOIN tot t USING (label)
+           |)
+           |SELECT label,
+           |  CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi
+           |FROM terms GROUP BY label ORDER BY label""".stripMargin,
       "sim_dot_topk" ->
         s"SELECT vec_id, label, ${DuckSql.dotLit(e, Q64)} AS dot FROM embeddings ORDER BY dot DESC, vec_id ASC LIMIT $K",
       "sim_dot_pruned" ->

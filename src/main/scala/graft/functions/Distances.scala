@@ -113,6 +113,12 @@ object Distances {
   def dotLitOffsetUnrolled(v: Column, q: Array[Double], off: Int): Column =
     q.indices.map { i => e(v, off + i) * lit(q(i)) }.reduce(_ + _)
 
+  /** Column-vs-column windowed dot: width-`w` windows of `a` and `b`
+    * starting at 0-based `offA`/`offB` — the join form of the
+    * late-interaction sub-vector primitive. */
+  def dotColsOffsetUnrolled(a: Column, b: Column, w: Int, offA: Int, offB: Int): Column =
+    (0 until w).map { i => e(a, offA + i) * e(b, offB + i) }.reduce(_ + _)
+
   // ---- generic-dim fallbacks (dim not known at plan time) ----
   // Higher-order functions: not whole-stage-codegen'd but still native.
 

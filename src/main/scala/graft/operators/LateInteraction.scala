@@ -45,4 +45,20 @@ object LateInteraction {
     }
     maxima.reduce(_ + _)
   }
+
+  /** Column-vs-column MaxSim — the batch (join) form: score a packed
+    * query-vector COLUMN against a packed document-vector column, both
+    * split into `nSub` sub-vectors of width dim/nSub. Same per-pair cost
+    * and rounding contract as [[maxSimLit]]; used under a broadcast
+    * query × corpus join + per-query top-k window. */
+  def maxSimCols(qv: Column, dv: Column, dim: Int, nSub: Int): Column = {
+    require(dim % nSub == 0, s"dim $dim not divisible by $nSub")
+    val w = dim / nSub
+    (0 until nSub).map { i =>
+      val dots = (0 until nSub).map { j =>
+        round(Distances.dotColsOffsetUnrolled(qv, dv, w, i * w, j * w), 9)
+      }
+      if (dots.size == 1) dots.head else greatest(dots: _*)
+    }.reduce(_ + _)
+  }
 }

@@ -74,6 +74,22 @@ object DuckSql {
     }.mkString("(", " + ", ")")
   }
 
+  /** Column-vs-column windowed dot — mirrors
+    * Distances.dotColsOffsetUnrolled. */
+  def dotColsOffset(a: String, b: String, w: Int, offA: Int, offB: Int): String =
+    (0 until w).map { i => s"(${elem(a, offA + i)} * ${elem(b, offB + i)})" }
+      .mkString("(", " + ", ")")
+
+  /** Column-vs-column MaxSim — mirrors LateInteraction.maxSimCols. */
+  def maxSimCols(a: String, b: String, dim: Int, nSub: Int): String = {
+    val w = dim / nSub
+    (0 until nSub).map { i =>
+      (0 until nSub).map { j =>
+        s"ROUND(${dotColsOffset(a, b, w, i * w, j * w)}, 9)"
+      }.mkString("GREATEST(", ", ", ")")
+    }.mkString("(", " + ", ")")
+  }
+
   /** Mirrors Distances.cosineSimLit: dot / (sqrt(Σ v_i^2) * ||q||). */
   def cosineSimLit(col: String, q: Array[Double]): String = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)

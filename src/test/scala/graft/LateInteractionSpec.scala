@@ -49,6 +49,19 @@ class LateInteractionSpec extends SparkSpecBase {
     }
   }
 
+  test("maxSimCols nSub=1 reduces to the rounded col-vs-col dot") {
+    import graft.functions.Distances
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(30)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = df.as("a").crossJoin(df.as("b")).limit(200)
+      .select(
+        LateInteraction.maxSimCols(col("a.embedding"), col("b.embedding"), 64, 1).as("m"),
+        round(Distances.dotCols(col("a.embedding"), col("b.embedding"), 64), 9).as("d"))
+    pairs.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
   test("prefix squared-L2 is a lower bound of the full distance (Matryoshka monotonicity)") {
     import graft.functions.Distances
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
