@@ -335,6 +335,23 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .orderBy(col("query_id"), col("rn"))
     }),
+    // two-stage late-interaction serving path: cheap single-vector dot
+    // generates a top-50 candidate page, MaxSim re-ranks only the page —
+    // the ColBERT deployment shape (candidate generation + late
+    // interaction), so the nSub² sub-dot cost is paid on 50 rows, not the
+    // corpus. Both stages totally ordered, so the composition is exact
+    // w.r.t. its own two-stage definition and fully hash-checked
+    "sim_maxsim_refine" -> ((s, d) => {
+      val cand = emb(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Distances.dotLit(col("embedding"), Q64).as("coarse"))
+        .orderBy(col("coarse").desc, col("vec_id").asc)
+        .limit(50)
+      cand.select(col("vec_id"),
+          graft.operators.LateInteraction.maxSimLit(col("embedding"), Q64, 4).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(K)
+    }),
     // per-dimension corpus statistics (the SQ8 calibration pass): min/max
     // per embedding dimension — exact float comparisons — plus the mean
     // over 2^-24-quantized values (floor(v·2^24) is an exact integer sum;
@@ -2932,6 +2949,13 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, vec_id, maxsim, rn FROM ranked
            |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+      "sim_maxsim_refine" ->
+        s"""SELECT vec_id, ${DuckSql.maxSimLit(e, Q64, 4)} AS maxsim
+           |FROM embeddings WHERE vec_id IN (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${DuckSql.dotLit(e, Q64)} AS coarse FROM embeddings
+           |    ORDER BY coarse DESC, vec_id ASC LIMIT 50))
+           |ORDER BY maxsim DESC, vec_id ASC LIMIT $K""".stripMargin,
       "vec_dim_stats" ->
         """WITH el AS (
           |  SELECT dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
