@@ -214,4 +214,36 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(sp.collect { case t: TakeOrderedAndProjectExec => t }.size == 1)
     }
   }
+
+  test("MaxSim top-k: zero shuffles, distributed top-k, whole-stage codegen") {
+    withoutAqe {
+      val p = planOf(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.operators.LateInteraction.maxSimLit(col("embedding"), Fixtures.Q64, 4)
+            .as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc).limit(10))
+      assert(shuffles(p) == 0)
+      assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size == 1)
+      // the nSub² sub-dot expression must stay inside codegen (no
+      // interpreted projection in the hot path)
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.nonEmpty)
+    }
+  }
+
+  test("per-dimension stats: ONE shuffle with map-side partial aggregation to |dims| rows") {
+    withoutAqe {
+      val p = planOf(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), col("v").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v")))
+      assert(shuffles(p) == 1, s"expected 1 exchange, got ${shuffles(p)}")
+      val aggs = p.collect {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+      }
+      assert(aggs.size == 2, "expected partial+final hash aggregate pair")
+    }
+  }
 }
