@@ -1645,6 +1645,22 @@ object SparkEntry {
           graft.operators.Quantize.sq8DistLit(col("embedding"), SqScale, Q64).as("dist_sq8"))
         .orderBy(col("dist_sq8").asc, col("vec_id").asc)
         .limit(K)),
+    // SQ8 serving path: the pure-integer quantized distance generates a
+    // top-50 candidate page (the scan that runs over the 4×-smaller int8
+    // codes at scale), exact float L2 re-ranks only the page — the
+    // memory-bandwidth shape of a quantized ANN deploy. Fixed scale ⇒
+    // codes aren't data-derived, so BOTH stages hash-check end-to-end
+    "knn_sq8_refine" -> ((s, d) => {
+      val cand = emb(s, d)
+        .select(col("vec_id"), col("embedding"),
+          graft.operators.Quantize.sq8DistLit(col("embedding"), SqScale, Q64).as("dist_sq8"))
+        .orderBy(col("dist_sq8").asc, col("vec_id").asc)
+        .limit(50)
+      cand.select(col("vec_id"),
+          Distances.squaredL2Lit(col("embedding"), Q64).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(K)
+    }),
     // hashed-bag-of-words linear classifier (fastText shape, fixed integer
     // weights): per-row aggregate, zero shuffles
     "text_classifier_score" -> ((s, d) =>
@@ -4068,6 +4084,13 @@ object SparkEntry {
       "knn_sq8_topk" ->
         s"""SELECT vec_id, label, ${graft.operators.Quantize.sq8DistLitSql(e, SqScale, Q64)} AS dist_sq8
            |FROM embeddings ORDER BY dist_sq8 ASC, vec_id ASC LIMIT $K""".stripMargin,
+      "knn_sq8_refine" ->
+        s"""SELECT vec_id, ${DuckSql.squaredL2Lit(e, Q64)} AS dist
+           |FROM embeddings WHERE vec_id IN (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, ${graft.operators.Quantize.sq8DistLitSql(e, SqScale, Q64)} AS dist_sq8
+           |    FROM embeddings ORDER BY dist_sq8 ASC, vec_id ASC LIMIT 50))
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
       "text_classifier_score" -> {
         val nw = nWordsSql("text")
         s"""SELECT doc_id, raw_score, n_words,
