@@ -55,6 +55,12 @@ object ScaleProbe extends App {
   }
   assert(pruned.map(n => (n.vec_id, n.dist)) == brute, "pruned != brute at scale")
   println("SCALE pruned == brute: OK")
+  t("MaxSim late-interaction top-10 (1M x 4x16)") {
+    indexed.select(col("vec_id"),
+        graft.operators.LateInteraction.maxSimLit(col("embedding"), Fixtures.Q64, 4)
+          .as("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id").asc).limit(10).count()
+  }
   // kNN JOIN comparison in the cell join's regime: LOW-dim fully-gridded
   // data (at 64 dims with 3 gridded, no box short of everything certifies
   // the full-dim kth distance — curse of dimensionality; that regime

@@ -1333,6 +1333,33 @@ object SparkEntry {
           md5(col("col")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    // long-document retrieval via LATE CHUNKING: BM25 scored at CHUNK
+    // granularity (50-word windows, stride 25 — doc-level BM25 dilutes a
+    // locally-relevant passage inside a long document), top-50 chunks
+    // retrieved, then collapsed to documents by max chunk score — the
+    // retrieve-chunks/dedup-by-doc serving shape of a passage-retrieval
+    // deploy. Reuses the proven bm25TopK kernel with the chunk set as its
+    // corpus: stats/df reduce to broadcast scalars over chunks, one
+    // codegen'd scoring pass, distributed top-k, |top| rows to the doc agg
+    "text_chunk_bm25_doc" -> ((s, d) => {
+      val width = 50
+      val stride = 25
+      val ws = par(s, docs(s, d)).select(col("doc_id"), split(col("text"), " ").as("w"))
+      val chunks = ws.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), greatest(ceil((size(col("w")) - lit(width)) / lit(stride.toDouble)), lit(0)).cast("int")),
+            i => concat_ws(" ", slice(col("w"), i * stride + 1, lit(width))))))
+        .select((col("doc_id") * 1000 + col("pos")).as("chunk_id"),
+          col("col").as("text"))
+      TextAnalysis.bm25TopK(chunks, Seq("spark", "table", "query"), 50,
+          idCol = "chunk_id")
+        .withColumn("doc_id", floor(col("chunk_id") / 1000).cast(LongType))
+        .groupBy(col("doc_id"))
+        .agg(max(col("bm25")).as("doc_bm25"),
+          count(lit(1)).cast(LongType).as("n_chunks_hit"))
+        .orderBy(col("doc_bm25").desc, col("doc_id").asc)
+        .limit(K)
+    }),
     // digit redaction (PII-scrub shape): every digit run → '#'; md5 of the
     // scrubbed text keeps the compare compact
     "text_redact_digits" -> ((s, d) =>
@@ -3705,6 +3732,43 @@ object SparkEntry {
           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0)
           |)
           |ORDER BY doc_id, chunk_idx""".stripMargin,
+      "text_chunk_bm25_doc" -> {
+        val terms = Seq("spark", "table", "query")
+        val k1 = 1.2; val b = 0.75
+        def tf(t: String) =
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS DOUBLE)"
+        val termExprs = terms.zipWithIndex.map { case (t, i) =>
+          s"""LN((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+             | * (${tf(t)} * ${DuckSql.fmt(k1 + 1.0)})
+             | / (${tf(t)} + ${DuckSql.fmt(k1)} * (${DuckSql.fmt(1.0 - b)} + ${DuckSql.fmt(b)} * dl / avgdl))"""
+            .stripMargin.replace("\n", "")
+        }
+        val dfSelects = terms.zipWithIndex.map { case (t, i) =>
+          s"SUM(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS df_$i"
+        }.mkString(", ")
+        s"""WITH ch AS (
+           |  SELECT doc_id * 1000 + i AS chunk_id,
+           |    array_to_string(w[i*25+1 : i*25+50], ' ') AS text
+           |  FROM (
+           |    SELECT doc_id, w,
+           |      unnest(range(0, CAST(GREATEST(CEIL((len(w) - 50) / 25.0), 0) AS BIGINT) + 1)) AS i
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+           |stats AS (
+           |  SELECT COUNT(*) AS n_docs,
+           |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+           |  FROM ch),
+           |dfs AS (SELECT $dfSelects FROM ch),
+           |scored AS (
+           |  SELECT chunk_id, ROUND(${termExprs.mkString(" + ")}, 6) AS bm25
+           |  FROM (SELECT chunk_id, text, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+           |        FROM ch) d
+           |  CROSS JOIN stats CROSS JOIN dfs
+           |  ORDER BY bm25 DESC, chunk_id ASC LIMIT 50)
+           |SELECT CAST(FLOOR(chunk_id / 1000) AS BIGINT) AS doc_id,
+           |  MAX(bm25) AS doc_bm25, COUNT(*) AS n_chunks_hit
+           |FROM scored GROUP BY 1
+           |ORDER BY doc_bm25 DESC, doc_id ASC LIMIT $K""".stripMargin
+      },
       "text_redact_digits" ->
         "SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5 FROM documents ORDER BY doc_id",
       "text_heavy_terms" ->
