@@ -2224,6 +2224,93 @@ object SparkEntry {
           .withColumn("is_ref", dayofmonth(col("ts")) <= 15),
         "event_type", "bin", "is_ref", nBins = 10)
         .orderBy(col("event_type"))),
+    // peak session concurrency per day: sessions (the proven sessionize
+    // kernel) exploded to the minutes they cover, minute-level active
+    // counts, then per-day max — interval concurrency WITHOUT the global
+    // sweep-line sort (+1/-1 running sum needs ONE total order over all
+    // boundaries; the minute spine keeps every step key-local and the
+    // explode bounded by session duration). The capacity-planning gauge
+    "events_concurrency_peak" -> ((s, d) => {
+      val sess = graft.streaming.Sessionize.batch(Tables.events(s, d))
+      val conc = sess
+        .select(explode(sequence(
+          floor(col("session_start") / 60).cast(LongType),
+          floor(col("session_end") / 60).cast(LongType))).as("minute"))
+        .groupBy(col("minute"))
+        .agg(count(lit(1)).cast(LongType).as("concurrent"))
+      conc
+        .withColumn("epoch_day", floor(col("minute") / 1440).cast(LongType))
+        .groupBy(col("epoch_day"))
+        .agg(max(col("concurrent")).as("peak_concurrent"),
+          count(lit(1)).cast(LongType).as("n_active_minutes"))
+        .withColumn("day",
+          date_add(lit("1970-01-01").cast("date"), col("epoch_day").cast("int")))
+        .orderBy(col("epoch_day"))
+    }),
+    // Welch two-sample t-test between click and purchase values — the A/B
+    // significance statistic, completing the inferential kit (chi², PSI,
+    // AUC). ONE conditional-aggregation pass over events (no join, no
+    // second scan); per-group power sums are exact scale-3 decimals, cast
+    // to double once, then mean/variance/t/dof run as the same IEEE tree
+    // in both engines (the zscore double-tree contract)
+    "events_ab_ttest" -> ((s, d) => {
+      val v = col("value").cast(DecimalType(18, 3))
+      def side(t: String, c: Column) = when(col("event_type") === t, c)
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .agg(
+          sum(side("click", lit(1L))).as("n_a"),
+          sum(side("click", v)).as("sa"),
+          sum(side("click", v * v)).as("saa"),
+          sum(side("purchase", lit(1L))).as("n_b"),
+          sum(side("purchase", v)).as("sb"),
+          sum(side("purchase", v * v)).as("sbb"))
+      val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+      val ma = col("sa").cast("double") / na
+      val mb = col("sb").cast("double") / nb
+      val va = (na * col("saa").cast("double") -
+        col("sa").cast("double") * col("sa").cast("double")) / (na * (na - 1.0))
+      val vb = (nb * col("sbb").cast("double") -
+        col("sb").cast("double") * col("sb").cast("double")) / (nb * (nb - 1.0))
+      val sea = va / na; val seb = vb / nb
+      g.select(col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((ma - mb) / sqrt(sea + seb), 6).as("t_stat"),
+        round((sea + seb) * (sea + seb) /
+          (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6).as("dof"))
+    }),
+    // RFM customer segmentation: per-customer recency/frequency/monetary
+    // from one orders aggregation, median thresholds via the proven exact
+    // interpolated percentile (3 scalars, broadcast back — NOT an
+    // unpartitioned ntile window over the customer table, which is the
+    // shape that dies at 100 TB), then 2×2×2 high/low segments with
+    // decimal-exact revenue per segment
+    "agg_rfm_segments" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_o"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("mon"))
+        .crossJoin(broadcast(
+          Tables.orders(s, d).agg(max(col("o_orderdate")).as("maxd"))))
+        .withColumn("rec_days", datediff(col("maxd"), col("last_o")).cast(LongType))
+        .withColumn("mon_d", col("mon").cast("double"))
+      val th = cust.agg(
+        percentile(col("rec_days"), lit(0.5)).as("r50"),
+        percentile(col("freq"), lit(0.5)).as("f50"),
+        percentile(col("mon_d"), lit(0.5)).as("m50"))
+      cust.crossJoin(broadcast(th))
+        .select(
+          concat(
+            when(col("rec_days") <= col("r50"), lit("R")).otherwise(lit("r")),
+            when(col("freq") > col("f50"), lit("F")).otherwise(lit("f")),
+            when(col("mon_d") > col("m50"), lit("M")).otherwise(lit("m"))).as("segment"),
+          col("mon"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("mon")).cast("double").as("revenue"))
+        .orderBy(col("segment"))
+    }),
     // --- round-4b: retrieval re-ranking, warehouse dimension history,
     // stats-based data skipping, profiling/integrity audit
     // hybrid retrieval: BM25 lexical page + cosine vector page fused by
@@ -4660,6 +4747,88 @@ object SparkEntry {
           |SELECT event_type,
           |  CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi
           |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_concurrency_peak" ->
+        """WITH sess AS (
+          |  SELECT user_id, session_idx,
+          |    MIN(tse) AS session_start, MAX(tse) AS session_end
+          |  FROM (
+          |    SELECT user_id, tse,
+          |      SUM(CASE WHEN prev IS NOT NULL AND tse - prev > 1800 THEN 1 ELSE 0 END)
+          |        OVER (PARTITION BY user_id ORDER BY tse ASC, event_id ASC
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          |    FROM (
+          |      SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS tse,
+          |        LAG((epoch_ns(ts) // 1000000000)) OVER (PARTITION BY user_id
+          |          ORDER BY (epoch_ns(ts) // 1000000000) ASC, event_id ASC) AS prev
+          |      FROM events
+          |    )
+          |  ) GROUP BY user_id, session_idx),
+          |mins AS (
+          |  SELECT unnest(generate_series(
+          |    CAST(FLOOR(session_start / 60) AS BIGINT),
+          |    CAST(FLOOR(session_end / 60) AS BIGINT))) AS minute
+          |  FROM sess),
+          |conc AS (SELECT minute, CAST(COUNT(*) AS BIGINT) AS concurrent
+          |         FROM mins GROUP BY minute)
+          |SELECT epoch_day, peak_concurrent, n_active_minutes,
+          |  DATE '1970-01-01' + CAST(epoch_day AS INT) AS day
+          |FROM (
+          |  SELECT CAST(FLOOR(minute / 1440) AS BIGINT) AS epoch_day,
+          |    MAX(concurrent) AS peak_concurrent,
+          |    CAST(COUNT(*) AS BIGINT) AS n_active_minutes
+          |  FROM conc GROUP BY 1)
+          |ORDER BY epoch_day""".stripMargin,
+      "events_ab_ttest" ->
+        """WITH g AS (
+          |  SELECT
+          |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_a,
+          |    SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,3)) END) AS sa,
+          |    SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3)) END) AS saa,
+          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+          |    SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,3)) END) AS sb,
+          |    SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3)) END) AS sbb
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |m AS (
+          |  SELECT n_a, n_b,
+          |    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+          |    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+          |    (CAST(n_a AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS va,
+          |    (CAST(n_b AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+          |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vb
+          |  FROM g),
+          |se AS (
+          |  SELECT n_a, n_b, ma, mb,
+          |    va / CAST(n_a AS DOUBLE) AS sea, vb / CAST(n_b AS DOUBLE) AS seb
+          |  FROM m)
+          |SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+          |  ROUND((ma - mb) / SQRT(sea + seb), 6) AS t_stat,
+          |  ROUND((sea + seb) * (sea + seb)
+          |    / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+          |      + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS dof
+          |FROM se""".stripMargin,
+      "agg_rfm_segments" ->
+        s"""WITH cust AS (
+           |  SELECT o_custkey, MAX(o_orderdate) AS last_o, COUNT(*) AS freq,
+           |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+           |  FROM orders GROUP BY o_custkey),
+           |mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+           |c2 AS (
+           |  SELECT o_custkey, freq, mon, CAST(mon AS DOUBLE) AS mon_d,
+           |    CAST(date_diff('day', CAST(last_o AS DATE), CAST(maxd AS DATE)) AS BIGINT) AS rec_days
+           |  FROM cust CROSS JOIN mx),
+           |th AS (
+           |  SELECT quantile_cont(rec_days, ${DuckSql.fmt(0.5)}) AS r50,
+           |    quantile_cont(freq, ${DuckSql.fmt(0.5)}) AS f50,
+           |    quantile_cont(mon_d, ${DuckSql.fmt(0.5)}) AS m50
+           |  FROM c2)
+           |SELECT (CASE WHEN rec_days <= r50 THEN 'R' ELSE 'r' END
+           |     || CASE WHEN freq > f50 THEN 'F' ELSE 'f' END
+           |     || CASE WHEN mon_d > m50 THEN 'M' ELSE 'm' END) AS segment,
+           |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+           |  CAST(SUM(mon) AS DOUBLE) AS revenue
+           |FROM c2 CROSS JOIN th
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // --- round-4b
       "rerank_rrf_hybrid" ->
         s"""WITH lex_scored AS (${bm25ScoredSql(20)}),
