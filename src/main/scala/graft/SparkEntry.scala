@@ -2224,6 +2224,27 @@ object SparkEntry {
           .withColumn("is_ref", dayofmonth(col("ts")) <= 15),
         "event_type", "bin", "is_ref", nBins = 10)
         .orderBy(col("event_type"))),
+    // behavior-trajectory similarity join (the REPOSE/trajectory-search
+    // problem at the engine level): each user's event history becomes a
+    // SET of ordered event-type bigrams ("click>view"), then the EXACT
+    // prefix-filter set-similarity kernel finds all user pairs with
+    // Jaccard ≥ 0.96 — similar-behavior discovery without the user×user
+    // cross product (recall 1 by the PPJoin prefix argument). Ordering
+    // uses second-resolution epoch + event_id, the cross-engine total
+    // order the sessionize oracle established
+    "user_behavior_simjoin" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long").asc, col("event_id").asc)
+      val big = Tables.events(s, d).filter(col("user_id") % 3 === 0)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), concat(col("prev"), lit(">"), col("event_type")).as("bg"))
+      val behaviors = big.groupBy(col("user_id"))
+        .agg(concat_ws(" ", array_sort(collect_set(col("bg")))).as("behavior"))
+      graft.operators.SetSimJoin.jaccardJoin(behaviors, t = 0.96,
+          textCol = "behavior", idCol = "user_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // peak session concurrency per day: sessions (the proven sessionize
     // kernel) exploded to the minutes they cover, minute-level active
     // counts, then per-day max — interval concurrency WITHOUT the global
@@ -4747,6 +4768,22 @@ object SparkEntry {
           |SELECT event_type,
           |  CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi
           |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "user_behavior_simjoin" ->
+        """WITH bg AS (
+          |  SELECT user_id, prev || '>' || event_type AS bg
+          |  FROM (
+          |    SELECT user_id, event_type,
+          |      LAG(event_type) OVER (PARTITION BY user_id
+          |        ORDER BY (epoch_ns(ts) // 1000000000) ASC, event_id ASC) AS prev
+          |    FROM events WHERE user_id % 3 = 0)
+          |  WHERE prev IS NOT NULL),
+          |ws AS (SELECT user_id, list_distinct(list(bg)) AS wset FROM bg GROUP BY user_id)
+          |SELECT id_a, id_b, jac FROM (
+          |  SELECT a.user_id AS id_a, b.user_id AS id_b,
+          |    CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_cat(a.wset, b.wset))) AS DOUBLE) AS jac
+          |  FROM ws a JOIN ws b ON a.user_id < b.user_id)
+          |WHERE jac >= CAST('0.96' AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
       "events_concurrency_peak" ->
         """WITH sess AS (
           |  SELECT user_id, session_idx,
