@@ -57,6 +57,38 @@ class SourcesSpec extends SparkSpecBase {
       .filter(col("label") === 3).count())
   }
 
+  test("dynamic partition overwrite replaces ONLY the partitions in the incoming batch") {
+    // the warehouse idiom for re-running one period of a partitioned
+    // layout: overwrite mode with partitionOverwriteMode=dynamic must
+    // replace the touched month and leave every other month intact
+    // (static overwrite would drop the whole table)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("ym", (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+      orders.write.mode("overwrite").partitionBy("ym").parquet(dir)
+      val before = spark.read.parquet(dir)
+      val months = before.select("ym").distinct().count()
+      assert(months > 1, "need several months for the semantic to be observable")
+      val target = before.select(min(col("ym"))).head().getInt(0)
+      // materialize the expectation BEFORE the second write — `before` is
+      // a lazy view over the directory and would re-read post-overwrite
+      val othersBefore = before.filter(col("ym") =!= target).count()
+      val replacement = before.filter(col("ym") === target).limit(3)
+        .localCheckpoint(true)
+      replacement.write.mode("overwrite").partitionBy("ym").parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.filter(col("ym") === target).count() == 3,
+        "touched partition must hold exactly the new batch")
+      assert(after.filter(col("ym") =!= target).count() == othersBefore,
+        "untouched partitions must survive the overwrite")
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+  }
+
   test("ingest validation raises on wrong-dim vectors and passes good ones") {
     val good = Seq((1L, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
     assert(Grid.requireDim(good, "embedding", 4).count() == 1)
