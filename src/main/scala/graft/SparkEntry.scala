@@ -2224,6 +2224,24 @@ object SparkEntry {
           .withColumn("is_ref", dayofmonth(col("ts")) <= 15),
         "event_type", "bin", "is_ref", nBins = 10)
         .orderBy(col("event_type"))),
+    // Q4-shape priority report: orders in a window with at least one LATE
+    // line (shipped > 75 days after order) counted by priority — the
+    // EXISTS-decorrelated-to-LEFT-SEMI composition UNDER an aggregation.
+    // Equi orderkey carries the hash semi join; the lateness predicate is
+    // the residual condition evaluated inside it (no cross product, no
+    // second scan — the semi join emits each qualifying order once)
+    "join_q4_late_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1995-06-30").cast("timestamp")))
+      o.join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // behavior-trajectory similarity join (the REPOSE/trajectory-search
     // problem at the engine level): each user's event history becomes a
     // SET of ordered event-type bigrams ("click>view"), then the EXACT
@@ -4768,6 +4786,14 @@ object SparkEntry {
           |SELECT event_type,
           |  CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9) AS DECIMAL(28,9))) AS DOUBLE) AS psi
           |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "join_q4_late_orders" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+          |FROM orders o
+          |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey
+          |      AND l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "user_behavior_simjoin" ->
         """WITH bg AS (
           |  SELECT user_id, prev || '>' || event_type AS bg
