@@ -891,6 +891,32 @@ object SparkEntry {
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
         .limit(K)
     }),
+    // PQ reconstruction-error report: per subspace, the mean/max squared
+    // distance between each sub-vector and its NEAREST codeword (= the
+    // quantization error the ADC scan inherits) — the statistic that
+    // decides ksub/m sizing and flags a stale codebook. One scan, the 8
+    // per-row errors carried as an array then exploded to |m| groups;
+    // errors 9-decimal-quantized so the decimal mean is engine-exact
+    "vec_pq_error" -> ((s, d) => {
+      val model = FixedPqModel
+      def subDist(v: Column, off: Int, cent: Array[Double]): Column =
+        cent.indices.map { i =>
+          val dd = element_at(v, off + i + 1).cast("double") - lit(cent(i)); dd * dd
+        }.reduce(_ + _)
+      val errs = (0 until model.m).map { j =>
+        round(least((0 until model.ksub).map(c =>
+          subDist(col("embedding"), j * model.dsub, model.codebooks(j)(c))): _*), 9)
+          .cast(DecimalType(18, 9))
+      }
+      emb(s, d)
+        .select(posexplode(array(errs: _*)).as(Seq("subspace", "err")))
+        .groupBy(col("subspace"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("err")).cast("double") / count(lit(1)).cast("double"), 9)
+            .as("mean_err"),
+          max(col("err")).cast("double").as("max_err"))
+        .orderBy(col("subspace"))
+    }),
     // the full PQ search (ADC prefilter to `refine` candidates, exact
     // re-rank to k) under the same fixed codebook — both stages replayed
     // by the oracle
@@ -3631,6 +3657,26 @@ object SparkEntry {
            |    $pqCodeColsSql
            |  FROM embeddings)
            |ORDER BY adc_dist ASC, vec_id ASC LIMIT $K""".stripMargin,
+      "vec_pq_error" -> {
+        val model = FixedPqModel
+        def subDistSql(off: Int, cent: Array[Double]): String =
+          cent.indices.map { i =>
+            val dd = s"(CAST(embedding[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
+            s"($dd * $dd)"
+          }.mkString("(", " + ", ")")
+        val branches = (0 until model.m).map { j =>
+          val ds = (0 until model.ksub)
+            .map(c => subDistSql(j * model.dsub, model.codebooks(j)(c)))
+            .mkString("[", ",\n      ", "]")
+          s"SELECT $j AS subspace, CAST(ROUND(list_min($ds), 9) AS DECIMAL(18,9)) AS err FROM embeddings"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH e AS (
+           |  $branches)
+           |SELECT CAST(subspace AS INT) AS subspace, COUNT(*) AS n,
+           |  ROUND(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mean_err,
+           |  CAST(MAX(err) AS DOUBLE) AS max_err
+           |FROM e GROUP BY subspace ORDER BY subspace""".stripMargin
+      },
       "ann_pq_fixed_refine" ->
         s"""SELECT vec_id, ${DuckSql.squaredL2Lit(e, Q64)} AS dist
            |FROM embeddings WHERE vec_id IN (
