@@ -1595,6 +1595,35 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // funnel step latency: exact p50/p90 seconds between the funnel's
+    // first qualifying events (view→click, click→purchase) — the
+    // conversion-TIME report next to events_funnel's conversion-COUNT
+    // report. Same first-qualifying-step chain (three key-local
+    // aggregations), deltas percentiled with the proven exact
+    // interpolated kernel; one row out
+    "events_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("tse"))
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tse")).as("tv"))
+      val tc = ev.join(tv, Seq("user_id"))
+        .filter(col("event_type") === "click" && col("tse") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("tse")).as("tc"))
+      val tp = ev.join(tc, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("tse") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("tse")).as("tp"))
+      val vc = tc.join(tv, Seq("user_id"))
+        .select((col("tc") - col("tv")).as("dsec"))
+        .agg(count(lit(1)).as("n_vc"),
+          percentile(col("dsec"), lit(0.5)).as("p50_view_click"),
+          percentile(col("dsec"), lit(0.9)).as("p90_view_click"))
+      val cp = tp.join(tc, Seq("user_id"))
+        .select((col("tp") - col("tc")).as("dsec"))
+        .agg(count(lit(1)).as("n_cp"),
+          percentile(col("dsec"), lit(0.5)).as("p50_click_purchase"),
+          percentile(col("dsec"), lit(0.9)).as("p90_click_purchase"))
+      vc.crossJoin(cp)
+    }),
     // vector-norm extremes per label: min/max are order-independent double
     // aggregates (exact cross-engine, unlike double sums)
     "vec_norm_extremes" -> ((s, d) =>
@@ -4158,6 +4187,22 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "events_funnel_latency" ->
+        s"""WITH ev AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000000000) AS tse FROM events),
+           |tv AS (SELECT user_id, MIN(tse) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id),
+           |tc AS (SELECT ev.user_id, MIN(tse) AS tc FROM ev JOIN tv ON ev.user_id = tv.user_id
+           |       WHERE event_type = 'click' AND tse > tv GROUP BY ev.user_id),
+           |tp AS (SELECT ev.user_id, MIN(tse) AS tp FROM ev JOIN tc ON ev.user_id = tc.user_id
+           |       WHERE event_type = 'purchase' AND tse > tc GROUP BY ev.user_id),
+           |vc AS (SELECT COUNT(*) AS n_vc,
+           |         quantile_cont(tc - tv, ${DuckSql.fmt(0.5)}) AS p50_view_click,
+           |         quantile_cont(tc - tv, ${DuckSql.fmt(0.9)}) AS p90_view_click
+           |       FROM tc JOIN tv USING (user_id)),
+           |cp AS (SELECT COUNT(*) AS n_cp,
+           |         quantile_cont(tp - tc, ${DuckSql.fmt(0.5)}) AS p50_click_purchase,
+           |         quantile_cont(tp - tc, ${DuckSql.fmt(0.9)}) AS p90_click_purchase
+           |       FROM tp JOIN tc USING (user_id))
+           |SELECT * FROM vc CROSS JOIN cp""".stripMargin,
       "vec_norm_extremes" ->
         s"""SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
            |FROM (SELECT label, sqrt(${DuckSql.squaredL2Lit("embedding", Array.fill(Dim)(0.0))}) AS nrm FROM embeddings)
