@@ -1595,6 +1595,31 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // CUSUM changepoint statistic over the daily event series: the
+    // classic monitoring fold c_t = max(0, c_{t-1} + (x_t − mean)) is an
+    // inherently SEQUENTIAL recursion no window expresses — it runs as a
+    // left fold over the |days|-sized aggregated series (Spark `aggregate`
+    // ≡ DuckDB `list_reduce`, the BPE fold-replay contract), with a
+    // two-slot accumulator carrying (cusum, running max). The corpus
+    // collapses to |days| rows first; the fold never sees raw events
+    "events_cusum_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      daily
+        .agg(collect_list(struct(col("day"), col("n"))).as("arr"),
+          sum(col("n")).as("tot"), count(lit(1)).as("n_days"))
+        .withColumn("mean_daily",
+          round(col("tot").cast("double") / col("n_days").cast("double"), 6))
+        .select(col("n_days"), col("mean_daily"),
+          round(element_at(aggregate(
+            transform(array_sort(col("arr")),
+              e => e.getField("n").cast("double") - col("mean_daily")),
+            array(lit(0.0), lit(0.0)),
+            (acc, x) => {
+              val c = greatest(lit(0.0), element_at(acc, 1) + x)
+              array(c, greatest(element_at(acc, 2), c))
+            }), 2), 6).as("max_cusum"))
+    }),
     // funnel step latency: exact p50/p90 seconds between the funnel's
     // first qualifying events (view→click, click→purchase) — the
     // conversion-TIME report next to events_funnel's conversion-COUNT
@@ -4187,6 +4212,25 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "events_cusum_daily" -> {
+        val z = DuckSql.fmt(0.0)
+        s"""WITH daily AS (
+           |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+           |agg AS (
+           |  SELECT list(CAST(n AS DOUBLE) ORDER BY day) AS arr,
+           |    CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n_days
+           |  FROM daily),
+           |m AS (
+           |  SELECT n_days, arr,
+           |    ROUND(CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily
+           |  FROM agg)
+           |SELECT n_days, mean_daily,
+           |  ROUND(list_reduce(
+           |    list_prepend([$z, $z], list_transform(arr, v -> [v - mean_daily])),
+           |    (acc, x) -> [GREATEST($z, acc[1] + x[1]),
+           |                 GREATEST(acc[2], GREATEST($z, acc[1] + x[1]))])[2], 6) AS max_cusum
+           |FROM m""".stripMargin
+      },
       "events_funnel_latency" ->
         s"""WITH ev AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000000000) AS tse FROM events),
            |tv AS (SELECT user_id, MIN(tse) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id),
