@@ -1595,6 +1595,29 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // frequent term-pair mining (market-basket level 2, A-PRIORI pruned):
+    // only terms that are frequent ALONE (df ≥ support, the a-priori
+    // bound) enter the per-doc pair generation, so the doc×token² blowup
+    // is capped by the frequent vocabulary, not the raw one; stopwords
+    // excluded so the pairs are informative. PMI ranks by lift over the
+    // token stream — this is its SUPPORT-count sibling, the co-occurrence
+    // dictionary a phrase detector thresholds
+    "text_frequent_pairs" -> ((s, d) => {
+      val minSupport = 25
+      val toks = par(s, docs(s, d))
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "" && !col("w").isInCollection(Stopwords))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minSupport)
+      val ft = toks.join(broadcast(freq.select(col("w"))), "w")
+      ft.as("a").join(ft.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+        .orderBy(col("support").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
     // CUSUM changepoint statistic over the daily event series: the
     // classic monitoring fold c_t = max(0, c_{t-1} + (x_t − mean)) is an
     // inherently SEQUENTIAL recursion no window expresses — it runs as a
@@ -4212,6 +4235,20 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "text_frequent_pairs" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+           |    FROM documents)
+           |  WHERE w <> '' AND w NOT IN $stopListSql),
+           |freq AS (SELECT w FROM (SELECT w, COUNT(*) AS df FROM toks GROUP BY w)
+           |         WHERE df >= 25),
+           |ft AS (SELECT t.doc_id, t.w FROM toks t JOIN freq f ON t.w = f.w)
+           |SELECT a.w AS w1, b.w AS w2, COUNT(*) AS support
+           |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+           |GROUP BY a.w, b.w
+           |HAVING COUNT(*) >= 25
+           |ORDER BY support DESC, w1, w2 LIMIT 30""".stripMargin,
       "events_cusum_daily" -> {
         val z = DuckSql.fmt(0.0)
         s"""WITH daily AS (
