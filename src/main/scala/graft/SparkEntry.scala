@@ -1595,6 +1595,24 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // quantile normalization across sources (batch-effect correction):
+    // each doc's quality is replaced by the POOLED distribution's value
+    // at the doc's within-SOURCE percentile — sources with inflated or
+    // deflated score scales become comparable in actual pooled units
+    // (zscore assumes a shape, percentile stops at ranks; this rebuilds
+    // values). Histogram collapse + two broadcast range joins into the
+    // pooled [cum_start, cum_end) rank ranges; no corpus sort
+    "text_quality_qnorm" -> ((s, d) => {
+      val q4 = round(TextAnalysis.qualityScore(col("text")), 4)
+        .cast(DecimalType(9, 4))
+      graft.operators.Governance.quantileNormalize(
+          par(s, docs(s, d)).select(col("doc_id"), col("source"), col("text")),
+          "source", q4)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"),
+          col("score_q").cast("double").as("quality"), col("pctl"), col("qnorm"))
+        .orderBy(col("doc_id"))
+    }),
     // frequent term-pair mining (market-basket level 2, A-PRIORI pruned):
     // only terms that are frequent ALONE (df ≥ support, the a-priori
     // bound) enter the per-doc pair generation, so the doc×token² blowup
@@ -4235,6 +4253,46 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "text_quality_qnorm" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, source,
+           |    CAST(round(${qualitySql("text")}, 4) AS DECIMAL(9,4)) AS score_q
+           |  FROM documents),
+           |hist AS (SELECT source, score_q, COUNT(*) AS c FROM scored GROUP BY source, score_q),
+           |pr AS (
+           |  SELECT source, score_q,
+           |    CASE WHEN SUM(c) OVER (PARTITION BY source) > 1
+           |      THEN round(CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score_q ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           |        / CAST(SUM(c) OVER (PARTITION BY source) - 1 AS DOUBLE), 9)
+           |      ELSE 0.0 END AS pctl
+           |  FROM hist),
+           |ranked AS (
+           |  SELECT s.doc_id, s.source, s.score_q, p.pctl
+           |  FROM scored s JOIN pr p ON s.source = p.source AND s.score_q = p.score_q),
+           |pooled AS (SELECT score_q, COUNT(*) AS c FROM ranked GROUP BY score_q),
+           |ph AS (
+           |  SELECT score_q, cum_start, cum_start + c AS cum_end FROM (
+           |    SELECT score_q, c,
+           |      COALESCE(SUM(c) OVER (ORDER BY score_q ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+           |    FROM pooled)),
+           |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM pooled),
+           |wi AS (
+           |  SELECT r.doc_id, r.source, r.score_q, r.pctl,
+           |    r.pctl * CAST(n_total - 1 AS DOUBLE) AS idx
+           |  FROM ranked r CROSS JOIN nt),
+           |w2 AS (
+           |  SELECT *, CAST(FLOOR(idx) AS BIGINT) AS lo, CAST(CEIL(idx) AS BIGINT) AS hi,
+           |    idx - CAST(CAST(FLOOR(idx) AS BIGINT) AS DOUBLE) AS frac
+           |  FROM wi)
+           |SELECT w2.doc_id, w2.source, CAST(w2.score_q AS DOUBLE) AS quality, w2.pctl,
+           |  round(CAST(l.score_q AS DOUBLE)
+           |    + (CAST(h.score_q AS DOUBLE) - CAST(l.score_q AS DOUBLE)) * w2.frac, 6) AS qnorm
+           |FROM w2
+           |JOIN ph l ON w2.lo >= l.cum_start AND w2.lo < l.cum_end
+           |JOIN ph h ON w2.hi >= h.cum_start AND w2.hi < h.cum_end
+           |WHERE w2.doc_id % 7 = 0 ORDER BY w2.doc_id""".stripMargin,
       "text_frequent_pairs" ->
         s"""WITH toks AS (
            |  SELECT doc_id, w FROM (

@@ -92,4 +92,48 @@ object Governance {
     scored.join(broadcast(pr), Seq(group, "__q"))
       .withColumnRenamed("__q", "score_q")
   }
+
+  /** Quantile normalization across groups — the batch-effect correction
+    * transform: each row's score is replaced by the POOLED distribution's
+    * value at the row's within-group percentile, qnorm(x) =
+    * Q_pooled(F_group(x)), so every group's marginal distribution maps
+    * onto the shared one (sources with inflated or deflated score scales
+    * become comparable; the parametric z-score assumes a shape, the
+    * percentile stops at ranks — this rebuilds actual pooled VALUES).
+    *
+    * Scale shape: [[percentileByGroup]]'s histogram collapse supplies the
+    * within-group percentile; the pooled side is one more bounded
+    * histogram with cumulative rank ranges. The inverse-CDF lookup
+    * Q_pooled(p) interpolates between the pooled values at ranks
+    * ⌊p·(N−1)⌋ and ⌈p·(N−1)⌉, found by joining the rank into the
+    * histogram's [cum_start, cum_end) ranges — two broadcast range joins
+    * against a ≤|distinct quantized score| table, never a sort of the
+    * corpus. Interpolation runs in double and rounds to 6 decimals. */
+  def quantileNormalize(df: DataFrame, group: String, scoreQ: Column): DataFrame = {
+    val ranked = percentileByGroup(df, group, scoreQ)
+    val pooled = ranked.groupBy(col("score_q")).agg(count(lit(1)).as("__c"))
+    val before = Window.orderBy(col("score_q").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ph = pooled
+      .withColumn("__cum_start", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__cum_end", col("__cum_start") + col("__c"))
+    val nTot = ph.agg(sum(col("__c")).as("__n_total"))
+    val withIdx = ranked.crossJoin(broadcast(nTot))
+      .withColumn("__idx", col("pctl") * (col("__n_total") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__idx")).cast("long"))
+      .withColumn("__hi", ceil(col("__idx")).cast("long"))
+      .withColumn("__frac", col("__idx") - col("__lo").cast("double"))
+    val lo = ph.select(col("score_q").as("__v_lo"),
+      col("__cum_start").as("__s1"), col("__cum_end").as("__e1"))
+    val hi = ph.select(col("score_q").as("__v_hi"),
+      col("__cum_start").as("__s2"), col("__cum_end").as("__e2"))
+    withIdx
+      .join(broadcast(lo), col("__lo") >= col("__s1") && col("__lo") < col("__e1"))
+      .join(broadcast(hi), col("__hi") >= col("__s2") && col("__hi") < col("__e2"))
+      .withColumn("qnorm",
+        round(col("__v_lo").cast("double") +
+          (col("__v_hi").cast("double") - col("__v_lo").cast("double")) * col("__frac"), 6))
+      .drop("__idx", "__lo", "__hi", "__frac", "__s1", "__e1", "__s2", "__e2",
+        "__v_lo", "__v_hi", "__n_total")
+  }
 }

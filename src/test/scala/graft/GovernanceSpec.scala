@@ -72,4 +72,44 @@ class GovernanceSpec extends SparkSpecBase {
     assert(out("en") == ((3L, 2L)))
     assert(out("de") == ((1L, 1L)))
   }
+
+  test("quantileNormalize: qnorm lies in the pooled range and is monotone in pctl") {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val q4 = round(TextAnalysis.qualityScore(col("text")), 4).cast(DecimalType(9, 4))
+    val out = Governance.quantileNormalize(docs, "source", q4)
+      .select(col("score_q").cast("double"), col("pctl"), col("qnorm"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val poolMin = out.map(_._1).min; val poolMax = out.map(_._1).max
+    out.foreach { case (_, _, qn) =>
+      assert(qn >= poolMin - 1e-9 && qn <= poolMax + 1e-9)
+    }
+    // monotone: sorting by pctl must sort qnorm (ties allowed)
+    val byP = out.sortBy(_._2).map(_._3)
+    byP.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9)
+      case _ =>
+    }
+  }
+
+  test("quantileNormalize: single group maps percentiles onto its own values (interpolation-close)") {
+    import org.apache.spark.sql.types.DecimalType
+    val one = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lit("only").as("source"), col("text"))
+    val q4 = round(TextAnalysis.qualityScore(col("text")), 4).cast(DecimalType(9, 4))
+    // with ONE group, pooled == group distribution: qnorm recovers the
+    // original quantized score up to one interpolation step (adjacent
+    // pooled values), since the 9-decimal pctl rounding can shift the
+    // fractional rank by < 1
+    val rows = Governance.quantileNormalize(one, "source", q4)
+      .select(col("score_q").cast("double"), col("qnorm")).collect()
+    val distinct = rows.map(_.getDouble(0)).distinct.sorted
+    val maxGap = distinct.sliding(2).collect { case Array(a, b) => b - a }
+      .foldLeft(0.0)(math.max)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(0)) <= maxGap + 1e-9)
+    }
+  }
 }
