@@ -1595,6 +1595,35 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // approximate query processing: estimate total revenue from the
+    // deterministic 10% md5 sample with a 95% CI, next to the exact
+    // answer — the estimator + error-bar math an AQP dashboard shows
+    // while the full scan runs. Sample sums are exact decimals; the
+    // Horvitz-Thompson scale-up, sample variance, and CI assemble in
+    // double as the same IEEE tree in both engines
+    "agg_sample_estimate_revenue" -> ((s, d) => {
+      val rev = col("o_totalprice").cast(DecimalType(18, 2))
+      val inSample = pmod(Dedup.md5Int32(col("o_orderkey").cast("string")), lit(10L)) === 0
+      val g = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(rev).as("true_dec"),
+        sum(when(inSample, lit(1L))).as("n_s"),
+        sum(when(inSample, rev)).as("s_dec"),
+        sum(when(inSample, rev * rev)).as("ss_dec"))
+      val nD = col("n").cast("double"); val nsD = col("n_s").cast("double")
+      val mean = col("s_dec").cast("double") / nsD
+      val est = mean * nD
+      val varS = (nsD * col("ss_dec").cast("double") -
+        col("s_dec").cast("double") * col("s_dec").cast("double")) / (nsD * (nsD - 1.0))
+      val se = sqrt(varS / nsD) * nD
+      g.select(col("n"), col("n_s"),
+        col("true_dec").cast("double").as("true_revenue"),
+        round(est, 2).as("est_revenue"),
+        round((est - col("true_dec").cast("double")) / col("true_dec").cast("double") * 100.0, 4)
+          .as("rel_err_pct"),
+        round(est - lit(1.96) * se, 2).as("ci_low"),
+        round(est + lit(1.96) * se, 2).as("ci_high"))
+    }),
     // quantile normalization across sources (batch-effect correction):
     // each doc's quality is replaced by the POOLED distribution's value
     // at the doc's within-SOURCE percentile — sources with inflated or
@@ -4253,6 +4282,30 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "agg_sample_estimate_revenue" ->
+        s"""WITH g AS (
+           |  SELECT COUNT(*) AS n,
+           |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS true_dec,
+           |    CAST(SUM(CASE WHEN (${Dedup.md5Int32Sql("CAST(o_orderkey AS VARCHAR)")} % 10) = 0 THEN 1 END) AS BIGINT) AS n_s,
+           |    SUM(CASE WHEN (${Dedup.md5Int32Sql("CAST(o_orderkey AS VARCHAR)")} % 10) = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s_dec,
+           |    SUM(CASE WHEN (${Dedup.md5Int32Sql("CAST(o_orderkey AS VARCHAR)")} % 10) = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END) AS ss_dec
+           |  FROM orders),
+           |m AS (
+           |  SELECT n, n_s, true_dec,
+           |    (CAST(s_dec AS DOUBLE) / CAST(n_s AS DOUBLE)) * CAST(n AS DOUBLE) AS est,
+           |    (CAST(n_s AS DOUBLE) * CAST(ss_dec AS DOUBLE) - CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE))
+           |      / (CAST(n_s AS DOUBLE) * (CAST(n_s AS DOUBLE) - 1.0)) AS var_s
+           |  FROM g),
+           |se AS (
+           |  SELECT n, n_s, true_dec, est,
+           |    SQRT(var_s / CAST(n_s AS DOUBLE)) * CAST(n AS DOUBLE) AS se
+           |  FROM m)
+           |SELECT n, n_s, CAST(true_dec AS DOUBLE) AS true_revenue,
+           |  ROUND(est, 2) AS est_revenue,
+           |  ROUND((est - CAST(true_dec AS DOUBLE)) / CAST(true_dec AS DOUBLE) * ${DuckSql.fmt(100.0)}, 4) AS rel_err_pct,
+           |  ROUND(est - ${DuckSql.fmt(1.96)} * se, 2) AS ci_low,
+           |  ROUND(est + ${DuckSql.fmt(1.96)} * se, 2) AS ci_high
+           |FROM se""".stripMargin,
       "text_quality_qnorm" ->
         s"""WITH scored AS (
            |  SELECT doc_id, source,
