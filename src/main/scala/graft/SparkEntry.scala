@@ -1595,6 +1595,29 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // trailing-7-day distinct active users per day (the rolling-MAU
+    // shape): DISTINCT over a sliding window is not frame-expressible —
+    // the scalable exact form dedups to (day, user) pairs once, CASTS
+    // each pair to the 7 target days it contributes to (a bounded
+    // explode), and distinct-counts per target day. |active-pairs|×7
+    // rows, all key-local; no per-day rescans of the event log
+    "events_rolling_active_users" -> ((s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast(LongType).as("eday"), col("user_id"))
+        .distinct()
+      val bounds = pairs.agg(min(col("eday")).as("min_day"), max(col("eday")).as("max_day"))
+      pairs
+        .select(explode(sequence(col("eday"), col("eday") + 6)).as("target_day"),
+          col("user_id"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("target_day") <= col("max_day"))
+        .groupBy(col("target_day"))
+        .agg(count_distinct(col("user_id")).as("active_7d"))
+        .withColumn("day",
+          date_add(lit("1970-01-01").cast("date"), col("target_day").cast("int")))
+        .orderBy(col("target_day"))
+    }),
     // approximate query processing: estimate total revenue from the
     // deterministic 10% md5 sample with a 95% CI, next to the exact
     // answer — the estimator + error-bar math an AQP dashboard shows
@@ -4282,6 +4305,22 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "events_rolling_active_users" ->
+        """WITH pairs AS (
+          |  SELECT DISTINCT
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS eday,
+          |    user_id
+          |  FROM events),
+          |bounds AS (SELECT MAX(eday) AS max_day FROM pairs),
+          |contrib AS (
+          |  SELECT eday + off AS target_day, user_id
+          |  FROM pairs CROSS JOIN (SELECT unnest(range(0, 7)) AS off))
+          |SELECT target_day,
+          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d,
+          |  DATE '1970-01-01' + CAST(target_day AS INT) AS day
+          |FROM contrib CROSS JOIN bounds
+          |WHERE target_day <= max_day
+          |GROUP BY target_day ORDER BY target_day""".stripMargin,
       "agg_sample_estimate_revenue" ->
         s"""WITH g AS (
            |  SELECT COUNT(*) AS n,
