@@ -89,6 +89,22 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("schema evolution on read: mergeSchema unions old and new file schemas") {
+    // the additive-column evolution a long-lived corpus store goes
+    // through: files written before the column exists read as NULL,
+    // new files carry it — one logical table, no rewrite of history
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "quality", "text"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("quality").isNull).count() == 2)
+    assert(merged.filter(col("doc_id") === 3L).head().getAs[Double]("quality") == 0.9)
+  }
+
   test("ingest validation raises on wrong-dim vectors and passes good ones") {
     val good = Seq((1L, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
     assert(Grid.requireDim(good, "embedding", 4).count() == 1)
