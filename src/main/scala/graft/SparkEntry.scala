@@ -1595,6 +1595,32 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // corpus-diversity estimate: mean pairwise cosine similarity is an
+    // O(n²) statistic — at corpus scale it is ESTIMATED from the cross
+    // product of two small deterministic md5 subsets (disjoint draws, so
+    // pairs are i.i.d.-ish without sampling the quadratic space), with a
+    // 95% CI from the sample variance. Cosines 9-decimal-quantized into
+    // exact decimal power sums; estimator math in identical IEEE doubles
+    "vec_pairwise_sim_estimate" -> ((s, d) => {
+      val h = pmod(Dedup.md5Int32(col("vec_id").cast("string")), lit(20L))
+      val a = emb(s, d).filter(h === 0).select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb(s, d).filter(h === 1).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val cs = round(Distances.cosineSimCols(col("va"), col("vb"), Dim), 9)
+        .cast(DecimalType(18, 9))
+      val g = a.crossJoin(b).select(cs.as("c"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+      val nD = col("n_pairs").cast("double")
+      val mean = col("sc").cast("double") / nD
+      val varS = (nD * col("scc").cast("double") -
+        col("sc").cast("double") * col("sc").cast("double")) / (nD * (nD - 1.0))
+      val se = sqrt(varS / nD)
+      g.select(col("n_pairs"),
+        round(mean, 6).as("mean_cos"),
+        round(sqrt(varS), 6).as("std_cos"),
+        round(mean - lit(1.96) * se, 6).as("ci_low"),
+        round(mean + lit(1.96) * se, 6).as("ci_high"))
+    }),
     // trailing-7-day distinct active users per day (the rolling-MAU
     // shape): DISTINCT over a sliding window is not frame-expressible —
     // the scalable exact form dedups to (day, user) pairs once, CASTS
@@ -4305,6 +4331,29 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "vec_pairwise_sim_estimate" -> {
+        val h = s"(${Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")} % 20)"
+        val cs = DuckSql.cosineSimCols("a.va", "b.vb", Dim)
+        s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE $h = 0),
+           |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE $h = 1),
+           |g AS (
+           |  SELECT COUNT(*) AS n_pairs,
+           |    SUM(c) AS sc, SUM(c * c) AS scc
+           |  FROM (SELECT CAST(ROUND($cs, 9) AS DECIMAL(18,9)) AS c
+           |        FROM a CROSS JOIN b)),
+           |m AS (
+           |  SELECT n_pairs,
+           |    CAST(sc AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mean,
+           |    (CAST(n_pairs AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+           |      / (CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) - 1.0)) AS var_s
+           |  FROM g)
+           |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           |  ROUND(mean, 6) AS mean_cos,
+           |  ROUND(SQRT(var_s), 6) AS std_cos,
+           |  ROUND(mean - ${DuckSql.fmt(1.96)} * SQRT(var_s / CAST(n_pairs AS DOUBLE)), 6) AS ci_low,
+           |  ROUND(mean + ${DuckSql.fmt(1.96)} * SQRT(var_s / CAST(n_pairs AS DOUBLE)), 6) AS ci_high
+           |FROM m""".stripMargin
+      },
       "events_rolling_active_users" ->
         """WITH pairs AS (
           |  SELECT DISTINCT
