@@ -1595,6 +1595,27 @@ object SparkEntry {
         .crossJoin(tc.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(tp.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
+    // join-key skew diagnostic (the decision statistic BEFORE salting or
+    // AQE skew splitting): per-key frequency distribution of the fact
+    // table's join key collapsed to (n_keys, max, share of the hottest
+    // key, p50/p99 frequency) — if p99/p50 explodes or top1_share is
+    // material, the plain hash join hot-spots one reducer. The key
+    // histogram is |keys| rows; percentiles run on IT, not the fact table
+    "profile_skew_keys" -> ((s, d) => {
+      val freq = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+      freq.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_f"),
+          percentile(col("f"), lit(0.5)).as("p50_f"),
+          percentile(col("f"), lit(0.99)).as("p99_f"))
+        .select(col("n_keys"), col("n_rows"), col("max_f"),
+          round(col("max_f").cast("double") / col("n_rows").cast("double"), 9)
+            .as("top1_share"),
+          col("p50_f"), col("p99_f"),
+          round(col("p99_f") / col("p50_f"), 6).as("p99_over_p50"))
+    }),
     // corpus-diversity estimate: mean pairwise cosine similarity is an
     // O(n²) statistic — at corpus scale it is ESTIMATED from the cross
     // product of two small deterministic md5 subsets (disjoint draws, so
@@ -4331,6 +4352,17 @@ object SparkEntry {
           |SELECT (SELECT COUNT(*) FROM tv) AS n_view,
           |       (SELECT COUNT(*) FROM tc) AS n_click_after_view,
           |       (SELECT COUNT(*) FROM tp) AS n_purchase_after_click""".stripMargin,
+      "profile_skew_keys" ->
+        s"""WITH freq AS (
+           |  SELECT l_orderkey, COUNT(*) AS f FROM lineitem GROUP BY l_orderkey)
+           |SELECT COUNT(*) AS n_keys,
+           |  CAST(SUM(f) AS BIGINT) AS n_rows,
+           |  MAX(f) AS max_f,
+           |  ROUND(CAST(MAX(f) AS DOUBLE) / CAST(SUM(f) AS DOUBLE), 9) AS top1_share,
+           |  quantile_cont(f, ${DuckSql.fmt(0.5)}) AS p50_f,
+           |  quantile_cont(f, ${DuckSql.fmt(0.99)}) AS p99_f,
+           |  ROUND(quantile_cont(f, ${DuckSql.fmt(0.99)}) / quantile_cont(f, ${DuckSql.fmt(0.5)}), 6) AS p99_over_p50
+           |FROM freq""".stripMargin,
       "vec_pairwise_sim_estimate" -> {
         val h = s"(${Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")} % 20)"
         val cs = DuckSql.cosineSimCols("a.va", "b.vb", Dim)
