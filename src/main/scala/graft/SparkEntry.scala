@@ -3082,6 +3082,85 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("c_mktsegment"))
+    }),
+    // --- round-5: nearest-mode as-of, gaps-and-islands, sliding median,
+    // fractional-epoch mixing, hash-checked cardinality sketch
+    // nearest-in-time join: each purchase attached to the user's CLOSEST
+    // click in either direction (tie → the earlier one) — attribution
+    // when the touchpoint can trail the conversion. One shuffle on
+    // user_id; backward + forward candidates from two frames over the
+    // same exchange
+    "asof_join_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsOfJoin.asOfNearest(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("c_ts")),
+        keyL = "user_id", keyR = "c_user", timeL = "ts", timeR = "c_ts",
+        payloadR = Seq("click_id"), tiebreakR = "click_id")
+        .select(col("event_id"), col("user_id"), col("click_id"), col("asof_dt_s"))
+        .orderBy(col("event_id"))
+    }),
+    // longest consecutive-day activity streak per user (gaps-and-islands:
+    // day_number − row_number island constant) — pure integer day
+    // arithmetic, engine-exact
+    "events_streak_longest" -> ((s, d) =>
+      graft.operators.TimeSeries.longestDailyStreak(
+          Tables.events(s, d), "user_id", "ts")
+        .select(col("key").as("user_id"), col("n_active_days"),
+          col("longest_streak"))
+        .orderBy(col("user_id"))),
+    // exact trailing-7-row median of the per-type daily value sums — the
+    // robust smoother (spikes can't drag a median the way they drag the
+    // rolling mean). collect_list over a ROWS frame holds ≤ 7 doubles per
+    // row; partitioned by event_type, so no global window. round(6) on
+    // both engines absorbs the even-count midpoint's ULP association
+    "window_rolling_median" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(dsum(col("value"), 3).as("v_day"))
+      graft.operators.TimeSeries.rollingMedian(daily, Seq(col("event_type")),
+          col("day_epoch"), col("v_day"), width = 7, outCol = "med7")
+        .select(col("event_type"), col("day_epoch"), col("v_day"),
+          round(col("med7"), 6).as("med7"))
+        .orderBy(col("event_type"), col("day_epoch"))
+    }),
+    // fractional-epoch upsampling: per-source rate in [1.00, 3.99] from
+    // the source-name hash; each doc emits ⌊rate⌋ copies plus a
+    // deterministic id-hash-selected extra — the materialized "2.5
+    // epochs of wiki" training mixture, replayed row-for-row by the
+    // oracle's generate_series. Map-side only: no shuffle before the
+    // presentation sort
+    "sample_epoch_upsample" -> ((s, d) => {
+      val rate = lit(1.0) +
+        pmod(Dedup.md5Int32(col("source")), lit(300L)).cast("double") / lit(100.0)
+      graft.operators.Governance.epochUpsample(
+          docs(s, d).select(col("doc_id"), col("source"))
+            .withColumn("rate", round(rate, 2)),
+          col("doc_id"), col("rate"))
+        .select(col("doc_id"), col("source"), col("rate"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+    // KMV distinct-count sketch over order keys: (k−1)/kth-smallest
+    // normalized hash. Pure function of the deterministic md5 hash ⇒ the
+    // estimate itself is HASH-CHECKED cross-engine (the HLL sketch in
+    // agg_sketches can't be) — alongside the exact count as ground truth
+    "agg_kmv_distinct" -> ((s, d) =>
+      graft.operators.Stats.kmvDistinct(
+        Tables.lineitem(s, d), col("l_orderkey"), k = 256)),
+    // theta-sketch INTERSECTION: |orders with a Returned line ∩ orders
+    // with an Accepted line| estimated from two 256-hash KMV samples —
+    // sketch set-algebra where the two sides never meet at full width
+    // (≤ k hashes each cross the exchange); exact ground truth alongside
+    "agg_theta_intersect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.operators.Stats.thetaIntersect(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "A"),
+        col("l_orderkey"), col("l_orderkey"), k = 256)
     })
   )
 
@@ -5868,7 +5947,105 @@ object SparkEntry {
       "join_bucketed_colocated" ->
         s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
            |FROM orders JOIN customer ON o_custkey = c_custkey
-           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      // round-5
+      "asof_join_nearest" ->
+        """WITH u AS (
+          |  SELECT event_id, user_id AS k, ts AS t,
+          |         (epoch_ns(ts) // 1000000000) AS tse,
+          |         1 AS sb, 0 AS sf, CAST(NULL AS BIGINT) AS tb,
+          |         user_id, CAST(NULL AS BIGINT) AS pid, CAST(NULL AS BIGINT) AS pts
+          |  FROM events WHERE event_type = 'purchase'
+          |  UNION ALL
+          |  SELECT CAST(NULL AS BIGINT), user_id, ts, CAST(NULL AS BIGINT),
+          |         0, 1, event_id,
+          |         CAST(NULL AS BIGINT), event_id, (epoch_ns(ts) // 1000000000)
+          |  FROM events WHERE event_type = 'click'),
+          |c AS (
+          |  SELECT event_id, user_id, sb, tse,
+          |    last_value(pid IGNORE NULLS) OVER wb AS b_id,
+          |    last_value(pts IGNORE NULLS) OVER wb AS b_t,
+          |    first_value(pid IGNORE NULLS) OVER wf AS f_id,
+          |    first_value(pts IGNORE NULLS) OVER wf AS f_t
+          |  FROM u
+          |  WINDOW wb AS (PARTITION BY k ORDER BY t ASC, sb ASC, tb ASC
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         wf AS (PARTITION BY k ORDER BY t ASC, sf ASC, tb ASC
+          |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT event_id, user_id,
+          |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR (tse - b_t) <= (f_t - tse))
+          |       THEN b_id ELSE f_id END AS click_id,
+          |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR (tse - b_t) <= (f_t - tse))
+          |       THEN b_t - tse ELSE f_t - tse END AS asof_dt_s
+          |FROM c WHERE sb = 1 ORDER BY event_id""".stripMargin,
+      "events_streak_longest" ->
+        """WITH days AS (
+          |  SELECT DISTINCT user_id,
+          |    (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS d
+          |  FROM events),
+          |r AS (SELECT user_id, d,
+          |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d ASC) AS rn
+          |      FROM days),
+          |g AS (SELECT user_id, COUNT(*) AS streak FROM r GROUP BY user_id, d - rn)
+          |SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_active_days,
+          |  MAX(streak) AS longest_streak
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "window_rolling_median" ->
+        s"""WITH daily AS (
+           |  SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           |    ${dsumSql("value", 3)} AS v_day
+           |  FROM events GROUP BY event_type, day_epoch)
+           |SELECT event_type, day_epoch, v_day,
+           |  round(median(v_day) OVER (PARTITION BY event_type ORDER BY day_epoch ASC
+           |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+           |FROM daily ORDER BY event_type, day_epoch""".stripMargin,
+      "sample_epoch_upsample" -> {
+        val srcH = Dedup.md5Int32Sql("source")
+        val idH = Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")
+        s"""WITH r AS (
+           |  SELECT doc_id, source, (100 + ($srcH % 300)) AS cents
+           |  FROM documents),
+           |n AS (
+           |  SELECT doc_id, source, cents,
+           |    (cents // 100) +
+           |      CASE WHEN ($idH % 100) < (cents % 100) THEN 1 ELSE 0 END AS n_copies
+           |  FROM r)
+           |SELECT doc_id, source,
+           |  round(CAST(cents AS DOUBLE) / CAST('100.0' AS DOUBLE), 2) AS rate,
+           |  CAST(unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS INT) AS copy_idx
+           |FROM n WHERE n_copies >= 1
+           |ORDER BY doc_id, copy_idx""".stripMargin
+      },
+      "agg_kmv_distinct" -> {
+        val h = Dedup.md5Int32Sql("CAST(l_orderkey AS VARCHAR)")
+        s"""WITH hs AS (SELECT DISTINCT $h AS h FROM lineitem),
+           |topk AS (SELECT h FROM hs ORDER BY h ASC LIMIT 256),
+           |kth AS (SELECT MAX(h) AS kth_h, COUNT(*) AS k_actual FROM topk)
+           |SELECT CAST(k_actual AS BIGINT) AS k, kth_h,
+           |  round(CAST(k_actual - 1 AS DOUBLE) /
+           |    (CAST(kth_h AS DOUBLE) / ${DuckSql.fmt(4294967296.0)}), 4) AS est_distinct,
+           |  (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS exact_distinct
+           |FROM kth""".stripMargin
+      },
+      "agg_theta_intersect" -> {
+        val h = Dedup.md5Int32Sql("CAST(l_orderkey AS VARCHAR)")
+        s"""WITH ha AS (SELECT DISTINCT $h AS h FROM lineitem WHERE l_returnflag = 'R'),
+           |hb AS (SELECT DISTINCT $h AS h FROM lineitem WHERE l_returnflag = 'A'),
+           |tha AS (SELECT MAX(h) AS th FROM (SELECT h FROM ha ORDER BY h ASC LIMIT 256)),
+           |thb AS (SELECT MAX(h) AS th FROM (SELECT h FROM hb ORDER BY h ASC LIMIT 256)),
+           |th AS (SELECT LEAST(tha.th, thb.th) AS theta_h FROM tha, thb),
+           |common AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+           |           FROM ha JOIN hb USING (h), th WHERE h <= th.theta_h),
+           |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM
+           |  (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') a
+           |  JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A') b
+           |  USING (l_orderkey))
+           |SELECT theta_h, n_common,
+           |  round(CAST(n_common AS DOUBLE) /
+           |    (CAST(theta_h AS DOUBLE) / ${DuckSql.fmt(4294967296.0)}), 4) AS est_intersect,
+           |  exact_intersect
+           |FROM th, common, ex""".stripMargin
+      }
     )
   }
 }

@@ -83,4 +83,68 @@ object AsOfJoin {
       leftNullT.select(leftCols.map(col) ++
         payloadR.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
   }
+
+  /** Nearest-in-time as-of join: attach the right row whose time is CLOSEST
+    * to the left row's (either direction); exact-tie in |Δt| resolves to the
+    * EARLIER (backward) candidate. Adds `asof_dt_s` — signed whole seconds
+    * from left to the matched right row (negative = match in the past).
+    *
+    * Same scale shape as [[asOf]]: one union, ONE shuffle on the key; the
+    * backward and forward candidates come from two window frames over the
+    * same exchange (Spark re-sorts per frame order but never re-partitions).
+    * Equal-timestamp right rows are visible in BOTH directions (side
+    * columns order right-before-left backward and left-before-right
+    * forward); among right rows sharing (key, time) the max `tiebreakR`
+    * wins backward and the min wins forward, mirroring [[asOf]]. */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+                  keyL: String, keyR: String,
+                  timeL: String, timeR: String,
+                  payloadR: Seq[String], tiebreakR: String): DataFrame = {
+    val leftNullT = left.filter(col(timeL).isNull)
+    val left0 = left.filter(col(timeL).isNotNull)
+    val right0 = right.filter(col(timeR).isNotNull)
+    val leftCols = left.columns.toSeq
+    // the carried struct leads with the right row's epoch seconds so the
+    // distance compare never re-joins the right side
+    val payloadFields = ("__rt", org.apache.spark.sql.types.LongType) +:
+      payloadR.map(c => (c, right.schema(c).dataType))
+    val payloadType = StructType(payloadFields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t) })
+    val l = left0
+      .withColumn("__key", col(keyL)).withColumn("__t", col(timeL))
+      .withColumn("__sb", lit(1)).withColumn("__sf", lit(0))
+      .withColumn("__tb", lit(null).cast(right.schema(tiebreakR).dataType))
+      .withColumn("__r", lit(null).cast(payloadType))
+    val r = right0
+      .withColumn("__key", col(keyR)).withColumn("__t", col(timeR))
+      .withColumn("__sb", lit(0)).withColumn("__sf", lit(1))
+      .withColumn("__tb", col(tiebreakR))
+      .withColumn("__r", struct(
+        (col(timeR).cast("long").as("__rt") +: payloadR.map(col)): _*))
+      .select((Seq("__key", "__t", "__sb", "__sf", "__tb", "__r").map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val wb = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__sb").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__sf").asc, col("__tb").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val te = col("__t").cast("long")
+    val db = te - col("__b.__rt")   // ≥ 0 when backward match exists
+    val df = col("__f.__rt") - te   // ≥ 0 when forward match exists
+    val pickBackward = col("__b").isNotNull &&
+      (col("__f").isNull || db <= df)
+    val matched = l.unionByName(r, allowMissingColumns = false)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wf))
+      .filter(col("__sb") === 1)
+      .withColumn("__n", when(pickBackward, col("__b")).otherwise(col("__f")))
+      .select(leftCols.map(col) ++
+        payloadR.map(c => col(s"__n.$c").as(c)) :+
+        (col("__n.__rt") - te).as("asof_dt_s"): _*)
+    matched.unionByName(
+      leftNullT.select(leftCols.map(col) ++
+        payloadR.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(null).cast("long").as("asof_dt_s"): _*))
+  }
 }

@@ -31,6 +31,35 @@ object Governance {
       .drop("__rnk")
   }
 
+  /** Fractional-epoch upsampling — the training-mixture "see this source
+    * 2.5 times" materializer: every row is replicated ⌊rate⌋ times, plus
+    * once more for the deterministic hash-selected `frac(rate)` share of
+    * ids (id-hash mod 100 < the rate's cents digit pair), so a 2.5-epoch
+    * source contributes each row twice and half its rows a third time —
+    * the realized copy count converges to rate·n with NO randomness
+    * (replayable across engines and across runs, unlike Poisson
+    * resampling). Emits one output row per copy with `copy_idx` ∈
+    * [1, n_copies].
+    *
+    * Scale shape: pure map-side — hash, `sequence`, `explode`; no
+    * shuffle, no state. Output volume is rate·|input| by construction;
+    * at 100 TB the explode happens AFTER column pruning so only the
+    * training payload is replicated. Rates are read at 2-decimal
+    * precision (integer cents arithmetic — exact in any engine). */
+  def epochUpsample(df: DataFrame, idCol: Column,
+      rateCol: Column): DataFrame = {
+    val cents = round(rateCol.cast("double") * lit(100.0), 0).cast("long")
+    val base = (cents / 100L).cast("long") // integral division floors: cents ≥ 0
+    val fracCents = pmod(cents, lit(100L))
+    val extra = (pmod(graft.operators.Dedup.md5Int32(idCol.cast("string")),
+      lit(100L)) < fracCents).cast("long")
+    df.withColumn("__n_copies", (base + extra).cast("int"))
+      .filter(col("__n_copies") >= 1)
+      .withColumn("copy_idx",
+        explode(sequence(lit(1), col("__n_copies"))))
+      .drop("__n_copies")
+  }
+
   /** Exact-duplicate resolution across sources by PRIORITY, not first-id:
     * within each content-digest group the survivor is the row with the
     * smallest (priority, id) — "when the same document appears in the

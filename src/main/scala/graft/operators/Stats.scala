@@ -93,4 +93,77 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch: hash every value to
+    * [0, 2³²) with the deterministic md5-prefix hash, keep the k SMALLEST
+    * distinct hashes, and estimate |distinct| = (k−1) / (h_k / 2³²) — the
+    * classic order-statistics estimator (Bar-Yossef et al. 2002). Unlike
+    * HyperLogLog registers (whose bias correction is engine-specific,
+    * which is why `agg_sketches` is rows-only checked), the KMV estimate
+    * is a pure function of a deterministic hash, so the ORACLE REPLAYS IT
+    * EXACTLY — a cardinality sketch with a hash-checked cross-engine
+    * guarantee.
+    *
+    * Scale shape: map-side the scan emits hashes; the distinct + top-k
+    * runs as TakeOrdered (per-partition k-heap, k-row merge on the
+    * driver) — no global sort, shuffle bounded by k·partitions rows. The
+    * sketch is mergeable: the k smallest of a union is the k smallest of
+    * the concatenated per-split sketches.
+    *
+    * Returns one row: (k, kth_h, est_distinct, exact_distinct). */
+  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, "kmvDistinct: need k >= 2")
+    val h = graft.operators.Dedup.md5Int32(valueCol.cast("string"))
+    val kth = df.select(h.as("__h")).distinct()
+      .orderBy(col("__h").asc).limit(k)
+      .agg(max(col("__h")).as("kth_h"), count(lit(1)).as("k_actual"))
+    val exact = df.agg(countDistinct(valueCol).as("exact_distinct"))
+    kth.crossJoin(exact)
+      .select(col("k_actual").as("k"), col("kth_h"),
+        round((col("k_actual") - lit(1)).cast("double") /
+          (col("kth_h").cast("double") / lit(4294967296.0)), 4)
+          .as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  /** Theta-sketch set algebra on two KMV sketches: the INTERSECTION
+    * cardinality of two key sets estimated WITHOUT materializing either
+    * side in full — θ = min(θ_A, θ_B) where θ_X is side X's k-th smallest
+    * distinct hash; every common hash ≤ θ is in both samples, and
+    * |common ≤ θ| / (θ / 2³²) estimates |A ∩ B| (Dasgupta et al., "Theta
+    * sketch framework"). Like [[kmvDistinct]] the estimate is a pure
+    * function of the deterministic hash — the oracle replays it exactly.
+    *
+    * Scale shape: each side collapses to ≤ k hashes via TakeOrdered
+    * before anything crosses sides; the sample-level intersection is a
+    * ≤ k×k-row broadcast-sized join. The exact ground-truth intersection
+    * (emitted alongside) is the only corpus-scale join, and it is a
+    * distinct + left-semi on the key.
+    *
+    * Returns one row: (theta_h, n_common, est_intersect, exact_intersect). */
+  def thetaIntersect(dfA: DataFrame, dfB: DataFrame, valueColA: Column,
+      valueColB: Column, k: Int): DataFrame = {
+    require(k >= 2, "thetaIntersect: need k >= 2")
+    def hashes(df: DataFrame, c: Column) =
+      df.select(graft.operators.Dedup.md5Int32(c.cast("string")).as("h")).distinct()
+    def theta(hs: DataFrame) =
+      hs.orderBy(col("h").asc).limit(k).agg(max(col("h")).as("th"))
+    val ha = hashes(dfA, valueColA)
+    val hb = hashes(dfB, valueColB)
+    val th = theta(ha).crossJoin(theta(hb).withColumnRenamed("th", "th_b"))
+      .select(least(col("th"), col("th_b")).as("theta_h"))
+    val common = ha.join(hb, "h").crossJoin(th)
+      .filter(col("h") <= col("theta_h"))
+      .groupBy(col("theta_h")).agg(count(lit(1)).as("n_common"))
+    val exact = dfA.select(valueColA.as("__v")).distinct()
+      .join(dfB.select(valueColB.as("__v")).distinct(), Seq("__v"), "left_semi")
+      .agg(count(lit(1)).as("exact_intersect"))
+    th.join(common, Seq("theta_h"), "left").crossJoin(exact)
+      .select(col("theta_h"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("theta_h").cast("double") / lit(4294967296.0)), 4)
+          .as("est_intersect"),
+        col("exact_intersect"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -121,5 +121,52 @@ object TimeSeries {
         sum(round(col("w"), 9).cast(DecimalType(18, 9))).as("den"))
       .select(col("key"), col("bucket"),
         round(col("num").cast("double") / col("den").cast("double"), 6).as("ewma"))
+  }
+
+  /** Longest run of CONSECUTIVE active days per key (gaps-and-islands):
+    * distinct (key, day) pairs, then the classic day_number − row_number
+    * island constant groups each unbroken run. Integer day arithmetic —
+    * engine-exact. Two shuffles, both on the key (the distinct reuses the
+    * window's partitioning); island collapse is map-side combinable.
+    *
+    * Returns (key, n_active_days, longest_streak). */
+  def longestDailyStreak(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val dayNum = (unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
+      .cast("long")
+    val days = events.select(col(keyCol).as("key"), dayNum.as("d")).distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("d").asc)
+    days
+      .withColumn("__island", col("d") - row_number().over(w))
+      .groupBy(col("key"), col("__island"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("key"))
+      .agg(sum(col("streak")).as("n_active_days"),
+        max(col("streak")).as("longest_streak"))
+  }
+
+  /** Exact sliding median of `valueCol` over the trailing `width` rows per
+    * partition (ordered by `orderCol`): the window's values are gathered,
+    * sorted, and the middle element (odd count) or the mean of the two
+    * middles (even count — one double addition + halving, identical IEEE
+    * ops in any engine) is emitted as `outCol`.
+    *
+    * Scale shape: collect_list over a ROWS frame holds ≤ `width` values
+    * per row — memory is O(width), never O(partition); the only shuffle
+    * is the window's partition-by. Suited to DOWNSAMPLED series (per-key
+    * daily/hourly bars), where partitions are bounded — for raw 100 TB
+    * event streams, aggregate to bars first (the OHLC/daily kernels
+    * above), which is also what makes a "7-day median" well-defined. */
+  def rollingMedian(df: DataFrame, partCols: Seq[Column], orderCol: Column,
+      valueCol: Column, width: Int, outCol: String): DataFrame = {
+    require(width >= 1, "rollingMedian: width >= 1")
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCol.asc)
+      .rowsBetween(-(width - 1), Window.currentRow)
+    val lst = sort_array(collect_list(valueCol.cast("double")).over(w))
+    val n = size(lst)
+    val odd = element_at(lst, floor((n + lit(1)) / lit(2)).cast("int"))
+    val even = (element_at(lst, floor(n / lit(2)).cast("int")) +
+      element_at(lst, (floor(n / lit(2)) + lit(1)).cast("int"))) / lit(2.0)
+    df.withColumn(outCol, when(n % 2 === 1, odd).otherwise(even))
   }
 }

@@ -89,4 +89,45 @@ class AsOfJoinSpec extends SparkSpecBase {
       assert(!out.values.exists(_ == 30L), s"$dir: null-time right must never match")
     }
   }
+
+  private lazy val nearest = AsOfJoin.asOfNearest(left, right,
+      keyL = "k", keyR = "rk", timeL = "t", timeR = "rt",
+      payloadR = Seq("rid", "payload"), tiebreakR = "rid")
+    .select("eid", "rid", "asof_dt_s").collect().map(r =>
+      (r.getLong(0),
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+         if (r.isNullAt(2)) Long.MinValue else r.getLong(2)))).toMap
+
+  test("nearest picks the closer side with a signed dt") {
+    // eid=1 at 10:00: backward 09:30 (30 min) vs forward 12:00 (120 min)
+    assert(nearest(1L) == (10L, -1800L))
+    // eid=3 at 09:00: no backward, forward 09:30
+    assert(nearest(3L) == (10L, 1800L))
+    // eid=4 at 01-02 00:00: only backward (23:00 prior day)
+    assert(nearest(4L) == (20L, -3600L))
+  }
+
+  test("nearest: exact-time right row matches at dt=0; |dt| tie resolves backward") {
+    assert(nearest(2L) == (12L, 0L)) // backward's max-tiebreak pick wins the tie
+    val sym = AsOfJoin.asOfNearest(
+      Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("eid", "k", "t"),
+      Seq((10L, 1L, ts("2024-01-01 09:00:00"), 1.0),
+          (11L, 1L, ts("2024-01-01 11:00:00"), 2.0)).toDF("rid", "rk", "rt", "payload"),
+      "k", "rk", "t", "rt", Seq("rid"), "rid")
+      .select("rid", "asof_dt_s").head()
+    assert(sym.getLong(0) == 10L && sym.getLong(1) == -3600L)
+  }
+
+  test("nearest: key with no right rows attaches null payload and null dt") {
+    assert(nearest(5L) == (-1L, Long.MinValue))
+  }
+
+  test("nearest plans ONE exchange: both direction frames reuse the key partitioning") {
+    // string-count: the Exchange sits under AdaptiveSparkPlanExec, which
+    // TreeNode.collect does not descend into
+    val plan = AsOfJoin.asOfNearest(left, right, "k", "rk", "t", "rt",
+      Seq("rid"), "rid").queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx == 1, s"expected a single shuffle, got $nEx:\n$plan")
+  }
 }

@@ -112,4 +112,38 @@ class GovernanceSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(1) - r.getDouble(0)) <= maxGap + 1e-9)
     }
   }
+
+  test("epochUpsample replicates ⌊rate⌋ or ⌈rate⌉ times and converges to rate·n") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 1000
+    val df = (0 until n).map(i => (i.toLong, 2.5)).toDF("id", "rate")
+    val out = Governance.epochUpsample(df, col("id"), col("rate"))
+    val perId = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perId.size == n)
+    assert(perId.values.forall(c => c == 2L || c == 3L))
+    val total = perId.values.sum
+    // hash-selected half gets the 3rd copy: expect ~2500 ± a few percent
+    assert(math.abs(total - 2500L) < 120, s"total copies $total")
+    // copy_idx is dense 1..n_copies per id
+    val idx = out.filter(col("id") === 0L).select("copy_idx")
+      .collect().map(_.getInt(0)).sorted
+    assert(idx.toSeq == (1 to perId(0L).toInt))
+    // integer rate replicates exactly
+    val exact2 = Governance.epochUpsample(
+      (0 until 50).map(i => (i.toLong, 2.0)).toDF("id", "rate"),
+      col("id"), col("rate")).count()
+    assert(exact2 == 100L)
+  }
+
+  test("epochUpsample is deterministic and map-side (no shuffle in the plan)") {
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 100).map(i => (i.toLong, 1.25)).toDF("id", "rate")
+    val a = Governance.epochUpsample(df, col("id"), col("rate"))
+    assert(a.collect().toSeq == Governance.epochUpsample(df, col("id"), col("rate")).collect().toSeq)
+    val nEx = a.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(nEx == 0, "epochUpsample must not shuffle")
+  }
 }

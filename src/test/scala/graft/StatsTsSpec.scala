@@ -58,4 +58,33 @@ class StatsTsSpec extends SparkSpecBase {
     // the four big values end up in the last bucket, not with the ones
     assert(got(3L) >= 4L && got.keySet.max == 3L)
   }
+
+  test("longestDailyStreak: islands split on gaps, duplicates within a day collapse") {
+    val ev = Seq(
+      // user 1: days 1,2,3 (3-streak, day 2 twice), then 5,6 (2-streak)
+      (1L, t("2024-03-01 10:00:00")), (1L, t("2024-03-02 09:00:00")),
+      (1L, t("2024-03-02 23:59:59")), (1L, t("2024-03-03 00:00:01")),
+      (1L, t("2024-03-05 12:00:00")), (1L, t("2024-03-06 12:00:00")),
+      // user 2: one day only
+      (2L, t("2024-03-10 08:00:00"))
+    ).toDF("uid", "ts")
+    val got = TimeSeries.longestDailyStreak(ev, "uid", "ts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (5L, 3L))
+    assert(got(2L) == (1L, 1L))
+  }
+
+  test("rollingMedian matches a brute-force trailing-window median") {
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 0.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val width = 4
+    val got = TimeSeries.rollingMedian(df, Seq(lit(0)), col("i"), col("v"),
+        width, "med").orderBy("i").collect().map(_.getDouble(2))
+    val want = vals.indices.map { i =>
+      val win = vals.slice(math.max(0, i - width + 1), i + 1).sorted
+      val n = win.length
+      if (n % 2 == 1) win(n / 2) else (win(n / 2 - 1) + win(n / 2)) / 2.0
+    }
+    assert(got.toSeq == want)
+  }
 }
