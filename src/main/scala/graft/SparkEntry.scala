@@ -3161,7 +3161,17 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "R"),
         li.filter(col("l_returnflag") === "A"),
         col("l_orderkey"), col("l_orderkey"), k = 256)
-    })
+    }),
+    // GLOBAL row_number over every order WITHOUT the single-task
+    // unpartitioned window: range repartition + per-partition offsets +
+    // parallel intra-partition ranking (operators/Ranking). The rank
+    // assignment is unique under the total order, so the oracle's plain
+    // OVER (ORDER BY ...) replays it exactly
+    "rank_global_scalable" -> ((s, d) =>
+      graft.operators.Ranking.globalRowNumber(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), "rnk")
+        .orderBy(col("rnk")))
   )
 
   /** 2-D grid for density clustering: 32×32 cells over the embedding's two
@@ -6045,7 +6055,11 @@ object SparkEntry {
            |    (CAST(theta_h AS DOUBLE) / ${DuckSql.fmt(4294967296.0)}), 4) AS est_intersect,
            |  exact_intersect
            |FROM th, common, ex""".stripMargin
-      }
+      },
+      "rank_global_scalable" ->
+        """SELECT o_orderkey, o_totalprice,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+          |FROM orders ORDER BY rnk""".stripMargin
     )
   }
 }
