@@ -3171,7 +3171,60 @@ object SparkEntry {
       graft.operators.Ranking.globalRowNumber(
           Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
           Seq(col("o_totalprice").desc, col("o_orderkey").asc), "rnk")
-        .orderBy(col("rnk")))
+        .orderBy(col("rnk"))),
+    // Q13-shape count-of-counts: orders-per-customer histogram including
+    // the zero-order customers (left outer + count of the nullable side).
+    // TWO stacked aggregations — the second groups on the first's output,
+    // |distinct counts| rows, no corpus re-scan
+    "agg_count_distribution" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+    // multi-touch LINEAR attribution: each purchase splits one unit of
+    // credit equally across the user's qualifying touches in the prior 7
+    // days; per-channel credit sums. Fractions are 9-decimal-quantized
+    // BEFORE summing so the per-channel totals are order-independent and
+    // engine-exact. Join is user-keyed + time-bounded (candidates per
+    // purchase bounded by a user's 7-day activity, not the corpus); the
+    // per-purchase count is a window over those bounded groups
+    "events_multitouch_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").cast("long").as("p_t"))
+      val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id").as("t_user"), col("event_type").as("channel"),
+          col("ts").cast("long").as("t_t"))
+      val wn = Window.partitionBy(col("p_id"))
+      purchases.join(touches,
+          col("p_user") === col("t_user") && col("t_t") < col("p_t") &&
+            col("t_t") >= col("p_t") - lit(604800L))
+        .withColumn("n_touch", count(lit(1)).over(wn))
+        .withColumn("credit",
+          round(lit(1.0) / col("n_touch").cast("double"), 9)
+            .cast(DecimalType(18, 9)))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).cast("double").as("credit_sum"))
+        .orderBy(col("channel"))
+    }),
+    // null-safe equality join (<=>): NULL keys MATCH each other instead
+    // of dropping — the semantic SQL's plain = cannot express (and a
+    // dimension with "unknown" buckets needs). Nations in region 2 get a
+    // NULL-ified key on both sides and still pair up
+    "join_null_safe_eq" -> ((s, d) =>
+      Tables.nation(s, d)
+        .withColumn("nk", nullif(col("n_regionkey"), lit(2L)))
+        .join(Tables.region(s, d)
+            .withColumn("rk", nullif(col("r_regionkey"), lit(2L))),
+          col("nk") <=> col("rk"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name")))
   )
 
   /** 2-D grid for density clustering: 32×32 cells over the embedding's two
@@ -6059,7 +6112,34 @@ object SparkEntry {
       "rank_global_scalable" ->
         """SELECT o_orderkey, o_totalprice,
           |  CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
-          |FROM orders ORDER BY rnk""".stripMargin
+          |FROM orders ORDER BY rnk""".stripMargin,
+      "agg_count_distribution" ->
+        """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+          |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY c_custkey)
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "events_multitouch_attribution" ->
+        s"""WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+           |             (epoch_ns(ts) // 1000000000) AS p_t
+           |           FROM events WHERE event_type = 'purchase'),
+           |t AS (SELECT user_id AS t_user, event_type AS channel,
+           |        (epoch_ns(ts) // 1000000000) AS t_t
+           |      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+           |j AS (SELECT p_id, channel FROM p JOIN t
+           |      ON p_user = t_user AND t_t < p_t AND t_t >= p_t - 604800),
+           |c AS (SELECT p_id, channel,
+           |        COUNT(*) OVER (PARTITION BY p_id) AS n_touch FROM j)
+           |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           |  CAST(SUM(CAST(round(${DuckSql.fmt(1.0)} / CAST(n_touch AS DOUBLE), 9)
+           |    AS DECIMAL(18,9))) AS DOUBLE) AS credit_sum
+           |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
+      "join_null_safe_eq" ->
+        """SELECT n_name, r_name
+          |FROM (SELECT n_name, NULLIF(n_regionkey, 2) AS nk FROM nation)
+          |JOIN (SELECT r_name, NULLIF(r_regionkey, 2) AS rk FROM region)
+          |  ON nk IS NOT DISTINCT FROM rk
+          |ORDER BY n_name, r_name""".stripMargin
     )
   }
 }
