@@ -3224,7 +3224,64 @@ object SparkEntry {
             .withColumn("rk", nullif(col("r_regionkey"), lit(2L))),
           col("nk") <=> col("rk"))
         .select(col("n_name"), col("r_name"))
-        .orderBy(col("n_name"), col("r_name")))
+        .orderBy(col("n_name"), col("r_name"))),
+    // day-of-week seasonal baseline + relative deviation — the weekly-
+    // rhythm-aware anomaly readout (Mondays compare against Mondays).
+    // dow from pure integer epoch arithmetic ((d/86400 + 4) mod 7,
+    // 1970-01-01 = Thursday) — no engine dayofweek() convention to
+    // reconcile. Two key-local aggregations; |days| rows after the first
+    "events_dow_seasonal" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", pmod((col("day_epoch") / 86400L).cast("long") + 4L, lit(7L)))
+      val base = daily.groupBy(col("dow"))
+        .agg((sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+          .as("baseline"))
+      daily.join(broadcast(base), "dow")
+        .select(col("day_epoch"), col("dow"), col("n"),
+          round(col("baseline"), 6).as("baseline"),
+          round((col("n").cast("double") - col("baseline")) / col("baseline"), 6)
+            .as("rel_dev"))
+        .orderBy(col("day_epoch"))
+    }),
+    // gap-fill by LINEAR INTERPOLATION: days suppressed by a simulated
+    // outage (day_num % 5 = 2) are rebuilt from the nearest surviving
+    // neighbors, weighted by integer day distance — the resampling step
+    // before any fixed-grid time-series model. Same union+two-frame
+    // kernel as the nearest as-of join; the series here is ONE bounded
+    // daily aggregate (30 rows), so the unpartitioned window is benign —
+    // per-key series would partition by the key
+    "window_gap_fill_interpolate" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(dsum(col("value"), 3).as("v"))
+        .withColumn("dnum", (col("day_epoch") / 86400L).cast("long"))
+      val spine = daily.select(col("day_epoch"), col("dnum"),
+        when(pmod(col("dnum"), lit(5L)) =!= 2L, col("v")).as("v_obs"))
+      val wb = Window.orderBy(col("dnum").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.orderBy(col("dnum").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val prevV = last(col("v_obs"), ignoreNulls = true).over(wb)
+      val prevD = last(when(col("v_obs").isNotNull, col("dnum")), ignoreNulls = true).over(wb)
+      val nextV = first(col("v_obs"), ignoreNulls = true).over(wf)
+      val nextD = first(when(col("v_obs").isNotNull, col("dnum")), ignoreNulls = true).over(wf)
+      spine
+        .withColumn("pv", prevV).withColumn("pd", prevD)
+        .withColumn("nv", nextV).withColumn("nd", nextD)
+        .withColumn("v_filled", round(
+          when(col("v_obs").isNotNull, col("v_obs"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("dnum") - col("pd")).cast("double") /
+                (col("nd") - col("pd")).cast("double"))), 6))
+        .withColumn("was_gap", col("v_obs").isNull.cast("int"))
+        .select(col("day_epoch"), col("v_filled"), col("was_gap"))
+        .orderBy(col("day_epoch"))
+    })
   )
 
   /** 2-D grid for density clustering: 32×32 cells over the embedding's two
@@ -6139,7 +6196,41 @@ object SparkEntry {
           |FROM (SELECT n_name, NULLIF(n_regionkey, 2) AS nk FROM nation)
           |JOIN (SELECT r_name, NULLIF(r_regionkey, 2) AS rk FROM region)
           |  ON nk IS NOT DISTINCT FROM rk
-          |ORDER BY n_name, r_name""".stripMargin
+          |ORDER BY n_name, r_name""".stripMargin,
+      "events_dow_seasonal" ->
+        """WITH daily AS (
+          |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+          |    CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM events GROUP BY day_epoch),
+          |d2 AS (SELECT day_epoch, n, ((day_epoch // 86400) + 4) % 7 AS dow FROM daily),
+          |base AS (SELECT dow, CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS baseline
+          |         FROM d2 GROUP BY dow)
+          |SELECT day_epoch, dow, n, round(baseline, 6) AS baseline,
+          |  round((CAST(n AS DOUBLE) - baseline) / baseline, 6) AS rel_dev
+          |FROM d2 JOIN base USING (dow) ORDER BY day_epoch""".stripMargin,
+      "window_gap_fill_interpolate" ->
+        s"""WITH daily AS (
+           |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           |    ${dsumSql("value", 3)} AS v
+           |  FROM events WHERE event_type = 'purchase' GROUP BY day_epoch),
+           |sp AS (SELECT day_epoch, day_epoch // 86400 AS dnum,
+           |         CASE WHEN (day_epoch // 86400) % 5 <> 2 THEN v END AS v_obs
+           |       FROM daily),
+           |c AS (SELECT day_epoch, dnum, v_obs,
+           |    last_value(v_obs IGNORE NULLS) OVER wb AS pv,
+           |    last_value(CASE WHEN v_obs IS NOT NULL THEN dnum END IGNORE NULLS) OVER wb AS pd,
+           |    first_value(v_obs IGNORE NULLS) OVER wf AS nv,
+           |    first_value(CASE WHEN v_obs IS NOT NULL THEN dnum END IGNORE NULLS) OVER wf AS nd
+           |  FROM sp
+           |  WINDOW wb AS (ORDER BY dnum ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |         wf AS (ORDER BY dnum ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT day_epoch,
+           |  round(CASE WHEN v_obs IS NOT NULL THEN v_obs
+           |             WHEN pv IS NULL THEN nv
+           |             WHEN nv IS NULL THEN pv
+           |             ELSE pv + (nv - pv) * (CAST(dnum - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 6) AS v_filled,
+           |  CAST(CASE WHEN v_obs IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+           |FROM c ORDER BY day_epoch""".stripMargin
     )
   }
 }
