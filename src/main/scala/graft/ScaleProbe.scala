@@ -466,5 +466,25 @@ object ScaleProbe extends App {
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
     }
   }
+  // Global row numbering at 1M rows: range partition + zipWithIndex —
+  // dense 1..n with NO single-task stage (the unpartitioned-window form
+  // would funnel all 1M rows through one task).
+  t("global row_number (1M, dense)") {
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      indexed.select(col("vec_id"), col("label")),
+      Seq(col("label").asc, col("vec_id").asc), "rnk", numPartitions = 64)
+    val mm = ranked.agg(min("rnk"), max("rnk"), count(lit(1))).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == mm.getLong(2),
+      s"ranks not dense: $mm")
+  }
+  // Fractional-epoch upsampling at 1M rows: map-side explode, realized
+  // copy count within 1% of rate * n.
+  t("epoch upsample 2.5x (1M)") {
+    val n = graft.operators.Governance.epochUpsample(
+      indexed.select(col("vec_id")).withColumn("rate", lit(2.5)),
+      col("vec_id"), col("rate")).count()
+    val want = 2.5 * nBase * reps
+    assert(math.abs(n - want) / want < 0.01, s"copies $n vs $want")
+  }
   spark.stop()
 }
