@@ -3245,6 +3245,48 @@ object SparkEntry {
             .as("rel_dev"))
         .orderBy(col("day_epoch"))
     }),
+    // LATERAL correlated derived table through the SQL FRONT DOOR: per
+    // nation the top-2 customers by balance — the "top-n per group via
+    // LATERAL" idiom Catalyst decorrelates into the same ranked-window
+    // plan the DataFrame form builds. Proves the SQL surface handles
+    // correlation + LIMIT, not just the Column API
+    "sql_lateral_topk" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      s.sql("""SELECT n_name, c_name, c_acctbal
+              |FROM graft_nation_v JOIN LATERAL (
+              |  SELECT c_name, c_acctbal FROM graft_customer_v
+              |  WHERE c_nationkey = n_nationkey
+              |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2)
+              |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    }),
+    // KMV sketch MERGEABILITY under the hash gate: per-day k-min samples
+    // (bounded per-key window, WindowGroupLimit map-side cap) merged by
+    // "k smallest of the union" give EXACTLY the direct whole-range
+    // estimate — every global top-k hash is inside its own day's top-k,
+    // so the merge is lossless. The partial-aggregate-merge contract
+    // applied to a sketch instead of a sum
+    "agg_kmv_merge_daily" -> ((s, d) => {
+      val k = 64
+      val ev = Tables.events(s, d).select(
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+        Dedup.md5Int32(col("user_id").cast("string")).as("h"))
+      val wd = Window.partitionBy(col("day_epoch")).orderBy(col("h").asc)
+      val perDay = ev.distinct()
+        .withColumn("__r", row_number().over(wd)).filter(col("__r") <= k)
+      def est(hs: DataFrame) = hs.select(col("h")).distinct()
+        .orderBy(col("h").asc).limit(k)
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("ka"))
+        .select(round((col("ka") - lit(1)).cast("double") /
+          (col("kth").cast("double") / lit(4294967296.0)), 4).as("est"))
+      val nDays = perDay.agg(countDistinct(col("day_epoch")).as("n_days"))
+      est(perDay).withColumnRenamed("est", "est_merged")
+        .crossJoin(est(ev).withColumnRenamed("est", "est_direct"))
+        .crossJoin(nDays)
+        .select(col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).cast("int").as("merge_lossless"),
+          col("n_days"))
+    }),
     // gap-fill by LINEAR INTERPOLATION: days suppressed by a simulated
     // outage (day_num % 5 = 2) are rebuilt from the nearest surviving
     // neighbors, weighted by integer day distance — the resampling step
@@ -6230,7 +6272,38 @@ object SparkEntry {
            |             WHEN nv IS NULL THEN pv
            |             ELSE pv + (nv - pv) * (CAST(dnum - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 6) AS v_filled,
            |  CAST(CASE WHEN v_obs IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
-           |FROM c ORDER BY day_epoch""".stripMargin
+           |FROM c ORDER BY day_epoch""".stripMargin,
+      "sql_lateral_topk" ->
+        """SELECT n_name, c_name, c_acctbal
+          |FROM nation JOIN LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) ON true
+          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
+      "agg_kmv_merge_daily" -> {
+        val h = Dedup.md5Int32Sql("CAST(user_id AS VARCHAR)")
+        s"""WITH ev AS (
+           |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, $h AS h
+           |  FROM events),
+           |per_day AS (
+           |  SELECT day_epoch, h FROM (
+           |    SELECT day_epoch, h,
+           |      ROW_NUMBER() OVER (PARTITION BY day_epoch ORDER BY h ASC) AS r
+           |    FROM (SELECT DISTINCT day_epoch, h FROM ev)) WHERE r <= 64),
+           |em AS (SELECT round(CAST(ka - 1 AS DOUBLE) /
+           |         (CAST(kth AS DOUBLE) / ${DuckSql.fmt(4294967296.0)}), 4) AS est_merged
+           |       FROM (SELECT MAX(h) AS kth, COUNT(*) AS ka FROM
+           |         (SELECT DISTINCT h FROM per_day ORDER BY h ASC LIMIT 64))),
+           |ed AS (SELECT round(CAST(ka - 1 AS DOUBLE) /
+           |         (CAST(kth AS DOUBLE) / ${DuckSql.fmt(4294967296.0)}), 4) AS est_direct
+           |       FROM (SELECT MAX(h) AS kth, COUNT(*) AS ka FROM
+           |         (SELECT DISTINCT h FROM ev ORDER BY h ASC LIMIT 64))),
+           |nd AS (SELECT CAST(COUNT(DISTINCT day_epoch) AS BIGINT) AS n_days FROM per_day)
+           |SELECT est_merged, est_direct,
+           |  CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS INT) AS merge_lossless,
+           |  n_days
+           |FROM em, ed, nd""".stripMargin
+      }
     )
   }
 }
