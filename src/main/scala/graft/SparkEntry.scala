@@ -597,6 +597,29 @@ object SparkEntry {
         .except(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
           .select(col("o_custkey").as("custkey")))
         .orderBy(col("custkey"))),
+    // MULTISET difference (EXCEPT ALL): per-customer order rows above the
+    // low bar minus those above the high bar, duplicates preserved —
+    // bag semantics the set-form except collapses. Summed per key so the
+    // output order is total without exposing row multiplicity directly
+    "set_except_all_orders" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("custkey"))
+        .exceptAll(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("custkey")))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("custkey"))),
+    // explicit null ordering UNDER A LIMIT: nullable derived key sorted
+    // ASC NULLS FIRST — engines default differently (Spark asc = NULLS
+    // FIRST, DuckDB asc = NULLS LAST), and the limit makes the choice
+    // OBSERVABLE in the result set, so the contract must be spelled on
+    // both sides of the gate. The null block (~210 rows) fills the head
+    // of the 300-row window
+    "sort_nulls_first" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("seg_rank", nullif(col("c_nationkey") % 7, lit(3L)))
+        .select(col("c_custkey"), col("seg_rank"))
+        .orderBy(col("seg_rank").asc_nulls_first, col("c_custkey").asc)
+        .limit(300)),
     "agg_count_distinct" -> ((s, d) =>
       Tables.orders(s, d).agg(
         countDistinct(col("o_custkey")).as("n_custs"),
@@ -3684,6 +3707,16 @@ object SparkEntry {
           |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
       "set_intersect_custkeys" ->
         "SELECT o_custkey AS custkey FROM orders INTERSECT SELECT c_custkey AS custkey FROM customer ORDER BY custkey",
+      "set_except_all_orders" ->
+        s"""SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_kept FROM (
+           |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(200000.0)}
+           |  EXCEPT ALL
+           |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(300000.0)})
+           |GROUP BY custkey ORDER BY custkey""".stripMargin,
+      "sort_nulls_first" ->
+        """SELECT c_custkey, NULLIF(c_nationkey % 7, 3) AS seg_rank
+          |FROM customer
+          |ORDER BY seg_rank ASC NULLS FIRST, c_custkey ASC LIMIT 300""".stripMargin,
       "set_except_custkeys" ->
         s"""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(200000.0)}
            |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(300000.0)}
