@@ -620,6 +620,43 @@ object SparkEntry {
         .select(col("c_custkey"), col("seg_rank"))
         .orderBy(col("seg_rank").asc_nulls_first, col("c_custkey").asc)
         .limit(300)),
+    // per-group least-squares regression (price explained by quantity)
+    // from the SAME exact decimal power-sum kernel as corr/stddev — ONE
+    // map-side-combinable pass, slope/intercept/r² assembled in double on
+    // |groups| rows and rounded(6) identically in both engines
+    "agg_regr_price_qty" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      // num/den in exact decimal, ONE double cast each (the corr_stats
+      // contract); the square is an explicit multiply, not pow (libm pow
+      // association is not pinned cross-engine)
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round(num / denX, 6).as("slope"),
+          round((col("sy").cast("double") - (num / denX) * col("sx").cast("double")) /
+            col("n").cast("double"), 6).as("intercept"),
+          round((num * num) / (denX * denY), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // schema-evolution union: two projections with DIFFERENT columns
+    // combined BY NAME, absent columns null-filled — the multi-vintage
+    // read every long-lived dataset needs (yesterday's files lack the new
+    // column). unionByName(allowMissingColumns) ≡ the oracle's explicit
+    // NULL-padded UNION ALL
+    "set_union_by_name" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = Tables.orders(s, d).filter(col("o_orderkey") % 100 === 50)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
     "agg_count_distinct" -> ((s, d) =>
       Tables.orders(s, d).agg(
         countDistinct(col("o_custkey")).as("n_custs"),
@@ -3717,6 +3754,31 @@ object SparkEntry {
         """SELECT c_custkey, NULLIF(c_nationkey % 7, 3) AS seg_rank
           |FROM customer
           |ORDER BY seg_rank ASC NULLS FIRST, c_custkey ASC LIMIT 300""".stripMargin,
+      "agg_regr_price_qty" ->
+        """SELECT l_returnflag, n,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+          |  round((CAST(sy AS DOUBLE) -
+          |    (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+          |    / CAST(n AS DOUBLE), 6) AS intercept,
+          |  round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) /
+          |    (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+          |FROM (
+          |  SELECT l_returnflag, COUNT(*) AS n,
+          |    SUM(x) AS sx, SUM(y) AS sy,
+          |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          |  FROM (SELECT l_returnflag,
+          |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+          |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+          |        FROM lineitem)
+          |  GROUP BY l_returnflag)
+          |ORDER BY l_returnflag""".stripMargin,
+      "set_union_by_name" ->
+        """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+          |FROM orders WHERE o_orderkey % 100 = 0
+          |UNION ALL
+          |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+          |FROM orders WHERE o_orderkey % 100 = 50
+          |ORDER BY o_orderkey""".stripMargin,
       "set_except_custkeys" ->
         s"""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(200000.0)}
            |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > ${DuckSql.fmt(300000.0)}

@@ -94,7 +94,11 @@ object Stats {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
-  /** KMV (k-minimum-values) distinct-count sketch: hash every value to
+  /** KMV (k-minimum-values) distinct-count sketch — the sketch-scale
+    * analog of the reference's only cardinality operator, `__len__`
+    * (vectordb/kd_tree_database.py:307-308, an O(1) dict size): at 100 TB
+    * counting distinct KEYS (not rows) needs either a full shuffle or a
+    * sketch, and this one stays hash-checkable. Hash every value to
     * [0, 2³²) with the deterministic md5-prefix hash, keep the k SMALLEST
     * distinct hashes, and estimate |distinct| = (k−1) / (h_k / 2³²) — the
     * classic order-statistics estimator (Bar-Yossef et al. 2002). Unlike
