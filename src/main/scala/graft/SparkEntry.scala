@@ -2199,6 +2199,25 @@ object SparkEntry {
     // scan, no widening loop; same oracle as the brute form (exactness)
     "knn_radius_pruned" -> ((s, d) =>
       Knn.prunedRadius(Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, Radius)),
+    // OPTIMIZER-RULE data skipping under the gate: a 2-dim slice store is
+    // written cell-partitioned, GridRadiusPruning registered, and then a
+    // PLAIN distance filter — no driver-side pruning call anywhere — has
+    // `cell_id IN (...)` injected by the rule, reaching the scan as a
+    // partition filter (~4 of 64 cell directories opened). The oracle is
+    // the plain radius filter: data skipping must not change the answer
+    "store_autoprune_radius" -> ((s, d) => {
+      val cfg2 = GridConfig(dim = 2, lower = -0.6, upper = 0.6,
+        partsPerDim = 8, gridDims = 2)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_autoprune_store").getPath
+      val twoD = emb(s, d).select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, 2).as("embedding"))
+      Grid.withCellId(twoD, "embedding", cfg2)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+      graft.plans.GridRadiusPruning.register(s, cfg2)
+      Knn.radiusSearch(s.read.parquet(dir),
+        Distances.squaredL2Lit(col("embedding"), Q64.take(2)), RadiusAuto)
+    }),
     // snapshot diff (CDC read side): I/D/U changelog keys between two
     // states — one full-outer key join
     "crud_snapshot_diff" -> ((s, d) => {
@@ -3401,6 +3420,8 @@ object SparkEntry {
     * 10th percentile of fixture query-to-corpus distances — selective but
     * decidedly non-empty, so the oracle hash exercises the distance path). */
   private val Radius = 2.0
+  /** 2-dim radius for the rule-pruned store query (~25 rows at sf0.01). */
+  private val RadiusAuto = 0.01
 
   /** Fixed literal PQ codebook for the hash-checked ADC query: subspace j
     * entry c = dims [j·8, j·8+8) of plane c — compile-time constants in
@@ -5236,6 +5257,11 @@ object SparkEntry {
       "knn_radius_pruned" ->
         s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq AS dist FROM embeddings)
            |WHERE dist <= ${DuckSql.fmt(Radius)} ORDER BY dist ASC, vec_id ASC""".stripMargin,
+      "store_autoprune_radius" -> {
+        val sq2 = DuckSql.squaredL2Lit("embedding", Q64.take(2))
+        s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq2 AS dist FROM embeddings)
+           |WHERE dist <= ${DuckSql.fmt(RadiusAuto)} ORDER BY dist ASC, vec_id ASC""".stripMargin
+      },
       "crud_snapshot_diff" ->
         """WITH b AS (SELECT vec_id, label FROM embeddings),
           |a AS (

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.Distances
+import graft.index.{Grid, GridConfig}
+import graft.plans.GridRadiusPruning
+import org.apache.spark.sql.functions._
+
+class GridPruneRuleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 2-D geometry so the cell bounds genuinely discriminate: 16 cells over
+  // [0,1]^2, query in the lower-left corner, radius covering ~the corner
+  // quadrant. (On the 64-dim fixture a radius large enough to match rows
+  // exceeds every 3-dim cell bound and the rule correctly no-ops.)
+  private lazy val cfg =
+    GridConfig(dim = 2, lower = 0.0, upper = 1.0, partsPerDim = 4, gridDims = 2)
+  private lazy val pts = {
+    val rnd = new scala.util.Random(42)
+    (0 until 400).map(i => (i.toLong, Array(rnd.nextFloat(), rnd.nextFloat())))
+  }
+  private lazy val store = {
+    val p = java.nio.file.Files.createTempDirectory("graft_prune_rule").toString
+    Grid.withCellId(pts.toDF("vec_id", "embedding"), "embedding", cfg)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(p)
+    p
+  }
+  private val q = Array(0.1, 0.1)
+  private val r = 0.04 // squared radius -> euclidean 0.2
+
+  test("radius filter auto-gains cell pruning; result identical to the plain filter") {
+    GridRadiusPruning.register(spark, cfg)
+    val indexed = spark.read.parquet(store)
+    val dist = Distances.squaredL2Lit(col("embedding"), q)
+    val pruned = indexed.filter(dist <= lit(r)).select("vec_id")
+    // the injected IN must appear in the optimized plan...
+    val opt = pruned.queryExecution.optimizedPlan.toString
+    assert(opt.contains("cell_id") && opt.contains(" IN "),
+      s"no pruning conjunct injected:\n$opt")
+    // ...and reach the scan as a PARTITION filter (files for far cells
+    // are never opened)
+    val phys = pruned.queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters") &&
+      phys.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell_id"),
+      s"pruning did not reach the scan:\n$phys")
+    // equality against the same filter WITHOUT the registered rule
+    spark.conf.unset(GridRadiusPruning.ConfKey)
+    try {
+      val plain = indexed.filter(dist <= lit(r)).select("vec_id")
+      val got = pruned.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == plain.collect().map(_.getLong(0)).sorted.toSeq)
+      assert(got.nonEmpty, "radius must be non-vacuous")
+    } finally GridRadiusPruning.register(spark, cfg)
+  }
+
+  test("rule is admissible: brute membership check per point") {
+    GridRadiusPruning.register(spark, cfg)
+    val indexed = spark.read.parquet(store)
+    val dist = Distances.squaredL2Lit(col("embedding"), q)
+    val got = indexed.filter(dist <= lit(r))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, v) =>
+      val dx = v(0).toDouble - q(0); val dy = v(1).toDouble - q(1)
+      dx * dx + dy * dy <= r
+    }.map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("dim-mismatched query never prunes against a foreign grid config") {
+    GridRadiusPruning.register(spark, cfg) // 2-dim geometry registered
+    val indexed = spark.read.parquet(store)
+    val q64 = Array.fill(64)(0.1)
+    val df = indexed.filter(
+      Distances.squaredL2Lit(col("embedding"), q64) <= lit(5.0))
+    assert(!df.queryExecution.optimizedPlan.toString
+      .matches("(?s).*cell_id#\\d+L? IN.*"),
+      "a 64-dim predicate must not be pruned with the 2-dim config's bounds")
+  }
+
+  test("rule is a no-op without cell_id, and terminates at fixed point") {
+    GridRadiusPruning.register(spark, cfg)
+    val plainDf = pts.toDF("vec_id", "embedding") // no cell_id column
+    val dist = Distances.squaredL2Lit(col("embedding"), q)
+    val df = plainDf.filter(dist <= lit(r))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("cell_id"))
+    // double-apply on the indexed store must not stack a second IN
+    val indexed = spark.read.parquet(store)
+    val pruned = indexed.filter(dist <= lit(r))
+    val inCount = "cell_id#\\d+L? IN".r
+      .findAllIn(pruned.queryExecution.optimizedPlan.toString).size
+    assert(inCount <= 1, s"rule must not re-fire, found $inCount IN conjuncts")
+  }
+}
