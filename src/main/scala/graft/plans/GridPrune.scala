@@ -54,14 +54,27 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** (query vector, radius) when a conjunct is a ≤/< bound on the native
-    * squared-L2 literal expression. */
-  private def radiusBound(p: Expression): Option[(Array[Double], Double)] = p match {
-    case LessThanOrEqual(VecMetricLit(_, VecMetric.SqL2, q, _), Literal(r: Double, DoubleType)) =>
-      Some((q, r))
-    case LessThan(VecMetricLit(_, VecMetric.SqL2, q, _), Literal(r: Double, DoubleType)) =>
-      Some((q, r))
+  /** (metric, query vector, aux weights, radius) when a conjunct is a
+    * ≤/< bound on a native distance-literal expression with a closed-form
+    * cell bound (sqL2 / L1 / L∞ / diagonal Mahalanobis — the reference's
+    * four metrics, SURVEY §2.1 #12-#17; the Mahalanobis reciprocal
+    * diagonal travels inside the expression itself). */
+  private val Prunable = Set(VecMetric.SqL2, VecMetric.L1, VecMetric.LInf, VecMetric.Maha)
+  private def radiusBound(p: Expression)
+      : Option[(String, Array[Double], Array[Double], Double)] = p match {
+    case LessThanOrEqual(VecMetricLit(_, m, q, w), Literal(r: Double, DoubleType))
+        if Prunable(m) && (m != VecMetric.Maha || w != null) => Some((m, q, w, r))
+    case LessThan(VecMetricLit(_, m, q, w), Literal(r: Double, DoubleType))
+        if Prunable(m) && (m != VecMetric.Maha || w != null) => Some((m, q, w, r))
     case _ => None
+  }
+
+  private def cellBound(m: String, q: Array[Double], w: Array[Double],
+      cell: Long, cfg: GridConfig): Double = m match {
+    case VecMetric.SqL2 => Grid.cellLowerBoundSqL2(q, cell, cfg)
+    case VecMetric.L1   => Grid.cellLowerBoundL1(q, cell, cfg)
+    case VecMetric.LInf => Grid.cellLowerBoundLInf(q, cell, cfg)
+    case VecMetric.Maha => Grid.cellLowerBoundMahalanobisDiag(q, cell, cfg, w)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -82,12 +95,12 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
         // may hold stores of several grid geometries, and a bound
         // computed against the wrong one is not admissible
         if (cellAttr.isEmpty || bound.isEmpty ||
-            bound.exists(_._1.length != cfg.dim) ||
+            bound.exists(_._2.length != cfg.dim) ||
             cond.references.exists(_.name == "cell_id")) f
         else {
-          val (q, r) = bound.get
+          val (m, q, w, r) = bound.get
           val cells = (0L until cfg.numCells)
-            .filter(c => Grid.cellLowerBoundSqL2(q, c, cfg) <= r)
+            .filter(c => cellBound(m, q, w, c, cfg) <= r)
           if (cells.size == cfg.numCells.toInt) f // every cell qualifies
           else {
             val lits: Seq[Expression] =

@@ -66,6 +66,33 @@ class GridPruneRuleSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("all four reference metrics prune admissibly (≡ brute membership)") {
+    GridRadiusPruning.register(spark, cfg)
+    val indexed = spark.read.parquet(store)
+    val invDiag = Array(1.0, 2.0)
+    val cases = Seq[(String, org.apache.spark.sql.Column, (Double, Double) => Double)](
+      ("sql2", Distances.squaredL2Lit(col("embedding"), q),
+        (dx, dy) => dx * dx + dy * dy),
+      ("l1", Distances.l1Lit(col("embedding"), q),
+        (dx, dy) => math.abs(dx) + math.abs(dy)),
+      ("linf", Distances.lInfLit(col("embedding"), q),
+        (dx, dy) => math.max(math.abs(dx), math.abs(dy))),
+      ("maha", Distances.mahalanobisDiagLit(col("embedding"), q, invDiag),
+        (dx, dy) => dx * dx * invDiag(0) + dy * dy * invDiag(1)))
+    for ((name, expr, ref) <- cases) {
+      val rr = if (name == "l1" || name == "linf") 0.2 else 0.04
+      val df = indexed.filter(expr <= lit(rr))
+      assert(df.queryExecution.optimizedPlan.toString
+        .matches("(?s).*cell_id#\\d+L? IN.*"), s"$name: rule did not fire")
+      val got = df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val want = pts.filter { case (_, v) =>
+        ref(v(0).toDouble - q(0), v(1).toDouble - q(1)) <= rr
+      }.map(_._1).toSet
+      assert(got == want, s"$name: pruned set diverges from brute")
+      assert(want.nonEmpty, s"$name: radius vacuous")
+    }
+  }
+
   test("dim-mismatched query never prunes against a foreign grid config") {
     GridRadiusPruning.register(spark, cfg) // 2-dim geometry registered
     val indexed = spark.read.parquet(store)
