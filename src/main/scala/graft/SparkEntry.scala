@@ -3251,6 +3251,44 @@ object SparkEntry {
           Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
           Seq(col("o_totalprice").desc, col("o_orderkey").asc), "rnk")
         .orderBy(col("rnk"))),
+    // ratio-to-parent hierarchical report: each nation's revenue share
+    // WITHIN its region, and each region's share of the grand total —
+    // two window levels over the |nations|-row aggregate (the corpus
+    // collapses once; the percent-of-parent math never rescans it)
+    "agg_share_of_parent" -> ((s, d) => {
+      val byNation = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val wRegion = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      // window sums go back through decimal: a double sum's value depends
+      // on accumulation order, which an unordered window frame does not pin
+      def wsum(w: org.apache.spark.sql.expressions.WindowSpec) =
+        sum(col("rev").cast(DecimalType(18, 2))).over(w).cast("double")
+      byNation
+        .withColumn("share_in_region", round(col("rev") / wsum(wRegion), 6))
+        .withColumn("region_share_of_total",
+          round(wsum(wRegion) / wsum(wAll), 6))
+        .select(col("r_name"), col("n_name"), col("rev"),
+          col("share_in_region"), col("region_share_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    // GROUP-COHERENT holdout: the fold is a hash of the SOURCE, so every
+    // document of a source lands in one fold — the split that stops
+    // within-source near-duplicates from straddling train/eval (doc-level
+    // hashing cannot guarantee that). Emits per-fold source/doc counts;
+    // coherence is structural (fold is a function of source)
+    "sample_group_holdout" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("fold", pmod(Dedup.md5Int32(col("source")), lit(5L)))
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"))
+        .orderBy(col("fold"))),
     // Q13-shape count-of-counts: orders-per-customer histogram including
     // the zero-order customers (left outer + count of the nullable side).
     // TWO stacked aggregations — the second groups on the first's output,
@@ -6333,6 +6371,29 @@ object SparkEntry {
         """SELECT o_orderkey, o_totalprice,
           |  CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
           |FROM orders ORDER BY rnk""".stripMargin,
+      "agg_share_of_parent" ->
+        s"""WITH bn AS (
+           |  SELECT r_name, n_name, ${dsumSql("o_totalprice")} AS rev
+           |  FROM orders
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  GROUP BY r_name, n_name)
+           |SELECT r_name, n_name, rev,
+           |  round(rev / CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+           |    AS share_in_region,
+           |  round(CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (PARTITION BY r_name) AS DOUBLE)
+           |      / CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER () AS DOUBLE), 6)
+           |    AS region_share_of_total
+           |FROM bn ORDER BY r_name, n_name""".stripMargin,
+      "sample_group_holdout" -> {
+        val h = Dedup.md5Int32Sql("source")
+        s"""SELECT ($h % 5) AS fold,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+           |FROM documents GROUP BY fold ORDER BY fold""".stripMargin
+      },
       "agg_count_distribution" ->
         """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
           |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
