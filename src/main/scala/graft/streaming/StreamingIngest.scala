@@ -30,6 +30,35 @@ object StreamingIngest {
           .write.mode("append").partitionBy("cell_id").parquet(storePath)
       }
 
+  /** One micro-batch of the IDEMPOTENT ingest — factored out so the
+    * replay contract is testable without a harness restart. */
+  def writeVectorBatchIdempotent(batch: DataFrame, batchId: Long,
+      cfg: GridConfig, storePath: String): Unit =
+    batch
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("cell_id", Grid.cellId(col("embedding"), cfg))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell_id")
+      .parquet(storePath)
+
+  /** EXACTLY-ONCE variant of [[vectorIngest]]: `foreachBatch` is
+    * at-least-once — after a failure the same micro-batch replays with the
+    * SAME batchId — so the blind append above can duplicate rows. Here
+    * each batch lands in its own `batch_id=<n>` partition subtree under
+    * dynamic partition OVERWRITE: a replay replaces its own previous
+    * attempt byte-for-byte instead of appending next to it. Idempotence
+    * without a transaction log, from partition layout alone; readers
+    * still prune on the nested `cell_id` directories. */
+  def vectorIngestIdempotent(stream: DataFrame, cfg: GridConfig,
+      storePath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        writeVectorBatchIdempotent(batch, bid, cfg, storePath)
+      }
+
   /** Watermarked tumbling-window aggregation over an event stream:
     * per (window, event_type) counts and value sums; late rows beyond the
     * watermark are dropped. */

@@ -46,4 +46,22 @@ class StreamingAdmitSpec extends SparkSpecBase {
     assert(stored === Set((0L, "alpha text"), (1L, "beta text"),
       (4L, "gamma text"), (5L, "delta text")))
   }
+
+  test("idempotent ingest: a replayed micro-batch overwrites itself, not appends") {
+    val cfg = graft.index.GridConfig(dim = 2, lower = 0.0, upper = 1.0,
+      partsPerDim = 2, gridDims = 2)
+    val store = java.nio.file.Files.createTempDirectory("graft_idem_ingest").toString
+    def batchDf(ids: Range) = ids.map { i =>
+      (i.toLong, Array((i % 10) / 10f, (i / 10 % 10) / 10f))
+    }.toDF("vec_id", "embedding")
+    // batch 0 arrives, then REPLAYS (at-least-once foreachBatch), then batch 1
+    StreamingIngest.writeVectorBatchIdempotent(batchDf(0 until 40), 0L, cfg, store)
+    StreamingIngest.writeVectorBatchIdempotent(batchDf(0 until 40), 0L, cfg, store)
+    StreamingIngest.writeVectorBatchIdempotent(batchDf(40 until 60), 1L, cfg, store)
+    val rows = spark.read.parquet(store)
+    assert(rows.count() == 60L, "replay must not duplicate batch 0")
+    assert(rows.select("vec_id").distinct().count() == 60L)
+    // the store stays cell-pruned under the nested partition layout
+    assert(rows.select("cell_id").distinct().count() > 1)
+  }
 }
