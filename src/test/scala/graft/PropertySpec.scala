@@ -53,6 +53,27 @@ class PropertySpec extends SparkSpecBase {
     check(p, "bound admissibility")
   }
 
+  test("ALL metric cell bounds are admissible (the auto-pruning rule's contract)") {
+    // GridRadiusPruning skips a cell when bound > r; a bound exceeding the
+    // true distance of ANY in-cell point would silently drop matches.
+    val gen = for {
+      dim <- Gen.choose(1, 6)
+      parts <- Gen.choose(2, 5)
+      gdims <- Gen.choose(1, dim)
+      q <- vecGen(dim)
+      v <- Gen.containerOfN[Array, Double](dim, Gen.choose(-1.0, 1.0))
+      inv <- Gen.containerOfN[Array, Double](dim, Gen.choose(0.1, 5.0))
+    } yield (GridConfig(dim, -1.0, 1.0, parts, gdims), q, v, inv)
+    val p = Prop.forAll(gen) { case (cfg, q, v, inv) =>
+      val cell = Grid.cellOf(v, cfg)
+      (Grid.cellLowerBoundL1(q, cell, cfg) <= Distances.l1(q, v) + 1e-9) &&
+      (Grid.cellLowerBoundLInf(q, cell, cfg) <= Distances.lInf(q, v) + 1e-9) &&
+      (Grid.cellLowerBoundMahalanobisDiag(q, cell, cfg, inv) <=
+        q.indices.map(i => { val d = q(i) - v(i); d * d * inv(i) }).sum + 1e-9)
+    }
+    check(p, "all-metric bound admissibility")
+  }
+
   test("cellOf is total and stable over [lower,upper] plus out-of-bounds points") {
     val gen = for {
       dim <- Gen.choose(1, 6)
