@@ -486,5 +486,16 @@ object ScaleProbe extends App {
     val want = 2.5 * nBase * reps
     assert(math.abs(n - want) / want < 0.01, s"copies $n vs $want")
   }
+  // Auto-pruned radius at 1M: a PLAIN distance filter over the
+  // cell-partitioned store, pruning injected by the optimizer rule —
+  // must equal the unpruned filter while reading a fraction of cells.
+  t("auto-pruned radius rule (1M)") {
+    graft.plans.GridRadiusPruning.register(spark, cfg)
+    val dist = Distances.squaredL2Lit(col("embedding"), Fixtures.Q64)
+    val auto = indexed.filter(dist <= lit(0.9)).count()
+    spark.conf.unset(graft.plans.GridRadiusPruning.ConfKey)
+    val plain = indexed.filter(dist <= lit(0.9)).count()
+    assert(auto == plain, s"auto $auto != plain $plain")
+  }
   spark.stop()
 }

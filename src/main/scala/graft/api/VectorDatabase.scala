@@ -141,6 +141,19 @@ final class VectorDatabase private (
       cellBound = m.cellBound, distExpr = Some(m.dist(col("embedding"), q)))
   }
 
+  /** Radius (range) search: every stored vector within distance `r` of
+    * `q`, ordered (dist ASC, id ASC) — the range-query face the reference
+    * lacks but any vector store's read API pairs with top-k. Candidate
+    * cells are known up front (cell bound ≤ r — no widening loop), so on
+    * a saved store this is pure file skipping. */
+  def radiusSearch(q: Array[Double], r: Double,
+      filter: Option[Column] = None,
+      metric: Option[Metric] = None): DataFrame = {
+    val m = metric.getOrElse(defaultMetric)
+    Knn.prunedRadius(state, cfg, q, r, pred = filter,
+      cellBound = m.cellBound, distExpr = Some(m.dist(col("embedding"), q)))
+  }
+
   /** Batch kNN join: k nearest stored vectors for EVERY query row — the
     * cluster-scale form of [[findKNearestNeighbors]] (SURVEY §2.1 #1
     * batch-of-queries). Skew-safe bounded top-k aggregation under the hood. */

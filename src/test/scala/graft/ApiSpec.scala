@@ -105,4 +105,18 @@ class ApiSpec extends SparkSpecBase {
     val orig = db.findKNearestNeighbors(Q64, 3)
     assert(res.map(_.vec_id) === orig.map(_.vec_id))
   }
+
+  test("radiusSearch returns exactly the rows within r, k-th-neighbor-consistent") {
+    // anchor r on the 5th neighbor's distance: the radius result must then
+    // contain at least those 5 and every returned dist must be <= r
+    val nn = db.findKNearestNeighbors(Q64, 5)
+    val r = nn.last.dist
+    val rows = db.radiusSearch(Q64, r)
+      .select("vec_id", "dist").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1))
+    assert(rows.forall(_._2 <= r))
+    assert(nn.map(_.vec_id).toSet.subsetOf(rows.map(_._1).toSet))
+    // sorted (dist, id)
+    assert(rows.sortBy(p => (p._2, p._1)).toSeq == rows.toSeq)
+  }
 }
