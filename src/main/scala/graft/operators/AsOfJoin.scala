@@ -100,6 +100,8 @@ object AsOfJoin {
                   keyL: String, keyR: String,
                   timeL: String, timeR: String,
                   payloadR: Seq[String], tiebreakR: String): DataFrame = {
+    require(!payloadR.contains("__rt"),
+      "asOfNearest: payload name __rt is reserved for the carried right time")
     val leftNullT = left.filter(col(timeL).isNull)
     val left0 = left.filter(col(timeL).isNotNull)
     val right0 = right.filter(col(timeR).isNotNull)

@@ -39,7 +39,10 @@ object Governance {
     * the realized copy count converges to rate·n with NO randomness
     * (replayable across engines and across runs, unlike Poisson
     * resampling). Emits one output row per copy with `copy_idx` ∈
-    * [1, n_copies].
+    * [1, n_copies]. Rates BELOW 1.0 degrade gracefully to deterministic
+    * Bernoulli DOWN-sampling (⌊rate⌋ = 0, so only the hash-selected
+    * fraction keeps its single copy) — one operator covers the whole
+    * mixture-rate axis.
     *
     * Scale shape: pure map-side — hash, `sequence`, `explode`; no
     * shuffle, no state. Output volume is rate·|input| by construction;

@@ -80,7 +80,9 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val cfgStr = conf.getConfString(ConfKey, null)
     if (cfgStr == null) return plan
-    val cfg = parseCfg(cfgStr)
+    // a malformed registration must degrade to "no pruning", never break
+    // every query that passes through the optimizer
+    val cfg = try parseCfg(cfgStr) catch { case _: Exception => return plan }
     plan.transformUp {
       case f @ Filter(cond, child) =>
         // LongType from Grid.withCellId; IntegerType when the column came
