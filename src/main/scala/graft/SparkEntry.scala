@@ -3223,6 +3223,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rate"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
+    // the FULL mixture-rate axis through one operator: per-source rates
+    // spanning [0.30, 3.27] — sources below 1.0 Bernoulli-DOWNsample,
+    // above 1.0 fractionally upsample; per-source realized copy counts
+    // and rates, every branch replayed by the oracle
+    "sample_mixture_rates" -> ((s, d) => {
+      val rate = round(lit(0.3) +
+        pmod(Dedup.md5Int32(col("source")), lit(298L)).cast("double") / lit(100.0), 2)
+      graft.operators.Governance.epochUpsample(
+          docs(s, d).select(col("doc_id"), col("source"))
+            .withColumn("rate", rate),
+          col("doc_id"), col("rate"))
+        .groupBy(col("source"), col("rate"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("source"))
+    }),
     // KMV distinct-count sketch over order keys: (k−1)/kth-smallest
     // normalized hash. Pure function of the deterministic md5 hash ⇒ the
     // estimate itself is HASH-CHECKED cross-engine (the HLL sketch in
@@ -6336,6 +6352,22 @@ object SparkEntry {
            |  CAST(unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS INT) AS copy_idx
            |FROM n WHERE n_copies >= 1
            |ORDER BY doc_id, copy_idx""".stripMargin
+      },
+      "sample_mixture_rates" -> {
+        val srcH = Dedup.md5Int32Sql("source")
+        val idH = Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")
+        s"""WITH r AS (
+           |  SELECT doc_id, source, (30 + ($srcH % 298)) AS cents
+           |  FROM documents),
+           |n AS (
+           |  SELECT doc_id, source, cents,
+           |    (cents // 100) +
+           |      CASE WHEN ($idH % 100) < (cents % 100) THEN 1 ELSE 0 END AS n_copies
+           |  FROM r)
+           |SELECT source, round(CAST(cents AS DOUBLE) / CAST('100.0' AS DOUBLE), 2) AS rate,
+           |  CAST(COUNT(DISTINCT CASE WHEN n_copies >= 1 THEN doc_id END) AS BIGINT) AS n_docs_kept,
+           |  CAST(SUM(n_copies) AS BIGINT) AS n_copies
+           |FROM n GROUP BY source, cents ORDER BY source""".stripMargin
       },
       "agg_kmv_distinct" -> {
         val h = Dedup.md5Int32Sql("CAST(l_orderkey AS VARCHAR)")

@@ -136,6 +136,17 @@ class GovernanceSpec extends SparkSpecBase {
     assert(exact2 == 100L)
   }
 
+  test("epochUpsample rate < 1 downsamples deterministically (one copy or none)") {
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 1000).map(i => (i.toLong, 0.30)).toDF("id", "rate")
+    val out = Governance.epochUpsample(df, col("id"), col("rate"))
+    assert(out.groupBy("id").count().collect().forall(_.getLong(1) == 1L))
+    val n = out.count()
+    assert(math.abs(n - 300L) < 60, s"kept $n of 1000 at rate 0.30")
+    // replay-stable
+    assert(out.count() == n)
+  }
+
   test("epochUpsample is deterministic and map-side (no shuffle in the plan)") {
     import org.apache.spark.sql.functions.col
     val df = (0 until 100).map(i => (i.toLong, 1.25)).toDF("id", "rate")
