@@ -3223,6 +3223,57 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rate"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
+    // data-quality EXPECTATIONS suite (the dbt-test / Great-Expectations
+    // shape): declarative per-rule predicates over one table, evaluated
+    // in ONE conditional-aggregation pass — n_checked/n_failed per rule,
+    // no per-rule rescans. Two rules are deliberately violated by the
+    // fixture so the failure path is non-vacuous
+    "audit_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rules: Seq[(String, Column)] = Seq(
+        ("quantity_in_1_50", col("l_quantity").between(1, 50)),
+        ("discount_le_008", col("l_discount") >= 0.0 && col("l_discount") <= 0.08),
+        ("shipdate_not_null", col("l_shipdate").isNotNull),
+        ("price_positive", col("l_extendedprice") > 0.0),
+        ("price_under_60k", col("l_extendedprice") < 60000.0))
+      val agg = li.agg(count(lit(1)).as("n_checked"),
+        rules.map { case (n, p) =>
+          sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"f_$n") }: _*)
+      val rows = rules.map { case (n, _) =>
+        agg.select(lit(n).as("rule"), col("n_checked"),
+          col(s"f_$n").as("n_failed")) }
+      rows.reduce(_.unionByName(_))
+        .withColumn("passed", (col("n_failed") === 0L).cast("int"))
+        .orderBy(col("rule"))
+    }),
+    // RETRACTABLE incremental aggregate (Flink-style): the daily revenue
+    // aggregate is refreshed from a CDC changelog carrying BOTH inserts
+    // and deletes — updated = base + Σinserts − Σdeletes, never a
+    // recompute of the base; the oracle recomputes from scratch and the
+    // two must agree exactly (decimal sums make subtraction lossless)
+    "agg_incremental_retract" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("value"))
+        .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
+      val deletes = ev.filter(col("event_id") % 13 === 0)
+      val inserts = ev.filter(col("event_id") % 17 === 0)
+        .select((col("event_id") + lit(10000000L)).as("event_id"),
+          col("ts"), round(col("value") * 2, 3).as("value"), col("day_epoch"))
+      def dayAgg(df: DataFrame) = df.groupBy(col("day_epoch"))
+        .agg(sum(round(col("value"), 3).cast(DecimalType(18, 3))).as("sv"),
+          count(lit(1)).as("n"))
+      val base = dayAgg(ev)
+      val dIns = dayAgg(inserts).withColumnRenamed("sv", "sv_i").withColumnRenamed("n", "n_i")
+      val dDel = dayAgg(deletes).withColumnRenamed("sv", "sv_d").withColumnRenamed("n", "n_d")
+      base.join(dIns, Seq("day_epoch"), "left").join(dDel, Seq("day_epoch"), "left")
+        .select(col("day_epoch"),
+          (col("sv") + coalesce(col("sv_i"), lit(0).cast(DecimalType(18, 3)))
+            - coalesce(col("sv_d"), lit(0).cast(DecimalType(18, 3))))
+            .cast("double").as("v_sum"),
+          (col("n") + coalesce(col("n_i"), lit(0L)) - coalesce(col("n_d"), lit(0L)))
+            .as("n_events"))
+        .orderBy(col("day_epoch"))
+    }),
     // the FULL mixture-rate axis through one operator: per-source rates
     // spanning [0.30, 3.27] — sources below 1.0 Bernoulli-DOWNsample,
     // above 1.0 fractionally upsample; per-source realized copy counts
@@ -6353,6 +6404,36 @@ object SparkEntry {
            |FROM n WHERE n_copies >= 1
            |ORDER BY doc_id, copy_idx""".stripMargin
       },
+      "audit_expectations" -> {
+        def failSql(pred: String) =
+          s"CAST(SUM(CASE WHEN NOT COALESCE($pred, FALSE) THEN 1 ELSE 0 END) AS BIGINT)"
+        val preds = Seq(
+          ("quantity_in_1_50", "l_quantity BETWEEN 1 AND 50"),
+          ("discount_le_008",
+            s"l_discount >= ${DuckSql.fmt(0.0)} AND l_discount <= ${DuckSql.fmt(0.08)}"),
+          ("shipdate_not_null", "l_shipdate IS NOT NULL"),
+          ("price_positive", s"l_extendedprice > ${DuckSql.fmt(0.0)}"),
+          ("price_under_60k", s"l_extendedprice < ${DuckSql.fmt(60000.0)}"))
+        val aggCols = preds.zipWithIndex
+          .map { case ((_, p), i) => s"${failSql(p)} AS f$i" }.mkString(", ")
+        val rows = preds.zipWithIndex.map { case ((n, _), i) =>
+          s"""SELECT '$n' AS rule, n_checked, f$i AS n_failed,
+             |  CAST(CASE WHEN f$i = 0 THEN 1 ELSE 0 END AS INT) AS passed FROM a""".stripMargin }
+        s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checked, $aggCols FROM lineitem)
+           |${rows.mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY rule""".stripMargin
+      },
+      "agg_incremental_retract" ->
+        """WITH ev AS (
+          |  SELECT event_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch, value
+          |  FROM events),
+          |final AS (
+          |  SELECT day_epoch, value FROM ev WHERE event_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT day_epoch, round(value * 2, 3) FROM ev WHERE event_id % 17 = 0)
+          |SELECT day_epoch,
+          |  CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS v_sum,
+          |  CAST(COUNT(*) AS BIGINT) AS n_events
+          |FROM final GROUP BY day_epoch ORDER BY day_epoch""".stripMargin,
       "sample_mixture_rates" -> {
         val srcH = Dedup.md5Int32Sql("source")
         val idH = Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")
