@@ -3223,6 +3223,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rate"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
+    // per-source language-mix Shannon entropy — the diversity statistic a
+    // corpus governance report tracks per provider (0 = monolingual,
+    // ln(5) ≈ 1.609 = uniform over the fixture's five languages). One
+    // |src×lang| aggregation; the −Σ p·ln p terms are 9-decimal-quantized
+    // pre-sum (the chi2/PMI ln contract) so the statistic is engine-exact
+    "text_lang_mix_entropy" -> ((s, d) => {
+      val cnt = docs(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+      cnt.join(tot, "source")
+        .withColumn("p", col("n").cast("double") / col("n_src").cast("double"))
+        .withColumn("term",
+          round(-col("p") * log(col("p")), 9).cast(DecimalType(18, 9)))
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("term")).cast("double").as("lang_entropy"))
+        .orderBy(col("source"))
+    }),
     // data-quality EXPECTATIONS suite (the dbt-test / Great-Expectations
     // shape): declarative per-rule predicates over one table, evaluated
     // in ONE conditional-aggregation pass — n_checked/n_failed per rule,
@@ -6404,6 +6423,17 @@ object SparkEntry {
            |FROM n WHERE n_copies >= 1
            |ORDER BY doc_id, copy_idx""".stripMargin
       },
+      "text_lang_mix_entropy" ->
+        """WITH cnt AS (
+          |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM documents GROUP BY source, lang),
+          |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src FROM cnt GROUP BY source)
+          |SELECT source, MAX(n_src) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs,
+          |  CAST(SUM(CAST(round(-(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE))
+          |    * ln(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE)
+          |    AS lang_entropy
+          |FROM cnt JOIN tot USING (source)
+          |GROUP BY source ORDER BY source""".stripMargin,
       "audit_expectations" -> {
         def failSql(pred: String) =
           s"CAST(SUM(CASE WHEN NOT COALESCE($pred, FALSE) THEN 1 ELSE 0 END) AS BIGINT)"
