@@ -959,13 +959,16 @@ object SparkEntry {
     // errors 9-decimal-quantized so the decimal mean is engine-exact
     "vec_pq_error" -> ((s, d) => {
       val model = FixedPqModel
-      def subDist(v: Column, off: Int, cent: Array[Double]): Column =
-        cent.indices.map { i =>
-          val dd = element_at(v, off + i + 1).cast("double") - lit(cent(i)); dd * dd
-        }.reduce(_ + _)
+      // native min-distance kernel per subspace slice: same value as
+      // least() over the unrolled per-centroid sums (min is exact), but a
+      // compact generated loop — the 16×32×4-term unrolled tree spent its
+      // time in janino compilation, not execution
       val errs = (0 until model.m).map { j =>
-        round(least((0 until model.ksub).map(c =>
-          subDist(col("embedding"), j * model.dsub, model.codebooks(j)(c))): _*), 9)
+        val sub = slice(col("embedding"), j * model.dsub + 1, model.dsub)
+        round(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.VecMinDistL2(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(sub),
+              model.codebooks(j))), 9)
           .cast(DecimalType(18, 9))
       }
       emb(s, d)

@@ -246,6 +246,77 @@ case class VecArgMinL2(child: Expression, centroids: Array[Array[Double]])
   }
 }
 
+/** The minimum squared-L2 DISTANCE to any centroid — [[VecArgMinL2]]'s
+  * value twin (that one returns the winner's index; quantization-error
+  * reporting needs the winning distance itself). Identical k×dim loop and
+  * accumulation order, so the value equals `least()` over the unrolled
+  * per-centroid sums bit-for-bit — but as ONE compact generated loop
+  * instead of a k×dim-term expression tree, whose janino compile time
+  * (not row throughput) dominated the unrolled form at k×dim ≳ 2000. */
+case class VecMinDistL2(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val k = centroids.length
+  private val dim = if (k > 0) centroids(0).length else 0
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMetric.checkArrayOfFloat(child.dataType, "vector")
+  override protected def withNewChildInternal(newChild: Expression): VecMinDistL2 =
+    copy(child = newChild)
+  override def prettyName: String = "vec_mindist_l2"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      var s = 0.0
+      i = 0
+      while (i < dim) { val d = arr.getFloat(i).toDouble - c(i); s += d * d; i += 1 }
+      if (s < bestD) bestD = s
+      j += 1
+    }
+    bestD
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val bestD = ctx.freshName("bestD")
+      val ok = ctx.freshName("ok")
+      s"""
+         |boolean $ok = $arr.numElements() >= $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($arr.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double d = ((double) $arr.getFloat($i)) - $cRef[$j][$i];
+         |      $s += d * d;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; }
+         |  }
+         |  ${ev.value} = $bestD;
+         |}
+       """.stripMargin
+    })
+  }
+}
+
 /** The `n` nearest centroid indexes by squared L2, ascending (ties by
   * lower index) — the multi-probe companion of [[VecArgMinL2]] for batch
   * IVF: each query row probes its `nprobe` best cells. Codegen'd k×dim

@@ -152,6 +152,30 @@ class VecExprSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("VecMinDistL2 equals least() over unrolled per-centroid sums, bit-for-bit") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val cents = Array.fill(7)(Array.fill(4)(rnd.nextDouble() - 0.5))
+    val df = (0 until 200).map { _ =>
+      Tuple1(Array.fill(4)(rnd.nextFloat() - 0.5f))
+    }.toDF("v")
+    def unrolled = least(cents.map { c =>
+      c.indices.map { i =>
+        val d = element_at(col("v"), i + 1).cast("double") - lit(c(i)); d * d
+      }.reduce(_ + _)
+    }.toSeq: _*)
+    val native = ColumnBridge.column(
+      graft.functions.VecMinDistL2(ColumnBridge.expression(col("v")), cents))
+    val rows = df.select(native.as("a"), unrolled.as("b")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // short vector -> null, matching the metric expressions' contract
+    val shortV = Seq(Tuple1(Array(0.1f))).toDF("v")
+      .select(ColumnBridge.column(graft.functions.VecMinDistL2(
+        ColumnBridge.expression(col("v")), cents)).as("a")).head()
+    assert(shortV.isNullAt(0))
+  }
+
   test("VecMetricCols rejects metrics needing weights at construction") {
     import graft.functions.{VecMetric, VecMetricCols}
     import org.apache.spark.sql.catalyst.expressions.BoundReference
