@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming KMV distinct-count maintenance: the per-key state is the k
+  * SMALLEST distinct md5 hashes seen so far — bounded at k longs per key
+  * however long the stream runs — and each micro-batch emits the key's
+  * refreshed cardinality estimate (k−1)/(h_k/2³²).
+  *
+  * Correctness rides on KMV being a MONOID (the k smallest of a union is
+  * the k smallest of the merged sketches — the same property
+  * `agg_kmv_merge_daily` pins cross-engine in batch), so the streamed
+  * left-fold over arbitrary micro-batch boundaries equals the one-shot
+  * batch sketch of the full input: pinned in StreamingSketchSpec against
+  * [[graft.operators.Stats.kmvDistinct]]. The streaming face of the
+  * reference's `__len__` cardinality operator
+  * (vectordb/kd_tree_database.py:307-308) at key-level, sketch scale.
+  */
+object StreamSketch {
+
+  /** (key, n_in_sketch, kth_h, est_distinct) per key per micro-batch.
+    * `est_distinct` is exact while the sketch is unsaturated
+    * (n_in_sketch < k ⇒ estimate = true distinct count seen). */
+  def kmvDistinctStreaming(rows: DataFrame, key: String, value: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "kmvDistinctStreaming: need k >= 2")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(key).cast("string").as("k"),
+        graft.operators.Dedup.md5Int32(col(value).cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Long)],
+         state: GroupState[Array[Long]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          // merge = k smallest of (state ∪ batch hashes), distinct
+          val merged = (prev ++ batch.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val n = merged.length
+          val kth = merged.last
+          val est =
+            if (n < k) n.toDouble // unsaturated: the sketch IS the set
+            else BigDecimal((n - 1).toDouble / (kth.toDouble / 4294967296.0))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator((key, n.toLong, kth, est))
+      }
+      .toDF("key", "n_in_sketch", "kth_h", "est_distinct")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.StreamSketch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streamed KMV ≡ batch KMV: the k-smallest-hash state is a monoid, so a
+  * left fold over arbitrary micro-batch boundaries must land on exactly
+  * the batch sketch of the full input. */
+class StreamingSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamed KMV converges to the batch sketch regardless of batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 32
+    // two keys; key "a" sees 500 distinct values (saturates k), key "b"
+    // sees 10 (stays exact); duplicates re-delivered across batches
+    val allA = (0 until 500).map(v => ("a", v.toLong))
+    val allB = (0 until 10).map(v => ("b", v.toLong))
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamSketch.kmvDistinctStreaming(
+        stream.toDF().toDF("key", "value"), "key", "value", k)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(allA.take(200) ++ allB)
+      q.processAllAvailable()
+      stream.addData(allA.slice(100, 400)) // overlap re-delivers 100..200
+      q.processAllAvailable()
+      stream.addData(allA.drop(300) ++ allB) // full re-delivery of b
+      q.processAllAvailable()
+    } finally q.stop()
+    // last emitted row per key (update mode re-emits on refresh)
+    val last = spark.table("kmv_out").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (key, rs) => key -> rs.last._2 }
+    // batch reference through the SAME estimator
+    val batchA = graft.operators.Stats.kmvDistinct(
+      allA.map(_._2).toDF("v"), col("v"), k).head()
+    assert(last("a")._2 == batchA.getLong(1), "kth hash must equal the batch sketch")
+    assert(last("a")._3 == batchA.getDouble(2), "estimate must equal the batch sketch")
+    assert(last("b")._1 == 10L && last("b")._3 == 10.0,
+      "unsaturated sketch must report the exact distinct count")
+  }
+}
