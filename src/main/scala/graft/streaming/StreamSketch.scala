@@ -49,4 +49,38 @@ object StreamSketch {
       }
       .toDF("key", "n_in_sketch", "kth_h", "est_distinct")
   }
+
+  /** Streaming per-key TOP-K maintenance: the state is the k best
+    * (score DESC, id ASC) rows seen so far for the key — the leaderboard /
+    * best-candidates server. Like the KMV sketch (and unlike averages or
+    * heavy-hitter counters), bounded top-k is a MONOID: top-k of a union
+    * is the top-k of the merged tails, so the streamed fold is EXACTLY the
+    * batch top-k of the full input under any batching and re-delivery of
+    * identical rows (dedup by id inside the state). State: k (score, id)
+    * pairs per key, forever-bounded. Each micro-batch re-emits the key's
+    * refreshed list with dense ranks. */
+  def topKStreaming(rows: DataFrame, key: String, id: String, score: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "topKStreaming: need k >= 1")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(key).cast("string").as("k"),
+        col(id).cast("long").as("i"), col(score).cast("double").as("s"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Long, Double)],
+         state: GroupState[Array[(Double, Long)]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[(Double, Long)])
+          val merged = (prev ++ batch.map(r => (r._3, r._2)))
+            .distinct // identical (score, id) re-deliveries collapse
+            .sortBy { case (s, i) => (-s, i) }
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((s, i), r) =>
+            (key, i, s, r + 1)
+          }
+      }
+      .toDF("key", "id", "score", "rank")
+  }
 }

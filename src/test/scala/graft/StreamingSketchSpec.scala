@@ -42,4 +42,35 @@ class StreamingSketchSpec extends SparkSpecBase {
     assert(last("b")._1 == 10L && last("b")._3 == 10.0,
       "unsaturated sketch must report the exact distinct count")
   }
+
+  test("streamed per-key top-k equals the batch top-k under re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 5
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).map { i =>
+      (s"k${i % 3}", i.toLong, math.rint(rnd.nextDouble() * 1000) / 10.0)
+    }
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = StreamSketch.topKStreaming(
+        stream.toDF().toDF("key", "id", "score"), "key", "id", "score", k)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(rows.take(150))
+      q.processAllAvailable()
+      stream.addData(rows.slice(100, 250)) // 50 rows re-delivered
+      q.processAllAvailable()
+      stream.addData(rows.drop(250))
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per key = last k emitted rows for that key
+    val got = spark.table("topk_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).map { case (key, rs) =>
+        key -> rs.takeRight(k).map(t => (t._2, t._3, t._4)).toSeq }
+    val want = rows.groupBy(_._1).map { case (key, rs) =>
+      key -> rs.map(t => (t._3, t._2)).sortBy { case (s, i) => (-s, i) }
+        .take(k).zipWithIndex.map { case ((s, i), r) => (i, s, r + 1) }.toSeq }
+    assert(got == want)
+  }
 }
