@@ -77,6 +77,24 @@ object SparkEntry {
   private def nStopSql(t: String) =
     s"CAST(len(list_filter(string_split($t, ' '), w -> w IN $stopListSql)) AS INT)"
 
+  /** [[TextAnalysis.qualityScoreScaled]] as DuckDB SQL: the score is the
+    * exact rational num/(3000·nw) of integer counts, quantized to
+    * `decimals` places half-up with ONE BIGINT floor-division (`//`) —
+    * bit-identical to the Column form, immune to the Spark-vs-DuckDB
+    * `round(double)` half-tie divergence that broke the r5 hash gate on
+    * `sample_source_cap` / `text_quality_percentile`. */
+  private def qualityScaledSql(t: String, decimals: Int): String = {
+    require(decimals >= 3 && decimals <= 9)
+    val p = math.pow(10, decimals - 3).toLong
+    val nw = s"CAST(${nWordsSql(t)} AS BIGINT)"
+    val ns = s"CAST(${nStopSql(t)} AS BIGINT)"
+    val len = s"CAST(length($t) AS BIGINT)"
+    val chars = s"($len - $nw + 1)"
+    val w = s"(CASE WHEN $chars >= 3 * $nw AND $chars <= 8 * $nw THEN 1000 ELSE 500 END)"
+    val num = s"(LEAST($len, 500) * 2 * $nw + LEAST($ns * 10, $nw) * 1000 + $w * $nw)"
+    s"CAST(($num * ${2L * p} + 3 * $nw) // (6 * $nw) AS BIGINT)"
+  }
+
   // Shared MinHash/LSH SQL fragments (mirrors of Dedup.minHashSignature /
   // minHashLshNearDupPairs with the default 8 hashes / 4 bands / width-3
   // shingles) — single source for every oracle that embeds the pipeline.
@@ -1997,9 +2015,11 @@ object SparkEntry {
     // stops one domain from dominating the mixture. row_number <= n plans
     // as WindowGroupLimitExec: each map task keeps its local top-n per
     // key BEFORE the shuffle, so the exchange is bounded by n·keys·tasks
+    // qq is the integer-exact nano-unit quality score (BIGINT), so the
+    // kept-set boundary can never ride a double rounding half-tie
     "sample_source_cap" -> ((s, d) => {
       val q = par(s, docs(s, d)).withColumn("qq",
-        round(TextAnalysis.qualityScore(col("text")), 9).cast(DecimalType(18, 9)))
+        TextAnalysis.qualityScoreScaled(col("text"), 9))
       graft.operators.Governance.capPerKey(q, "source", 10,
           Seq(col("qq").desc, col("doc_id").asc))
         .groupBy(col("source"))
@@ -2042,15 +2062,20 @@ object SparkEntry {
     // 4 decimals → per-(lang, score) counts → running-below window over
     // the ≤10^4-bucket histogram → broadcast join back), NOT a row-level
     // per-language sort of the corpus
+    // score_q is the integer-exact 10^-4-unit quality score and pctl the
+    // exact nano-unit percent-rank — both pure-BIGINT quantizations, so
+    // neither the histogram bucket nor the keep gate can flip on an
+    // engine-dependent double rounding
     "text_quality_percentile" -> ((s, d) => {
-      val q4 = round(TextAnalysis.qualityScore(col("text")), 4)
-        .cast(DecimalType(9, 4))
+      val q4 = TextAnalysis.qualityScoreScaled(col("text"), 4)
       graft.operators.Governance.percentileByGroup(
           par(s, docs(s, d)).select(col("doc_id"), col("lang"), col("text")),
           "lang", q4)
         .filter(col("doc_id") % 3 === 0)
+        .withColumn("pctl",
+          graft.operators.Governance.pctlNanos(col("pct_below"), col("pct_n")))
         .select(col("doc_id"), col("lang"), col("score_q"), col("pctl"),
-          (col("pctl") >= 0.2).cast("int").as("keep"))
+          (col("pctl") >= 200000000L).cast("int").as("keep"))
         .orderBy(col("doc_id"))
     }),
     // corpus n-gram diversity per language: distinct trigrams / total
@@ -5194,7 +5219,7 @@ object SparkEntry {
            |  SELECT source, doc_id, qq,
            |    row_number() OVER (PARTITION BY source ORDER BY qq DESC, doc_id ASC) AS rnk
            |  FROM (SELECT source, doc_id,
-           |          CAST(round(${qualitySql("text")}, 9) AS DECIMAL(18,9)) AS qq
+           |          ${qualityScaledSql("text", 9)} AS qq
            |        FROM documents)
            |) WHERE rnk <= 10
            |GROUP BY source ORDER BY source""".stripMargin,
@@ -5220,7 +5245,7 @@ object SparkEntry {
       "text_quality_percentile" ->
         s"""WITH scored AS (
            |  SELECT doc_id, lang,
-           |    CAST(round(${qualitySql("text")}, 4) AS DECIMAL(9,4)) AS score_q
+           |    ${qualityScaledSql("text", 4)} AS score_q
            |  FROM documents),
            |hist AS (SELECT lang, score_q, COUNT(*) AS c FROM scored GROUP BY lang, score_q),
            |pr AS (
@@ -5230,12 +5255,12 @@ object SparkEntry {
            |    SUM(c) OVER (PARTITION BY lang) AS n
            |  FROM hist)
            |SELECT s.doc_id, s.lang, s.score_q,
-           |  CASE WHEN p.n > 1
-           |    THEN round(CAST(p.below AS DOUBLE) / CAST(p.n - 1 AS DOUBLE), 9)
-           |    ELSE 0.0 END AS pctl,
            |  CAST(CASE WHEN p.n > 1
-           |    THEN round(CAST(p.below AS DOUBLE) / CAST(p.n - 1 AS DOUBLE), 9)
-           |    ELSE 0.0 END >= 0.2 AS INT) AS keep
+           |    THEN (p.below * 2000000000 + (p.n - 1)) // ((p.n - 1) * 2)
+           |    ELSE 0 END AS BIGINT) AS pctl,
+           |  CAST(CASE WHEN p.n > 1
+           |    THEN (p.below * 2000000000 + (p.n - 1)) // ((p.n - 1) * 2)
+           |    ELSE 0 END >= 200000000 AS INT) AS keep
            |FROM scored s JOIN pr p ON s.lang = p.lang AND s.score_q = p.score_q
            |WHERE s.doc_id % 3 = 0 ORDER BY s.doc_id""".stripMargin,
       "text_ngram_diversity" ->

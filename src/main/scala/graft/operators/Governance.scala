@@ -120,10 +120,22 @@ object Governance {
         when(col("__n") > 1,
           round(col("__below").cast("double") / (col("__n") - 1).cast("double"), 9))
           .otherwise(lit(0.0)))
-      .select(col(group), col("__q"), col("pctl"))
+      .select(col(group), col("__q"), col("pctl"),
+        col("__below").as("pct_below"), col("__n").as("pct_n"))
     scored.join(broadcast(pr), Seq(group, "__q"))
       .withColumnRenamed("__q", "score_q")
   }
+
+  /** Exact percent-rank in nano-units (10^-9), half-up, from
+    * [[percentileByGroup]]'s `pct_below`/`pct_n` integers — one BIGINT
+    * floor-division, bit-identical in any engine (the rounded-double
+    * `pctl` can flip a half-tie between engines; this cannot). */
+  def pctlNanos(below: Column, n: Column): Column =
+    when(n > 1,
+      graft.functions.IntMath.intDiv(
+        below * lit(2000000000L) + (n - lit(1L)),
+        (n - lit(1L)) * lit(2L)))
+      .otherwise(lit(0L))
 
   /** Quantile normalization across groups — the batch-effect correction
     * transform: each row's score is replaced by the POOLED distribution's
@@ -166,6 +178,6 @@ object Governance {
         round(col("__v_lo").cast("double") +
           (col("__v_hi").cast("double") - col("__v_lo").cast("double")) * col("__frac"), 6))
       .drop("__idx", "__lo", "__hi", "__frac", "__s1", "__e1", "__s2", "__e2",
-        "__v_lo", "__v_hi", "__n_total")
+        "__v_lo", "__v_hi", "__n_total", "pct_below", "pct_n")
   }
 }

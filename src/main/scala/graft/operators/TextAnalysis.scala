@@ -51,6 +51,35 @@ object TextAnalysis {
     (lenScore + stopScore + wlenScore) / lit(3.0)
   }
 
+  /** [[qualityScore]] quantized to `decimals` places as an EXACT scaled
+    * integer (units of 10^-decimals), half-up. Every component of the
+    * score is a ratio of integer counts, so the score is the exact
+    * rational num / (3000·nw) with
+    * `num = 2·nw·min(len,500) + 1000·min(10·ns, nw) + (1000|500)·nw`;
+    * quantization is then one BIGINT floor-division — bit-identical in
+    * any engine, unlike `round(double, d)` whose half-tie handling
+    * differs between Spark (BigDecimal-of-shortest-repr HALF_UP) and
+    * DuckDB (scale-and-rint). Use THIS wherever a quantized quality
+    * score feeds an order-by boundary or a join/group key.
+    * `decimals` ∈ [3, 9] (the 10^decimals/1000 reduction keeps the
+    * numerator far inside BIGINT). */
+  def qualityScoreScaled(text: Column, decimals: Int): Column = {
+    require(decimals >= 3 && decimals <= 9, s"decimals in [3,9], got $decimals")
+    val p = math.pow(10, decimals - 3).toLong // 10^d / 1000, exact
+    val len = length(text).cast("long")
+    val nw = nWords(text).cast("long")
+    val ns = nStopwords(text).cast("long")
+    val chars = len - nw + lit(1L) // total word chars; awl = chars/nw
+    val w = when(chars >= nw * 3L && chars <= nw * 8L, lit(1000L)).otherwise(lit(500L))
+    val num = least(len, lit(500L)) * lit(2L) * nw +
+      least(ns * lit(10L), nw) * lit(1000L) + w * nw
+    // half-up: floor((2·num·p + 3·nw) div (6·nw)), pure BIGINT division
+    // (all terms non-negative, so truncating div ≡ floor div)
+    graft.functions.IntMath.intDiv(
+      (num * lit(2L * p) + nw * lit(3L)).cast("long"),
+      (nw * lit(6L)).cast("long"))
+  }
+
   /** n-gram-free language-ID heuristic: English stopword density. The
     * fixture corpus is synthetic, so this pins the OPERATOR (deterministic
     * classification), not linguistic accuracy. */

@@ -155,4 +155,26 @@ class DedupTextSpec extends SparkSpecBase {
       .filter(col("prev_end").isNotNull && col("span_start") <= col("prev_end"))
       .count() === 0)
   }
+
+  test("qualityScoreScaled: exact BIGINT quantization agrees with the double score within one ulp-of-scale, and is exact on constructed docs") {
+    // constructed doc: 10 words ("the" is a stopword), all integer inputs
+    // known: len=56, nw=10, ns=1, chars=47, awl=4.7 in [3,8] -> w=1000
+    // num = 2*10*56 + 1000*min(10,10) + 1000*10 = 1120 + 10000 + 10000 = 21120
+    // score = 21120/30000 = 0.704 exactly
+    val d = Seq((0L, "the alpha beta gamma delta epsil zetaa etaaa theta iotaa"))
+      .toDF("doc_id", "text")
+    val got = d.select(TextAnalysis.qualityScoreScaled(col("text"), 9))
+      .as[Long].head()
+    assert(got === 704000000L, s"expected exact nanos, got $got")
+    assert(d.select(TextAnalysis.qualityScoreScaled(col("text"), 4))
+      .as[Long].head() === 7040L)
+    // corpus-wide: |scaled - round(double*1e9)| <= 1 (they may differ only
+    // where the double result sits within an ulp of a half-tie)
+    val drift = docs.select(
+        TextAnalysis.qualityScoreScaled(col("text"), 9).as("exact"),
+        round(TextAnalysis.qualityScore(col("text")) * 1e9, 0).cast("long").as("dbl"))
+      .filter(abs(col("exact") - col("dbl")) > 1)
+      .count()
+    assert(drift === 0, s"$drift docs drift >1 nano between exact and double score")
+  }
 }
