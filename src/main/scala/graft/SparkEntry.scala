@@ -884,16 +884,18 @@ object SparkEntry {
         .filter(col("h") < col("p") * 1048576.0)
         .select(col("doc_id"), col("p"))
         .orderBy(col("doc_id"))),
-    "dedup_jaccard_pairs" -> ((s, d) => {
-      val ws = docs(s, d).filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
-      val a = ws.as("a"); val b = ws.as("b")
-      a.join(b, col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          Dedup.jaccard(col("a.wset"), col("b.wset")).as("jac"))
-        .filter(col("jac") >= 0.8)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // all Jaccard ≥ 0.8 pairs via exact prefix filtering (SetSimJoin) —
+    // recall 1, no cross product; the brute O(n²) form lives only on
+    // the oracle side (the r5 plan was a BroadcastNestedLoop self-join).
+    // The %100 sample bounds the OUTPUT, not the plan: the fixture
+    // corpus is template-generated, so ≥0.8 pairs are quadratic in the
+    // near-dup group sizes and a full-corpus pair dump is itself
+    // O(groups²) rows — a real pipeline would feed these edges straight
+    // into connected components instead of materializing them
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      graft.operators.SetSimJoin.jaccardJoin(
+          par(s, docs(s, d)).filter(col("doc_id") % 100 === 0), 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
     // substring-level dedup at n-gram granularity (Dedup.repeatedNgramSpans):
     // maximal word spans covered by 5-grams occurring in >= 2 distinct docs
     // — the boilerplate/licence/quote regions document-level dedup misses.
@@ -904,16 +906,15 @@ object SparkEntry {
     // containment similarity (|A∩B| / |A|, asymmetric): catches "doc A is
     // a subset of doc B" near-dups that symmetric Jaccard dilutes — the
     // quote/excerpt detector of a dedup pipeline
-    "dedup_containment_pairs" -> ((s, d) => {
-      val ws = docs(s, d).filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
-      ws.as("a").join(ws.as("b"), col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          (size(array_intersect(col("a.wset"), col("b.wset"))).cast("double")
-            / size(col("a.wset")).cast("double")).as("containment"))
-        .filter(col("containment") >= 0.9)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // exact asymmetric prefix filter: A-prefix tokens probe the full
+    // inverted index, verification only on candidates — recall 1, never
+    // a cross product (the brute all-pairs form, the r5 bench's slowest
+    // plan, survives only as the oracle). Sampled for the same output-
+    // cardinality reason as dedup_jaccard_pairs
+    "dedup_containment_pairs" -> ((s, d) =>
+      graft.operators.SetSimJoin.containmentJoin(
+          par(s, docs(s, d)).filter(col("doc_id") % 20 === 0), 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
     // event-type transition matrix from per-user event sequences (first-
     // order Markov mining): lag window per user, then count + row-
     // normalize — the session-behavior statistic
@@ -1880,15 +1881,20 @@ object SparkEntry {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
         .orderBy(col("label"))),
-    // --- round-3: semantic dedup end-to-end (embedding-space analog of
-    // dedup_cluster_canonical): cosine pairs → connected components →
-    // canonical id per cluster. Brute pair generation keeps the oracle
-    // exact at fixture scale; the 100 TB path feeds the SAME component
-    // step from ANN candidates (Ann.lshBandedNearDupPairs / ivfJoin).
+    // --- round-3/6: semantic dedup end-to-end, the SemDeDup shape
+    // (Abbas et al. 2023): deterministic k-means-style cell assignment
+    // (fixed literal codebook → hash-checkable), cosine verification
+    // ONLY within a cell, connected components → canonical id per
+    // cluster. Pair generation is an equi-join on ivf_cell — per-cell
+    // quadratic, never the corpus cross product the r5 plan carried;
+    // at 100 TB the cell count grows with the corpus so per-cell blocks
+    // stay bounded. The oracle replays the identical argmin assignment
     "dedup_semantic_clusters" -> ((s, d) => {
-      val ve = emb(s, d).filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id"), col("embedding"))
-      val pairs = ve.as("a").join(ve.as("b"), col("a.vec_id") < col("b.vec_id"))
+      val cents = Planes16.take(8)
+      val ve = Ann.assign(emb(s, d), cents)
+        .select(col("vec_id"), col("embedding"), col("ivf_cell"))
+      val pairs = ve.as("a").join(ve.as("b"),
+          col("a.ivf_cell") === col("b.ivf_cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
@@ -5029,13 +5035,19 @@ object SparkEntry {
            |FROM (SELECT label, sqrt(${DuckSql.squaredL2Lit("embedding", Array.fill(Dim)(0.0))}) AS nrm FROM embeddings)
            |GROUP BY label ORDER BY label""".stripMargin,
       "dedup_semantic_clusters" -> {
+        val cents = Planes16.take(8)
+        val dists = cents.map(c => DuckSql.squaredL2Lit("embedding", c))
+          .mkString(",\n    ")
         val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
-        s"""WITH RECURSIVE edges AS (
+        s"""WITH RECURSIVE cells AS (
+           |  SELECT vec_id, embedding, list_position(l, list_min(l)) AS cell
+           |  FROM (SELECT vec_id, embedding, [$dists] AS l FROM embeddings)
+           |), edges AS (
            |  SELECT id_a AS src, id_b AS dst FROM (
            |    SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cs AS cos_sim
-           |    FROM (SELECT vec_id, embedding AS a_embedding FROM embeddings WHERE vec_id % 10 = 0) a
-           |    JOIN (SELECT vec_id, embedding AS b_embedding FROM embeddings WHERE vec_id % 10 = 0) b
-           |      ON a.vec_id < b.vec_id
+           |    FROM (SELECT vec_id, cell, embedding AS a_embedding FROM cells) a
+           |    JOIN (SELECT vec_id, cell, embedding AS b_embedding FROM cells) b
+           |      ON a.cell = b.cell AND a.vec_id < b.vec_id
            |  ) WHERE cos_sim >= ${DuckSql.fmt(0.1)}
            |), sym AS (
            |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges

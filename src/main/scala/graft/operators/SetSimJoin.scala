@@ -65,4 +65,48 @@ object SetSimJoin {
       .select(col("id_a"), col("id_b"), Dedup.jaccard(col("wa"), col("wb")).as("jac"))
       .filter(col("jac") >= t)
   }
+
+  /** All DIRECTED (id_a ≠ id_b) pairs with containment
+    * |A∩B| / |A| ≥ t — the asymmetric "doc A is an excerpt/quote of doc
+    * B" detector symmetric Jaccard dilutes. Exact (recall 1), no cross
+    * product.
+    *
+    * Prefix bound (PPJoin math, asymmetric form): containment ≥ t means
+    * the overlap is ≥ ⌈t·|A|⌉ tokens; if none of A's rarest
+    * `|A| − ⌈t·|A|⌉ + 1` tokens appeared in B, every shared token would
+    * sit among A's last ⌈t·|A|⌉ − 1 tokens — too few. So candidates are
+    * A-PREFIX tokens joined against the FULL inverted token index (the
+    * B side has no prefix bound: a containing doc can hold A's rare
+    * token anywhere). Bucket sizes are df-bounded; rare-first canonical
+    * order keeps them small on any Zipfian vocabulary (same caveat as
+    * [[jaccardJoin]] for degenerate tiny vocabularies).
+    */
+  def containmentJoin(docs: DataFrame, t: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(t > 0.0 && t <= 1.0, "threshold must be in (0, 1]")
+    val wsets = docs.select(col(idCol).as("id"),
+        array_distinct(split(col(textCol), " ")).as("wset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = wsets.select(col("id"), size(col("wset")).as("n"),
+      explode(col("wset")).as("tok"))
+    val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)
+    val prefixes = toks.join(dfs, "tok")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("id"), col("tok"))
+    val index = toks.select(col("id"), col("tok"))
+    val cands = prefixes.as("pa")
+      .join(index.as("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.id") =!= col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .distinct()
+    cands
+      .join(wsets.select(col("id").as("id_a"), col("wset").as("wa")), "id_a")
+      .join(wsets.select(col("id").as("id_b"), col("wset").as("wb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("wa"), col("wb"))).cast("double")
+          / size(col("wa")).cast("double")).as("containment"))
+      .filter(col("containment") >= t)
+  }
 }

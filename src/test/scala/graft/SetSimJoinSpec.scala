@@ -52,6 +52,36 @@ class SetSimJoinSpec extends SparkSpecBase {
     }
   }
 
+  private def bruteContainment(df: org.apache.spark.sql.DataFrame, t: Double) = {
+    val ws = df.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
+    ws.as("a").join(ws.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.wset"), col("b.wset"))).cast("double")
+          / size(col("a.wset")).cast("double")).as("containment"))
+      .filter(col("containment") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("asymmetric containment join equals brute force on random corpora (3 thresholds)") {
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.7, 0.9)) {
+      val got = SetSimJoin.containmentJoin(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == bruteContainment(docs, t), s"threshold $t")
+    }
+  }
+
+  test("containment is directed: excerpt ⊂ full pairs one way at t=1.0") {
+    val docs = Seq((1L, "x y"), (2L, "x y z w"), (3L, "p q")).toDF("doc_id", "text")
+    val got = SetSimJoin.containmentJoin(docs, 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("fixture smoke: exact prefix-filter pairs match brute force at t=0.5") {
     val docs = graft.core.Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 0)
     val got = SetSimJoin.jaccardJoin(docs, 0.5).collect()
