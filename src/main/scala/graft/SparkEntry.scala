@@ -36,6 +36,12 @@ object SparkEntry {
   private val IncrCentroids: Array[Array[Double]] =
     Planes16.take(8).map(_.map(_ * 0.05))
 
+  /** Fixed literal SEEDS for the trained (seeded-exact Lloyd) IVF family —
+    * 16 scaled planes; training moves them to data means, so the scale
+    * only shapes the first assignment. */
+  private val IvfSeeds: Array[Array[Double]] =
+    Planes16.map(_.map(_ * 0.1))
+
   /** Spread a small-but-CPU-heavy input across all cores. The fixture
     * parquet files are single-row-group (one split), so md5/shingle-heavy
     * per-row stages would otherwise serialize on ONE task; at 100 TB inputs
@@ -938,13 +944,16 @@ object SparkEntry {
           par(s, docs(s, d).filter(col("doc_id") % 20 === 0)), t = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
     // --- ANN scale path (north star): IVF probe + vector-LSH near-dup
-    // ivf: approximate by construction at nprobe<nCentroids but fully
-    // deterministic; driver records a rows-only check (no oracle SQL —
-    // centroids are data-derived at runtime). Recall vs brute force is
-    // asserted in AnnSpec.
+    // TRAINED ivf, hash-checked end to end: 16 fixed literal seeds, two
+    // Lloyd iterations with INTEGER-EXACT centroid updates
+    // (Ann.lloydSeededExact — means on floor((v+2)·2^24) BIGINTs, so
+    // every trained coordinate is an exact multiple of 2^-24), then the
+    // standard assign → probe → pruned-scan search. The oracle replays
+    // the whole training loop as unrolled CTEs (ivfTrainedCtes) —
+    // closing r5's "trained paths are rows-only" gap
     "ann_ivf_topk" -> ((s, d) => {
       val db = emb(s, d)
-      val cents = Ann.sampleCentroids(db, 16)
+      val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
       Ann.search(Ann.assign(db, cents), cents, Q64, K, nprobe = 4)
     }),
     // IVF with a FIXED literal codebook: same assignment/probe/scan
@@ -1022,19 +1031,20 @@ object SparkEntry {
     // scan instead of post-filtering the top-k
     "ann_ivf_filtered" -> ((s, d) => {
       val db = emb(s, d)
-      val cents = Ann.sampleCentroids(db, 16)
+      val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
       Ann.search(Ann.assign(db, cents).filter(col("label") === 3),
         cents, Q64, K, nprobe = 4)
     }),
     // recall@k of the IVF index against exact brute force, per query of a
     // held-out sample — the accuracy/productivity dial every ANN deploy
-    // monitors (rows-only: centroids are data-derived). Both arms share
-    // one scan lineage; the overlap join is on ≤ |q|·k rows.
+    // monitors. Both arms share one scan lineage; the overlap join is on
+    // ≤ |q|·k rows. Hash-checked since the seeded-exact Lloyd training
+    // is oracle-replayable (the recall VALUES are data, not luck)
     "ann_ivf_recall" -> ((s, d) => {
       val db = emb(s, d)
       val q = db.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val cents = Ann.sampleCentroids(db, 16)
+      val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
       val approx = Ann.ivfJoin(q, Ann.assign(db, cents), cents, k = K, nprobe = 4)
         .select(col("query_id"), col("vec_id"))
       val exact = KnnJoin.join(q, db, K, Dim)
@@ -1049,20 +1059,26 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
     // batch ANN join: every query probes its nprobe nearest IVF cells
-    // (approximate by construction; recall pinned in AnnLloydSpec → rows-only)
+    // (VecArgTopNL2) under the seeded-exact trained codebook —
+    // hash-checked; the oracle replays training + per-query probe
+    // ranking + the bounded top-k
     "ann_ivf_join" -> ((s, d) => {
       val db = emb(s, d)
-      val cents = Ann.sampleCentroids(db, 16)
+      val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
       Ann.ivfJoin(
         db.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
         Ann.assign(db, cents), cents, k = 3, nprobe = 4)
         .orderBy(col("query_id"), col("rn"))
     }),
-    // PQ + ADC + exact re-rank (approximate by construction; codebooks are
-    // data-derived — rows-only check, recall pinned in PqSpec)
+    // TRAINED PQ + ADC + exact re-rank, hash-checked: seeded-exact
+    // codebook training (Pq.trainSeededExact, integer-exact means over
+    // fixed literal seeds) makes every codeword oracle-replayable; the
+    // oracle then replays encode, the ADC pivot sum (left-assoc like
+    // adcDist's reduce), the refine cut and the exact re-rank
     "ann_pq_topk" -> ((s, d) => {
       val db = emb(s, d)
-      val model = graft.operators.Pq.train(db, Dim, m = 16, ksub = 32)
+      val model = graft.operators.Pq.trainSeededExact(db, Dim,
+        Fixtures.PqSeeds, iters = 2)
       graft.operators.Pq.search(graft.operators.Pq.encode(db, model), model, Q64, K)
     }),
     "ann_lsh_neardup" -> ((s, d) =>
@@ -3704,6 +3720,142 @@ object SparkEntry {
     * decimal sums), then one (matvec, normalize) CTE pair per power
     * iteration — every expression left-associated to match the driver
     * loop's IEEE arithmetic. */
+  /** DuckDB replay of [[Ann.lloydSeededExact]] + a final assignment:
+    * emits CTEs `c0..c{iters}` (cell, c DOUBLE[], 0-based cells) and `af`
+    * (vec_id, embedding, label, cell). Centroid updates are the same
+    * floor((v+2)·2^24) integer means (one BIGINT `//`), so every trained
+    * coordinate is bit-identical across engines; assignment ranks the
+    * same left-associated 64-term double distance with the same
+    * (dist, cell) tie-break as VecArgMinL2. */
+  private def ivfTrainedCtes(seeds: Array[Array[Double]], iters: Int): String = {
+    def distToC(eCol: String): String =
+      (0 until Dim).map { i =>
+        val dfr = s"(CAST($eCol[${i + 1}] AS DOUBLE) - c.c[${i + 1}])"
+        s"($dfr * $dfr)"
+      }.mkString("(", " + ", ")")
+    val seedRows = seeds.zipWithIndex.map { case (cArr, j) =>
+      s"($j, [${cArr.map(DuckSql.fmt).mkString(", ")}])"
+    }.mkString(",\n    ")
+    val meanExprs = (0 until Dim).map { i =>
+      s"CAST(CAST(SUM(CAST(FLOOR((CAST(embedding[${i + 1}] AS DOUBLE) + 2) * 16777216) AS BIGINT)) AS BIGINT) // COUNT(*) AS DOUBLE) / 16777216.0 - 2.0"
+    }.mkString("[", ",\n      ", "]")
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, label, cell FROM (
+         |    SELECT vec_id, embedding, label, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dc ASC, cell ASC) AS rnc
+         |    FROM (
+         |      SELECT e.vec_id, e.embedding, e.label, c.cell, ${distToC("e.embedding")} AS dc
+         |      FROM embeddings e CROSS JOIN $cents c))
+         |  WHERE rnc = 1)""".stripMargin
+    val its = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""${assignCte(s"a$it", prev)},
+         |m$it AS (
+         |  SELECT cell, $meanExprs AS c FROM a$it GROUP BY cell),
+         |c$it AS (
+         |  SELECT p.cell, COALESCE(m.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN m$it m USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""c0 AS (
+       |  SELECT cell, c FROM (VALUES
+       |    $seedRows) AS t(cell, c)),
+       |$its,
+       |${assignCte("af", s"c$iters")}""".stripMargin
+  }
+
+  /** Probe-cell pick for a LITERAL query vector over a trained-centroid
+    * CTE: same (dist, cell) ranking as the driver-side sort in
+    * [[Ann.search]]. */
+  private def ivfProbeSql(cents: String, q: Array[Double], nprobe: Int): String = {
+    val dq = (0 until Dim).map { i =>
+      val dfr = s"((${DuckSql.fmt(q(i))}) - c.c[${i + 1}])"
+      s"($dfr * $dfr)"
+    }.mkString("(", " + ", ")")
+    s"""(SELECT cell FROM (SELECT c.cell, $dq AS dq FROM $cents c)
+       |  ORDER BY dq ASC, cell ASC LIMIT $nprobe)""".stripMargin
+  }
+
+  /** Column-vs-centroid-array squared L2 (q table alias carrying
+    * `q_embedding` vs centroid CTE alias `c`). */
+  private def ivfDistQC: String =
+    (0 until Dim).map { i =>
+      val dfr = s"(CAST(q.q_embedding[${i + 1}] AS DOUBLE) - c.c[${i + 1}])"
+      s"($dfr * $dfr)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB replay of [[Pq.trainSeededExact]] + encode + ADC + refine +
+    * exact re-rank for a literal query — the trained-PQ oracle. Emits a
+    * complete SELECT. Training CTEs mirror ivfTrainedCtes in long form
+    * over (subspace j, code): same integer-exact means, same
+    * (dist, code) tie-break as the per-subspace VecArgMinL2; the ADC sum
+    * pivots the m per-subspace contributions into one left-associated
+    * 16-term sum, matching adcDist's `reduce(_ + _)`. */
+  private def pqTrainedSql(seeds: Array[Array[Array[Double]]], iters: Int,
+      q: Array[Double], k: Int, refine: Int): String = {
+    val m = seeds.length; val ksub = seeds(0).length; val dsub = Dim / m
+    val svDist = (1 to dsub).map { i =>
+      val dfr = s"(CAST(s.sv[$i] AS DOUBLE) - c.c[$i])"
+      s"($dfr * $dfr)"
+    }.mkString("(", " + ", ")")
+    val seedRows = (for (j <- 0 until m; cc <- 0 until ksub) yield
+      s"($j, $cc, [${seeds(j)(cc).map(DuckSql.fmt).mkString(", ")}])")
+      .mkString(",\n    ")
+    val meanExprs = (1 to dsub).map { i =>
+      s"CAST(CAST(SUM(CAST(FLOOR((CAST(sv[$i] AS DOUBLE) + 2) * 16777216) AS BIGINT)) AS BIGINT) // COUNT(*) AS DOUBLE) / 16777216.0 - 2.0"
+    }.mkString("[", ",\n      ", "]")
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, j, sv, code FROM (
+         |    SELECT s.vec_id, s.j, s.sv, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+         |        ORDER BY $svDist ASC, c.code ASC) AS rnc
+         |    FROM sub s JOIN $cents c ON s.j = c.j)
+         |  WHERE rnc = 1)""".stripMargin
+    val its = (1 to iters).map { it =>
+      val prev = s"ps${it - 1}"
+      s"""${assignCte(s"pa$it", prev)},
+         |pm$it AS (
+         |  SELECT j, code, $meanExprs AS c FROM pa$it GROUP BY j, code),
+         |ps$it AS (
+         |  SELECT p.j, p.code, COALESCE(mm.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN pm$it mm ON p.j = mm.j AND p.code = mm.code)""".stripMargin
+    }.mkString(",\n")
+    // per-(j, code) ADC lut: CASE over j picks the query subvector literals
+    val lutContrib = (0 until m).map { j =>
+      val terms = (1 to dsub).map { i =>
+        val dfr = s"((${DuckSql.fmt(q(j * dsub + i - 1))}) - c[$i])"
+        s"($dfr * $dfr)"
+      }.mkString("(", " + ", ")")
+      s"WHEN j = $j THEN $terms"
+    }.mkString("CASE ", "\n      ", " END")
+    val pivotCols = (0 until m).map(j =>
+      s"MAX(CASE WHEN j = $j THEN contrib END) AS t$j").mkString(",\n      ")
+    val adcSum = (0 until m).map(j => s"t$j").mkString("(", " + ", ")")
+    s"""WITH ps0 AS (
+       |  SELECT j, code, c FROM (VALUES
+       |    $seedRows) AS t(j, code, c)),
+       |sub AS (
+       |  SELECT vec_id, CAST(t.j AS INT) AS j,
+       |    list_slice(embedding, t.j * $dsub + 1, t.j * $dsub + $dsub) AS sv
+       |  FROM embeddings, range($m) t(j)),
+       |$its,
+       |${assignCte("pf", s"ps$iters")},
+       |lut AS (SELECT j, code, $lutContrib AS contrib FROM ps$iters),
+       |adc AS (
+       |  SELECT vec_id, $adcSum AS adc_dist FROM (
+       |    SELECT vec_id,
+       |      $pivotCols
+       |    FROM (SELECT pf.vec_id, pf.j, l.contrib
+       |          FROM pf JOIN lut l ON pf.j = l.j AND pf.code = l.code)
+       |    GROUP BY vec_id)),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT $refine)
+       |SELECT vec_id, dist FROM (
+       |  SELECT e.vec_id, ${DuckSql.squaredL2Lit("e.embedding", q)} AS dist
+       |  FROM cand JOIN embeddings e USING (vec_id))
+       |ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
   private def pcaSql(dims: Int, iters: Int): String = {
     def e(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
     val gramCols = (for (i <- 0 until dims; j <- 0 until dims) yield
@@ -4432,6 +4584,73 @@ object SparkEntry {
            |WHERE cellp IN (${probe.mkString(", ")})
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
       },
+      // --- trained IVF family: the oracle replays the seeded-exact Lloyd
+      // training (ivfTrainedCtes) then the query-specific tail
+      "ann_ivf_topk" ->
+        s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
+           |probe AS ${ivfProbeSql("c2", Q64, 4)}
+           |SELECT vec_id, dist FROM (
+           |  SELECT vec_id, ${DuckSql.squaredL2Lit("embedding", Q64)} AS dist, cell FROM af)
+           |WHERE cell IN (SELECT cell FROM probe)
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
+      "ann_ivf_filtered" ->
+        s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
+           |probe AS ${ivfProbeSql("c2", Q64, 4)}
+           |SELECT vec_id, dist FROM (
+           |  SELECT vec_id, label, ${DuckSql.squaredL2Lit("embedding", Q64)} AS dist, cell FROM af)
+           |WHERE label = 3 AND cell IN (SELECT cell FROM probe)
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
+      "ann_ivf_join" -> {
+        val pd = DuckSql.squaredL2Cols("qp.q_embedding", "a.embedding", Dim)
+        s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
+           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id < 5),
+           |qprobe AS (
+           |  SELECT qid, q_embedding, cell FROM (
+           |    SELECT q.qid, q.q_embedding, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
+           |    FROM qs q CROSS JOIN c2 c)
+           |  WHERE rnp <= 4)
+           |SELECT query_id, vec_id, dist, CAST(rn AS INT) AS rn FROM (
+           |  SELECT query_id, vec_id, dist,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+           |  FROM (
+           |    SELECT qp.qid AS query_id, a.vec_id, $pd AS dist
+           |    FROM qprobe qp JOIN af a USING (cell))
+           |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      },
+      "ann_ivf_recall" -> {
+        val pd = DuckSql.squaredL2Cols("qp.q_embedding", "a.embedding", Dim)
+        val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)
+        s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
+           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |qprobe AS (
+           |  SELECT qid, q_embedding, cell FROM (
+           |    SELECT q.qid, q.q_embedding, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
+           |    FROM qs q CROSS JOIN c2 c)
+           |  WHERE rnp <= 4),
+           |approx AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT qp.qid AS query_id, a.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY $pd ASC, a.vec_id ASC) AS rn
+           |    FROM qprobe qp JOIN af a USING (cell))
+           |  WHERE rn <= $K),
+           |exact AS (
+           |  SELECT eq, ev FROM (
+           |    SELECT q.qid AS eq, d.vec_id AS ev,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
+           |    FROM qs q CROSS JOIN embeddings d)
+           |  WHERE rn <= $K),
+           |hits AS (
+           |  SELECT query_id, COUNT(*) AS n_hits FROM approx
+           |  JOIN exact ON query_id = eq AND vec_id = ev GROUP BY query_id)
+           |SELECT q.qid AS query_id,
+           |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_k
+           |FROM qs q LEFT JOIN hits h ON q.qid = h.query_id
+           |ORDER BY query_id""".stripMargin
+      },
+      "ann_pq_topk" ->
+        pqTrainedSql(Fixtures.PqSeeds, iters = 2, Q64, k = K, refine = 100),
       "dedup_prefix_filter_pairs" ->
         """SELECT id_a, id_b, jac FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

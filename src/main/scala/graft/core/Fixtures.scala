@@ -27,6 +27,15 @@ object Fixtures {
     Array.fill(16)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic seeds for the TRAINED product quantizer — 16 subspaces
+    * × 32 codewords × 4 dims, scaled into the fixture data range. The
+    * literals feed both [[graft.operators.Pq.trainSeededExact]] and the
+    * oracle's SQL replay of the training loop. */
+  val PqSeeds: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(13)
+    Array.fill(16)(Array.fill(32)(Array.fill(4)(rnd.nextGaussian() * 0.1)))
+  }
+
   /** Deterministic SPD inverse covariance over the first 8 dims, row-major
     * flattened — the full-matrix Mahalanobis demo (reference supports full
     * covariance via np.linalg.solve per pair, distance_metric.py:78-80; we

@@ -171,6 +171,42 @@ object Ann {
     out
   }
 
+  /** Seeded deterministic Lloyd with INTEGER-EXACT centroid updates — the
+    * hash-checkable trained-IVF path. Each iteration argmin-assigns
+    * (codegen'd [[ivfCell]]) and moves every centroid to its cell's mean,
+    * but the mean is computed on `floor((v + 2) · 2^24)` BIGINTs with one
+    * truncating integer division, so every updated coordinate is an exact
+    * multiple of 2^-24 and both the training loop and every downstream
+    * distance replay bit-for-bit in any engine (the plain double mean of
+    * [[lloydStep]] is summation-order-dependent and can't be oracled).
+    * The 2^-24 quantization error per coordinate step is ~6e-8 — far
+    * below any clustering-quality signal. Empty cells keep their previous
+    * centroid (same rule as [[lloydStep]]).
+    *
+    * Scale shape: per iteration one codegen'd assignment pass + one
+    * map-side-combinable (cell, dim) aggregation collecting k×dim longs
+    * to the driver — the standard distributed Lloyd cost. */
+  def lloydSeededExact(db: DataFrame, seeds: Array[Array[Double]], iters: Int,
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents = seeds.map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = assign(db, cents, vecCol)
+        .select(col("ivf_cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col("ivf_cell"), col("pos"))
+        .agg(sum(floor((col("v") + lit(2.0)) * lit(16777216.0)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getLong(2) / r.getLong(3)).toDouble / 16777216.0 - 2.0
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Mean squared distance to the assigned centroid — the k-means objective
     * (diagnostic; Lloyd steps must not increase it). */
   def objective(assigned: DataFrame, centroids: Array[Array[Double]],

@@ -80,6 +80,50 @@ object Pq {
     PqModel(m, k, dsub, codebooks)
   }
 
+  /** Seeded deterministic PQ training with INTEGER-EXACT codeword updates —
+    * the hash-checkable trained-PQ path (same arithmetic contract as
+    * [[Ann.lloydSeededExact]]): fixed literal seeds per subspace, each
+    * iteration argmin-encodes (codegen'd per-subspace [[VecArgMinL2]]) and
+    * moves every codeword to its code's mean computed on
+    * `floor((v + 2) · 2^24)` BIGINTs with one truncating division, so every
+    * trained coordinate is an exact 2^-24 multiple and the whole loop —
+    * and the downstream ADC scan — replays bit-for-bit in the DuckDB
+    * oracle. Distributed (no driver sample): one assignment pass + one
+    * (subspace, code, dim) aggregation per iteration, collecting
+    * m·ksub·dsub longs. Empty codes keep their previous codeword. */
+  def trainSeededExact(db: DataFrame, dim: Int,
+      seeds: Array[Array[Array[Double]]], iters: Int,
+      vecCol: String = "embedding"): PqModel = {
+    val m = seeds.length
+    val ksub = seeds(0).length
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim must divide into m=$m subspaces")
+    var books = seeds.map(_.map(_.clone))
+    for (_ <- 0 until iters) {
+      val codes = (0 until m).map { j =>
+        val sub = slice(col(vecCol), j * dsub + 1, dsub)
+        ColumnBridge.column(VecArgMinL2(ColumnBridge.expression(sub), books(j)))
+      }
+      val sums = db
+        .select(col(vecCol), posexplode(array(codes: _*)).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col(vecCol), col("j") * lit(dsub) + lit(1), lit(dsub)))
+            .as(Seq("i", "v")))
+        .groupBy(col("j"), col("code"), col("i"))
+        .agg(sum(floor((col("v").cast("double") + lit(2.0)) * lit(16777216.0))
+            .cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getLong(3) / r.getLong(4)).toDouble / 16777216.0 - 2.0
+      }
+      books = next
+    }
+    PqModel(m, ksub, dsub, books)
+  }
+
   /** `pq_codes` column: array<int> of length m, code j = argmin centroid of
     * subspace j (codegen'd loop per subspace over the slice). */
   def encode(db: DataFrame, model: PqModel, vecCol: String = "embedding"): DataFrame = {

@@ -20,6 +20,24 @@ class AnnLloydSpec extends SparkSpecBase {
     assert(obj2 <= obj1 + 1e-9)
   }
 
+  test("lloydSeededExact: coordinates are exact 2^-24 multiples, objective improves on the seeds, training is deterministic") {
+    val seeds = graft.core.Fixtures.Planes16.map(_.map(_ * 0.1))
+    val trained = Ann.lloydSeededExact(emb, seeds, iters = 2)
+    // every updated coordinate is (integer / 2^24) - 2 exactly
+    trained.flatten.foreach { v =>
+      val scaled = (v + 2.0) * 16777216.0
+      assert(scaled == math.rint(scaled) || seeds.flatten.contains(v),
+        s"coordinate $v is not a 2^-24 multiple")
+    }
+    // trained centroids must beat the raw seeds on the k-means objective
+    val objSeed = Ann.objective(Ann.assign(emb, seeds), seeds)
+    val objTrained = Ann.objective(Ann.assign(emb, trained), trained)
+    assert(objTrained < objSeed, s"training did not improve: $objSeed -> $objTrained")
+    // bit-identical across runs (the whole point: oracle replayability)
+    val again = Ann.lloydSeededExact(emb, seeds, iters = 2)
+    assert(trained.flatten.toSeq == again.flatten.toSeq)
+  }
+
   test("refined centroids keep the IVF probe exact at full nprobe") {
     val c0 = Ann.sampleCentroids(emb, 8)
     val c1 = Ann.lloydStep(Ann.assign(emb, c0), c0)
