@@ -490,7 +490,7 @@ object ScaleProbe extends App {
   // cell-partitioned store, pruning injected by the optimizer rule —
   // must equal the unpruned filter while reading a fraction of cells.
   t("auto-pruned radius rule (1M)") {
-    graft.plans.GridRadiusPruning.register(spark, cfg)
+    graft.plans.GridRadiusPruning.register(spark, cfg, store)
     val dist = Distances.squaredL2Lit(col("embedding"), Fixtures.Q64)
     val auto = indexed.filter(dist <= lit(0.9)).count()
     spark.conf.unset(graft.plans.GridRadiusPruning.ConfKey)

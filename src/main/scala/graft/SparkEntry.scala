@@ -2264,7 +2264,7 @@ object SparkEntry {
         slice(col("embedding"), 1, 2).as("embedding"))
       Grid.withCellId(twoD, "embedding", cfg2)
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
-      graft.plans.GridRadiusPruning.register(s, cfg2)
+      graft.plans.GridRadiusPruning.register(s, cfg2, dir)
       Knn.radiusSearch(s.read.parquet(dir),
         Distances.squaredL2Lit(col("embedding"), Q64.take(2)), RadiusAuto)
     }),

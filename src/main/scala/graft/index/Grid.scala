@@ -35,6 +35,17 @@ final case class GridConfig(
   val numCells: Long = math.pow(partsPerDim.toDouble, gridDims.toDouble).toLong
   /** Bucket edges for gridded dim d: lower + j*width, j=0..partsPerDim. */
   val width: Double = (upper - lower) / partsPerDim
+  /** Stable geometry fingerprint — stamped into the `cell_id` column's
+    * metadata by [[Grid.withCellId]] and used by the pruning rule to bind
+    * a cell_id column to the EXACT grid that produced it (a same-dim
+    * column built under a different geometry must never be pruned with
+    * this config's bounds). */
+  lazy val fingerprint: String = {
+    val canonical = s"$dim,$lower,$upper,$partsPerDim,$gridDims"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
 }
 
 object Grid {
@@ -83,11 +94,19 @@ object Grid {
       s"(CAST(${bucketSql(col, d, cfg)} AS BIGINT) * $p)"
     }.mkString("(", " + ", ")")
 
-  /** Add the cell_id column. For a persisted index at scale, follow with
+  /** Add the cell_id column, stamped with the geometry fingerprint in its
+    * metadata so [[graft.plans.GridRadiusPruning]] can bind the column to
+    * the exact grid that produced it (metadata survives projections;
+    * parquet PARTITION columns lose it — bind those stores by path via
+    * `GridRadiusPruning.register(spark, cfg, storePath)`). For a
+    * persisted index at scale, follow with
     * `.repartition(col("cell_id")).write.partitionBy("cell_id")` so reads
     * get file-level pruning. */
-  def withCellId(df: DataFrame, vecCol: String, cfg: GridConfig): DataFrame =
-    df.withColumn("cell_id", cellId(col(vecCol), cfg))
+  def withCellId(df: DataFrame, vecCol: String, cfg: GridConfig): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.grid.fp", cfg.fingerprint).build()
+    df.withColumn("cell_id", cellId(col(vecCol), cfg).as("cell_id", md))
+  }
 
   /** Z-order (Morton) cell id: same bucket tuple as [[cellId]], but with the
     * per-dimension bucket BITS interleaved, so cells that are close in space
@@ -122,23 +141,42 @@ object Grid {
     ).mkString("(", " + ", ")")
   }
 
+  /** Target config for a corpus size: deepen the grid while depth < dim;
+    * once every dimension is gridded, WIDEN partsPerDim instead — the
+    * batch analog of the reference re-splitting the same dimension with
+    * narrower buckets (its split dim cycles `depth % dim` forever,
+    * kd_tree_database.py:19-22, so leaf size stays bounded at any corpus
+    * size even for dim=2 data; the r5 clamp at `gridDims ≤ dim` let
+    * low-dim cells grow linearly with the corpus instead). Cell count
+    * stays ≥ rows/targetLeafSize either way. */
+  def configFor(rowCount: Long, targetLeafSize: Long, cfg: GridConfig): GridConfig = {
+    val cellsNeeded = math.max(1L, rowCount / math.max(1L, targetLeafSize))
+    val depth = depthFor(rowCount, targetLeafSize, cfg.partsPerDim, cfg.dim)
+    if (math.pow(cfg.partsPerDim.toDouble, depth.toDouble) >= cellsNeeded)
+      cfg.copy(gridDims = math.max(cfg.gridDims, depth))
+    else {
+      // fully gridded at the current width still overflows: narrow the
+      // buckets so partsPerDim'^dim ≥ cellsNeeded
+      val p = math.ceil(math.pow(cellsNeeded.toDouble, 1.0 / cfg.dim)).toInt
+      cfg.copy(gridDims = cfg.dim, partsPerDim = math.max(cfg.partsPerDim, p))
+    }
+  }
+
   /** Batch analog of the reference's leaf-overflow split
     * (kd_tree_database.py:98-102: a leaf exceeding max_leaf_size
     * redistributes into children one level deeper): when the row count
-    * calls for a deeper grid than the state was bucketed with, re-bucket
-    * every row at the new depth in one pass and return the widened config.
-    * No-op (same state, same cfg) while the current depth suffices — call
-    * it after large insert batches. At 100 TB the rewrite is one
-    * repartition-by-cell job, amortized over the batch that tripped it. */
+    * calls for a deeper OR finer grid than the state was bucketed with
+    * ([[configFor]]), re-bucket every row in one pass and return the
+    * widened config. No-op (same state, same cfg) while the current
+    * geometry suffices — call it after large insert batches. At 100 TB
+    * the rewrite is one repartition-by-cell job, amortized over the batch
+    * that tripped it. */
   def maintain(state: DataFrame, cfg: GridConfig, targetLeafSize: Long,
       vecCol: String = "embedding"): (DataFrame, GridConfig) = {
     val n = state.count()
-    val depth = depthFor(n, targetLeafSize, cfg.partsPerDim, cfg.dim)
-    if (depth <= cfg.gridDims) (state, cfg)
-    else {
-      val cfg2 = cfg.copy(gridDims = depth)
-      (state.withColumn("cell_id", cellId(col(vecCol), cfg2)), cfg2)
-    }
+    val cfg2 = configFor(n, targetLeafSize, cfg)
+    if (cfg2 == cfg) (state, cfg)
+    else (state.withColumn("cell_id", cellId(col(vecCol), cfg2)), cfg2)
   }
 
   /** Runtime dimension validation on ingest (the reference asserts vector

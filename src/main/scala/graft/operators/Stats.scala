@@ -154,9 +154,14 @@ object Stats {
       hs.orderBy(col("h").asc).limit(k).agg(max(col("h")).as("th"))
     val ha = hashes(dfA, valueColA)
     val hb = hashes(dfB, valueColB)
+    def sample(hs: DataFrame) = hs.orderBy(col("h").asc).limit(k)
     val th = theta(ha).crossJoin(theta(hb).withColumnRenamed("th", "th_b"))
       .select(least(col("th"), col("th_b")).as("theta_h"))
-    val common = ha.join(hb, "h").crossJoin(th)
+    // join the k-LIMITED samples, not the full distinct hash sets: any
+    // common hash ≤ θ = min(θ_A, θ_B) is by definition among BOTH sides'
+    // k smallest, so the sample join is value-identical and the exchange
+    // is genuinely bounded at k rows per side
+    val common = sample(ha).join(sample(hb), "h").crossJoin(th)
       .filter(col("h") <= col("theta_h"))
       .groupBy(col("theta_h")).agg(count(lit(1)).as("n_common"))
     val exact = dfA.select(valueColA.as("__v")).distinct()

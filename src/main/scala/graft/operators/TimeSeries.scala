@@ -132,8 +132,12 @@ object TimeSeries {
     * Returns (key, n_active_days, longest_streak). */
   def longestDailyStreak(events: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
-    val dayNum = (unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
-      .cast("long")
+    // calendar-day index via datediff, NOT unix_timestamp/86400: under a
+    // DST session timezone the 82800/90000-second days make the truncated
+    // quotient merge or gap adjacent days; datediff counts calendar days
+    // exactly in any zone (equal to the old value under UTC, so the
+    // oracle's epoch arithmetic still matches there)
+    val dayNum = datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
     val days = events.select(col(keyCol).as("key"), dayNum.as("d")).distinct()
     val w = Window.partitionBy(col("key")).orderBy(col("d").asc)
     days

@@ -31,23 +31,66 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *
   * The grid geometry cannot be inferred from the plan, so the store's
   * [[GridConfig]] is registered on the session (runtime conf, survives
-  * plan re-use) by [[GridRadiusPruning.register]].
+  * plan re-use) by [[GridRadiusPruning.register]]. The registry holds
+  * MULTIPLE configs keyed by geometry fingerprint, and a config only
+  * prunes a relation it can be BOUND to — in priority order:
+  *
+  *  1. the cell_id attribute carries `graft.grid.fp` metadata (stamped by
+  *     [[Grid.withCellId]]; survives in-memory projections) matching a
+  *     registered fingerprint;
+  *  2. the relation is a file scan whose root path was registered via
+  *     `register(spark, cfg, storePath)` (parquet PARTITION columns lose
+  *     metadata — the path is the durable identity of a written store);
+  *  3. exactly ONE registered UNBOUND config matches the query vector's
+  *     dimension (the legacy single-store session; ambiguity → no prune).
+  *
+  * An unrelated user column named cell_id, or a second store under a
+  * different geometry, therefore never gets an inadmissible IN injected:
+  * a foreign fingerprint matches nothing (rule 1 refuses outright), a
+  * foreign path matches nothing, and two same-dim candidates make rule 3
+  * refuse. Registering the same fingerprint again just updates its path.
   */
 object GridRadiusPruning extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.grid.pruneCfg"
+  val FpMetaKey = "graft.grid.fp"
 
-  /** Register `cfg` on the session and install the rule (idempotent). */
-  def register(spark: SparkSession, cfg: GridConfig): Unit = {
-    spark.conf.set(ConfKey,
-      s"${cfg.dim},${cfg.lower},${cfg.upper},${cfg.partsPerDim},${cfg.gridDims}")
+  /** Register `cfg` on the session UNBOUND (dim-unique fallback matching
+    * only) and install the rule (idempotent). */
+  def register(spark: SparkSession, cfg: GridConfig): Unit =
+    addEntry(spark, cfg, None)
+
+  /** Register `cfg` BOUND to a written store's root path — required for
+    * stores read back through `partitionBy("cell_id")` parquet, where the
+    * column's fingerprint metadata does not survive. */
+  def register(spark: SparkSession, cfg: GridConfig, storePath: String): Unit =
+    addEntry(spark, cfg, Some(storePath))
+
+  private def addEntry(spark: SparkSession, cfg: GridConfig,
+      path: Option[String]): Unit = {
+    val kept = parseEntries(spark.conf.get(ConfKey, ""))
+      .filterNot(_._1.fingerprint == cfg.fingerprint)
+    val all = kept :+ (cfg, path.map(normPath))
+    spark.conf.set(ConfKey, all.map { case (c, p) =>
+      val enc = java.net.URLEncoder.encode(p.getOrElse(""), "UTF-8")
+      s"${c.dim},${c.lower},${c.upper},${c.partsPerDim},${c.gridDims},$enc"
+    }.mkString(";"))
     DatasetBridge.addOptimization(spark, this)
   }
 
-  private def parseCfg(s: String): GridConfig = {
-    val Array(d, lo, hi, p, g) = s.split(",")
-    GridConfig(d.toInt, lo.toDouble, hi.toDouble, p.toInt, g.toInt)
-  }
+  private def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def parseEntries(s: String): Seq[(GridConfig, Option[String])] =
+    if (s == null || s.isEmpty) Seq.empty
+    else s.split(";").toSeq.map { e =>
+      val parts = e.split(",", -1)
+      val cfg = GridConfig(parts(0).toInt, parts(1).toDouble, parts(2).toDouble,
+        parts(3).toInt, parts(4).toInt)
+      val p = if (parts.length > 5 && parts(5).nonEmpty)
+        Some(java.net.URLDecoder.decode(parts(5), "UTF-8")) else None
+      (cfg, p)
+    }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -77,12 +120,47 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
     case VecMetric.Maha => Grid.cellLowerBoundMahalanobisDiag(q, cell, cfg, w)
   }
 
+  /** Root path of the file relation that produces `attr`, if any. */
+  private def scanPathOf(child: LogicalPlan, attr: Attribute): Option[String] =
+    child.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.output.exists(_.exprId == attr.exprId) =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.headOption.map(_.toUri.getPath)
+          case _ => None
+        }
+    }.flatten
+
+  /** Bind the cell_id attribute to a registered config (see object doc
+    * for the priority order), or None → no pruning. */
+  private def bindCfg(entries: Seq[(GridConfig, Option[String])],
+      child: LogicalPlan, attr: Attribute, qDim: Int): Option[GridConfig] = {
+    if (attr.metadata.contains(FpMetaKey)) {
+      // a fingerprinted column binds by fingerprint ONLY: a foreign
+      // geometry must refuse, not fall through to weaker matching
+      val fp = attr.metadata.getString(FpMetaKey)
+      return entries.map(_._1).find(c => c.fingerprint == fp && c.dim == qDim)
+    }
+    scanPathOf(child, attr).flatMap { p =>
+      entries.collectFirst {
+        case (c, Some(bp)) if bp == p && c.dim == qDim => c
+      }
+    }.orElse {
+      entries.filter { case (c, p) => p.isEmpty && c.dim == qDim } match {
+        case Seq((one, _)) => Some(one)
+        case _ => None // zero or ambiguous — never guess a geometry
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val cfgStr = conf.getConfString(ConfKey, null)
-    if (cfgStr == null) return plan
+    if (cfgStr == null || cfgStr.isEmpty) return plan
     // a malformed registration must degrade to "no pruning", never break
     // every query that passes through the optimizer
-    val cfg = try parseCfg(cfgStr) catch { case _: Exception => return plan }
+    val entries = try parseEntries(cfgStr) catch { case _: Exception => return plan }
+    if (entries.isEmpty) return plan
     plan.transformUp {
       case f @ Filter(cond, child) =>
         // LongType from Grid.withCellId; IntegerType when the column came
@@ -93,13 +171,15 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
         val bound = conjuncts(cond).flatMap(radiusBound(_)).headOption
         // the cell_id-reference guard makes the fixed-point run terminate:
         // once the IN is injected the condition references cell_id
-        // the q-dimension guard is CORRECTNESS, not hygiene: the session
-        // may hold stores of several grid geometries, and a bound
-        // computed against the wrong one is not admissible
-        if (cellAttr.isEmpty || bound.isEmpty ||
-            bound.exists(_._2.length != cfg.dim) ||
-            cond.references.exists(_.name == "cell_id")) f
+        val cfgOpt = for {
+          attr <- cellAttr
+          (_, q, _, _) <- bound
+          if !cond.references.exists(_.name == "cell_id")
+          cfg <- bindCfg(entries, child, attr, q.length)
+        } yield cfg
+        if (cfgOpt.isEmpty) f
         else {
+          val cfg = cfgOpt.get
           val (m, q, w, r) = bound.get
           val cells = (0L until cfg.numCells)
             .filter(c => cellBound(m, q, w, c, cfg) <= r)

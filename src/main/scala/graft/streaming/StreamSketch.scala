@@ -55,10 +55,12 @@ object StreamSketch {
     * best-candidates server. Like the KMV sketch (and unlike averages or
     * heavy-hitter counters), bounded top-k is a MONOID: top-k of a union
     * is the top-k of the merged tails, so the streamed fold is EXACTLY the
-    * batch top-k of the full input under any batching and re-delivery of
-    * identical rows (dedup by id inside the state). State: k (score, id)
-    * pairs per key, forever-bounded. Each micro-batch re-emits the key's
-    * refreshed list with dense ranks. */
+    * batch per-id-best top-k of the full input under any batching. The
+    * state dedups BY ID keeping each id's best score, so one id can never
+    * occupy two slots: byte-identical re-delivery is absorbed, and
+    * re-delivery with an updated score keeps the id's maximum. State: k
+    * (score, id) pairs per key, forever-bounded. Each micro-batch
+    * re-emits the key's refreshed list with dense ranks. */
   def topKStreaming(rows: DataFrame, key: String, id: String, score: String,
       k: Int): DataFrame = {
     require(k >= 1, "topKStreaming: need k >= 1")
@@ -73,7 +75,9 @@ object StreamSketch {
          state: GroupState[Array[(Double, Long)]]) =>
           val prev = state.getOption.getOrElse(Array.empty[(Double, Long)])
           val merged = (prev ++ batch.map(r => (r._3, r._2)))
-            .distinct // identical (score, id) re-deliveries collapse
+            .groupBy(_._2) // dedup BY ID: an updated score replaces, never duplicates
+            .iterator.map { case (i, vs) => (vs.iterator.map(_._1).max, i) }
+            .toArray
             .sortBy { case (s, i) => (-s, i) }
             .take(k)
           state.update(merged)

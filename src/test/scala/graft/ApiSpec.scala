@@ -84,6 +84,43 @@ class ApiSpec extends SparkSpecBase {
     assert(cfg3 == cfg2 && (state3 eq state2))
   }
 
+  test("Grid.maintain narrows buckets once depth hits dim (low-dim re-split analog)") {
+    import graft.index.{Grid, GridConfig}
+    import spark.implicits._
+    // dim=2 data, like the reference's own tests: depth can never exceed 2,
+    // so the only way to keep leaves bounded is narrower buckets — the
+    // reference re-splits the same dimension forever (kd_tree_database.py
+    // split dim cycles depth % dim); configFor widens partsPerDim instead
+    val cfg1 = GridConfig(dim = 2, lower = 0.0, upper = 1.0, partsPerDim = 2, gridDims = 2)
+    val rows = (0 until 4096).map { i =>
+      (i.toLong, Array(((i * 2654435761L) % 1000L).toFloat / 1000f,
+        ((i * 40503L) % 997L).toFloat / 997f))
+    }.toDF("vec_id", "embedding")
+    val state = Grid.withCellId(rows, "embedding", cfg1)
+    val (state2, cfg2) = Grid.maintain(state, cfg1, targetLeafSize = 16)
+    assert(cfg2.gridDims == 2, "depth stays clamped at dim")
+    assert(cfg2.partsPerDim > cfg1.partsPerDim,
+      s"partsPerDim must widen: ${cfg2.partsPerDim}")
+    assert(cfg2.numCells >= 4096 / 16, s"cells ${cfg2.numCells} too few")
+    // re-bucketing is lossless and consistent with the widened config
+    assert(state2.count() == 4096)
+    assert(state2.filter(
+      col("cell_id") =!= Grid.cellId(col("embedding"), cfg2)).count() == 0)
+    // the uniform-ish fixture must land well under the old single-cell pileup
+    val maxLeaf = state2.groupBy("cell_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxLeaf <= 16 * 8, s"max leaf $maxLeaf not bounded")
+    // pruned-search admissibility is geometry-independent: the cell lower
+    // bound never exceeds the true distance under the widened config
+    val q = Array(0.31, 0.77)
+    state2.select(col("vec_id"), col("cell_id"), col("embedding")).collect().foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      val d = graft.functions.Distances.squaredL2(q, v)
+      val lb = Grid.cellLowerBoundSqL2(q, r.getLong(1), cfg2)
+      assert(lb <= d + 1e-12, s"bound $lb exceeds true dist $d")
+    }
+  }
+
   test("zCellId rejects configs whose interleaved bits overflow Long") {
     import graft.index.{Grid, GridConfig}
     // 256 parts x 8 dims = 64 bits: the top term would wrap into the sign

@@ -17,10 +17,12 @@ class ContractSpec extends SparkSpecBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("rows-only (no-oracle) queries are exactly the documented six") {
+  test("rows-only (no-oracle) queries are exactly the documented one") {
+    // agg_sketches alone: HLL/KLL sketch internals are engine-specific by
+    // design. The trained IVF/PQ family moved under the hash gate in r6
+    // via seeded-exact training (integer-exact centroid updates).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_sketches", "ann_ivf_filtered", "ann_ivf_join",
-      "ann_ivf_recall", "ann_ivf_topk", "ann_pq_topk"),
+    assert(noOracle == Set("agg_sketches"),
       s"undocumented rows-only queries: $noOracle")
   }
 

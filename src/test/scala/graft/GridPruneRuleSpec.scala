@@ -28,7 +28,7 @@ class GridPruneRuleSpec extends SparkSpecBase {
   private val r = 0.04 // squared radius -> euclidean 0.2
 
   test("radius filter auto-gains cell pruning; result identical to the plain filter") {
-    GridRadiusPruning.register(spark, cfg)
+    GridRadiusPruning.register(spark, cfg, store)
     val indexed = spark.read.parquet(store)
     val dist = Distances.squaredL2Lit(col("embedding"), q)
     val pruned = indexed.filter(dist <= lit(r)).select("vec_id")
@@ -50,11 +50,11 @@ class GridPruneRuleSpec extends SparkSpecBase {
       val got = pruned.collect().map(_.getLong(0)).sorted.toSeq
       assert(got == plain.collect().map(_.getLong(0)).sorted.toSeq)
       assert(got.nonEmpty, "radius must be non-vacuous")
-    } finally GridRadiusPruning.register(spark, cfg)
+    } finally GridRadiusPruning.register(spark, cfg, store)
   }
 
   test("rule is admissible: brute membership check per point") {
-    GridRadiusPruning.register(spark, cfg)
+    GridRadiusPruning.register(spark, cfg, store)
     val indexed = spark.read.parquet(store)
     val dist = Distances.squaredL2Lit(col("embedding"), q)
     val got = indexed.filter(dist <= lit(r))
@@ -67,7 +67,7 @@ class GridPruneRuleSpec extends SparkSpecBase {
   }
 
   test("all four reference metrics prune admissibly (≡ brute membership)") {
-    GridRadiusPruning.register(spark, cfg)
+    GridRadiusPruning.register(spark, cfg, store)
     val indexed = spark.read.parquet(store)
     val invDiag = Array(1.0, 2.0)
     val cases = Seq[(String, org.apache.spark.sql.Column, (Double, Double) => Double)](
@@ -94,7 +94,7 @@ class GridPruneRuleSpec extends SparkSpecBase {
   }
 
   test("dim-mismatched query never prunes against a foreign grid config") {
-    GridRadiusPruning.register(spark, cfg) // 2-dim geometry registered
+    GridRadiusPruning.register(spark, cfg, store) // 2-dim geometry registered
     val indexed = spark.read.parquet(store)
     val q64 = Array.fill(64)(0.1)
     val df = indexed.filter(
@@ -104,8 +104,71 @@ class GridPruneRuleSpec extends SparkSpecBase {
       "a 64-dim predicate must not be pruned with the 2-dim config's bounds")
   }
 
+  test("fingerprinted in-memory column prunes via metadata; a FOREIGN geometry's column refuses") {
+    spark.conf.unset(GridRadiusPruning.ConfKey)
+    try {
+      GridRadiusPruning.register(spark, cfg, store)
+      val dist = Distances.squaredL2Lit(col("embedding"), q)
+      // a store written WITHOUT partitionBy keeps cell_id as a DATA
+      // column — fingerprint metadata survives the parquet footer and
+      // binds the column to its geometry with no path registration
+      def flatStore(g: graft.index.GridConfig): String = {
+        val p = java.nio.file.Files.createTempDirectory("graft_prune_md").toString
+        Grid.withCellId(pts.toDF("vec_id", "embedding"), "embedding", g)
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val own = spark.read.parquet(flatStore(cfg)).filter(dist <= lit(r))
+      assert(own.queryExecution.optimizedPlan.toString
+        .matches("(?s).*cell_id#\\d+L? IN.*"),
+        "metadata-bound same-geometry column must prune")
+      // same dim, DIFFERENT geometry: its fingerprint matches no
+      // registered config — an IN computed from cfg's bounds would be
+      // inadmissible, so the rule must refuse
+      val foreign = cfg.copy(partsPerDim = 8)
+      val foreignStore = flatStore(foreign)
+      val other = spark.read.parquet(foreignStore).filter(dist <= lit(r))
+      assert(!other.queryExecution.optimizedPlan.toString
+        .matches("(?s).*cell_id#\\d+L? IN.*"),
+        "foreign-geometry fingerprint must never be pruned with this config")
+      // ...until its geometry is ALSO registered (multi-config registry)
+      GridRadiusPruning.register(spark, foreign)
+      val bothReg = spark.read.parquet(foreignStore).filter(dist <= lit(r))
+      assert(bothReg.queryExecution.optimizedPlan.toString
+        .matches("(?s).*cell_id#\\d+L? IN.*"),
+        "registered foreign geometry must prune under ITS OWN bounds")
+    } finally {
+      spark.conf.unset(GridRadiusPruning.ConfKey)
+      GridRadiusPruning.register(spark, cfg, store)
+    }
+  }
+
+  test("ambiguous same-dim UNBOUND configs refuse to prune a metadata-less column") {
+    spark.conf.unset(GridRadiusPruning.ConfKey)
+    try {
+      // two unbound dim-2 geometries: a metadata-less cell_id (parquet
+      // partition column) cannot be attributed to either — must refuse
+      GridRadiusPruning.register(spark, cfg)
+      GridRadiusPruning.register(spark, cfg.copy(partsPerDim = 8))
+      val dist = Distances.squaredL2Lit(col("embedding"), q)
+      val df = spark.read.parquet(store).filter(dist <= lit(r))
+      assert(!df.queryExecution.optimizedPlan.toString
+        .matches("(?s).*cell_id#\\d+L? IN.*"),
+        "two same-dim candidates: the rule must not guess")
+      // binding one of them to the store path disambiguates
+      GridRadiusPruning.register(spark, cfg, store)
+      val bound = spark.read.parquet(store).filter(dist <= lit(r))
+      assert(bound.queryExecution.optimizedPlan.toString
+        .matches("(?s).*cell_id#\\d+L? IN.*"),
+        "path binding must restore pruning")
+    } finally {
+      spark.conf.unset(GridRadiusPruning.ConfKey)
+      GridRadiusPruning.register(spark, cfg, store)
+    }
+  }
+
   test("rule is a no-op without cell_id, and terminates at fixed point") {
-    GridRadiusPruning.register(spark, cfg)
+    GridRadiusPruning.register(spark, cfg, store)
     val plainDf = pts.toDF("vec_id", "embedding") // no cell_id column
     val dist = Distances.squaredL2Lit(col("embedding"), q)
     val df = plainDf.filter(dist <= lit(r))

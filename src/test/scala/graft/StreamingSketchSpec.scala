@@ -73,4 +73,24 @@ class StreamingSketchSpec extends SparkSpecBase {
         .take(k).zipWithIndex.map { case ((s, i), r) => (i, s, r + 1) }.toSeq }
     assert(got == want)
   }
+
+  test("top-k state dedups by id: an updated score replaces the id's slot, never duplicates it") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = StreamSketch.topKStreaming(
+        stream.toDF().toDF("key", "id", "score"), "key", "id", "score", k = 3)
+      .writeStream.format("memory").queryName("topk_upd")
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0)))
+      q.processAllAvailable()
+      // id 1 re-delivered with a HIGHER score: must occupy ONE slot at 40
+      stream.addData(Seq(("a", 1L, 40.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("topk_upd").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).takeRight(3).toSeq
+    assert(last == Seq((1L, 40.0, 1), (3L, 30.0, 2), (2L, 20.0, 3)),
+      s"got $last")
+  }
 }
