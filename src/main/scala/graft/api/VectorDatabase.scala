@@ -115,15 +115,18 @@ final class VectorDatabase private (
       Snapshot.delete(state, ids.toDF("vec_id"), "vec_id"), cfg, defaultMetric, nextIdBase)
   }
 
-  /** update_position (kd_tree_database.py:310-316): new vector → new cell. */
-  def updatePosition(updates: DataFrame): VectorDatabase = {
-    val rebucketed = updates.withColumn("cell_id", Grid.cellId(col("embedding"), cfg))
+  /** update_position (kd_tree_database.py:310-316): new vector → new cell.
+    * The facade is STRICT like the reference — an unknown id raises at
+    * action time (kd_tree_database.py:313-315 raises ValueError); use
+    * [[Snapshot.updatePosition]] directly with `strict = false` for the
+    * lenient pipeline behavior. */
+  def updatePosition(updates: DataFrame): VectorDatabase =
     new VectorDatabase(spark,
-      Snapshot.updatePosition(state.drop("cell_id"), updates, "vec_id", "embedding")
+      Snapshot.updatePosition(state.drop("cell_id"), updates, "vec_id",
+          "embedding", strict = true)
         .withColumn("cell_id", Grid.cellId(col("embedding"), cfg))
         .select(state.columns.map(col).toSeq: _*),
       cfg, defaultMetric, nextIdBase)
-  }
 
   /** update_metadata (kd_tree_database.py:324-328). */
   def updateMetadata(updates: DataFrame, metaCol: String): VectorDatabase =

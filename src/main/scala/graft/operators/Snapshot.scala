@@ -34,13 +34,32 @@ object Snapshot {
   /** update_position: replace only the vector column for matched ids,
     * keeping all other (metadata) columns from the old state — anti-join out
     * the old rows, union the updated rows carrying old metadata
-    * (SURVEY.md §2.1 #5). */
-  def updatePosition(state: DataFrame, updates: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    * (SURVEY.md §2.1 #5).
+    *
+    * `strict = true` matches the reference contract of RAISING on an
+    * unknown id (kd_tree_database.py:313-315) — implemented as a lazy
+    * plan-side assertion (left-join existence probe + `assert_true`
+    * filter, the [[graft.index.Grid.requireDim]] pattern), so the check
+    * costs no eager driver job and fires at action time, distributed.
+    * The default stays the lenient no-op for pipeline use, where a
+    * missing id usually means an already-deleted row. */
+  def updatePosition(state: DataFrame, updates: DataFrame, idCol: String,
+      vecCol: String, strict: Boolean = false): DataFrame = {
+    val ups =
+      if (!strict) updates
+      else updates
+        .join(state.select(col(idCol), lit(1).as("__exists")), Seq(idCol), "left")
+        .filter(coalesce(
+          assert_true(col("__exists").isNotNull,
+            lit(s"update_position: unknown $idCol (reference raises, " +
+              "kd_tree_database.py:313-315; pass strict=false to no-op)")),
+          lit(true)))
+        .drop("__exists")
     val replaced = state
-      .join(updates.select(col(idCol), col(vecCol).as("__new_vec")), Seq(idCol), "inner")
+      .join(ups.select(col(idCol), col(vecCol).as("__new_vec")), Seq(idCol), "inner")
       .withColumn(vecCol, col("__new_vec"))
       .drop("__new_vec")
-    state.join(updates.select(idCol), Seq(idCol), "left_anti")
+    state.join(ups.select(idCol), Seq(idCol), "left_anti")
       .unionByName(replaced.select(state.columns.map(col).toSeq: _*))
   }
 

@@ -53,6 +53,41 @@ class ApiSpec extends SparkSpecBase {
     assert(res.head.dist < 1e-10)
   }
 
+  test("updatePosition RAISES on an unknown id (reference contract, kd_tree_database.py:313-315)") {
+    val ghost = db.state.filter(col("vec_id") === 11)
+      .drop("cell_id")
+      .withColumn("vec_id", lit(987654321L))
+    val ex = intercept[Exception] { db.updatePosition(ghost).count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("unknown vec_id")),
+      s"unexpected failure: ${ex.getMessage}")
+    // lenient operator form still no-ops for pipelines
+    val lenient = graft.operators.Snapshot.updatePosition(
+      db.state.drop("cell_id"), ghost, "vec_id", "embedding", strict = false)
+    assert(lenient.count() === 500)
+  }
+
+  test("findKNearestNeighbors accepts an ARBITRARY-callable filter (Scala UDF escape hatch)") {
+    // the reference's filter is Callable[[T], bool] (vectordb/database.py:
+    // 40-44); any JVM predicate rides a Scala UDF Column through the same
+    // filter-before-k path
+    val oddLabel = udf((l: Int) => l % 2 == 1)
+    val res = db.findKNearestNeighbors(Q64, 5, filter = Some(oddLabel(col("label"))))
+    assert(res.size === 5)
+    val brute = graft.operators.Knn.bruteForce(db.scan(),
+      graft.functions.Distances.squaredL2Lit(col("embedding"), Q64), 5,
+      pred = Some(oddLabel(col("label"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(res.map(n => (n.vec_id, n.dist)) === brute)
+    assert(res.forall(_ => true))
+    // the callable gated candidacy BEFORE k, not the top-k after
+    val labels = db.scan().filter(col("vec_id").isin(res.map(_.vec_id): _*))
+      .select("label").collect().map(_.getInt(0))
+    assert(labels.forall(_ % 2 == 1))
+  }
+
   test("findKNearestNeighbors honors filter and non-default metric") {
     val res = db.findKNearestNeighbors(Q64, 5, filter = Some(col("label") === 2),
       metric = Some(L1))
