@@ -2241,6 +2241,36 @@ object SparkEntry {
     // gibberish-detector quality signal (vocab broadcasts)
     "text_oov_rate" -> ((s, d) =>
       TextAnalysis.oovRate(par(s, docs(s, d)), v = 200).orderBy(col("doc_id"))),
+    // PII scrub (emails/phones/IPv4 → typed sentinels): the fixture
+    // corpus is synthetic and PII-free, so leakage is INJECTED from
+    // doc_id arithmetic (both engines replay the injection — the
+    // audit_referential pattern). Per-source rollup carries the exact
+    // counts plus a hash-sum of every redacted text, pinning the
+    // replacement output byte-for-byte. Pure per-row regex — no shuffle
+    // before the final rollup
+    "text_pii_redact" -> ((s, d) => {
+      val ds = col("doc_id").cast("string")
+      val injected = par(s, docs(s, d))
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact u"), ds, lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"), lit("."),
+              ((col("doc_id") * 7) % 256).cast("string"), lit(".9"))).otherwise(lit(""))))
+      TextAnalysis.piiRedact(injected, "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(col("n_ip")).as("n_ip"),
+          sum(Dedup.md5Int32(col("redacted"))).as("redacted_hashsum"))
+        .orderBy(col("source"))
+    }),
     // radius (range) search — the other half of the vector-DB read API:
     // all rows within squared-L2 distance r of the query
     "knn_radius" -> ((s, d) =>
@@ -5633,6 +5663,32 @@ object SparkEntry {
           |  CAST(COUNT(*) FILTER (vw IS NULL) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
           |FROM tok LEFT JOIN vocab ON w = vw
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_pii_redact" -> {
+        val em = TextAnalysis.PiiEmail
+        val ph = TextAnalysis.PiiPhone
+        val ip = TextAnalysis.PiiIp
+        s"""WITH injected AS (
+           |  SELECT doc_id, source, text ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           |    CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9' ELSE '' END AS text
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, source,
+           |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+           |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1 FROM injected),
+           |s2 AS (SELECT doc_id, source, n_email,
+           |    CAST(len(regexp_extract_all(t1, '$ph')) AS BIGINT) AS n_phone,
+           |    regexp_replace(t1, '$ph', '<PHONE>', 'g') AS t2 FROM s1),
+           |s3 AS (SELECT doc_id, source, n_email, n_phone,
+           |    CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ip,
+           |    regexp_replace(t2, '$ip', '<IP>', 'g') AS redacted FROM s2)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_email) AS BIGINT) AS n_email,
+           |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           |  CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           |  CAST(SUM(${Dedup.md5Int32Sql("redacted")}) AS BIGINT) AS redacted_hashsum
+           |FROM s3 GROUP BY source ORDER BY source""".stripMargin
+      },
       "knn_radius" -> {
         s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq AS dist FROM embeddings)
            |WHERE dist <= ${DuckSql.fmt(Radius)} ORDER BY dist ASC, vec_id ASC""".stripMargin

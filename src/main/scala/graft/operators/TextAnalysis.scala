@@ -80,6 +80,31 @@ object TextAnalysis {
       (nw * lit(6L)).cast("long"))
   }
 
+  /** PII patterns shared verbatim with the oracle SQL — restricted to the
+    * Java-regex ∩ RE2 common subset (character classes, bounded repeats,
+    * ASCII `\b`; no lookaround), so both engines match identically.
+    * Order matters: emails are redacted FIRST so an IP-shaped mail domain
+    * can't double-count. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the privacy-scrub pass every training-data pipeline
+    * runs before packing: emails, phone numbers and IPv4 literals are
+    * counted and replaced with typed sentinels (`<EMAIL>`/`<PHONE>`/
+    * `<IP>`), SEQUENTIALLY (each count runs on the previous stage's
+    * redacted text, so one span is attributed to exactly one type).
+    * Adds `n_email`, `n_phone`, `n_ip` and `redacted`. Pure per-row
+    * codegen'd regex work — zero shuffles, streams over 100 TB. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_email", regexp_count(col(textCol), lit(PiiEmail)).cast("long"))
+      .withColumn("__t1", regexp_replace(col(textCol), PiiEmail, "<EMAIL>"))
+      .withColumn("n_phone", regexp_count(col("__t1"), lit(PiiPhone)).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), PiiPhone, "<PHONE>"))
+      .withColumn("n_ip", regexp_count(col("__t2"), lit(PiiIp)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("__t2"), PiiIp, "<IP>"))
+      .drop("__t1", "__t2")
+
   /** n-gram-free language-ID heuristic: English stopword density. The
     * fixture corpus is synthetic, so this pins the OPERATOR (deterministic
     * classification), not linguistic accuracy. */

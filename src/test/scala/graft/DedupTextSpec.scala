@@ -156,6 +156,32 @@ class DedupTextSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("piiRedact: typed sentinels replace every match, counts are exact, clean text untouched") {
+    val d = Seq(
+      (1L, "mail a.b+c@test.org and x@y.io today"),
+      (2L, "call +1-415-555-0199 or +1-212-555-0100 now"),
+      (3L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (4L, "reach u@10.0.0.1.example.com please"), // ip-shaped subdomain: ONE email, zero ips
+      (5L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(d, "text")
+      .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 2L, 0L, "call <PHONE> or <PHONE> now")))
+    assert(out(2) == ((3L, 0L, 0L, 2L, "host <IP> and <IP> up")))
+    assert(out(3) == ((4L, 1L, 0L, 0L, "reach <EMAIL> please")),
+      "email redaction must run first so an ip-shaped subdomain is one email, not an ip leak")
+    assert(out(4) == ((5L, 0L, 0L, 0L, "no pii here at all")))
+    // nothing pattern-shaped survives redaction
+    val leaks = TextAnalysis.piiRedact(d, "text")
+      .filter(regexp_count(col("redacted"), lit(TextAnalysis.PiiEmail)) > 0 ||
+        regexp_count(col("redacted"), lit(TextAnalysis.PiiPhone)) > 0 ||
+        regexp_count(col("redacted"), lit(TextAnalysis.PiiIp)) > 0)
+      .count()
+    assert(leaks === 0)
+  }
+
   test("qualityScoreScaled: exact BIGINT quantization agrees with the double score within one ulp-of-scale, and is exact on constructed docs") {
     // constructed doc: 10 words ("the" is a stopword), all integer inputs
     // known: len=56, nw=10, ns=1, chars=47, awl=4.7 in [3,8] -> w=1000
