@@ -1058,6 +1058,33 @@ object SparkEntry {
           (coalesce(col("n_hits"), lit(0L)) / lit(K.toDouble)).as("recall_at_k"))
         .orderBy(col("query_id"))
     }),
+    // recall@k CURVE over nprobe — the accuracy/cost dial an ANN deploy
+    // publishes: one trained index, one exact ground truth, four probe
+    // widths sharing the probe RANKING (each width is a filter on the
+    // per-query centroid rank, not a re-rank). Integer hit counts; the
+    // one division is a shared-constant IEEE op — hash-checked
+    "ann_ivf_recall_curve" -> ((s, d) => {
+      val db = emb(s, d)
+      val q = db.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
+      val assigned = Ann.assign(db, cents)
+      val exact = KnnJoin.join(q, db, K, Dim)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      val curve = Seq(1, 2, 4, 8).map { np =>
+        Ann.ivfJoin(q, assigned, cents, k = K, nprobe = np)
+          .select(col("query_id"), col("vec_id"))
+          .join(exact, col("query_id") === col("eq") && col("vec_id") === col("ev"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"))
+      }.reduce(_ unionAll _)
+      curve.crossJoin(q.agg(count(lit(1)).as("n_queries")))
+        .select(col("nprobe"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double")
+            / (col("n_queries") * lit(K.toLong)).cast("double")).as("recall_at_k"))
+        .orderBy(col("nprobe"))
+    }),
     // batch ANN join: every query probes its nprobe nearest IVF cells
     // (VecArgTopNL2) under the seeded-exact trained codebook —
     // hash-checked; the oracle replays training + per-query probe
@@ -4681,6 +4708,43 @@ object SparkEntry {
       },
       "ann_pq_topk" ->
         pqTrainedSql(Fixtures.PqSeeds, iters = 2, Q64, k = K, refine = 100),
+      "ann_ivf_recall_curve" -> {
+        val pd = DuckSql.squaredL2Cols("qp.q_embedding", "a.embedding", Dim)
+        val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)
+        val arms = Seq(1, 2, 4, 8).map { np =>
+          s"""SELECT $np AS nprobe, (
+             |  SELECT COUNT(*) FROM (
+             |    SELECT query_id, vec_id FROM (
+             |      SELECT qp.qid AS query_id, a.vec_id,
+             |        ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY $pd ASC, a.vec_id ASC) AS rn
+             |      FROM (SELECT qid, q_embedding, cell FROM qprobe WHERE rnp <= $np) qp
+             |      JOIN af a USING (cell))
+             |    WHERE rn <= $K) ap
+             |  JOIN exact ON ap.query_id = exact.eq AND ap.vec_id = exact.ev
+             |) AS n_hits""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
+           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |qprobe AS (
+           |  SELECT qid, q_embedding, cell, rnp FROM (
+           |    SELECT q.qid, q.q_embedding, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
+           |    FROM qs q CROSS JOIN c2 c)
+           |  WHERE rnp <= 8),
+           |exact AS (
+           |  SELECT eq, ev FROM (
+           |    SELECT q.qid AS eq, d.vec_id AS ev,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
+           |    FROM qs q CROSS JOIN embeddings d)
+           |  WHERE rn <= $K),
+           |curve AS (
+           |  $arms
+           |)
+           |SELECT nprobe, n_queries, CAST(n_hits AS BIGINT) AS n_hits,
+           |  CAST(n_hits AS DOUBLE) / CAST(n_queries * $K AS DOUBLE) AS recall_at_k
+           |FROM curve CROSS JOIN (SELECT COUNT(*) AS n_queries FROM qs)
+           |ORDER BY nprobe""".stripMargin
+      },
       "dedup_prefix_filter_pairs" ->
         """SELECT id_a, id_b, jac FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

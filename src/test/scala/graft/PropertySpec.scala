@@ -115,4 +115,52 @@ class PropertySpec extends SparkSpecBase {
       assert(got(i.toLong) == model(syms, p1, p2).mkString(" "),
         s"case $i: syms=$syms pair=($p1,$p2)")
   }
+
+  test("qualityScoreScaled equals exact BigDecimal rational rounding on generated docs (200 cases)") {
+    import spark.implicits._
+    // text generator: words from a small vocab (some stopwords), so all
+    // three score components exercise their clamps
+    val wordGen = Gen.oneOf("the", "a", "of", "zz", "longishword", "x",
+      "sesquipedalian", "to", "qqq", "abcdefgh")
+    val docGen = Gen.choose(1, 120).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = Gen.listOfN(200, docGen).sample.get.map(_.mkString(" "))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (d <- Seq(4, 9)) {
+      val got = df.select(col("id"),
+          graft.operators.TextAnalysis.qualityScoreScaled(col("text"), d))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        // exact rational num/(3000*nw) in BigDecimal, HALF_UP to d places
+        val words = t.split(" ")
+        val nw = words.length.toLong
+        val len = t.length.toLong
+        val ns = words.count(graft.core.Fixtures.Stopwords.contains).toLong
+        val chars = len - nw + 1
+        val w = if (chars >= 3 * nw && chars <= 8 * nw) 1000L else 500L
+        val num = 2L * nw * math.min(len, 500L) +
+          1000L * math.min(10L * ns, nw) + w * nw
+        val want = (BigDecimal(num) * BigDecimal(10).pow(d) /
+          BigDecimal(3000L * nw))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+        assert(got(i.toLong) == want,
+          s"doc $i decimals=$d: got ${got(i.toLong)}, want $want (nw=$nw len=$len ns=$ns)")
+      }
+    }
+  }
+
+  test("pctlNanos equals exact BigDecimal rational rounding over the (below, n) lattice") {
+    import spark.implicits._
+    val cases = for (n <- 1L to 40L; below <- 0L until n) yield (below, n)
+    val df = cases.toDF("below", "n")
+    val got = df.select(col("below"), col("n"),
+        graft.operators.Governance.pctlNanos(col("below"), col("n")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (below, n) =>
+      val want =
+        if (n <= 1) 0L
+        else (BigDecimal(below) * BigDecimal(1000000000L) / BigDecimal(n - 1))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      assert(got((below, n)) == want, s"below=$below n=$n")
+    }
+  }
 }
