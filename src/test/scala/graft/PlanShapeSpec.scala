@@ -63,6 +63,20 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("pair-generating dedup queries never plan a cartesian / nested-loop join (r5 scale-killer guard)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    withoutAqe {
+      for (q <- Seq("dedup_containment_pairs", "dedup_jaccard_pairs",
+          "dedup_semantic_clusters", "dedup_prefix_filter_pairs")) {
+        val p = planOf(SparkEntry.queries(q)(spark, sfDir))
+        assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+          s"$q: BroadcastNestedLoopJoin regressed into the plan")
+        assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+          s"$q: CartesianProduct regressed into the plan")
+      }
+    }
+  }
+
   test("rank<=k window filter triggers Spark's native WindowGroupLimit pushdown") {
     // This is WHY no custom top-k LogicalPlan/Strategy is needed for the
     // window idiom (SURVEY §4): InferWindowGroupLimit already bounds
