@@ -8,10 +8,18 @@ import sys, json, math, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+def fresh_con():
+    # local sweeps run at sf0.1 too, where the trained-ANN oracle CTE
+    # chains exceed duckdb's conservative default budget; the driver
+    # runs at sf0.01
+    c = duckdb.connect()
+    c.execute("SET memory_limit='24GB'")
+    for t in ["region","nation","customer","supplier","part","orders","lineitem",
+              "events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    return c
+
+con = fresh_con()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
@@ -27,7 +35,14 @@ for name, sql in sorted(oracle.items()):
     try:
         want = con.execute(sql).fetchdf()
     except Exception as ex:
-        print(f"FAIL {name}: oracle sql error: {ex}"); fails += 1; continue
+        # cumulative allocations in one long-lived connection can starve a
+        # later heavy oracle (seen on the 260-query sf0.1 sweep); a fresh
+        # connection distinguishes a real failure from harness pressure
+        try:
+            con.close(); con = fresh_con()
+            want = con.execute(sql).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: oracle sql error: {ex}"); fails += 1; continue
     # driver sorts columns by name
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)]
