@@ -240,6 +240,24 @@ object SparkEntry {
     Knn.bruteForce(emb(spark, "/root/testdata/sf0.001"),
       Distances.squaredL2Lit(col("embedding"), Q64), K)
 
+  // ---------------------------------------------------------------- fixtures
+
+  /** One-time physical-layout prep for queries that read derived tables
+    * (today: the bucketed orders/customer layouts behind
+    * `join_bucketed_colocated`). Harnesses (Verify, Bench, specs) call this
+    * ONCE up front so every query builder is a pure plan constructor; the
+    * builder itself only falls back to this when called standalone against
+    * a session that never prepared — a robustness path, not the design. */
+  def prepareFixtures(s: SparkSession, d: String): Unit = {
+    graft.store.Bucketed.writeBucketedIfAbsent(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+      "graft_orders_bk", "o_custkey", nBuckets = 8)
+    graft.store.Bucketed.writeBucketedIfAbsent(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+      "graft_customer_bk", "c_custkey", nBuckets = 8)
+    ()
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3252,16 +3270,14 @@ object SparkEntry {
     // bucket-co-located join: both sides written bucketed on the join key,
     // then joined reading the buckets — at 100 TB the fact/fact join runs
     // with ZERO shuffle (plan pinned in BucketedJoinSpec; result oracle =
-    // the plain join). The layout writes are memoized on catalog
-    // existence, so only the FIRST build of this entry pays them —
-    // rebuilding the plan (bench reruns) is pure
+    // the plain join). The layout is produced by `prepareFixtures` (which
+    // Verify/Bench call once up front), so this builder only READS; the
+    // guard below self-prepares only when a standalone caller skipped the
+    // prep — keeping the builder side-effect-free on every normal path.
     "join_bucketed_colocated" -> ((s, d) => {
-      graft.store.Bucketed.writeBucketedIfAbsent(
-        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
-        "graft_orders_bk", "o_custkey", nBuckets = 8)
-      graft.store.Bucketed.writeBucketedIfAbsent(
-        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
-        "graft_customer_bk", "c_custkey", nBuckets = 8)
+      if (!s.catalog.tableExists("graft_orders_bk") ||
+          !s.catalog.tableExists("graft_customer_bk"))
+        prepareFixtures(s, d)
       s.table("graft_orders_bk")
         .join(s.table("graft_customer_bk"),
           col("o_custkey") === col("c_custkey"))
@@ -4702,7 +4718,7 @@ object SparkEntry {
            |  SELECT query_id, COUNT(*) AS n_hits FROM approx
            |  JOIN exact ON query_id = eq AND vec_id = ev GROUP BY query_id)
            |SELECT q.qid AS query_id,
-           |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_k
+           |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
            |FROM qs q LEFT JOIN hits h ON q.qid = h.query_id
            |ORDER BY query_id""".stripMargin
       },

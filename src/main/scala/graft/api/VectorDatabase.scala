@@ -116,8 +116,9 @@ final class VectorDatabase private (
   }
 
   /** update_position (kd_tree_database.py:310-316): new vector → new cell.
-    * The facade is STRICT like the reference — an unknown id raises at
-    * action time (kd_tree_database.py:313-315 raises ValueError); use
+    * The facade is STRICT like the reference — an unknown id fails at
+    * action time (kd_tree_database.py:313-315: `self._id_access.get(id)`
+    * returns None and `.metadata` raises AttributeError); use
     * [[Snapshot.updatePosition]] directly with `strict = false` for the
     * lenient pipeline behavior. */
   def updatePosition(updates: DataFrame): VectorDatabase =

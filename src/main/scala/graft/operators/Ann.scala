@@ -186,8 +186,15 @@ object Ann {
     * Scale shape: per iteration one codegen'd assignment pass + one
     * map-side-combinable (cell, dim) aggregation collecting k×dim longs
     * to the driver — the standard distributed Lloyd cost. */
+  /** DOMAIN: every input coordinate must be ≥ -2. The integer-exact mean
+    * relies on `floor((v + 2) · 2^24)` terms being NON-NEGATIVE so Java's
+    * truncating `/` equals the floor division a DuckDB `//` oracle replays;
+    * a coordinate below -2 makes a per-cell sum negative and the two
+    * engines' rounding silently diverges. The fixture range is ~[-0.58,
+    * 0.52]; out-of-range data fails loudly via the guard below. */
   def lloydSeededExact(db: DataFrame, seeds: Array[Array[Double]], iters: Int,
       vecCol: String = "embedding"): Array[Array[Double]] = {
+    requireDomainGeMinus2(db, vecCol)
     var cents = seeds.map(_.clone)
     for (_ <- 0 until iters) {
       val sums = assign(db, cents, vecCol)
@@ -205,6 +212,16 @@ object Ann {
       cents = next
     }
     cents
+  }
+
+  /** Loud-failure guard for the integer-exact training loops: one
+    * column-pruned min-scan (cheap next to `iters` full assignment passes)
+    * asserting every coordinate ≥ -2 — see [[lloydSeededExact]] DOMAIN. */
+  private[operators] def requireDomainGeMinus2(db: DataFrame, vecCol: String): Unit = {
+    val mn = db.agg(min(array_min(col(vecCol).cast("array<double>")))).head().getDouble(0)
+    require(mn >= -2.0,
+      f"seeded-exact training requires coordinates >= -2 (found $mn%.6f): " +
+        "the floor((v+2)*2^24) integer mean would round differently across engines")
   }
 
   /** Mean squared distance to the assigned centroid — the k-means objective

@@ -91,9 +91,14 @@ object Pq {
     * oracle. Distributed (no driver sample): one assignment pass + one
     * (subspace, code, dim) aggregation per iteration, collecting
     * m·ksub·dsub longs. Empty codes keep their previous codeword. */
+  /** DOMAIN: every input coordinate must be ≥ -2 (same contract as
+    * [[Ann.lloydSeededExact]] — the floor((v+2)·2^24) integer mean needs
+    * non-negative terms for cross-engine-exact truncating division); the
+    * guard fails loudly on out-of-range data. */
   def trainSeededExact(db: DataFrame, dim: Int,
       seeds: Array[Array[Array[Double]]], iters: Int,
       vecCol: String = "embedding"): PqModel = {
+    Ann.requireDomainGeMinus2(db, vecCol)
     val m = seeds.length
     val ksub = seeds(0).length
     val dsub = dim / m

@@ -36,8 +36,9 @@ object Snapshot {
     * the old rows, union the updated rows carrying old metadata
     * (SURVEY.md §2.1 #5).
     *
-    * `strict = true` matches the reference contract of RAISING on an
-    * unknown id (kd_tree_database.py:313-315) — implemented as a lazy
+    * `strict = true` matches the reference contract of FAILING on an
+    * unknown id (kd_tree_database.py:313-315: `.get(id)` yields None and
+    * the `.metadata` access raises AttributeError) — implemented as a lazy
     * plan-side assertion (left-join existence probe + `assert_true`
     * filter, the [[graft.index.Grid.requireDim]] pattern), so the check
     * costs no eager driver job and fires at action time, distributed.

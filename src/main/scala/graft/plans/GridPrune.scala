@@ -68,9 +68,19 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
 
   private def addEntry(spark: SparkSession, cfg: GridConfig,
       path: Option[String]): Unit = {
+    // Dedup by fingerprint AND by bound path: after a store at path P is
+    // re-bucketed with a new geometry (Grid.maintain/configFor) and
+    // re-registered, the stale (oldCfg, P) entry must not shadow the new
+    // one — bindCfg's path branch uses collectFirst, so a leftover old
+    // entry would inject an inadmissible cell-id list against the
+    // rewritten store and silently drop rows.
+    val newPath = path.map(normPath)
     val kept = parseEntries(spark.conf.get(ConfKey, ""))
-      .filterNot(_._1.fingerprint == cfg.fingerprint)
-    val all = kept :+ (cfg, path.map(normPath))
+      .filterNot { case (c, p) =>
+        c.fingerprint == cfg.fingerprint ||
+          (newPath.isDefined && p == newPath)
+      }
+    val all = kept :+ (cfg, newPath)
     spark.conf.set(ConfKey, all.map { case (c, p) =>
       val enc = java.net.URLEncoder.encode(p.getOrElse(""), "UTF-8")
       s"${c.dim},${c.lower},${c.upper},${c.partsPerDim},${c.gridDims},$enc"

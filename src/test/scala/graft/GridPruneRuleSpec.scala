@@ -167,6 +167,39 @@ class GridPruneRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("re-registering a rewritten store path drops the stale geometry (no silent row loss)") {
+    spark.conf.unset(GridRadiusPruning.ConfKey)
+    try {
+      // simulate the Grid.maintain re-bucket workflow: the SAME path first
+      // carries the 4-parts geometry, then is rewritten with 8 parts and
+      // re-registered. The stale (oldCfg, path) entry preceding the new one
+      // must be evicted — otherwise collectFirst binds the OLD geometry and
+      // injects an inadmissible cell-id list against the rewritten store.
+      val newCfg = cfg.copy(partsPerDim = 8)
+      val p = java.nio.file.Files.createTempDirectory("graft_prune_rebkt").toString
+      Grid.withCellId(pts.toDF("vec_id", "embedding"), "embedding", cfg)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(p)
+      GridRadiusPruning.register(spark, cfg, p)
+      // rewrite the same path under the NEW geometry and re-register
+      Grid.withCellId(pts.toDF("vec_id", "embedding"), "embedding", newCfg)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(p)
+      GridRadiusPruning.register(spark, newCfg, p)
+      val dist = Distances.squaredL2Lit(col("embedding"), q)
+      val pruned = spark.read.parquet(p).filter(dist <= lit(r)).select("vec_id")
+      assert(pruned.queryExecution.optimizedPlan.toString
+        .matches("(?s).*cell_id#\\d+L? IN.*"), "re-registered path must still prune")
+      spark.conf.unset(GridRadiusPruning.ConfKey)
+      val plain = spark.read.parquet(p).filter(dist <= lit(r)).select("vec_id")
+      val got = pruned.collect().map(_.getLong(0)).sorted.toSeq
+      val want = plain.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want,
+        s"stale geometry binding dropped rows: pruned ${got.size} vs plain ${want.size}")
+    } finally {
+      spark.conf.unset(GridRadiusPruning.ConfKey)
+      GridRadiusPruning.register(spark, cfg, store)
+    }
+  }
+
   test("rule is a no-op without cell_id, and terminates at fixed point") {
     GridRadiusPruning.register(spark, cfg, store)
     val plainDf = pts.toDF("vec_id", "embedding") // no cell_id column
