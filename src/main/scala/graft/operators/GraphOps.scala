@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over similarity-pair edge lists — the structural read
@@ -126,17 +126,17 @@ object GraphOps {
     * Each iteration is one join of the rank table against the edge list
     * plus one aggregation — both shuffle on node id, the plan a 100 TB
     * graph engine runs per superstep. Engine-exactness: per-edge
-    * contributions are rounded to 9 decimals and summed as DECIMAL(18,9)
-    * (order-independent), and every scalar op (base term, damping product,
-    * final round) is the same IEEE double expression the unrolled SQL
-    * oracle evaluates — fixed `iters` makes the WHOLE loop replayable,
-    * the same contract as [[Pca]]'s power iteration.
+    * contributions are FLOOR-quantized to integer nano-units
+    * (`floor(x·1e9)` as BIGINT) and summed exactly — floor of a double
+    * product is the same IEEE operation in every engine, unlike ROUND,
+    * whose half-boundary behavior differs between Spark's exact-decimal
+    * HALF_UP and DuckDB's scaled-multiply (observed: a 1-ulp pr
+    * divergence at 0.0050926215). Fixed `iters` makes the WHOLE loop
+    * replayable, the same contract as [[Pca]]'s power iteration.
     *
-    * Output: (node, pr) with pr rounded to 9 decimals. */
+    * Output: (node, pr) with pr floor-quantized to 9 decimals. */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
-    import org.apache.spark.sql.types.DecimalType
     // hash-partitioned on src BEFORE the persist: every superstep joins
     // this table on src, and the cached partitioning is recognized by the
     // planner — so per iteration only the (|nodes|-row) rank side
@@ -151,15 +151,18 @@ object GraphOps {
     val n = deg.count()
     require(n > 0, "pageRank: empty graph")
     val base = (1.0 - damping) / n
-    var pr = deg.select(col("node"), col("deg"),
-      round(lit(1.0 / n), 9).as("pr"))
+    // engine-exact 9-decimal floor quantization: floor(x·1e9)/1e9 — both
+    // engines compute the identical double product and identical floor
+    def q9(c: Column): Column = floor(c * lit(1e9)) / lit(1e9)
+    var pr = deg.select(col("node"), col("deg"), q9(lit(1.0 / n)).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = dir
         .join(pr, dir("src") === pr("node"))
         .select(col("dst"),
-          round(col("pr") / col("deg"), 9).cast(DecimalType(18, 9)).as("c"))
+          floor((col("pr") / col("deg")) * lit(1e9)).as("c9"))
       pr = contrib.groupBy(col("dst").as("node"))
-        .agg(round(lit(base) + lit(damping) * sum(col("c")).cast("double"), 9).as("pr"))
+        .agg(q9(lit(base) +
+          lit(damping) * (sum(col("c9")).cast("double") / lit(1e9))).as("pr"))
         .join(deg, "node")
         .select(col("node"), col("deg"), col("pr"))
     }

@@ -67,7 +67,10 @@ class PlanShapeSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     withoutAqe {
       for (q <- Seq("dedup_containment_pairs", "dedup_jaccard_pairs",
-          "dedup_semantic_clusters", "dedup_prefix_filter_pairs")) {
+          "dedup_semantic_clusters", "dedup_prefix_filter_pairs",
+          // r7: the five cosine edge builds routed through CosineJoin
+          "dedup_cosine_pairs", "graph_similarity_summary", "graph_pagerank",
+          "graph_bfs_hops", "graph_label_prop")) {
         val p = planOf(SparkEntry.queries(q)(spark, sfDir))
         assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
           s"$q: BroadcastNestedLoopJoin regressed into the plan")

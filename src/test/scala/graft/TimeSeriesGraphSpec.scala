@@ -94,21 +94,20 @@ class TimeSeriesGraphSpec extends SparkSpecBase {
     val got = GraphOps.pageRank(edges, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-    // plain-Scala replay of the exact arithmetic: round9 contributions,
-    // exact sum, same base/damping double expressions
-    def r9(x: Double): Double =
-      BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // plain-Scala replay of the exact arithmetic: floor-quantized
+    // nano-unit contributions, exact long sum, same base/damping doubles
+    def q9(x: Double): Double = math.floor(x * 1e9) / 1e9
     val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val deg = dir.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val n = deg.size
     val base = (1.0 - 0.85) / n
-    var pr = deg.keys.map(_ -> r9(1.0 / n)).toMap
+    var pr = deg.keys.map(_ -> q9(1.0 / n)).toMap
     for (_ <- 1 to 3) {
       val sums = dir.groupBy(_._2).map { case (dst, in) =>
-        dst -> in.map { case (src, _) => BigDecimal(r9(pr(src) / deg(src))) }.sum
+        dst -> in.map { case (src, _) => math.floor((pr(src) / deg(src)) * 1e9).toLong }.sum
       }
-      pr = sums.map { case (node, s) => node -> r9(base + 0.85 * s.toDouble) }
+      pr = sums.map { case (node, s9) => node -> q9(base + 0.85 * (s9.toDouble / 1e9)) }
     }
     assert(got === pr)
     // mass conservation and symmetry (1 and 4 are NOT symmetric here; 1 is
