@@ -3661,6 +3661,29 @@ object SparkEntry {
         .withColumn("was_gap", col("v_obs").isNull.cast("int"))
         .select(col("day_epoch"), col("v_filled"), col("was_gap"))
         .orderBy(col("day_epoch"))
+    }),
+    // --- round-7: exact substring-repeat dedup via suffix arrays (the
+    // Lee et al. primitive the hashed n-gram spans approximate). Both are
+    // pure per-document maps — each task builds ONE doc's SA, no shuffle,
+    // no cross-doc state — so the corpus-scale cost is a single pass.
+    // per-doc longest intra-doc repeated substring (max adjacent-LCP):
+    // the doc-level repetitiveness statistic; brute O(m²) oracle bounded
+    // to the %5 doc subset
+    "text_longest_repeat_sa" -> ((s, d) => {
+      val lr = udf((t: String) => graft.operators.SuffixArray.longestRepeat(t))
+      par(s, docs(s, d)).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lr(col("text")).cast("bigint").as("longest_repeat"))
+        .orderBy(col("doc_id"))
+    }),
+    // per-doc characters covered by an intra-doc repeated substring of
+    // length ≥ 10 — the duplicated-text mass a substring-level dedup would
+    // cut. SA coverage ≡ exact 10-gram coverage (SuffixArraySpec), which
+    // is what the linear-cost oracle replays over the FULL corpus
+    "text_repeat_coverage_sa" -> ((s, d) => {
+      val cov = udf((t: String) => graft.operators.SuffixArray.repeatCoverage(t, 10))
+      par(s, docs(s, d))
+        .select(col("doc_id"), cov(col("text")).cast("bigint").as("covered_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -7023,6 +7046,41 @@ object SparkEntry {
           |  WHERE c_nationkey = n_nationkey
           |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) ON true
           |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
+      // brute replay of the suffix-array longest intra-doc repeat: a length
+      // L repeats in a doc iff some L-gram occurs ≥ 2 times — enumerate
+      // every (L, start) pair (O(m²) rows, bounded by the %5 doc subset)
+      "text_longest_repeat_sa" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+          |lens AS (
+          |  SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 1)) AS L
+          |  FROM d WHERE length(text) >= 2),
+          |grams AS (
+          |  SELECT doc_id, L, substr(text, CAST(i AS INT), CAST(L AS INT)) AS g
+          |  FROM (SELECT doc_id, text, L,
+          |          UNNEST(generate_series(1, length(text) - L + 1)) AS i
+          |        FROM lens)),
+          |dups AS (SELECT doc_id, L FROM grams GROUP BY doc_id, L, g HAVING COUNT(*) > 1),
+          |best AS (SELECT doc_id, MAX(L) AS lr FROM dups GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(b.lr, 0) AS BIGINT) AS longest_repeat
+          |FROM d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+      // exact 10-gram coverage ≡ SA repeat coverage (the SuffixArraySpec
+      // identity): duplicated-gram starts expand to their 10 positions,
+      // DISTINCT-counted per doc — linear in corpus characters
+      "text_repeat_coverage_sa" ->
+        """WITH g AS (
+          |  SELECT doc_id, i, substr(text, CAST(i AS INT), 10) AS gr
+          |  FROM (SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 9)) AS i
+          |        FROM documents WHERE length(text) >= 10)),
+          |dup AS (
+          |  SELECT doc_id, i FROM (
+          |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id, gr) AS c FROM g)
+          |  WHERE c > 1),
+          |cov AS (
+          |  SELECT doc_id, COUNT(DISTINCT i + o) AS covered
+          |  FROM dup CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS o)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars
+          |FROM documents d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id""".stripMargin,
       "agg_kmv_merge_daily" -> {
         val h = Dedup.md5Int32Sql("CAST(user_id AS VARCHAR)")
         s"""WITH ev AS (
