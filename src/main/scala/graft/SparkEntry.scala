@@ -3684,8 +3684,33 @@ object SparkEntry {
       par(s, docs(s, d))
         .select(col("doc_id"), cov(col("text")).cast("bigint").as("covered_chars"))
         .orderBy(col("doc_id"))
+    }),
+    // the FULL reference lifecycle through the api.VectorDatabase facade,
+    // under the hash gate (previously only ApiSpec covered it in-suite):
+    // load → delete (ids never reused) → strict update_position → insert
+    // (fresh monotonic ids continue past the deleted ones) → FILTERED kNN
+    // with the (dist ASC, id ASC) tie-break — database.py:18-64 end-to-end
+    "api_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val db0 = graft.api.VectorDatabase.fromDataFrame(s, emb(s, d), gridCfg)
+      val db1 = db0.delete((0L to 70L by 7))
+      val upd = Seq(3L, 13L, 23L).map(id => (id, LifecyclePos)).toDF("vec_id", "embedding")
+      val db2 = db1.updatePosition(upd)
+      val ins = Seq((LifecycleInsA, 1), (LifecycleInsB, 2)).toDF("embedding", "label")
+      val (db3, _) = db2.insert(ins)
+      val res = db3.findKNearestNeighbors(Q64, K, filter = Some(col("label") === 1))
+      s.createDataset(res).toDF()
     })
   )
+
+  /** Literal vectors for the api_lifecycle query — exact binary fractions
+    * (multiples of 2⁻³), so the float literals round-trip bit-exactly
+    * through both engines' decimal parsers. */
+  private val LifecyclePos: Array[Float] =
+    Array.tabulate(Dim)(i => ((i % 8) - 4) * 0.125f)
+  private val LifecycleInsA: Array[Float] = Array.fill(Dim)(0.25f)
+  private val LifecycleInsB: Array[Float] =
+    Array.tabulate(Dim)(i => (i % 4) * 0.125f)
 
   /** 2-D grid for density clustering: 32×32 cells over the embedding's two
     * leading dims. Deliberately TIGHTER than the data's ~[-0.5, 0.5] spread
@@ -7063,6 +7088,32 @@ object SparkEntry {
           |best AS (SELECT doc_id, MAX(L) AS lr FROM dups GROUP BY doc_id)
           |SELECT d.doc_id, CAST(COALESCE(b.lr, 0) AS BIGINT) AS longest_repeat
           |FROM d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+      // facade lifecycle replay: anti-join delete, CASE update, MAX+i
+      // insert ids, then the filtered kNN tail with the standard tie-break
+      "api_lifecycle" -> {
+        def arr(a: Array[Float]): String =
+          a.map(_.toString).mkString("CAST([", ", ", "] AS FLOAT[])")
+        val delList = (0L to 70L by 7).mkString(", ")
+        val sq = DuckSql.squaredL2Lit("embedding", Q64)
+        s"""WITH base AS (
+           |  SELECT vec_id, embedding, label FROM embeddings
+           |  WHERE vec_id NOT IN ($delList)),
+           |upd AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id IN (3, 13, 23) THEN ${arr(LifecyclePos)}
+           |         ELSE embedding END AS embedding,
+           |    label
+           |  FROM base),
+           |mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+           |allr AS (
+           |  SELECT vec_id, embedding, label FROM upd
+           |  UNION ALL
+           |  SELECT (SELECT m FROM mx) + 1, ${arr(LifecycleInsA)}, CAST(1 AS INT)
+           |  UNION ALL
+           |  SELECT (SELECT m FROM mx) + 2, ${arr(LifecycleInsB)}, CAST(2 AS INT))
+           |SELECT vec_id, label, $sq AS dist FROM allr
+           |WHERE label = 1 ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
+      },
       // exact 10-gram coverage ≡ SA repeat coverage (the SuffixArraySpec
       // identity): duplicated-gram starts expand to their 10 positions,
       // DISTINCT-counted per doc — linear in corpus characters
