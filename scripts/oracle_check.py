@@ -23,26 +23,47 @@ con = fresh_con()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+
+def run_with_reconnect(q):
+    # cumulative allocations in one long-lived connection can starve a
+    # later heavy query (seen on the 260-query sweeps), and a failed
+    # reconnect must NEVER leave `con` pointing at a closed connection —
+    # that cascaded every later query into "Connection has already been
+    # closed" once (r7). Retry with a fresh connection, with a short
+    # backoff for transient host memory pressure.
+    global con
+    import time
+    last = None
+    for attempt in range(3):
+        try:
+            return con.execute(q).fetchdf()
+        except Exception as ex:
+            last = ex
+            try:
+                con.close()
+            except Exception:
+                pass
+            time.sleep(2 * attempt)
+            try:
+                con = fresh_con()
+            except Exception:
+                time.sleep(5)
+                con = fresh_con()
+    raise last
+
 for name, sql in sorted(oracle.items()):
     pq = f"{outdir}/{name}"
     if not os.path.isdir(pq):
         print(f"FAIL {name}: no spark output dir"); fails += 1; continue
     try:
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{pq}/*.parquet')").fetchdf()
+        got = run_with_reconnect(
+            f"SELECT * FROM read_parquet('{pq}/*.parquet')")
     except Exception as ex:
         print(f"FAIL {name}: read spark output: {ex}"); fails += 1; continue
     try:
-        want = con.execute(sql).fetchdf()
+        want = run_with_reconnect(sql)
     except Exception as ex:
-        # cumulative allocations in one long-lived connection can starve a
-        # later heavy oracle (seen on the 260-query sf0.1 sweep); a fresh
-        # connection distinguishes a real failure from harness pressure
-        try:
-            con.close(); con = fresh_con()
-            want = con.execute(sql).fetchdf()
-        except Exception:
-            print(f"FAIL {name}: oracle sql error: {ex}"); fails += 1; continue
+        print(f"FAIL {name}: oracle sql error: {ex}"); fails += 1; continue
     # driver sorts columns by name
     got = got[sorted(got.columns)]
     want = want[sorted(want.columns)]

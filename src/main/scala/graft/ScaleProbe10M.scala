@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** 10M-document LLM-pipeline probe (manual main, like [[ScaleProbe]]):
+  * amplify the sf0.1 documents 5000× with a REALISTIC duplication mix and
+  * run the curation path end-to-end — exact dedup → LSH near-dup →
+  * incremental admission → full curate() — checking that no stage goes
+  * quadratic in the corpus. Wall times recorded in SCALE_NOTES.md.
+  *
+  * Duplication mix per (base doc, rep):
+  *   - rep % 5 == 0  → EXACT copy (1000-copy cliques; exact dedup's
+  *     groupBy(digest) collapses any clique size in one shuffle)
+  *   - rep % 200 == 1 → NEAR-dup pocket: ONE word substituted, pocket
+  *     size 25 per base (bounded cliques — the realistic boilerplate
+  *     case; candidate pairs stay ≤ pocket² per base)
+  *   - otherwise     → UNIQUE variant: every 3rd word replaced by a
+  *     row-unique token, so every width-3 shingle touches a unique token
+  *     and the doc shares no shingles with anything — LSH buckets stay
+  *     singletons and the near-dup pass stays linear
+  *
+  * Also probes the r7 scaled-SemDeDup shape at 1M vectors: stratified
+  * seeded codebook, argmin assignment, per-cell population bound. (At
+  * k ≳ 10⁴ the flat argmin is O(k·dim) per row — the production path for
+  * huge k is two-level assignment, coarse-then-fine; the declared query's
+  * k = n/64 is exercised here at the 1024-centroid cap.)
+  */
+object ScaleProbe10M extends App {
+  val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[32]").config("spark.sql.shuffle.partitions", "64")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+  def t[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"SCALE $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+  }
+
+  val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  val nBase = base.count()
+  val reps = math.max(1L, 10000000L / nBase)
+  val store = "/tmp/graft_scale10m_docs"
+
+  t(s"materialize ${nBase * reps} docs (write parquet)") {
+    val id = col("doc_id") * reps + col("rep")
+    val words = split(col("text"), " ")
+    val uniqueized = array_join(
+      zip_with(words, sequence(lit(0), size(words) - 1),
+        (w, i) => when(i % 3 === 2, concat(lit("u"), id, lit("w"), i)).otherwise(w)),
+      " ")
+    // integer floor of rep/200 BEFORE the mod — a bare col/200 is DOUBLE
+    // division and the equality against the int word index never matches
+    // (first probe run silently produced zero substitutions)
+    val pocketPos = pmod((col("rep") / 200).cast("long"), lit(7L))
+    val oneWordSub = array_join(
+      zip_with(words, sequence(lit(0), size(words) - 1),
+        (w, i) => when(i.cast("long") === pocketPos, concat(lit("sub"), col("doc_id"))).otherwise(w)),
+      " ")
+    base.crossJoin(spark.range(reps).toDF("rep"))
+      .select(id.as("doc_id"),
+        when(pmod(col("rep"), lit(5)) === 0, col("text"))
+          .when(pmod(col("rep"), lit(200)) === 1, oneWordSub)
+          .otherwise(uniqueized).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(store)
+  }
+  val docs = spark.read.parquet(store)
+
+  val nCanonical = t("exact dedup (10M, 1000-copy cliques)") {
+    graft.operators.Dedup.exactDedup(docs).count()
+  }
+  println(s"SCALE   canonical docs: $nCanonical of ${nBase * reps}")
+
+  val nPairs = t("near-dup pipeline (exact-first + LSH)") {
+    graft.operators.Dedup.nearDupPipeline(docs).count()
+  }
+  println(s"SCALE   verified near-dup pairs: $nPairs")
+
+  // Incremental admission. The batch must contain every verdict class, so
+  // it is selected on REP (the duplication axis): rep%100==0 rows are
+  // exact copies of corpus text, rep%100==1 ∧ rep%200==1 rows are pocket
+  // near-dups of the corpus base text, rep%100==3 rows are unique — the
+  // corpus (everything else) is scanned once for the index, never again;
+  // admission cost is O(batch).
+  val repOf = pmod(col("doc_id"), lit(reps))
+  val inBatch = pmod(repOf, lit(100L)).isin(0L, 1L, 3L)
+  val corpus = docs.filter(!inBatch)
+  val batch = docs.filter(inBatch)
+  val idx = t("dedup index build (~9.4M corpus)") {
+    val i = graft.operators.Dedup.buildDedupIndex(corpus)
+    i.digests.count(); i.buckets.count(); i.sets.count()
+    i
+  }
+  t("admission probe (~300k batch)") {
+    val verdicts = graft.operators.Dedup.admitBatch(idx, batch)
+      .groupBy(col("verdict")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"SCALE   admission verdicts: $verdicts")
+    assert(verdicts.getOrElse("exact", 0L) > 0, "expected exact-dup admissions")
+    assert(verdicts.getOrElse("near", 0L) > 0, "expected near-dup admissions")
+    assert(verdicts.getOrElse("keep", 0L) > 0, "expected novel admissions")
+  }
+
+  t("curate() end-to-end (10M, with funnel)") {
+    val (_, funnel) = graft.pipeline.Curation.curate(docs)
+    funnel.foreach { case (s, n) => println(f"SCALE   funnel $s%-18s $n%10d") }
+  }
+
+  // r7 scaled-SemDeDup cell bound at 1M vectors: stratified seeded
+  // codebook + argmin assignment; per-cell population must stay ~n/k
+  // (no runaway cell that would make the within-cell pair join quadratic).
+  val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+  val nEmb = emb.count()
+  val embReps = math.max(1L, 1000000L / nEmb)
+  val bigEmb = emb.crossJoin(spark.range(embReps).toDF("rep"))
+    .select((col("vec_id") * embReps + col("rep")).as("vec_id"),
+      transform(col("embedding"),
+        x => (x + (pmod(col("rep") * 37, lit(100)).cast("double") - 50.0) / 5000.0).cast("float"))
+        .as("embedding"))
+  t("SemDeDup assign 1M rows (k=1024)") {
+    val k = 1024L
+    val cents = bigEmb
+      .withColumn("_s", pmod(col("vec_id"), lit(k)))
+      .groupBy(col("_s")).agg(min_by(col("embedding"), col("vec_id")).as("_c"))
+      .orderBy(col("_s")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val sizes = graft.operators.Ann.assign(bigEmb, cents)
+      .groupBy(col("ivf_cell")).count()
+      .agg(max(col("count")).as("mx"), avg(col("count")).as("av")).collect()(0)
+    val mx = sizes.getLong(0); val av = sizes.getDouble(1)
+    println(f"SCALE   cell population max=$mx avg=$av%.1f (n/k=${nEmb * embReps / k})")
+    assert(mx < 20L * (nEmb * embReps / k),
+      s"runaway cell: $mx rows vs expected ~${nEmb * embReps / k}")
+  }
+  spark.stop()
+}

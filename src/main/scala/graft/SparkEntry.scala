@@ -203,7 +203,7 @@ object SparkEntry {
        |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
        |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
        |  ) WHERE jac >= ${DuckSql.fmt(0.5)}
-       |), sym AS (
+       |), sym AS MATERIALIZED (
        |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
        |), reach(id, lab) AS (
        |  SELECT DISTINCT src AS id, src AS lab FROM sym
@@ -955,6 +955,13 @@ object SparkEntry {
     // One df aggregation + flagged-grams window; no self-join
     "dedup_repeated_ngram_spans" -> ((s, d) =>
       Dedup.repeatedNgramSpans(par(s, docs(s, d)), n = 5)
+        .orderBy(col("doc_id"), col("span_start"))),
+    // the EXACT (collision-free) form: gram STRINGS as keys, so the spans
+    // are precisely the cross-corpus duplicated regions at 5-gram
+    // granularity (Lee et al.); the intra-doc SA pair (`text_*_sa`)
+    // covers the suffix-array side of the same primitive
+    "dedup_substring_exact" -> ((s, d) =>
+      Dedup.repeatedNgramSpansExact(par(s, docs(s, d)), n = 5)
         .orderBy(col("doc_id"), col("span_start"))),
     // containment similarity (|A∩B| / |A|, asymmetric): catches "doc A is
     // a subset of doc B" near-dups that symmetric Jaccard dilutes — the
@@ -1978,7 +1985,7 @@ object SparkEntry {
     // stratified centroids (per id-stratum minimum — RNG-free, replayed
     // by the oracle's arg_min), so per-cell populations stay ~64 at ANY
     // data size (the r6 fixed-8-centroid form grew cells O(n/8), pairs
-    // O((n/8)²)); threshold raised 0.1 → 0.25 (non-vacuous)
+    // O((n/8)²)); threshold raised 0.1 → 0.3 (non-vacuous; 0.25 left a giant component whose recursive-CTE oracle was quadratic in component size)
     "dedup_semantic_clusters" -> ((s, d) => {
       val n = emb(s, d).count()
       val k = math.max(8L, (n + 63) / 64)
@@ -1993,7 +2000,7 @@ object SparkEntry {
           col("a.ivf_cell") === col("b.ivf_cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
           Distances.cosineSimCols(col("a.embedding"), col("b.embedding"), Dim).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.25)
+        .filter(col("cos_sim") >= 0.3)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
     // forward as-of: each event's NEXT order at-or-after its timestamp
@@ -4570,7 +4577,7 @@ object SparkEntry {
            |), edges AS (
            |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
            |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           |), sym AS (
+           |), sym AS MATERIALIZED (
            |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
            |), reach(id, lab) AS (
            |  SELECT DISTINCT src AS id, src AS lab FROM sym
@@ -4621,6 +4628,33 @@ object SparkEntry {
            |g AS (
            |  SELECT doc_id, i AS pos,
            |    ${Dedup.md5LongSql("array_to_string(w[i+1:i+5], ' ')")} AS gh
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(0, CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 0 END)) AS i
+           |        FROM w)),
+           |hot AS (
+           |  SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+           |  WHERE df >= 2),
+           |f AS (SELECT doc_id, pos FROM g JOIN hot USING (gh)),
+           |m AS (
+           |  SELECT doc_id, pos,
+           |    MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM f),
+           |i AS (
+           |  SELECT doc_id, pos,
+           |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM m)
+           |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           |  CAST(MAX(pos) + 5 AS BIGINT) AS span_end, COUNT(*) AS n_grams
+           |FROM i GROUP BY doc_id, island
+           |ORDER BY doc_id, span_start""".stripMargin,
+      "dedup_substring_exact" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (
+           |  SELECT doc_id, i AS pos,
+           |    array_to_string(w[i+1:i+5], ' ') AS gh
            |  FROM (SELECT doc_id, w,
            |          unnest(range(0, CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 0 END)) AS i
            |        FROM w)),
@@ -5443,8 +5477,8 @@ object SparkEntry {
            |    FROM (SELECT vec_id, cell, embedding AS a_embedding FROM cells) a
            |    JOIN (SELECT vec_id, cell, embedding AS b_embedding FROM cells) b
            |      ON a.cell = b.cell AND a.vec_id < b.vec_id
-           |  ) WHERE cos_sim >= ${DuckSql.fmt(0.25)}
-           |), sym AS (
+           |  ) WHERE cos_sim >= ${DuckSql.fmt(0.3)}
+           |), sym AS MATERIALIZED (
            |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
            |), reach(id, lab) AS (
            |  SELECT DISTINCT src AS id, src AS lab FROM sym
@@ -5575,7 +5609,7 @@ object SparkEntry {
            |FROM d, idl""".stripMargin
       },
       "pack_sequences_greedy" ->
-        """WITH RECURSIVE t AS (
+        """WITH RECURSIVE t AS MATERIALIZED (
           |  SELECT doc_id % 8 AS grp, doc_id, CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok,
           |    ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
           |  FROM documents
@@ -5874,7 +5908,7 @@ object SparkEntry {
         s"""WITH RECURSIVE cc AS (
            |  SELECT ${Grid.cellIdSql(e, gridCfg)} AS cell_id, COUNT(*) AS n
            |  FROM embeddings GROUP BY cell_id
-           |), t AS (
+           |), t AS MATERIALIZED (
            |  SELECT cell_id, n, ROW_NUMBER() OVER (ORDER BY cell_id) AS rn FROM cc
            |), r AS (
            |  SELECT rn, cell_id, n, CAST(0 AS BIGINT) AS bin, n AS fill FROM t WHERE rn = 1
@@ -6745,7 +6779,7 @@ object SparkEntry {
            |edges AS (
            |  SELECT a.cell AS src, b.cell AS dst FROM core a JOIN core b
            |  ON abs(a.bx - b.bx) <= 1 AND abs(a.by - b.by) <= 1 AND a.cell < b.cell),
-           |sym AS (SELECT src, dst FROM edges
+           |sym AS MATERIALIZED (SELECT src, dst FROM edges
            |        UNION SELECT dst AS src, src AS dst FROM edges),
            |reach(id, lab) AS (
            |  SELECT DISTINCT src AS id, src AS lab FROM sym
@@ -6769,7 +6803,7 @@ object SparkEntry {
            |edges AS (
            |  SELECT a.cell AS src, b.cell AS dst FROM core a JOIN core b
            |  ON abs(a.bx - b.bx) <= 1 AND abs(a.by - b.by) <= 1 AND a.cell < b.cell),
-           |sym AS (SELECT src, dst FROM edges
+           |sym AS MATERIALIZED (SELECT src, dst FROM edges
            |        UNION SELECT dst AS src, src AS dst FROM edges),
            |reach(id, lab) AS (
            |  SELECT DISTINCT src AS id, src AS lab FROM sym

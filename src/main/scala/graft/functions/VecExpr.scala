@@ -509,3 +509,141 @@ case class VecMetricCols(left: Expression, right: Expression, metric: String,
     })
   }
 }
+
+/** TWO-LEVEL argmin-centroid assignment — the large-codebook scale path.
+  * A flat [[VecArgMinL2]] is O(k·dim) per row; at the k ≈ n/cellSize a
+  * corpus-scaled codebook wants (10⁵+ cells at 10⁹ rows), that loop
+  * dominates the assignment pass. The standard fix (FAISS IVF coarse
+  * quantizer shape) is hierarchical: probe the `probes` nearest of kc
+  * COARSE centroids (O(kc·dim)), then argmin only over those cells' FINE
+  * codebooks (O(probes·kf·dim)) — total O((kc + probes·kf)·dim) per row,
+  * √k-ish instead of k.
+  *
+  * Output: the GLOBAL fine-cell id (offset of the coarse cell + fine
+  * index). Deterministic: coarse probe order is (dist ASC, index ASC),
+  * fine scan order is ascending, strict `<` keeps the first winner.
+  * With probes = kc the result equals a flat argmin over the flattened
+  * codebook up to tie order (pinned in TwoLevelAssignSpec on tie-free
+  * data). Any `probes ≥ 1` yields a VALID partition for ball-based
+  * pruning (CosineJoin/SemDeDup) — admissible bounds never require the
+  * TRUE nearest cell, only a deterministic one.
+  */
+case class VecArgMinL2TwoLevel(child: Expression,
+    coarse: Array[Array[Double]], fine: Array[Array[Array[Double]]],
+    probes: Int) extends UnaryExpression {
+
+  private val kc = coarse.length
+  private val dim = if (kc > 0) coarse(0).length else 0
+  private val np = math.max(1, math.min(probes, kc))
+  // global id of fine cell (c, j) = offsets(c) + j
+  private val offsets: Array[Int] = fine.scanLeft(0)(_ + _.length).init
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMetric.checkArrayOfFloat(child.dataType, "vector")
+  override protected def withNewChildInternal(newChild: Expression): VecArgMinL2TwoLevel =
+    copy(child = newChild)
+  override def prettyName: String = "vec_argmin_l2_two_level"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    // nearest np coarse cells (insertion buffer, ties by lower index)
+    val bd = Array.fill(np)(Double.MaxValue)
+    val bi = Array.fill(np)(-1)
+    var c = 0
+    while (c < kc) {
+      val cc = coarse(c)
+      var s = 0.0; i = 0
+      while (i < dim) { val d = arr.getFloat(i).toDouble - cc(i); s += d * d; i += 1 }
+      if (s < bd(np - 1)) {
+        var p = np - 1
+        while (p > 0 && bd(p - 1) > s) { bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1 }
+        bd(p) = s; bi(p) = c
+      }
+      c += 1
+    }
+    // argmin over the probed cells' fine codebooks
+    var best = -1
+    var bestD = Double.MaxValue
+    var pi = 0
+    while (pi < np) {
+      val ci = bi(pi)
+      if (ci >= 0) {
+        val fc = fine(ci)
+        var j = 0
+        while (j < fc.length) {
+          val f = fc(j)
+          var s = 0.0; i = 0
+          while (i < dim) { val d = arr.getFloat(i).toDouble - f(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = offsets(ci) + j }
+          j += 1
+        }
+      }
+      pi += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val fRef = ctx.addReferenceObj("fine", fine, "double[][][]")
+    val oRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val p = ctx.freshName("p"); val pi = ctx.freshName("pi"); val s = ctx.freshName("s")
+      val bd = ctx.freshName("bd"); val bi = ctx.freshName("bi")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val ok = ctx.freshName("ok"); val fc = ctx.freshName("fc"); val ci = ctx.freshName("ci")
+      s"""
+         |boolean $ok = $arr.numElements() >= $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($arr.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $bd = new double[$np];
+         |  int[] $bi = new int[$np];
+         |  for (int $p = 0; $p < $np; $p++) { $bd[$p] = Double.MAX_VALUE; $bi[$p] = -1; }
+         |  for (int $c = 0; $c < $kc; $c++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double d = ((double) $arr.getFloat($i)) - $cRef[$c][$i];
+         |      $s += d * d;
+         |    }
+         |    if ($s < $bd[$np - 1]) {
+         |      int $p = $np - 1;
+         |      while ($p > 0 && $bd[$p - 1] > $s) {
+         |        $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |      }
+         |      $bd[$p] = $s; $bi[$p] = $c;
+         |    }
+         |  }
+         |  int $best = -1;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $pi = 0; $pi < $np; $pi++) {
+         |    int $ci = $bi[$pi];
+         |    if ($ci >= 0) {
+         |      double[][] $fc = $fRef[$ci];
+         |      for (int $j = 0; $j < $fc.length; $j++) {
+         |        double $s = 0.0;
+         |        for (int $i = 0; $i < $dim; $i++) {
+         |          double d = ((double) $arr.getFloat($i)) - $fc[$j][$i];
+         |          $s += d * d;
+         |        }
+         |        if ($s < $bestD) { $bestD = $s; $best = $oRef[$ci] + $j; }
+         |      }
+         |    }
+         |  }
+         |  if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+         |}
+       """.stripMargin
+    })
+  }
+}

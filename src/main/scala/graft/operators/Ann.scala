@@ -151,6 +151,50 @@ object Ann {
       vecCol: String = "embedding"): DataFrame =
     db.withColumn("ivf_cell", ivfCell(col(vecCol), centroids))
 
+  /** Deterministic TWO-LEVEL codebook: kc coarse cells (stratified
+    * id-minimum seeds), then up to kf fine seeds per coarse cell drawn the
+    * same way from the cell's own members. Total ≈ kc·kf cells; ragged
+    * (a sparse coarse cell yields fewer fine seeds; an empty one, its own
+    * coarse centroid). Driver holds kc·kf·dim doubles — the codebook, not
+    * the data. Pairs with [[assignTwoLevel]] for corpus-scaled codebooks
+    * where flat [[assign]]'s O(k·dim)-per-row loop is the bottleneck. */
+  def twoLevelCodebook(db: DataFrame, kc: Int, kf: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val coarse = db
+      .withColumn("_s", pmod(col(idCol), lit(kc.toLong)))
+      .groupBy(col("_s")).agg(min_by(col(vecCol), col(idCol)).as("_c"))
+      .orderBy(col("_s")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val fineRows = assign(db, coarse, vecCol)
+      .withColumn("_s", pmod(col(idCol), lit(kf.toLong)))
+      .groupBy(col("ivf_cell"), col("_s"))
+      .agg(min_by(col(vecCol), col(idCol)).as("_c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1))
+          .map(_.getSeq[Float](2).map(_.toDouble).toArray)
+      }
+    val fine = coarse.indices.map { c =>
+      fineRows.getOrElse(c, Array(coarse(c)))
+    }.toArray
+    (coarse, fine)
+  }
+
+  /** Hierarchical assignment via [[graft.functions.VecArgMinL2TwoLevel]]:
+    * probe the `probes` nearest coarse cells, argmin over their fine
+    * codebooks — O((kc + probes·kf)·dim) per row vs flat O(kc·kf·dim).
+    * `ivf_cell` is the GLOBAL fine id (stable for a fixed codebook). */
+  def assignTwoLevel(db: DataFrame, coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]], probes: Int = 2,
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    db.withColumn("ivf_cell", ColumnBridge.column(
+      graft.functions.VecArgMinL2TwoLevel(
+        ColumnBridge.expression(col(vecCol)), coarse, fine, probes)))
+  }
+
   /** One distributed Lloyd (k-means) step: each centroid moves to the mean
     * of its assigned vectors. posexplode + groupBy(cell, pos) avg — partial
     * aggregation map-side, k×dim rows to the driver; cells that lost all

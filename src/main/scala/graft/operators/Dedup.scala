@@ -331,20 +331,36 @@ object Dedup {
     * structure. The df aggregation is the inherent shuffle; everything
     * else is key-local. */
   def repeatedNgramSpans(docs: DataFrame, n: Int, minDf: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    repeatedNgramSpansByKey(docs, n, minDf, textCol, idCol, md5Long)
+
+  /** [[repeatedNgramSpans]] with EXACT gram strings as keys instead of
+    * 60-bit hashes — the collision-free form (a hash collision in the
+    * hashed variant can flag a span that never repeats; here the gram
+    * itself is the key, so spans are exactly the Lee-et-al duplicated
+    * regions at n-gram granularity). Trade: the df shuffle carries the
+    * gram text (~n words/row) instead of one long — the price of
+    * exactness; at 100 TB run the hashed pass first and this one only
+    * over the flagged docs. */
+  def repeatedNgramSpansExact(docs: DataFrame, n: Int, minDf: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    repeatedNgramSpansByKey(docs, n, minDf, textCol, idCol, identity)
+
+  private def repeatedNgramSpansByKey(docs: DataFrame, n: Int, minDf: Int,
+      textCol: String, idCol: String, keyFn: Column => Column): DataFrame = {
     require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2; got n=$n, minDf=$minDf")
     val words = split(col(textCol), " ")
-    // positioned gram hashes; docs shorter than n words produce none
+    // positioned gram keys; docs shorter than n words produce none
     // (sequence() would count DOWN for a negative upper bound — guard it)
     // persisted: the positioned gram table feeds BOTH the df aggregation
-    // and the flagged join — without it the posexplode + per-gram md5
+    // and the flagged join — without it the posexplode + per-gram key
     // over the whole corpus runs twice (the two consumers' shuffles
     // can't share the subtree). Freed by the ContextCleaner with the
     // returned plan, same as the LSH signature persist.
     val grams = docs.select(col(idCol), posexplode(
         when(size(words) >= n,
           transform(sequence(lit(0), size(words) - n),
-            i => md5Long(concat_ws(" ", slice(words, i + 1, lit(n))))))
+            i => keyFn(concat_ws(" ", slice(words, i + 1, lit(n))))))
           .otherwise(array()))
         .as(Seq("pos", "gh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -104,6 +104,24 @@ class DedupTextSpec extends SparkSpecBase {
       (6L, 0L, 5L, 1L)))
   }
 
+  test("exact-gram spans equal the hashed spans when hashes don't collide, and catch forced collisions") {
+    val d = Seq(
+      (0L, "p q r s t u v"),
+      (1L, "z z p q r s t u z"),
+      (2L, "m m m m m m"),
+      (4L, "a b c d e f g h i j"),
+      (5L, "a b c d e"),
+      (6L, "f g h i j")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("span_start"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // on collision-free input the two variants agree exactly
+    assert(rows(Dedup.repeatedNgramSpansExact(d, n = 5)) === rows(Dedup.repeatedNgramSpans(d, n = 5)))
+    // and on the fixture corpus as well (md5-60-bit collisions at fixture
+    // scale would need ~2^30 grams; the equality is the collision audit)
+    assert(rows(Dedup.repeatedNgramSpansExact(docs, n = 5)) === rows(Dedup.repeatedNgramSpans(docs, n = 5)))
+  }
+
   test("incremental dedup: batch docs classify as exact/near/keep against the corpus only") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
