@@ -73,9 +73,11 @@ object SparkEntry {
     * canonical `src < dst` orientation. Cells scale with the sample
     * (targetCellSize 32). */
   private def simEdges(s: SparkSession, d: String, target: Long, tau: Double): DataFrame =
-    CosineJoin.pairsExactAutoK(
+    // k derives from the sample TARGET (sample size ≈ target by
+    // construction), sparing pairsExactAutoK's extra count job
+    CosineJoin.pairsExact(
       sampleTarget(s, d, target)._1.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", Dim, tau, targetCellSize = 32)
+      "vec_id", "embedding", Dim, tau, k = math.max(4, (target / 32).toInt))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 
   /** Exact decimal-accumulated double sum: cast the INPUT to decimal at the
