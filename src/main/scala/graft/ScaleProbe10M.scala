@@ -35,12 +35,19 @@ object ScaleProbe10M extends App {
     println(f"SCALE $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
   }
 
+  // SCALE10M_STAGES=docs|semdedup|all (default all) — rerun one half
+  // without paying the other's ~30 min
+  val stages = sys.env.getOrElse("SCALE10M_STAGES", "all")
+  val runDocs = stages == "all" || stages == "docs"
+  val runSem = stages == "all" || stages == "semdedup"
+
   val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     .select(col("doc_id"), col("text"))
   val nBase = base.count()
   val reps = math.max(1L, 10000000L / nBase)
   val store = "/tmp/graft_scale10m_docs"
 
+  if (runDocs) {
   t(s"materialize ${nBase * reps} docs (write parquet)") {
     val id = col("doc_id") * reps + col("rep")
     val words = split(col("text"), " ")
@@ -106,9 +113,12 @@ object ScaleProbe10M extends App {
     funnel.foreach { case (s, n) => println(f"SCALE   funnel $s%-18s $n%10d") }
   }
 
+  }
+
   // r7 scaled-SemDeDup cell bound at 1M vectors: stratified seeded
   // codebook + argmin assignment; per-cell population must stay ~n/k
   // (no runaway cell that would make the within-cell pair join quadratic).
+  if (runSem) {
   val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
   val nEmb = emb.count()
   val embReps = math.max(1L, 1000000L / nEmb)
@@ -119,9 +129,14 @@ object ScaleProbe10M extends App {
         .as("embedding"))
   t("SemDeDup assign 1M rows (k=1024)") {
     val k = 1024L
+    // hash-spread seed pick (min md5(id) per stratum) — the min-id form
+    // degenerated HERE: sequential replicated ids put all 1024 seeds on
+    // copies of the first two base vectors and one cell held 223k rows
     val cents = bigEmb
       .withColumn("_s", pmod(col("vec_id"), lit(k)))
-      .groupBy(col("_s")).agg(min_by(col("embedding"), col("vec_id")).as("_c"))
+      .groupBy(col("_s")).agg(min_by(col("embedding"),
+        struct(graft.operators.Dedup.md5Int32(col("vec_id").cast("string")),
+          col("vec_id"))).as("_c"))
       .orderBy(col("_s")).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val sizes = graft.operators.Ann.assign(bigEmb, cents)
@@ -131,6 +146,15 @@ object ScaleProbe10M extends App {
     println(f"SCALE   cell population max=$mx avg=$av%.1f (n/k=${nEmb * embReps / k})")
     assert(mx < 20L * (nEmb * embReps / k),
       s"runaway cell: $mx rows vs expected ~${nEmb * embReps / k}")
+  }
+  // the same ~1k-cell assignment through the hierarchical path:
+  // O((32 + 2·32)·dim) per row vs the flat O(1024·dim) above
+  t("two-level assign 1M rows (kc=32,kf=32,p=2)") {
+    val (coarse, fine) = graft.operators.Ann.twoLevelCodebook(bigEmb, 32, 32)
+    val n = graft.operators.Ann.assignTwoLevel(bigEmb, coarse, fine, probes = 2)
+      .groupBy(col("ivf_cell")).count().count()
+    println(s"SCALE   non-empty two-level cells: $n of ${fine.map(_.length).sum}")
+  }
   }
   spark.stop()
 }

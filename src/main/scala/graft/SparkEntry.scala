@@ -42,6 +42,32 @@ object SparkEntry {
   private val IvfSeeds: Array[Array[Double]] =
     Planes16.map(_.map(_ * 0.1))
 
+  /** Fixed literal TWO-LEVEL codebook (4 coarse × 4 fine) for the
+    * hierarchical-assignment demo: coarse cells from the first four scaled
+    * planes, fine sub-centroids = coarse + a small offset from the next
+    * four — all compile-time literals, so the DuckDB oracle replays the
+    * coarse-then-fine argmin exactly. */
+  private val TwoLevelCoarse: Array[Array[Double]] =
+    Planes16.take(4).map(_.map(_ * 0.05))
+  private val TwoLevelFine: Array[Array[Array[Double]]] =
+    TwoLevelCoarse.map(c => Planes16.slice(4, 8).map(p =>
+      c.zip(p).map { case (a, b) => a + b * 0.02 }))
+
+  /** The two-level cell a query vector probes (probes = 1): nearest coarse
+    * cell (ties → lower index), then argmin of its fine codebook — the
+    * driver-side twin of [[graft.functions.VecArgMinL2TwoLevel]], used to
+    * bake the SAME constant into the Spark filter and the oracle SQL. */
+  private def twoLevelCellOf(q: Array[Double], coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]]): Int = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val ci = coarse.indices.minBy(c => (d2(q, coarse(c)), c))
+    val off = fine.take(ci).map(_.length).sum
+    off + fine(ci).indices.minBy(j => (d2(q, fine(ci)(j)), j))
+  }
+
   /** Spread a small-but-CPU-heavy input across all cores. The fixture
     * parquet files are single-row-group (one split), so md5/shingle-heavy
     * per-row stages would otherwise serialize on ONE task; at 100 TB inputs
@@ -1021,6 +1047,20 @@ object SparkEntry {
       val cents = Planes16.take(8)
       Ann.search(Ann.assign(emb(s, d), cents), cents, Q64, K, nprobe = 3)
     }),
+    // TWO-LEVEL (coarse→fine) IVF with FIXED literal codebooks — the
+    // large-codebook assignment path (VecArgMinL2TwoLevel: probe the
+    // nearest coarse cell, argmin only its fine codebook) under the hash
+    // gate: DuckDB replays the hierarchical argmin as a CASE over the
+    // coarse winner; the query's own probed cell is a compile-time
+    // constant computed by the same driver helper on both sides
+    "ann_two_level_topk" -> ((s, d) => {
+      val assigned = Ann.assignTwoLevel(emb(s, d), TwoLevelCoarse, TwoLevelFine, probes = 1)
+      val qCell = twoLevelCellOf(Q64, TwoLevelCoarse, TwoLevelFine)
+      assigned.filter(col("ivf_cell") === qCell)
+        .select(col("vec_id"),
+          Distances.squaredL2Lit(col("embedding"), Q64).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(K)
+    }),
     // PQ ADC scan with a FIXED literal codebook (8 subspaces × 8 entries
     // from the Planes16 constants): encode argmin + lookup-table distance
     // + top-k, ALL hash-checked — DuckDB replays the per-subspace argmin
@@ -1991,9 +2031,13 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => {
       val n = emb(s, d).count()
       val k = math.max(8L, (n + 63) / 64)
+      // seed = min-md5(id) row per stratum (ties → min id): hash-spread,
+      // so id/content correlation (replicated corpora) can't collapse the
+      // codebook onto a few base rows — see CosineJoin seed note
       val cents = emb(s, d)
         .withColumn("_s", pmod(col("vec_id"), lit(k)))
-        .groupBy(col("_s")).agg(min_by(col("embedding"), col("vec_id")).as("_c"))
+        .groupBy(col("_s")).agg(min_by(col("embedding"),
+          struct(Dedup.md5Int32(col("vec_id").cast("string")), col("vec_id"))).as("_c"))
         .orderBy(col("_s")).collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
       val ve = Ann.assign(emb(s, d), cents)
@@ -4753,6 +4797,27 @@ object SparkEntry {
            |WHERE cellp IN (${probe.mkString(", ")})
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
       },
+      // two-level fixed-codebook replay: coarse argmin via
+      // list_position(list_min), then a CASE over the coarse winner picks
+      // the fine argmin with its global-offset; the query's probed cell is
+      // the same driver-computed constant the Spark filter carries
+      "ann_two_level_topk" -> {
+        val qcell = twoLevelCellOf(Q64, TwoLevelCoarse, TwoLevelFine)
+        val lc = TwoLevelCoarse.map(c => DuckSql.squaredL2Lit(e, c)).mkString(",\n    ")
+        val offsets = TwoLevelFine.scanLeft(0)(_ + _.length).init
+        val fineCases = TwoLevelFine.zipWithIndex.map { case (fc, c) =>
+          val lf = fc.map(f => DuckSql.squaredL2Lit(e, f)).mkString(",\n      ")
+          s"WHEN ${c + 1} THEN ${offsets(c)} + list_position([$lf], list_min([$lf])) - 1"
+        }.mkString("\n    ")
+        s"""SELECT vec_id, dist FROM (
+           |  SELECT vec_id, ${DuckSql.squaredL2Lit(e, Q64)} AS dist,
+           |    CASE list_position(lc, list_min(lc))
+           |    $fineCases
+           |    END AS cell
+           |  FROM (SELECT vec_id, $e, [$lc] AS lc FROM embeddings))
+           |WHERE cell = $qcell
+           |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
+      },
       // --- trained IVF family: the oracle replays the seeded-exact Lloyd
       // training (ivfTrainedCtes) then the query-specific tail
       "ann_ivf_topk" ->
@@ -5465,8 +5530,11 @@ object SparkEntry {
         s"""WITH RECURSIVE kk AS (
            |  SELECT GREATEST(8, (COUNT(*) + 63) // 64) AS k FROM embeddings
            |), cents AS (
-           |  SELECT vec_id % (SELECT k FROM kk) AS s, arg_min(embedding, vec_id) AS cemb
-           |  FROM embeddings GROUP BY 1
+           |  SELECT s, embedding AS cemb FROM (
+           |    SELECT vec_id % (SELECT k FROM kk) AS s, embedding,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id % (SELECT k FROM kk)
+           |        ORDER BY ${Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+           |    FROM embeddings) WHERE rn = 1
            |), cells AS (
            |  SELECT vec_id, embedding, s AS cell FROM (
            |    SELECT e.vec_id, e.embedding, c.s,

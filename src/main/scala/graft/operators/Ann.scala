@@ -161,15 +161,19 @@ object Ann {
   def twoLevelCodebook(db: DataFrame, kc: Int, kf: Int,
       vecCol: String = "embedding", idCol: String = "vec_id")
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    // seed pick = min md5(id) per stratum (ties → min id): hash-spread,
+    // so sequential-id replicated corpora can't collapse the codebook
+    // onto the first rows (the CosineJoin seed note, caught at 1M rows)
+    val pick = struct(Dedup.md5Int32(col(idCol).cast("string")), col(idCol))
     val coarse = db
       .withColumn("_s", pmod(col(idCol), lit(kc.toLong)))
-      .groupBy(col("_s")).agg(min_by(col(vecCol), col(idCol)).as("_c"))
+      .groupBy(col("_s")).agg(min_by(col(vecCol), pick).as("_c"))
       .orderBy(col("_s")).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val fineRows = assign(db, coarse, vecCol)
       .withColumn("_s", pmod(col(idCol), lit(kf.toLong)))
       .groupBy(col("ivf_cell"), col("_s"))
-      .agg(min_by(col(vecCol), col(idCol)).as("_c"))
+      .agg(min_by(col(vecCol), pick).as("_c"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (c, rs) =>

@@ -63,11 +63,17 @@ object CosineJoin {
     val kk = math.max(1, math.min(4096, k))
     val base = vecs.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
 
-    // 1. deterministic seeds: per id-stratum (id % k) minimum id — no RNG,
-    // replayable in any engine; empty strata just shrink k.
+    // 1. deterministic seeds: per id-stratum (id % k), the row with the
+    // MINIMUM md5(id) (ties → min id) — no RNG, replayable in any engine;
+    // empty strata just shrink k. Hash-spread (not min-id) because ids
+    // often correlate with content: on a replicated corpus with
+    // sequential ids, min-id seeds all land on the first few base rows
+    // and one cell swallows the table (caught by ScaleProbe10M — max
+    // cell 223k of 1M at k=1024 before this fix).
     val seedRows = base
       .withColumn("_s", pmod(col("_id"), lit(kk.toLong)))
-      .groupBy(col("_s")).agg(min_by(col("_v"), col("_id")).as("_c"))
+      .groupBy(col("_s")).agg(min_by(col("_v"),
+        struct(Dedup.md5Int32(col("_id").cast("string")), col("_id"))).as("_c"))
       .orderBy(col("_s"))
       .collect()
     val seeds: Array[Array[Double]] =
