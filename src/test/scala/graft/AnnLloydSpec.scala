@@ -20,6 +20,21 @@ class AnnLloydSpec extends SparkSpecBase {
     assert(obj2 <= obj1 + 1e-9)
   }
 
+  test("seeded-exact training fails LOUDLY on coordinates below -2 (the integer-mean domain)") {
+    val bad = Seq((0L, Array.fill(64)(-3.0f)), (1L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val seeds = graft.core.Fixtures.Planes16.take(2).map(_.map(_ * 0.1))
+    val ex = intercept[IllegalArgumentException] {
+      Ann.lloydSeededExact(bad, seeds, iters = 1)
+    }
+    assert(ex.getMessage.contains("-2"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.operators.Pq.trainSeededExact(bad, 64,
+        Array.fill(4)(Array.fill(2)(Array.fill(16)(0.0))), iters = 1)
+    }
+    assert(ex2.getMessage.contains("-2"), ex2.getMessage)
+  }
+
   test("lloydSeededExact: coordinates are exact 2^-24 multiples, objective improves on the seeds, training is deterministic") {
     val seeds = graft.core.Fixtures.Planes16.map(_.map(_ * 0.1))
     val trained = Ann.lloydSeededExact(emb, seeds, iters = 2)

@@ -64,6 +64,35 @@ class CosineJoinSpec extends SparkSpecBase {
       s"pruning ineffective on clustered data: $cand candidates vs unblocked ${n * (n - 1) / 2}")
   }
 
+  test("randomized property: exactness holds across random data, tau, and k (20 trials)") {
+    val rnd = new scala.util.Random(101)
+    for (trial <- 0 until 20) {
+      val n = 20 + rnd.nextInt(120)
+      // mix of regimes: isotropic, clustered, and near-duplicate-heavy
+      val mode = trial % 3
+      val rows = (0 until n).map { i =>
+        val v = mode match {
+          case 0 => Array.fill(Dim)(rnd.nextGaussian().toFloat)
+          case 1 =>
+            val c = Array.fill(Dim)(0.0f).updated(i % 4, 1.0f)
+            c.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+          case _ =>
+            val base = Array.fill(Dim)((i / 5).toFloat + 1f)
+            base.updated(0, base(0) + rnd.nextFloat() * 0.01f)
+        }
+        // sparse, shuffled ids — exercise uneven strata
+        (i.toLong * 7 + (i % 3), v)
+      }
+      val vecs = rows.toDF("vec_id", "embedding")
+      val tau = -0.5 + rnd.nextDouble() * 1.4 // [-0.5, 0.9]
+      val k = 1 + rnd.nextInt(20)
+      val got = CosineJoin.pairsExact(vecs, "vec_id", "embedding", Dim, tau, k)
+        .collect().map(key).toSet
+      val want = brute(vecs, tau).collect().map(key).toSet
+      assert(got == want, s"trial=$trial mode=$mode n=$n tau=$tau k=$k: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("plan is an equi-join: no BroadcastNestedLoopJoin / CartesianProduct") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
