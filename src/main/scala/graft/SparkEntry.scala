@@ -3738,6 +3738,26 @@ object SparkEntry {
         .select(col("doc_id"), cov(col("text")).cast("bigint").as("covered_chars"))
         .orderBy(col("doc_id"))
     }),
+    // SEMANTIC decontamination — the embedding-space sibling of the
+    // n-gram decontam pair: flag corpus vectors ≥ τ-cosine-similar to ANY
+    // benchmark vector. The benchmark set (fixed and small in production;
+    // a capped modulus sample stands in) collects driver-side and bakes
+    // into ONE codegen'd greatest-of-cosines pass — zero shuffle, a
+    // single corpus scan at any scale. The oracle computes the same max
+    // through a corpus×benchmark join (cosineSimLit's precomputed literal
+    // norm ≡ cosineSimCols' in-engine sqrt of the identical double sum)
+    "decontam_semantic" -> ((s, d) => {
+      val bench = emb(s, d).filter(col("vec_id") % 97 === 0)
+        .orderBy(col("vec_id")).limit(32)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      emb(s, d).filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id"),
+          greatest(bench.map(b => Distances.cosineSimLit(col("embedding"), b)).toSeq: _*)
+            .as("max_sim"))
+        .filter(col("max_sim") >= 0.3)
+        .orderBy(col("vec_id"))
+    }),
     // the FULL reference lifecycle through the api.VectorDatabase facade,
     // under the hash gate (previously only ApiSpec covered it in-suite):
     // load → delete (ids never reused) → strict update_position → insert
@@ -7192,6 +7212,20 @@ object SparkEntry {
           |best AS (SELECT doc_id, MAX(L) AS lr FROM dups GROUP BY doc_id)
           |SELECT d.doc_id, CAST(COALESCE(b.lr, 0) AS BIGINT) AS longest_repeat
           |FROM d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+      // semantic decontam replay: the benchmark subquery joins the corpus
+      // and MAX-aggregates the same cosine the Spark side evaluates as a
+      // greatest-of-literals — identical IEEE value per pair, so max ≡ max
+      "decontam_semantic" -> {
+        val cs = DuckSql.cosineSimCols("c.embedding", "b.bemb", Dim)
+        s"""WITH bench AS (
+           |  SELECT embedding AS bemb FROM embeddings
+           |  WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 32),
+           |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0)
+           |SELECT vec_id, max_sim FROM (
+           |  SELECT c.vec_id, MAX($cs) AS max_sim
+           |  FROM c CROSS JOIN bench b GROUP BY c.vec_id)
+           |WHERE max_sim >= ${DuckSql.fmt(0.3)} ORDER BY vec_id""".stripMargin
+      },
       // facade lifecycle replay: anti-join delete, CASE update, MAX+i
       // insert ids, then the filtered kNN tail with the standard tie-break
       "api_lifecycle" -> {
