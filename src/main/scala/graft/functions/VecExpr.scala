@@ -647,3 +647,94 @@ case class VecArgMinL2TwoLevel(child: Expression,
     })
   }
 }
+
+/** Max cosine similarity of the vector column against a SET of literal
+  * query vectors — the semantic-decontamination kernel ("is this corpus
+  * row ≥ τ-similar to ANY benchmark vector"). One compact k×dim loop with
+  * the query norms precomputed driver-side, instead of a
+  * greatest-of-k-unrolled-cosines Column tree whose janino compile time
+  * grows with the benchmark set (the VecArgMinL2 lesson). Arithmetic per
+  * query vector is EXACTLY cosineSimLit's: dot (i ascending, left-assoc)
+  * / (sqrt(Σ v_i², i ascending) · qNorm-literal) — so the value equals
+  * both the unrolled form and a DuckDB cosineSimCols MAX over a join
+  * (the engine's sqrt of the identical double sum equals the
+  * driver-precomputed norm). Max keeps the first-seen winner on exact
+  * ties, which is immaterial for the VALUE. */
+case class VecMaxCosLit(child: Expression, qs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val k = qs.length
+  private val dim = if (k > 0) qs(0).length else 0
+  private val qNorms: Array[Double] =
+    qs.map(q => math.sqrt(q.map(x => x * x).sum))
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMetric.checkArrayOfFloat(child.dataType, "vector")
+  override protected def withNewChildInternal(newChild: Expression): VecMaxCosLit =
+    copy(child = newChild)
+  override def prettyName: String = "vec_max_cos_lit"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim) return null
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return null; i += 1 }
+    var vn = 0.0
+    i = 0
+    while (i < dim) { val v = arr.getFloat(i).toDouble; vn += v * v; i += 1 }
+    val sv = math.sqrt(vn)
+    var best = Double.NegativeInfinity
+    var j = 0
+    while (j < k) {
+      val q = qs(j)
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += arr.getFloat(i).toDouble * q(i); i += 1 }
+      val c = dot / (sv * qNorms(j))
+      if (c > best) best = c
+      j += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("qs", qs, "double[][]")
+    val nRef = ctx.addReferenceObj("qn", qNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val vn = ctx.freshName("vn"); val sv = ctx.freshName("sv")
+      val dot = ctx.freshName("dot"); val best = ctx.freshName("best")
+      val c = ctx.freshName("c"); val ok = ctx.freshName("ok")
+      s"""
+         |boolean $ok = $arr.numElements() >= $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($arr.isNullAt($i)) { $ok = false; break; }
+         |  }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $vn = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double v = (double) $arr.getFloat($i);
+         |    $vn += v * v;
+         |  }
+         |  double $sv = Math.sqrt($vn);
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += ((double) $arr.getFloat($i)) * $qRef[$j][$i];
+         |    }
+         |    double $c = $dot / ($sv * $nRef[$j]);
+         |    if ($c > $best) { $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+  }
+}

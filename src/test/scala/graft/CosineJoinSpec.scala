@@ -93,6 +93,20 @@ class CosineJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("VecMaxCosLit equals the greatest-of-unrolled-cosines form bit-for-bit") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(Dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = Array.fill(7)(Array.fill(Dim)(rnd.nextGaussian() * 0.5))
+    val fused = ColumnBridge.column(graft.functions.VecMaxCosLit(
+      ColumnBridge.expression(col("embedding")), qs))
+    val unrolled = greatest(qs.map(q =>
+      Distances.cosineSimLit(col("embedding"), q)).toSeq: _*)
+    val diff = vecs.select((fused === unrolled).as("eq")).filter(!col("eq")).count()
+    assert(diff == 0, s"$diff rows diverge from the unrolled form")
+  }
+
   test("plan is an equi-join: no BroadcastNestedLoopJoin / CartesianProduct") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
