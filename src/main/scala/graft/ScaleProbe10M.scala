@@ -147,6 +147,19 @@ object ScaleProbe10M extends App {
     assert(mx < 20L * (nEmb * embReps / k),
       s"runaway cell: $mx rows vs expected ~${nEmb * embReps / k}")
   }
+  // semantic decontamination at 1M: 32 benchmark vectors baked into the
+  // single-loop VecMaxCosLit — one corpus scan, zero shuffle
+  t("semantic decontam 1M x 32 benchmarks") {
+    val bench = bigEmb.orderBy(col("vec_id")).limit(32)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val maxCos = ColumnBridge.column(graft.functions.VecMaxCosLit(
+      ColumnBridge.expression(col("embedding")), bench))
+    val flagged = bigEmb.select(col("vec_id"), maxCos.as("ms"))
+      .filter(col("ms") >= 0.3).count()
+    println(s"SCALE   flagged: $flagged of ${nEmb * embReps}")
+  }
   // the same ~1k-cell assignment through the hierarchical path:
   // O((32 + 2·32)·dim) per row vs the flat O(1024·dim) above
   t("two-level assign 1M rows (kc=32,kf=32,p=2)") {
