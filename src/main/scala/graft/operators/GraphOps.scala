@@ -65,13 +65,38 @@ object GraphOps {
     *
     * Output: (node, hop) for every node within `maxHops` of a seed;
     * isolated seeds still appear at hop 0. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      driverThreshold: Long = 100000L): DataFrame = {
     // partitioned on src before the persist — each hop joins on src, so
     // only the frontier exchanges per round (cf. pageRank)
     val dir = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Cost-based path choice (the Knn.bruteForceThreshold pattern): the
+    // edge list materializes into the cache either way; when it is
+    // driver-small, per-superstep job overhead — not data — dominates
+    // the distributed loop (3×(join + agg) + final fold ≈ 8 jobs for a
+    // few hundred edges), so run the textbook BFS on the collected list.
+    // Same exact result: hops are integers with a min fold.
+    val nDir = dir.count()
+    if (nDir <= driverThreshold) {
+      val spark = edges.sparkSession
+      val adj = dir.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val hops = scala.collection.mutable.Map.empty[Long, Long]
+      var frontier = seeds.select(col("node")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      frontier.foreach(hops(_) = 0L)
+      for (i <- 1 to maxHops) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+          .distinct.filterNot(hops.contains)
+        frontier.foreach(hops(_) = i.toLong)
+      }
+      dir.unpersist()
+      import spark.implicits._
+      return hops.toSeq.toDF("node", "hop")
+    }
     var dist = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0L))
     for (i <- 1 to maxHops) {
@@ -94,7 +119,8 @@ object GraphOps {
     * picks (highest count, then lowest label) lexicographically — instead
     * of a rank window, so each round is two hash aggregations + one join,
     * no sort. Labels must be non-negative (the negation trick). */
-  def labelProp(edges: DataFrame, seedLabels: DataFrame, iters: Int): DataFrame = {
+  def labelProp(edges: DataFrame, seedLabels: DataFrame, iters: Int,
+      driverThreshold: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.types.LongType
     // partitioned on src before the persist — each round's vote join is
     // on src, so only the label table exchanges per round (cf. pageRank)
@@ -104,6 +130,29 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = seedLabels
       .select(col("node"), col("label").cast(LongType).as("label"))
+    // cost-based driver path (cf. bfsHops): per-round 2 aggregations +
+    // joins are pure job overhead on a driver-small edge list; integer
+    // votes with the (max count, min label) winner replay exactly
+    val nDir = dir.count()
+    if (nDir <= driverThreshold) {
+      val spark = edges.sparkSession
+      val adj = dir.collect().map(r => r.getLong(0) -> r.getLong(1))
+      val seedMap = seeds.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var labMap = seedMap
+      for (_ <- 1 to iters) {
+        val votes = adj.flatMap { case (src, dst) =>
+          labMap.get(src).map(l => (dst, l))
+        }.groupBy(_._1).map { case (dst, vs) =>
+          val counts = vs.groupBy(_._2).map { case (l, g) => (l, g.size) }
+          // plurality, ties to the SMALLEST label
+          dst -> counts.toSeq.maxBy { case (l, c) => (c.toLong, -l) }._1
+        }
+        labMap = seedMap ++ votes.filterNot { case (n, _) => seedMap.contains(n) }
+      }
+      dir.unpersist()
+      import spark.implicits._
+      return labMap.toSeq.toDF("node", "label")
+    }
     var lab = seeds
     for (_ <- 1 to iters) {
       val votes = dir.join(lab, dir("src") === lab("node"))

@@ -11,6 +11,28 @@ class GraphPropagationSpec extends SparkSpecBase {
     (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)
   ).toDF("src", "dst")
 
+  test("driver-path bfsHops/labelProp equal the distributed loop on random graphs") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 8) {
+      val n = 10 + rnd.nextInt(40)
+      val edges = (0 until n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+      val seeds = (0 until n by 4).map(i => (i.toLong, (i % 3) + 1L)).toDF("node", "label")
+      val bfsSeeds = seeds.select(col("node"))
+      def rowsB(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // driverThreshold = 0 forces the distributed loop; huge forces driver
+      assert(rowsB(GraphOps.bfsHops(edges, bfsSeeds, 3, driverThreshold = 0L)) ==
+        rowsB(GraphOps.bfsHops(edges, bfsSeeds, 3, driverThreshold = Long.MaxValue)),
+        s"bfs trial $trial")
+      assert(rowsB(GraphOps.labelProp(edges, seeds, 2, driverThreshold = 0L)) ==
+        rowsB(GraphOps.labelProp(edges, seeds, 2, driverThreshold = Long.MaxValue)),
+        s"labelProp trial $trial")
+    }
+  }
+
   test("bfsHops: hop counts along a path, unreached nodes absent") {
     val seeds = Seq(1L).toDF("node")
     val got = GraphOps.bfsHops(pathEdges, seeds, maxHops = 3)
