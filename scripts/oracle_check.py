@@ -9,11 +9,13 @@ import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 def fresh_con():
-    # local sweeps run at sf0.1 too, where the trained-ANN oracle CTE
-    # chains exceed duckdb's conservative default budget; the driver
-    # runs at sf0.01
+    # 2GB default deliberately mimics a starved driver connection: if the
+    # full sweep passes under this on ONE long-lived connection, the
+    # driver's sf0.01 sweep will too (r8/r9 post-mortem — the trained-ANN
+    # CTE chains used to OOM the cumulative budget). Override via
+    # GRAFT_DUCKDB_MEM for sf0.1 local runs if needed.
     c = duckdb.connect()
-    c.execute("SET memory_limit='24GB'")
+    c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '2GB')}'")
     for t in ["region","nation","customer","supplier","part","orders","lineitem",
               "events","documents","embeddings"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")

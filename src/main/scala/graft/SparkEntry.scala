@@ -2031,16 +2031,19 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => {
       val n = emb(s, d).count()
       val k = math.max(8L, (n + 63) / 64)
-      // seed = min-md5(id) row per stratum (ties → min id): hash-spread,
-      // so id/content correlation (replicated corpora) can't collapse the
-      // codebook onto a few base rows — see CosineJoin seed note
-      val cents = emb(s, d)
-        .withColumn("_s", pmod(col("vec_id"), lit(k)))
-        .groupBy(col("_s")).agg(min_by(col("embedding"),
-          struct(Dedup.md5Int32(col("vec_id").cast("string")), col("vec_id"))).as("_c"))
-        .orderBy(col("_s")).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-      val ve = Ann.assign(emb(s, d), cents)
+      // r10: TWO-LEVEL codebook (kc ≈ √k coarse × kf fine, both stratified
+      // min-md5 seeds — RNG-free, oracle-replayable) + hierarchical
+      // assignment (Ann.assignTwoLevel, probes=2). The r7 flat form ran
+      // the O(k·dim) argmin per row — O(n²/64·dim) corpus compute once
+      // k = n/64 scales with the data; the two-level pass is
+      // O((kc + 2·kf)·dim) ≈ O(√k·dim) per row (113 s → 33 s at 1M,
+      // SCALE_NOTES). ANY deterministic cell partition is a valid
+      // SemDeDup blocking, so the within-cell verify + connected
+      // components below are unchanged.
+      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+      val kf = ((k + kc - 1) / kc).toInt
+      val (coarse, fine) = Ann.twoLevelCodebook(emb(s, d), kc, kf)
+      val ve = Ann.assignTwoLevel(emb(s, d), coarse, fine, probes = 2)
         .select(col("vec_id"), col("embedding"), col("ivf_cell"))
       val pairs = ve.as("a").join(ve.as("b"),
           col("a.ivf_cell") === col("b.ivf_cell") && col("a.vec_id") < col("b.vec_id"))
@@ -3949,20 +3952,22 @@ object SparkEntry {
     val meanExprs = (0 until Dim).map { i =>
       s"CAST(CAST(SUM(CAST(FLOOR((CAST(embedding[${i + 1}] AS DOUBLE) + 2) * 16777216) AS BIGINT)) AS BIGINT) // COUNT(*) AS DOUBLE) / 16777216.0 - 2.0"
     }.mkString("[", ",\n      ", "]")
+    // Slim assignment: hash-agg to (vec_id, cell) via lexicographic
+    // struct-MIN — same (dc, cell) tie-break as the windowed form, but
+    // the 64-double embedding array never enters a window/materialized
+    // CTE (peak allocation was starving the long-lived sweep connection).
     def assignCte(name: String, cents: String) =
       s"""$name AS (
-         |  SELECT vec_id, embedding, label, cell FROM (
-         |    SELECT vec_id, embedding, label, cell,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dc ASC, cell ASC) AS rnc
-         |    FROM (
-         |      SELECT e.vec_id, e.embedding, e.label, c.cell, ${distToC("e.embedding")} AS dc
-         |      FROM embeddings e CROSS JOIN $cents c))
-         |  WHERE rnc = 1)""".stripMargin
+         |  SELECT vec_id, (MIN({'dc': dc, 'cell': cell})).cell AS cell FROM (
+         |    SELECT e.vec_id, c.cell, ${distToC("e.embedding")} AS dc
+         |    FROM embeddings e CROSS JOIN $cents c)
+         |  GROUP BY vec_id)""".stripMargin
     val its = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""${assignCte(s"a$it", prev)},
          |m$it AS (
-         |  SELECT cell, $meanExprs AS c FROM a$it GROUP BY cell),
+         |  SELECT a.cell, $meanExprs AS c
+         |  FROM a$it a JOIN embeddings USING (vec_id) GROUP BY a.cell),
          |c$it AS (
          |  SELECT p.cell, COALESCE(m.c, p.c) AS c
          |  FROM $prev p LEFT JOIN m$it m USING (cell))""".stripMargin
@@ -4014,19 +4019,22 @@ object SparkEntry {
     val meanExprs = (1 to dsub).map { i =>
       s"CAST(CAST(SUM(CAST(FLOOR((CAST(sv[$i] AS DOUBLE) + 2) * 16777216) AS BIGINT)) AS BIGINT) // COUNT(*) AS DOUBLE) / 16777216.0 - 2.0"
     }.mkString("[", ",\n      ", "]")
+    // Slim assignment (see ivfTrainedCtes): hash-agg to (vec_id, j, code)
+    // via lexicographic struct-MIN — identical (dc, code) tie-break, no
+    // subvector lists carried through windows/materialized CTEs.
     def assignCte(name: String, cents: String) =
       s"""$name AS (
-         |  SELECT vec_id, j, sv, code FROM (
-         |    SELECT s.vec_id, s.j, s.sv, c.code,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
-         |        ORDER BY $svDist ASC, c.code ASC) AS rnc
+         |  SELECT vec_id, j, (MIN({'dc': dc, 'code': code})).code AS code FROM (
+         |    SELECT s.vec_id, s.j, c.code, $svDist AS dc
          |    FROM sub s JOIN $cents c ON s.j = c.j)
-         |  WHERE rnc = 1)""".stripMargin
+         |  GROUP BY vec_id, j)""".stripMargin
     val its = (1 to iters).map { it =>
       val prev = s"ps${it - 1}"
       s"""${assignCte(s"pa$it", prev)},
          |pm$it AS (
-         |  SELECT j, code, $meanExprs AS c FROM pa$it GROUP BY j, code),
+         |  SELECT a.j, a.code, $meanExprs AS c
+         |  FROM pa$it a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j
+         |  GROUP BY a.j, a.code),
          |ps$it AS (
          |  SELECT p.j, p.code, COALESCE(mm.c, p.c) AS c
          |  FROM $prev p LEFT JOIN pm$it mm ON p.j = mm.j AND p.code = mm.code)""".stripMargin
@@ -4848,23 +4856,25 @@ object SparkEntry {
         s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
            |probe AS ${ivfProbeSql("c2", Q64, 4)}
            |SELECT vec_id, dist FROM (
-           |  SELECT vec_id, ${DuckSql.squaredL2Lit("embedding", Q64)} AS dist, cell FROM af)
+           |  SELECT vec_id, ${DuckSql.squaredL2Lit("embedding", Q64)} AS dist, cell
+           |  FROM af JOIN embeddings USING (vec_id))
            |WHERE cell IN (SELECT cell FROM probe)
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
       "ann_ivf_filtered" ->
         s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
            |probe AS ${ivfProbeSql("c2", Q64, 4)}
            |SELECT vec_id, dist FROM (
-           |  SELECT vec_id, label, ${DuckSql.squaredL2Lit("embedding", Q64)} AS dist, cell FROM af)
+           |  SELECT vec_id, label, ${DuckSql.squaredL2Lit("embedding", Q64)} AS dist, cell
+           |  FROM af JOIN embeddings USING (vec_id))
            |WHERE label = 3 AND cell IN (SELECT cell FROM probe)
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
       "ann_ivf_join" -> {
-        val pd = DuckSql.squaredL2Cols("qp.q_embedding", "a.embedding", Dim)
+        val pd = DuckSql.squaredL2Cols("q.q_embedding", "a.embedding", Dim)
         s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
            |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id < 5),
            |qprobe AS (
-           |  SELECT qid, q_embedding, cell FROM (
-           |    SELECT q.qid, q.q_embedding, c.cell,
+           |  SELECT qid, cell FROM (
+           |    SELECT q.qid, c.cell,
            |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
            |    FROM qs q CROSS JOIN c2 c)
            |  WHERE rnp <= 4)
@@ -4873,17 +4883,18 @@ object SparkEntry {
            |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
            |  FROM (
            |    SELECT qp.qid AS query_id, a.vec_id, $pd AS dist
-           |    FROM qprobe qp JOIN af a USING (cell))
+           |    FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
+           |    JOIN embeddings a ON a.vec_id = f.vec_id)
            |) WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
       },
       "ann_ivf_recall" -> {
-        val pd = DuckSql.squaredL2Cols("qp.q_embedding", "a.embedding", Dim)
+        val pd = DuckSql.squaredL2Cols("q.q_embedding", "a.embedding", Dim)
         val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)
         s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
            |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % 100 = 0),
            |qprobe AS (
-           |  SELECT qid, q_embedding, cell FROM (
-           |    SELECT q.qid, q.q_embedding, c.cell,
+           |  SELECT qid, cell FROM (
+           |    SELECT q.qid, c.cell,
            |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
            |    FROM qs q CROSS JOIN c2 c)
            |  WHERE rnp <= 4),
@@ -4891,7 +4902,8 @@ object SparkEntry {
            |  SELECT query_id, vec_id FROM (
            |    SELECT qp.qid AS query_id, a.vec_id,
            |      ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY $pd ASC, a.vec_id ASC) AS rn
-           |    FROM qprobe qp JOIN af a USING (cell))
+           |    FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
+           |    JOIN embeddings a ON a.vec_id = f.vec_id)
            |  WHERE rn <= $K),
            |exact AS (
            |  SELECT eq, ev FROM (
@@ -4910,36 +4922,44 @@ object SparkEntry {
       "ann_pq_topk" ->
         pqTrainedSql(Fixtures.PqSeeds, iters = 2, Q64, k = K, refine = 100),
       "ann_ivf_recall_curve" -> {
-        val pd = DuckSql.squaredL2Cols("qp.q_embedding", "a.embedding", Dim)
+        val pd = DuckSql.squaredL2Cols("q.q_embedding", "a.embedding", Dim)
         val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)
-        val arms = Seq(1, 2, 4, 8).map { np =>
-          s"""SELECT $np AS nprobe, (
-             |  SELECT COUNT(*) FROM (
-             |    SELECT query_id, vec_id FROM (
-             |      SELECT qp.qid AS query_id, a.vec_id,
-             |        ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY $pd ASC, a.vec_id ASC) AS rn
-             |      FROM (SELECT qid, q_embedding, cell FROM qprobe WHERE rnp <= $np) qp
-             |      JOIN af a USING (cell))
-             |    WHERE rn <= $K) ap
-             |  JOIN exact ON ap.query_id = exact.eq AND ap.vec_id = exact.ev
-             |) AS n_hits""".stripMargin
-        }.mkString("\n  UNION ALL ")
+        // Fused form: ONE qprobe-af join builds all candidates once with
+        // the probe rank (rnp) of the cell each came from; the four former
+        // UNION-ALL arms are a 4-row nprobe dimension re-ranking the same
+        // slim (query, vec, dist, rnp) set — ~4x less peak work/memory.
         s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
            |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % 100 = 0),
            |qprobe AS (
-           |  SELECT qid, q_embedding, cell, rnp FROM (
-           |    SELECT q.qid, q.q_embedding, c.cell,
+           |  SELECT qid, cell, rnp FROM (
+           |    SELECT q.qid, c.cell,
            |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
            |    FROM qs q CROSS JOIN c2 c)
            |  WHERE rnp <= 8),
+           |cand AS (
+           |  SELECT qp.qid AS query_id, a.vec_id, qp.rnp, $pd AS dist
+           |  FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
+           |  JOIN embeddings a ON a.vec_id = f.vec_id),
            |exact AS (
            |  SELECT eq, ev FROM (
            |    SELECT q.qid AS eq, d.vec_id AS ev,
            |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
            |    FROM qs q CROSS JOIN embeddings d)
            |  WHERE rn <= $K),
+           |ranked AS (
+           |  SELECT np.nprobe, c.query_id, c.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY np.nprobe, c.query_id
+           |      ORDER BY c.dist ASC, c.vec_id ASC) AS rn
+           |  FROM cand c JOIN (VALUES (1), (2), (4), (8)) np(nprobe)
+           |    ON c.rnp <= np.nprobe),
            |curve AS (
-           |  $arms
+           |  SELECT np.nprobe, COALESCE(h.n_hits, 0) AS n_hits
+           |  FROM (VALUES (1), (2), (4), (8)) np(nprobe)
+           |  LEFT JOIN (
+           |    SELECT nprobe, COUNT(*) AS n_hits
+           |    FROM (SELECT nprobe, query_id, vec_id FROM ranked WHERE rn <= $K) ap
+           |    JOIN exact ON ap.query_id = exact.eq AND ap.vec_id = exact.ev
+           |    GROUP BY nprobe) h USING (nprobe)
            |)
            |SELECT nprobe, n_queries, CAST(n_hits AS BIGINT) AS n_hits,
            |  CAST(n_hits AS DOUBLE) / CAST(n_queries * $K AS DOUBLE) AS recall_at_k
@@ -5550,26 +5570,70 @@ object SparkEntry {
            |GROUP BY label ORDER BY label""".stripMargin,
       "dedup_semantic_clusters" -> {
         val cs = DuckSql.cosineSimCols("a_embedding", "b_embedding", Dim)
-        val d2 = DuckSql.squaredL2Cols("e.embedding", "c.cemb", Dim)
+        val d2c = DuckSql.squaredL2Cols("e.embedding", "c.cemb", Dim)
+        val d2f = DuckSql.squaredL2Cols("e.embedding", "f.femb", Dim)
+        val md5v = Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")
+        val md5ev = Dedup.md5Int32Sql("CAST(e.vec_id AS VARCHAR)")
+        // Replays Ann.twoLevelCodebook + assignTwoLevel(probes=2) exactly:
+        // kc = ceil(sqrt(k)) coarse stratified min-md5 seeds (dense index
+        // = rank of stratum), flat coarse argmin with (dist, cidx)
+        // tie-break, per-(coarse cell, stratum % kf) fine seeds (an empty
+        // coarse cell contributes its own centroid, stratum -1), global
+        // fine id = rank over (ccell, stratum) - 1 — the scanLeft offsets
+        // — and assignment = argmin over the 2 probed cells' fine
+        // codebooks with the expression's (dist, probe rank, j) scan-order
+        // tie-break, all via lexicographic struct-MIN.
         s"""WITH RECURSIVE kk AS (
-           |  SELECT GREATEST(8, (COUNT(*) + 63) // 64) AS k FROM embeddings
-           |), cents AS (
-           |  SELECT s, embedding AS cemb FROM (
-           |    SELECT vec_id % (SELECT k FROM kk) AS s, embedding,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id % (SELECT k FROM kk)
-           |        ORDER BY ${Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
-           |    FROM embeddings) WHERE rn = 1
+           |  SELECT k, CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS kc,
+           |    (k + CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) - 1)
+           |      // CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS kf
+           |  FROM (SELECT GREATEST(8, (COUNT(*) + 63) // 64) AS k FROM embeddings)
+           |), co AS (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY s) - 1 AS cidx, cemb FROM (
+           |    SELECT s, cemb FROM (
+           |      SELECT vec_id % (SELECT kc FROM kk) AS s, embedding AS cemb,
+           |        ROW_NUMBER() OVER (PARTITION BY vec_id % (SELECT kc FROM kk)
+           |          ORDER BY $md5v ASC, vec_id ASC) AS rn
+           |      FROM embeddings) WHERE rn = 1)
+           |), ca AS (
+           |  SELECT vec_id, (MIN({'d': dc, 'c': cidx})).c AS ccell FROM (
+           |    SELECT e.vec_id, c.cidx, $d2c AS dc
+           |    FROM embeddings e CROSS JOIN co c)
+           |  GROUP BY vec_id
+           |), fseed AS (
+           |  SELECT ccell, fs, femb FROM (
+           |    SELECT a.ccell, e.vec_id % (SELECT kf FROM kk) AS fs, e.embedding AS femb,
+           |      ROW_NUMBER() OVER (PARTITION BY a.ccell, e.vec_id % (SELECT kf FROM kk)
+           |        ORDER BY $md5ev ASC, e.vec_id ASC) AS rn
+           |    FROM ca a JOIN embeddings e USING (vec_id)) WHERE rn = 1
+           |  UNION ALL
+           |  SELECT c.cidx AS ccell, -1 AS fs, c.cemb AS femb
+           |  FROM co c WHERE NOT EXISTS (SELECT 1 FROM ca WHERE ca.ccell = c.cidx)
+           |), fg AS (
+           |  SELECT ccell, femb,
+           |    ROW_NUMBER() OVER (ORDER BY ccell, fs) - 1 AS gid,
+           |    ROW_NUMBER() OVER (PARTITION BY ccell ORDER BY fs) - 1 AS j
+           |  FROM fseed
+           |), pr AS (
+           |  SELECT vec_id, cidx, prnk FROM (
+           |    SELECT e.vec_id, c.cidx,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $d2c ASC, c.cidx ASC) AS prnk
+           |    FROM embeddings e CROSS JOIN co c) WHERE prnk <= 2
            |), cells AS (
-           |  SELECT vec_id, embedding, s AS cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.s,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.s ASC) AS rn
-           |    FROM embeddings e CROSS JOIN cents c)
-           |  WHERE rn = 1
+           |  SELECT vec_id, (MIN({'d': fd, 'p': prnk, 'j': j, 'g': gid})).g AS cell FROM (
+           |    SELECT p.vec_id, p.prnk, f.j, f.gid, $d2f AS fd
+           |    FROM pr p JOIN embeddings e USING (vec_id)
+           |    JOIN fg f ON f.ccell = p.cidx)
+           |  GROUP BY vec_id
+           |), cem AS (
+           |  SELECT c.vec_id, c.cell, e.embedding
+           |  FROM cells c JOIN embeddings e USING (vec_id)
            |), edges AS (
            |  SELECT id_a AS src, id_b AS dst FROM (
            |    SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cs AS cos_sim
-           |    FROM (SELECT vec_id, cell, embedding AS a_embedding FROM cells) a
-           |    JOIN (SELECT vec_id, cell, embedding AS b_embedding FROM cells) b
+           |    FROM (SELECT vec_id, cell, embedding AS a_embedding FROM cem) a
+           |    JOIN (SELECT vec_id, cell, embedding AS b_embedding FROM cem) b
            |      ON a.cell = b.cell AND a.vec_id < b.vec_id
            |  ) WHERE cos_sim >= ${DuckSql.fmt(0.3)}
            |), sym AS MATERIALIZED (

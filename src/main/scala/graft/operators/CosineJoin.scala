@@ -90,20 +90,33 @@ object CosineJoin {
         org.apache.spark.sql.types.StructField("_cell", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("_seed", org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType)))))
+    // A zero-norm member (or seed) makes cosineSimCols NaN; NaN sorts
+    // greater than any double in Spark, so max() would propagate it and
+    // `dij <= eps + ri + rj` would silently prune that cell's pairs
+    // (breaking the recall-exactly-1 contract). nanvl → 4.0 = the worst
+    // possible squared chord on the sphere, i.e. "this cell is never
+    // prunable" — conservative, still admissible.
     val radii: Map[Int, Double] = assigned
       .join(broadcast(seedDf), "_cell")
       .select(col("_cell"),
-        (lit(2.0) - lit(2.0) * Distances.cosineSimCols(col("_v"), col("_seed"), dim)).as("_r2"))
+        nanvl(lit(2.0) - lit(2.0) * Distances.cosineSimCols(col("_v"), col("_seed"), dim),
+          lit(4.0)).as("_r2"))
       .groupBy(col("_cell")).agg(max(greatest(col("_r2"), lit(0.0))).as("_r2"))
       .collect().map(r => r.getInt(0) -> math.sqrt(r.getDouble(1))).toMap
 
     // 3. surviving ordered cell pairs (driver-side k² loop; k ≤ 4096)
     val eps = math.sqrt(math.max(0.0, 2.0 - 2.0 * tau))
-    val slack = 1e-9
+    // 1e-6, NOT 1e-9: the bound compares square roots, and sqrt amplifies
+    // double rounding near zero to ~1e-8 — a boundary pair could be
+    // wrongly pruned under a thinner slack. 1e-6 of chord distance is
+    // ~5e-13 of cosine at τ near 1, far below the verify filter's
+    // resolution, so no false candidates survive it either.
+    val slack = 1e-6
     def cosSeed(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (c.isNaN) 1.0 else c // zero-norm seed: dij := 0, never prune
     }
     val cp = for {
       i <- 0 until nCells

@@ -64,6 +64,27 @@ class CosineJoinSpec extends SparkSpecBase {
       s"pruning ineffective on clustered data: $cand candidates vs unblocked ${n * (n - 1) / 2}")
   }
 
+  test("zero-norm vectors do not poison cell radii (NaN-pruning regression)") {
+    // A zero vector's cosine to its seed is NaN; before the nanvl clamp
+    // the containing cell's radius became NaN, dij <= eps + NaN + rj was
+    // false for every pair, and that cell's qualifying pairs were silently
+    // pruned — breaking the recall-exactly-1 contract.
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 60).map { i =>
+      val v = if (i % 7 == 0) Array.fill(Dim)(0.0f)
+              else Array.fill(Dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    for (tau <- Seq(0.1, 0.5); k <- Seq(3, 8)) {
+      val got = CosineJoin.pairsExact(vecs, "vec_id", "embedding", Dim, tau, k)
+        .collect().map(key).toSet
+      val want = brute(vecs, tau).collect().map(key).toSet
+      assert(got == want, s"tau=$tau k=$k: ${got.size} vs brute ${want.size}")
+      assert(want.nonEmpty, s"degenerate trial tau=$tau")
+    }
+  }
+
   test("randomized property: exactness holds across random data, tau, and k (20 trials)") {
     val rnd = new scala.util.Random(101)
     for (trial <- 0 until 20) {

@@ -68,6 +68,20 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP text counts code points, not UTF-16 units (oracle parity)") {
+    // "😀a😀a": 4 code points but 6 UTF-16 units. The longest repeated
+    // substring is "😀a" = 2 code points; char-unit counting (the pre-fix
+    // behavior) reported 3 (surrogate pair counted as two), diverging from
+    // DuckDB's code-point `length`/`substring` semantics.
+    val s = "😀a😀a"
+    assert(SuffixArray.longestRepeat(s) == 2)
+    // minLen=2 coverage: the duplicated 2-gram "😀a" (at code-point
+    // positions 0 and 2) covers all 4 positions. Char-unit counting said 6.
+    assert(SuffixArray.repeatCoverage(s, 2) == 4)
+    // pure-BMP strings are unaffected
+    assert(SuffixArray.longestRepeat("abab") == 2)
+  }
+
   test("edge cases: empty, single char, uniform run, no-repeat string") {
     assert(SuffixArray.longestRepeat("") == 0)
     assert(SuffixArray.longestRepeat("x") == 0)
