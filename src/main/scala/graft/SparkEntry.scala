@@ -93,6 +93,12 @@ object SparkEntry {
   private def modSql(target: Long): String =
     s"(SELECT GREATEST(1, (COUNT(*) + ${target - 1}) // $target) FROM embeddings)"
 
+  /** Same count-derived modulus over the documents table: ~25 probe docs
+    * at any corpus size (= the historical `% 20` at the 500-doc fixture,
+    * so sf0.01 hashes are unchanged). */
+  private def docModSql: String =
+    "(SELECT GREATEST(1, (COUNT(*) + 24) // 25) FROM documents)"
+
   /** Similarity-graph edge list over a size-targeted sample: the EXACT
     * cosine-threshold pair join ([[CosineJoin.pairsExact]] — partitioned
     * equi-join with admissible cell-pair pruning, never a nested loop),
@@ -416,22 +422,24 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
     // batch MaxSim join: multi-vector late-interaction retrieval for a
-    // SET of queries — broadcast query page × corpus, per-query top-3 by
-    // the same rounded-sub-dot MaxSim contract, rank via one key-local
-    // window over the scored pairs (queries are a sample; the cross
-    // product is |queries|×|corpus| scored once, the shuffle carries it
-    // partitioned by query)
+    // SET of queries — a SIZE-TARGETED query page (~20 queries at any SF;
+    // the r7 `% 101` fraction grew the page — and the scored cross
+    // product — linearly with the corpus) broadcast against the corpus,
+    // per-query top-3 via the bounded KnnTopK aggregator on NEGATED
+    // maxsim (negation is IEEE-exact, so (−maxsim ASC, id ASC) ≡
+    // (maxsim DESC, id ASC)): the shuffle carries ≤ 3 rows per query per
+    // map task, never the |queries|×|corpus| scored set a full Window
+    // would sort (pinned in PlanShapeSpec)
     "sim_maxsim_join" -> ((s, d) => {
-      val qs = emb(s, d).filter(col("vec_id") % 101 === 3)
+      val m = math.max(1L, (emb(s, d).count() + 19) / 20)
+      val qs = emb(s, d).filter(col("vec_id") % m === 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("maxsim").desc, col("vec_id").asc)
-      emb(s, d).crossJoin(broadcast(qs))
+      val cands = emb(s, d).crossJoin(broadcast(qs))
         .select(col("query_id"), col("vec_id"),
-          graft.operators.LateInteraction.maxSimCols(col("qv"), col("embedding"), Dim, 4)
-            .as("maxsim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+          (-graft.operators.LateInteraction.maxSimCols(col("qv"), col("embedding"), Dim, 4))
+            .as("dist"))
+      graft.operators.KnnTopK.topK(cands, 3)
+        .select(col("query_id"), col("vec_id"), (-col("dist")).as("maxsim"), col("rn"))
         .orderBy(col("query_id"), col("rn"))
     }),
     // two-stage late-interaction serving path: cheap single-vector dot
@@ -1247,17 +1255,21 @@ object SparkEntry {
         .orderBy(col("stage_idx"))
     }),
     // banding recall eval: LSH near-dup pairs vs exact ground truth,
-    // restricted to pairs INCIDENT to a 1-in-20 probe sample — a mod
-    // subset of pairs would split almost every duplicate pair (endpoints
-    // are unrelated ids), while probe-incidence keeps the truth set
-    // intact and the brute side linear: |probes| × |corpus| distances,
-    // never corpus². Precision is 1 by construction (candidates are
-    // jaccard-verified); recall measures what the bands miss — the
-    // accuracy dial of the dedup deploy, sibling of ann_ivf_recall
+    // restricted to pairs INCIDENT to a SIZE-TARGETED probe sample (~25
+    // probes at any SF; the r7 fixed `% 20` fraction grew the probe set —
+    // and the probes × corpus brute arm — linearly with the corpus). A
+    // mod subset of PAIRS would split almost every duplicate pair
+    // (endpoints are unrelated ids), while probe-incidence keeps the
+    // truth set intact and the brute side linear: ~25 × |corpus|
+    // distances, never corpus². Precision is 1 by construction
+    // (candidates are jaccard-verified); recall measures what the bands
+    // miss — the accuracy dial of the dedup deploy, sibling of
+    // ann_ivf_recall
     "dedup_lsh_recall" -> ((s, d) => {
       val all = par(s, docs(s, d))
+      val m = math.max(1L, (all.count() + 24) / 25) // = 20 at the 500-doc fixture
       val sets = all.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sset"))
-      val psets = sets.filter(col("doc_id") % 20 === 0)
+      val psets = sets.filter(col("doc_id") % m === 0)
         .select(col("doc_id").as("pid"), col("sset").as("pset"))
       val brute = sets.crossJoin(broadcast(psets))
         .filter(col("doc_id") =!= col("pid"))
@@ -1268,7 +1280,7 @@ object SparkEntry {
         .withColumn("in_brute", lit(1L))
       val lsh = Dedup.minHashLshNearDupPairs(all, "text", "doc_id",
           shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
-        .filter(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+        .filter(col("id_a") % m === 0 || col("id_b") % m === 0)
         .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
       lsh.join(brute, Seq("id_a", "id_b"), "full_outer")
         .agg(coalesce(sum(col("in_lsh")), lit(0L)).as("n_lsh"),
@@ -4176,7 +4188,7 @@ object SparkEntry {
       "sim_maxsim_join" ->
         s"""WITH qs AS (
            |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           |  WHERE vec_id % 101 = 3),
+           |  WHERE vec_id % ${modSql(20)} = 3),
            |scored AS (
            |  SELECT q.query_id, c.vec_id,
            |    ${DuckSql.maxSimCols("q.qv", "c.embedding", Dim, 4)} AS maxsim
@@ -4543,11 +4555,11 @@ object SparkEntry {
            |    SELECT id_a, id_b,
            |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
            |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
-           |  ) WHERE jac >= ${DuckSql.fmt(0.5)} AND (id_a % 20 = 0 OR id_b % 20 = 0)
+           |  ) WHERE jac >= ${DuckSql.fmt(0.5)} AND (id_a % $docModSql = 0 OR id_b % $docModSql = 0)
            |), brute AS (
            |  SELECT DISTINCT LEAST(s.doc_id, p.doc_id) AS id_a,
            |    GREATEST(s.doc_id, p.doc_id) AS id_b
-           |  FROM sets s JOIN (SELECT * FROM sets WHERE doc_id % 20 = 0) p
+           |  FROM sets s JOIN (SELECT * FROM sets WHERE doc_id % $docModSql = 0) p
            |    ON s.doc_id <> p.doc_id
            |  WHERE CAST(len(list_intersect(s.sset, p.sset)) AS DOUBLE)
            |    / CAST(len(list_distinct(list_cat(s.sset, p.sset))) AS DOUBLE) >= ${DuckSql.fmt(0.5)}

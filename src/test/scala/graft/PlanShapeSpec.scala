@@ -101,6 +101,17 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("sim_maxsim_join: bounded aggregator, no full Window over the scored cross product") {
+    withoutAqe {
+      val p = planOf(SparkEntry.queries("sim_maxsim_join")(spark, sfDir))
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, "WindowExec present — sim_maxsim_join shuffles the full scored set again")
+      assert(p.collect { case a: ObjectHashAggregateExec => a }.size >= 2,
+        "partial+final ObjectHashAggregate missing — top-k is not map-side bounded")
+    }
+  }
+
   test("aggregator kNN join: partial+final object hash aggregate (map-side top-k)") {
     withoutAqe {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
