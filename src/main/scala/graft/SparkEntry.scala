@@ -351,11 +351,19 @@ object SparkEntry {
     "knn_mahalanobis" -> ((s, d) =>
       Knn.bruteForce(emb(s, d), Distances.mahalanobisDiagLit(col("embedding"), Q64, InvDiag64), K)),
     // full-covariance Mahalanobis over an 8-dim slice (keeps the oracle SQL
-    // at 64 terms; the operator itself is dim-generic — see VecExprSpec)
-    "knn_mahalanobis_full" -> ((s, d) =>
-      Knn.bruteForce(
-        emb(s, d).withColumn("embedding", slice(col("embedding"), 1, 8)),
-        Distances.mahalanobisFullLit(col("embedding"), Q8, InvFull8), K)),
+    // at 64 terms; the operator itself is dim-generic — see VecExprSpec).
+    // r10: routed through the facade's MahalanobisFull Metric (factorized
+    // inverse + Gershgorin·sqL2 admissible cell bound) — the reference's
+    // default metric surface, selectable without dropping to Distances
+    "knn_mahalanobis_full" -> ((s, d) => {
+      import s.implicits._
+      val cfg8 = GridConfig(dim = 8, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
+      val db = graft.api.VectorDatabase.fromDataFrame(s,
+        emb(s, d).withColumn("embedding", slice(col("embedding"), 1, 8))
+          .select(col("vec_id"), col("embedding"), col("label")),
+        cfg8, metric = graft.api.MahalanobisFull(InvFull8, 8))
+      s.createDataset(db.findKNearestNeighbors(Q8, K)).toDF()
+    }),
     // pruned == brute (exactness of the widening loop; oracle is the brute SQL)
     "knn_l2_pruned" -> ((s, d) =>
       Knn.prunedSearchDf(s, Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, K)),
@@ -3792,8 +3800,40 @@ object SparkEntry {
       val (db3, _) = db2.insert(ins)
       val res = db3.findKNearestNeighbors(Q64, K, filter = Some(col("label") === 1))
       s.createDataset(res).toDF()
+    }),
+    // GENERIC schemaless metadata `T` through the facade (reference
+    // database.py:11-14 — `DatabaseEntry[T]`; its tests use str AND dict):
+    // a MapType column rides end-to-end — build with map metadata, INSERT
+    // rows carrying maps, FILTER on a map key BEFORE k, kNN, then read map
+    // values back off the result. Closes the typed-columns-only API gap;
+    // the oracle replays the map predicate from the base columns the map
+    // derives from (DuckDB never sees a MAP — the OUTPUT is plain columns)
+    "api_map_metadata" -> ((s, d) => {
+      import s.implicits._
+      val base = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("meta", map(
+          lit("tier"), when(pmod(col("label"), lit(3)) === 0, lit("gold")).otherwise(lit("std")),
+          lit("src"), concat(lit("n"), pmod(col("vec_id"), lit(4)).cast("string"))))
+      val db0 = graft.api.VectorDatabase.fromDataFrame(s, base, gridCfg)
+      val ins = Seq(
+        (MapInsGold, 7, Map("tier" -> "gold", "src" -> "ins")),
+        (MapInsStd, 8, Map("tier" -> "std", "src" -> "ins")))
+        .toDF("embedding", "label", "meta")
+      val (db1, _) = db0.insert(ins)
+      val res = s.createDataset(db1.findKNearestNeighbors(Q64, K,
+        filter = Some(element_at(col("meta"), "tier") === "gold"))).toDF()
+      res.join(db1.state.select(col("vec_id"),
+          element_at(col("meta"), "src").as("src")), "vec_id")
+        .select(col("vec_id"), col("label"), col("dist"), col("src"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
     })
   )
+
+  /** Literal vectors for api_map_metadata — multiples of 2⁻³ (the gold one
+    * is Q64 rounded to eighths, so it ranks first by construction). */
+  private val MapInsGold: Array[Float] =
+    Array.tabulate(Dim)(i => (math.round(Fixtures.Q64(i) * 8).toDouble / 8).toFloat)
+  private val MapInsStd: Array[Float] = Array.fill(Dim)(0.375f)
 
   /** Literal vectors for the api_lifecycle query — exact binary fractions
     * (multiples of 2⁻³), so the float literals round-trip bit-exactly
@@ -7331,6 +7371,23 @@ object SparkEntry {
            |  SELECT (SELECT m FROM mx) + 2, ${arr(LifecycleInsB)}, CAST(2 AS INT))
            |SELECT vec_id, label, $sq AS dist FROM allr
            |WHERE label = 1 ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
+      },
+      "api_map_metadata" -> {
+        def arr(a: Array[Float]): String =
+          a.map(_.toString).mkString("CAST([", ", ", "] AS FLOAT[])")
+        val sq = DuckSql.squaredL2Lit("embedding", Q64)
+        s"""WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+           |allr AS (
+           |  SELECT vec_id, embedding, label,
+           |    CASE WHEN label % 3 = 0 THEN 'gold' ELSE 'std' END AS tier,
+           |    'n' || CAST(vec_id % 4 AS VARCHAR) AS src
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT (SELECT m FROM mx) + 1, ${arr(MapInsGold)}, CAST(7 AS INT), 'gold', 'ins'
+           |  UNION ALL
+           |  SELECT (SELECT m FROM mx) + 2, ${arr(MapInsStd)}, CAST(8 AS INT), 'std', 'ins')
+           |SELECT vec_id, label, $sq AS dist, src FROM allr
+           |WHERE tier = 'gold' ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin
       },
       // exact 10-gram coverage ≡ SA repeat coverage (the SuffixArraySpec
       // identity): duplicated-gram starts expand to their 10 positions,

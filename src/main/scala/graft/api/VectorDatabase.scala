@@ -49,6 +49,45 @@ final case class MahalanobisDiag(invDiag: Array[Double]) extends Metric {
     Grid.cellLowerBoundMahalanobisDiag(q, cell, cfg, invDiag)
 }
 
+/** Full-covariance Mahalanobis — the reference's default-surface metric
+  * (distance_metric.py:66-82) as a first-class facade Metric. Takes the
+  * INVERSE covariance (row-major flat), mirroring [[MahalanobisDiag]];
+  * [[MahalanobisFull$.fromCovariance]] factorizes a covariance ONCE
+  * driver-side via Gauss-Jordan (the reference re-solves the linear
+  * system per PAIR, distance_metric.py:78-80).
+  *
+  * Cell pruning uses the admissible spectral relaxation
+  * d'·S⁻¹·d ≥ λ·‖d‖² with λ = max(0, Gershgorin lower bound on
+  * λ_min(S⁻¹)): for SPD A, λ_min(A) ≥ min_i(a_ii − Σ_{j≠i}|a_ij|), so
+  * λ·(squared-L2 cell bound) never exceeds the true distance to any
+  * point in the cell. A non-diagonally-dominant inverse just yields
+  * λ = 0 — pruning disabled, correctness untouched (same safety rule as
+  * the black-box 0.0 default in [[Metric.cellBound]]). */
+final case class MahalanobisFull(invFlat: Array[Double], mdim: Int) extends Metric {
+  require(invFlat.length == mdim * mdim, "inverse covariance must be mdim x mdim, row-major")
+  private val lamMin: Double = {
+    var m = Double.PositiveInfinity
+    var i = 0
+    while (i < mdim) {
+      var off = 0.0; var j = 0
+      while (j < mdim) { if (j != i) off += math.abs(invFlat(i * mdim + j)); j += 1 }
+      val g = invFlat(i * mdim + i) - off
+      if (g < m) m = g
+      i += 1
+    }
+    math.max(0.0, m)
+  }
+  def dist(v: Column, q: Array[Double]): Column =
+    Distances.mahalanobisFullLit(v, q, invFlat)
+  override def cellBound(q: Array[Double], cell: Long, cfg: GridConfig): Double =
+    lamMin * Grid.cellLowerBoundSqL2(q, cell, cfg)
+}
+object MahalanobisFull {
+  /** Factorize the covariance once, then broadcast the inverse. */
+  def fromCovariance(covFlat: Array[Double], dim: Int): MahalanobisFull =
+    MahalanobisFull(Distances.invertSPD(covFlat, dim), dim)
+}
+
 /** The reference's `VectorDatabase` contract (vectordb/database.py:18-64)
   * as an immutable snapshot over a cell-indexed DataFrame. Every mutation
   * returns a NEW `VectorDatabase`; the receiver stays valid — the snapshot/

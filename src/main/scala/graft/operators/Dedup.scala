@@ -68,15 +68,26 @@ object Dedup {
 
   /** MinHash signatures: for each of `numHashes` permutations
     * h_j(x) = (a_j * x + b_j) mod p over the 32-bit shingle hash, the min
-    * across the doc's shingles. Deterministic a/b from a fixed seed. */
+    * across the doc's shingles. Deterministic a/b from a fixed seed.
+    *
+    * r10: computed by the FUSED one-pass kernel
+    * ([[graft.functions.MinHashSigExpr]]) — one codegen'd expression per
+    * document instead of shingle-explode → md5-hex → conv → 8 pmod →
+    * groupBy-min, eliminating the per-shingle string round-trips AND the
+    * per-doc aggregation shuffle. Values are bit-identical (the kernel
+    * doc lists the equivalences); docs with no w-shingle are filtered,
+    * mirroring the groupBy form that produced no row for them. */
   def minHashSignature(docs: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleWidth)).as("shingle"))
-      .withColumn("h", md5Int32(col("shingle")))
-    val aggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinHashP))).as(s"mh_$j")
-    }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail.toSeq: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val coeffs = minHashCoeffs(numHashes)
+    val sigCol = ColumnBridge.column(graft.functions.MinHashSigExpr(
+      ColumnBridge.expression(col(textCol)), shingleWidth,
+      coeffs.map(_._1), coeffs.map(_._2), MinHashP))
+    docs.select(col(idCol), sigCol.as("_mh"))
+      .filter(col("_mh").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(j => col("_mh").getItem(j).as(s"mh_$j")): _*)
   }
 
   /** LSH banding over minhash signatures: docs sharing any band land in the

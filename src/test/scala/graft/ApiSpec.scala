@@ -100,6 +100,56 @@ class ApiSpec extends SparkSpecBase {
     assert(res.map(n => (n.vec_id, n.dist)) === brute)
   }
 
+  test("MahalanobisFull facade metric: matches brute force; pruned path is admissible") {
+    import graft.api.MahalanobisFull
+    import graft.index.GridConfig
+    val cfg8 = GridConfig(dim = 8, lower = -0.6, upper = 0.6, partsPerDim = 4, gridDims = 3)
+    val Q8 = Q64.take(8)
+    val e8 = Tables.embeddings(spark, sfDir)
+      .withColumn("embedding", slice(col("embedding"), lit(1), lit(8)))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val m = MahalanobisFull(InvFull8, 8)
+    val db8 = VectorDatabase.fromDataFrame(spark, e8, cfg8, metric = m)
+    val res = db8.findKNearestNeighbors(Q8, 10)
+    val brute = operators.Knn.bruteForce(e8,
+      functions.Distances.mahalanobisFullLit(col("embedding"), Q8, InvFull8), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(res.map(n => (n.vec_id, n.dist)) === brute)
+    // widening-loop path (bruteForceThreshold = 0): the Gershgorin·sqL2
+    // cell bound must be admissible — pruned ≡ brute exactly
+    val pruned = operators.Knn.prunedSearch(db8.state, cfg8, Q8, 10,
+      cellBound = m.cellBound, distExpr = Some(m.dist(col("embedding"), Q8)),
+      bruteForceThreshold = 0L)
+    assert(pruned.map(n => (n.vec_id, n.dist)) === brute)
+    // the bound itself never exceeds the true distance for any stored row
+    val bounds = db8.state.select(col("cell_id"),
+        m.dist(col("embedding"), Q8).as("dist")).collect()
+    bounds.foreach { r =>
+      val b = m.cellBound(Q8, r.getAs[Number](0).longValue(), cfg8)
+      assert(b <= r.getDouble(1) + 1e-9,
+        s"inadmissible bound $b > ${r.getDouble(1)} for cell ${r.get(0)}")
+    }
+  }
+
+  test("MahalanobisFull.fromCovariance factorizes once and round-trips the inverse") {
+    import graft.api.MahalanobisFull
+    // S = A'A + I (SPD); fromCovariance(S) must reproduce inv(S) so that
+    // d'S⁻¹d of the facade == the solve-per-pair reference semantics
+    val n = 4
+    val rnd = new scala.util.Random(5)
+    val a = Array.fill(n, n)(rnd.nextGaussian() * 0.3)
+    val s = Array.tabulate(n * n) { k =>
+      val (i, j) = (k / n, k % n)
+      (0 until n).map(t => a(t)(i) * a(t)(j)).sum + (if (i == j) 1.0 else 0.0)
+    }
+    val m = MahalanobisFull.fromCovariance(s, n)
+    // inv(S)·S ≈ I
+    for (i <- 0 until n; j <- 0 until n) {
+      val prod = (0 until n).map(t => m.invFlat(i * n + t) * s(t * n + j)).sum
+      assert(math.abs(prod - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j) -> $prod")
+    }
+  }
+
   test("Grid.maintain deepens the grid when cells overflow (leaf-split analog)") {
     import graft.index.{Grid, GridConfig}
     val cfg1 = SparkEntry.gridCfg.copy(gridDims = 1)
