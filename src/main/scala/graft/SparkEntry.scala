@@ -412,7 +412,11 @@ object SparkEntry {
     // Cost shape: |queries| × |corpus| scored once, ranked twice — the
     // standard eval-harness cost, queries are a small broadcast sample
     "vec_truncate_recall" -> ((s, d) => {
-      val qs = emb(s, d).filter(col("vec_id") % 67 === 7)
+      // count-derived query page (~20 queries at ANY SF; a fixed % 67
+      // fraction grew |queries| — and the |queries|×|corpus| eval —
+      // linearly with the corpus)
+      val mq = math.max(1L, (emb(s, d).count() + 19) / 20)
+      val qs = emb(s, d).filter(col("vec_id") % mq === 7)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val scored = emb(s, d).crossJoin(broadcast(qs))
         .select(col("query_id"), col("vec_id"),
@@ -1154,7 +1158,10 @@ object SparkEntry {
     // is oracle-replayable (the recall VALUES are data, not luck)
     "ann_ivf_recall" -> ((s, d) => {
       val db = emb(s, d)
-      val q = db.filter(col("vec_id") % 100 === 0)
+      // count-derived held-out page (~20 queries at ANY SF) — keeps the
+      // |queries|×|corpus| exact ground-truth arm linear in the corpus
+      val mq = math.max(1L, (db.count() + 19) / 20)
+      val q = db.filter(col("vec_id") % mq === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
       val approx = Ann.ivfJoin(q, Ann.assign(db, cents), cents, k = K, nprobe = 4)
@@ -1177,7 +1184,9 @@ object SparkEntry {
     // one division is a shared-constant IEEE op — hash-checked
     "ann_ivf_recall_curve" -> ((s, d) => {
       val db = emb(s, d)
-      val q = db.filter(col("vec_id") % 100 === 0)
+      // count-derived held-out page — same rationale as ann_ivf_recall
+      val mq = math.max(1L, (db.count() + 19) / 20)
+      val q = db.filter(col("vec_id") % mq === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
       val assigned = Ann.assign(db, cents)
@@ -4209,7 +4218,7 @@ object SparkEntry {
       "vec_truncate_recall" ->
         s"""WITH qs AS (
            |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           |  WHERE vec_id % 67 = 7),
+           |  WHERE vec_id % ${modSql(20)} = 7),
            |scored AS (
            |  SELECT q.query_id, c.vec_id,
            |    ${DuckSql.squaredL2Cols("c.embedding", "q.qv", Dim)} AS d_full,
@@ -4943,7 +4952,7 @@ object SparkEntry {
         val pd = DuckSql.squaredL2Cols("q.q_embedding", "a.embedding", Dim)
         val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)
         s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
-           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % ${modSql(20)} = 0),
            |qprobe AS (
            |  SELECT qid, cell FROM (
            |    SELECT q.qid, c.cell,
@@ -4981,7 +4990,7 @@ object SparkEntry {
         // UNION-ALL arms are a 4-row nprobe dimension re-ranking the same
         // slim (query, vec, dist, rnp) set — ~4x less peak work/memory.
         s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
-           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % ${modSql(20)} = 0),
            |qprobe AS (
            |  SELECT qid, cell, rnp FROM (
            |    SELECT q.qid, c.cell,
