@@ -150,10 +150,22 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    // persisted: both verification joins (id_a side, id_b side) stream
-    // this table — without the persist the shingle split+distinct runs
-    // over the corpus twice
-    val sets = docs.select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
+      // persisted: read three times below (two id projections + the verify
+      // join); candidate volume is bounded by bucket sizes, a vanishing
+      // fraction of the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r10: shingle sets are built ONLY for docs that appear in a candidate
+    // pair (left-semi prefilter), not the whole corpus. The old full-corpus
+    // sets cache held every doc's word-trigram array (~w× the corpus text)
+    // — it OOM'd the 10M probe's executor heap and burned shingle CPU on
+    // rows no verify join would ever read. The prefilter shuffles slim
+    // (id, text) rows once; candidates are a vanishing fraction at scale,
+    // so the persisted verify-side table shrinks by orders of magnitude.
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), "id_a")
