@@ -161,12 +161,20 @@ object ScaleProbe10M extends App {
     println(s"SCALE   flagged: $flagged of ${nEmb * embReps}")
   }
   // the same ~1k-cell assignment through the hierarchical path:
-  // O((32 + 2·32)·dim) per row vs the flat O(1024·dim) above
+  // O((32 + 2·32)·dim) per row vs the flat O(1024·dim) above — the shape
+  // dedup_semantic_clusters now uses (kc = ⌈√k⌉, kf = ⌈k/kc⌉, probes=2)
   t("two-level assign 1M rows (kc=32,kf=32,p=2)") {
     val (coarse, fine) = graft.operators.Ann.twoLevelCodebook(bigEmb, 32, 32)
-    val n = graft.operators.Ann.assignTwoLevel(bigEmb, coarse, fine, probes = 2)
-      .groupBy(col("ivf_cell")).count().count()
-    println(s"SCALE   non-empty two-level cells: $n of ${fine.map(_.length).sum}")
+    val kTotal = fine.map(_.length).sum
+    val stats = graft.operators.Ann.assignTwoLevel(bigEmb, coarse, fine, probes = 2)
+      .groupBy(col("ivf_cell")).count()
+      .agg(count(lit(1)).as("nc"), max(col("count")).as("mx")).collect()(0)
+    val nc = stats.getLong(0); val mx = stats.getLong(1)
+    println(s"SCALE   non-empty two-level cells: $nc of $kTotal, max population $mx")
+    // within-cell pair joins (SemDeDup verify) stay linear only if no cell
+    // runs away — same bound as the flat probe above
+    assert(mx < 20L * (nEmb * embReps / kTotal),
+      s"runaway two-level cell: $mx rows vs expected ~${nEmb * embReps / kTotal}")
   }
   }
   spark.stop()
