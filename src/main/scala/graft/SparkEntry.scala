@@ -1183,6 +1183,7 @@ object SparkEntry {
     // per-query centroid rank, not a re-rank). Integer hit counts; the
     // one division is a shared-constant IEEE op — hash-checked
     "ann_ivf_recall_curve" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
       val db = emb(s, d)
       // count-derived held-out page — same rationale as ann_ivf_recall
       val mq = math.max(1L, (db.count() + 19) / 20)
@@ -1192,8 +1193,23 @@ object SparkEntry {
       val assigned = Ann.assign(db, cents)
       val exact = KnnJoin.join(q, db, K, Dim)
         .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      // r10 fused arms (the oracle's shape): score candidates ONCE at the
+      // widest probe width, carrying each cell's probe RANK (posexplode of
+      // the ranked VecArgTopNL2 list — top-np is its np-prefix, same
+      // comparator); each arm is a filter + bounded top-K of the persisted
+      // slim (query, rnp, vec, dist) set. The old per-arm ivfJoin form
+      // re-scored the union of probed cells ~1.9× over
+      val probeCells = ColumnBridge.column(graft.functions.VecArgTopNL2(
+        ColumnBridge.expression(col("q_embedding")), cents, 8))
+      val qs = q.select(col("query_id"), col("embedding").as("q_embedding"))
+        .select(col("query_id"), col("q_embedding"),
+          posexplode(probeCells).as(Seq("rnp0", "ivf_cell")))
+      val cand = broadcast(qs).join(assigned, "ivf_cell")
+        .select(col("query_id"), col("rnp0"), col("vec_id"),
+          Distances.squaredL2Cols(col("q_embedding"), col("embedding"), Dim).as("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val curve = Seq(1, 2, 4, 8).map { np =>
-        Ann.ivfJoin(q, assigned, cents, k = K, nprobe = np)
+        KnnTopK.topK(cand.filter(col("rnp0") < np), K)
           .select(col("query_id"), col("vec_id"))
           .join(exact, col("query_id") === col("eq") && col("vec_id") === col("ev"),
             "left_semi")

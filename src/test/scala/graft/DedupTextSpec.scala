@@ -37,6 +37,36 @@ class DedupTextSpec extends SparkSpecBase {
     assert(a.forall(v => v >= 0 && v < Dedup.MinHashP))
   }
 
+  test("fused minhash kernel == explode+groupBy reference on random docs (incl. unicode/edge cases)") {
+    // The r10 kernel (MinHashSigExpr) must be BIT-identical to the
+    // original shingle-explode → md5Int32 → pmod-min formulation it
+    // replaced — same split semantics (trailing empties, repeated
+    // spaces), same md5-first-8-hex hash, same mod arithmetic.
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "γάμμα", "δ", "e", "", "naïve", "🙂x", "longertoken")
+    val texts = (0 until 40).map { i =>
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "" :+ "one two" :+ "a a a a a" :+ "x  y   z w"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fused = Dedup.minHashSignature(df, "text", "doc_id", 3, 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    // reference: the pre-r10 DataFrame formulation, inlined
+    val sh = df.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .withColumn("h", Dedup.md5Int32(col("shingle")))
+    val aggs = Dedup.minHashCoeffs(8).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(Dedup.MinHashP))).as(s"mh_$j")
+    }
+    val ref = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail.toSeq: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(fused.keySet === ref.keySet,
+      s"row sets differ: fused-only ${fused.keySet -- ref.keySet}, ref-only ${ref.keySet -- fused.keySet}")
+    ref.foreach { case (id, sig) =>
+      assert(fused(id) === sig, s"signature mismatch for doc $id")
+    }
+  }
+
   test("lsh: identical docs are candidate pairs") {
     val two = docs.limit(1)
       .unionByName(docs.limit(1).withColumn("doc_id", col("doc_id") + 7L))
