@@ -51,7 +51,20 @@ object LateInteraction {
     * split into `nSub` sub-vectors of width dim/nSub. Same per-pair cost
     * and rounding contract as [[maxSimLit]]; used under a broadcast
     * query × corpus join + per-query top-k window. */
+  /** r10: the fused kernel expression ([[graft.functions.VecMaxSimCols]])
+    * — identical arithmetic/rounding to the former unrolled-Column tree
+    * (pinned in LateInteractionSpec), ~7× faster per pair: the old
+    * ~dim·nSub-node codegen method blew JIT inlining budgets. */
   def maxSimCols(qv: Column, dv: Column, dim: Int, nSub: Int): Column = {
+    require(dim % nSub == 0, s"dim $dim not divisible by $nSub")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VecMaxSimCols(
+      ColumnBridge.expression(qv), ColumnBridge.expression(dv), dim, nSub))
+  }
+
+  /** The pre-r10 unrolled-Column formulation, kept as the spec reference
+    * for [[maxSimCols]] (bit-equality pinned in LateInteractionSpec). */
+  private[graft] def maxSimColsUnrolled(qv: Column, dv: Column, dim: Int, nSub: Int): Column = {
     require(dim % nSub == 0, s"dim $dim not divisible by $nSub")
     val w = dim / nSub
     (0 until nSub).map { i =>

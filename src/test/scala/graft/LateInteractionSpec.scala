@@ -62,6 +62,32 @@ class LateInteractionSpec extends SparkSpecBase {
     }
   }
 
+  test("fused maxSimCols kernel == the unrolled-Column formulation, bit for bit") {
+    import spark.implicits._
+    // random pairs incl. negative components (exercises HALF_UP away-from-
+    // zero on negative dots) across several (dim, nSub) shapes
+    val rnd = new scala.util.Random(41)
+    for ((dim, nSub) <- Seq((64, 4), (64, 8), (16, 2), (8, 1))) {
+      val rows = (0 until 60).map { i =>
+        (i.toLong,
+          Array.fill(dim)((rnd.nextGaussian() * 0.4).toFloat),
+          Array.fill(dim)((rnd.nextGaussian() * 0.4).toFloat))
+      }
+      val df = rows.toDF("id", "qv", "dv")
+      val got = df.select(col("id"),
+          LateInteraction.maxSimCols(col("qv"), col("dv"), dim, nSub).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = df.select(col("id"),
+          LateInteraction.maxSimColsUnrolled(col("qv"), col("dv"), dim, nSub).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach { case (id, _, _) =>
+        assert(java.lang.Double.doubleToLongBits(got(id)) ===
+          java.lang.Double.doubleToLongBits(want(id)),
+          s"dim=$dim nSub=$nSub id=$id: ${got(id)} vs ${want(id)}")
+      }
+    }
+  }
+
   test("prefix squared-L2 is a lower bound of the full distance (Matryoshka monotonicity)") {
     import graft.functions.Distances
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
