@@ -1898,7 +1898,11 @@ object SparkEntry {
     // 95% CI from the sample variance. Cosines 9-decimal-quantized into
     // exact decimal power sums; estimator math in identical IEEE doubles
     "vec_pairwise_sim_estimate" -> ((s, d) => {
-      val h = pmod(Dedup.md5Int32(col("vec_id").cast("string")), lit(20L))
+      // count-derived hash modulus: ~25 rows per arm (= the historical
+      // % 20 at the 500-row fixture) at ANY corpus size — a fixed 1/20
+      // hash slice made the cross product grow n²/400
+      val mh = math.max(2L, (embCount(s, d) + 24) / 25)
+      val h = pmod(Dedup.md5Int32(col("vec_id").cast("string")), lit(mh))
       val a = emb(s, d).filter(h === 0).select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = emb(s, d).filter(h === 1).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       val cs = round(Distances.cosineSimCols(col("va"), col("vb"), Dim), 9)
@@ -5501,7 +5505,7 @@ object SparkEntry {
            |  ROUND(quantile_cont(f, ${DuckSql.fmt(0.99)}) / quantile_cont(f, ${DuckSql.fmt(0.5)}), 6) AS p99_over_p50
            |FROM freq""".stripMargin,
       "vec_pairwise_sim_estimate" -> {
-        val h = s"(${Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")} % 20)"
+        val h = s"(${Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")} % (SELECT GREATEST(2, (COUNT(*) + 24) // 25) FROM embeddings))"
         val cs = DuckSql.cosineSimCols("a.va", "b.vb", Dim)
         s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE $h = 0),
            |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE $h = 1),
