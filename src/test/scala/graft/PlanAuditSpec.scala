@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Global plan hygiene over the ENTIRE declared registry: every one of the
+  * 268 query plans is built (AQE off, so the real join strategies are
+  * visible) and checked against the two big-data cliff patterns:
+  *
+  *  - CartesianProductExec: never acceptable — a non-broadcast cross of
+  *    two distributed relations is the first thing to die at scale. The
+  *    registry has ZERO.
+  *  - BroadcastNestedLoopJoinExec: acceptable ONLY for the documented
+  *    bounded-broadcast pattern — a crossJoin against a scalar aggregate
+  *    (model constants, corpus totals, thresholds) or a size-targeted
+  *    sample page (~20-25 rows at any SF by count-derived modulus). The
+  *    whitelist below is exhaustive; a BNLJ appearing in ANY other query
+  *    (e.g. an accidental non-equi join of two corpus-sized relations)
+  *    fails this suite before it can reach a cluster.
+  *
+  * Plan building executes the driver-side prep some queries do (counts,
+  * bounded codebook collects) at sf0.001 — cheap, and exactly what the
+  * driver's Verify pays per query anyway.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  /** Queries whose plans legitimately contain BNLJ: every occurrence is a
+    * crossJoin of a scalar aggregate (1 row) or a count-derived bounded
+    * sample/model page onto a distributed side. */
+  private val bnljBounded: Set[String] = Set(
+    // scalar corpus totals / denominators / thresholds
+    "agg_equidepth_hist", "agg_kmv_distinct", "agg_kmv_merge_daily",
+    "agg_rfm_segments", "agg_theta_intersect", "agg_winsorized_monthly",
+    "ann_ivf_cell_stats", "events_ewma_hourly", "events_funnel",
+    "events_funnel_latency", "events_rolling_active_users",
+    "profile_lineitem", "subquery_above_avg_orders", "text_bigram_lm",
+    "text_bm25_topk", "text_chi2_lang_source", "text_chunk_bm25_doc",
+    "text_nb_confusion", "text_pmi_bigrams", "text_quality_qnorm",
+    "rank_ndcg_bm25", "rerank_rrf_hybrid", "range_join_price_bands",
+    // size-targeted query/probe pages (count-derived, ~20-25 rows at any SF)
+    "ann_ivf_recall", "ann_ivf_recall_curve", "dedup_edit_distance",
+    "dedup_lsh_recall", "knn_classify_loo", "knn_hard_negatives",
+    "knn_join_l2", "knn_join_l2_agg", "sim_maxsim_join",
+    "vec_pairwise_sim_estimate", "vec_truncate_recall")
+
+  test("no CartesianProduct anywhere; BNLJ only in the documented bounded-broadcast queries") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan
+        val cart = p.collect { case c: CartesianProductExec => c }.size
+        val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }.size
+        if (cart > 0) offenders += s"$name: CartesianProduct x$cart"
+        if (bnlj > 0 && !bnljBounded.contains(name)) offenders += s"$name: unexpected BNLJ x$bnlj"
+      }
+      assert(offenders.isEmpty, s"plan hygiene violations:\n  ${offenders.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
