@@ -42,7 +42,15 @@ class PlanAuditSpec extends SparkSpecBase {
     "knn_join_l2", "knn_join_l2_agg", "sim_maxsim_join",
     "vec_pairwise_sim_estimate", "vec_truncate_recall")
 
-  test("no CartesianProduct anywhere; BNLJ only in the documented bounded-broadcast queries") {
+  /** Wide fixture tables and their column counts: a scan that reads the
+    * FULL schema of one of these for a narrower projection means column
+    * pruning broke — at 100 TB that is the difference between reading the
+    * projected columns and reading the table. */
+  private val tableWidths = Map(
+    "lineitem" -> 16, "orders" -> 9, "events" -> 7,
+    "documents" -> 6, "part" -> 9, "customer" -> 8)
+
+  test("no CartesianProduct anywhere; BNLJ only in the documented bounded-broadcast queries; no full-width scans of wide tables") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -53,6 +61,14 @@ class PlanAuditSpec extends SparkSpecBase {
         val bnlj = p.collect { case b: BroadcastNestedLoopJoinExec => b }.size
         if (cart > 0) offenders += s"$name: CartesianProduct x$cart"
         if (bnlj > 0 && !bnljBounded.contains(name)) offenders += s"$name: unexpected BNLJ x$bnlj"
+        p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+          .foreach { sc =>
+            val path = sc.relation.location.rootPaths.headOption.map(_.toString).getOrElse("")
+            tableWidths.foreach { case (t, w) =>
+              if (path.contains(t) && sc.requiredSchema.size >= w)
+                offenders += s"$name: full-width scan of $t (${sc.requiredSchema.size} cols)"
+            }
+          }
       }
       assert(offenders.isEmpty, s"plan hygiene violations:\n  ${offenders.mkString("\n  ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
