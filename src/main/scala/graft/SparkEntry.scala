@@ -2682,6 +2682,22 @@ object SparkEntry {
           all.filter(col("doc_id") % 10 === 5))
         .orderBy(col("doc_id"))
     }),
+    // DSIR importance resampling (Xie et al. 2023, word-bigram variant):
+    // every raw doc weighted by ln p_target − ln p_raw under two bigram
+    // LMs (target = the curated 1-in-10 slice, raw = the rest), then the
+    // top-100 budget selected by the ratio — the data-selection step
+    // between raw crawl and training mix. Model tables broadcast; the
+    // ratio is an EXACT decimal difference of the two per-doc sums, so
+    // ordering replays bit-for-bit; selection is a distributed top-k
+    // (TakeOrderedAndProject), never a global sort
+    "sample_dsir_importance" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      graft.operators.LangModel.dsirLogRatios(
+          all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("log_ratio").desc, col("doc_id").asc)
+        .limit(100)
+    }),
     // per-label centroid of the embedding space (class prototypes)
     "vec_label_centroids" -> ((s, d) =>
       graft.operators.Embed.labelCentroids(emb(s, d))
@@ -6255,6 +6271,39 @@ object SparkEntry {
           |SELECT doc_id, COUNT(*) AS n_bigrams,
           |  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logp
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "sample_dsir_importance" ->
+        """WITH tt AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+          |ttb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM tt, unnest(range(1, len(w))) AS t(i)),
+          |tc12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM ttb GROUP BY w1, w2),
+          |tc1 AS (SELECT w1, COUNT(*) AS c1 FROM ttb GROUP BY w1),
+          |tv AS (SELECT COUNT(DISTINCT u.word) AS v FROM tt, unnest(w) AS u(word)),
+          |rt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 <> 0),
+          |rtb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM rt, unnest(range(1, len(w))) AS t(i)),
+          |rc12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM rtb GROUP BY w1, w2),
+          |rc1 AS (SELECT w1, COUNT(*) AS c1 FROM rtb GROUP BY w1),
+          |rv AS (SELECT COUNT(DISTINCT u.word) AS v FROM rt, unnest(w) AS u(word)),
+          |hb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM rt, unnest(range(1, len(w))) AS t(i)),
+          |st AS (
+          |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS lp_t FROM (
+          |    SELECT hb.doc_id,
+          |      CAST(ROUND(LN((COALESCE(tc12.c12, 0) + 1.0) / (COALESCE(tc1.c1, 0) + tv.v)), 6)
+          |        AS DECIMAL(18,6)) AS lp
+          |    FROM hb LEFT JOIN tc12 ON hb.w1 = tc12.w1 AND hb.w2 = tc12.w2
+          |            LEFT JOIN tc1 ON hb.w1 = tc1.w1
+          |            CROSS JOIN tv)
+          |  GROUP BY doc_id),
+          |sr AS (
+          |  SELECT doc_id, SUM(lp) AS lp_r FROM (
+          |    SELECT hb.doc_id,
+          |      CAST(ROUND(LN((COALESCE(rc12.c12, 0) + 1.0) / (COALESCE(rc1.c1, 0) + rv.v)), 6)
+          |        AS DECIMAL(18,6)) AS lp
+          |    FROM hb LEFT JOIN rc12 ON hb.w1 = rc12.w1 AND hb.w2 = rc12.w2
+          |            LEFT JOIN rc1 ON hb.w1 = rc1.w1
+          |            CROSS JOIN rv)
+          |  GROUP BY doc_id)
+          |SELECT st.doc_id, st.n_bigrams, CAST(st.lp_t - sr.lp_r AS DOUBLE) AS log_ratio
+          |FROM st JOIN sr ON st.doc_id = sr.doc_id
+          |ORDER BY log_ratio DESC, st.doc_id ASC LIMIT 100""".stripMargin,
       "vec_label_centroids" ->
         s"""SELECT label, i AS dim_idx,
            |  CAST(SUM(CAST(ROUND(CAST($e[i+1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)

@@ -34,9 +34,11 @@ object LangModel {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
 
-  /** Per-held-out-document (n_bigrams, avg_logp) under the bigram LM
-    * trained on `train`. Both inputs need (doc_id, text). */
-  def scoreHeldOut(train: DataFrame, held: DataFrame): DataFrame = {
+  /** Per-held-out-document (n_bigrams, EXACT decimal sum of per-bigram
+    * log-probs) under the bigram LM trained on `train` — the composable
+    * form behind [[scoreHeldOut]] and the DSIR importance ratio (two
+    * such sums under different training slices subtract exactly). */
+  def scoreSums(train: DataFrame, held: DataFrame): DataFrame = {
     val tb = bigrams(train)
     val c12 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -54,7 +56,32 @@ object LangModel {
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), lp.as("lp"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logp"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+  }
+
+  /** Per-held-out-document (n_bigrams, avg_logp) under the bigram LM
+    * trained on `train`. Both inputs need (doc_id, text). */
+  def scoreHeldOut(train: DataFrame, held: DataFrame): DataFrame =
+    scoreSums(train, held)
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams")).as("avg_logp"))
+
+  /** DSIR-shape importance ratios (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", hashed-feature variant
+    * simplified to word bigrams): every `raw` document scored under a
+    * target-slice LM and under the raw-corpus LM; the importance log-ratio
+    * ln p_target(x) − ln p_raw(x) is the EXACT difference of the two
+    * decimal sums. Model tables are broadcast dictionaries, so the corpus
+    * never shuffles for scoring; the ratio join moves (doc, decimal) rows.
+    * Selection (top-budget by ratio) composes downstream as a distributed
+    * top-k. */
+  def dsirLogRatios(target: DataFrame, raw: DataFrame): DataFrame = {
+    val st = scoreSums(target, raw)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp").as("lp_t"))
+    val sr = scoreSums(raw, raw)
+      .select(col("doc_id"), col("sum_lp").as("lp_r"))
+    st.join(sr, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("lp_t") - col("lp_r")).cast("double").as("log_ratio"))
   }
 }

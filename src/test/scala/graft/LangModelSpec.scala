@@ -33,6 +33,31 @@ class LangModelSpec extends SparkSpecBase {
     assert(ids == Set(11L))
   }
 
+  test("dsirLogRatios: target-like raw docs outrank raw-like ones; ratio is the exact sum difference") {
+    import org.apache.spark.sql.functions._
+    // target slice speaks "alpha beta gamma"; most raw docs speak
+    // "delta epsilon zeta"; two raw docs speak the target dialect and
+    // must carry the highest importance ratios
+    val target = (0 until 6).map(i => (100L + i, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val raw = ((0 until 8).map(i => (i.toLong, "delta epsilon zeta delta epsilon")) ++
+      Seq((50L, "alpha beta gamma alpha"), (51L, "beta gamma alpha beta"))).toDF("doc_id", "text")
+    val got = LangModel.dsirLogRatios(target, raw).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val topTwo = got.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(topTwo == Set(50L, 51L), s"ratios: $got")
+    // every raw-dialect doc scores strictly below both target-dialect docs
+    val floor = math.min(got(50L), got(51L))
+    (0 until 8).foreach(i => assert(got(i.toLong) < floor, s"doc $i: ${got(i.toLong)}"))
+    // exactness: the ratio equals scoreSums(target) - scoreSums(raw) re-derived
+    val st = LangModel.scoreSums(target, raw).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    val sr = LangModel.scoreSums(raw, raw).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    got.foreach { case (id, lr) =>
+      assert(lr == st(id).subtract(sr(id)).doubleValue(), s"doc $id")
+    }
+  }
+
   test("unseen-everything document scores ln(1/V) per bigram") {
     val train = Seq((1L, "a b c")).toDF("doc_id", "text")
     val held = Seq((10L, "p q r")).toDF("doc_id", "text")
