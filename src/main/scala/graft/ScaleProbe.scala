@@ -77,6 +77,19 @@ object ScaleProbe extends App {
   t("cross kNN join 4-dim (100 q x 1M db)") {
     graft.operators.KnnTopK.join(probeQueries4, db4, k = 10, dim = 4).count()
   }
+  // Batch MaxSim join at 1M: 16 queries × 1M corpus through the fused
+  // VecMaxSimCols kernel + bounded top-k aggregator — the late-interaction
+  // retrieval shape of sim_maxsim_join at production row counts.
+  t("MaxSim join (16 q x 1M, fused kernel)") {
+    val qs = indexed.filter(pmod(col("vec_id"), lit(62500L)) === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cands = indexed.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        (-graft.operators.LateInteraction.maxSimCols(
+          col("qv"), col("embedding"), Fixtures.Dim, 4)).as("dist"))
+    val n = graft.operators.KnnTopK.topK(cands, 3).count()
+    assert(n > 0 && n <= 16 * 3, s"unexpected maxsim join size $n")
+  }
   t("banded LSH near-dup (0.1% sample)") {
     Ann.lshBandedNearDupPairs(
       indexed.filter(pmod(col("vec_id"), lit(1000)) === 0), Fixtures.Planes16,
