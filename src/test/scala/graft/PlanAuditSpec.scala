@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "agg_rfm_segments", "agg_theta_intersect", "agg_winsorized_monthly",
     "ann_ivf_cell_stats", "events_ewma_hourly", "events_funnel",
     "events_funnel_latency", "events_rolling_active_users",
-    "profile_lineitem", "subquery_above_avg_orders", "text_bigram_lm",
+    "profile_lineitem", "sample_dsir_importance", // 2x scoreSums vocab scalar
+    "subquery_above_avg_orders", "text_bigram_lm",
     "text_bm25_topk", "text_chi2_lang_source", "text_chunk_bm25_doc",
     "text_nb_confusion", "text_pmi_bigrams", "text_quality_qnorm",
     "rank_ndcg_bm25", "rerank_rrf_hybrid", "range_join_price_bands",
