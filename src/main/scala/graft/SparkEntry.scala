@@ -914,6 +914,22 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.avgWordLen(col("text")).as("avg_word_len"))
         .orderBy(col("doc_id"))),
+    // Gopher-style rule gate (Rae et al. 2021 App. A1): per-rule booleans
+    // + the conjunction, all integer cross-multiplied comparisons — the
+    // map-side filter pass of a curation pipeline, with per-rule columns
+    // for the rejection-rate data card
+    "text_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(par(s, docs(s, d))).orderBy(col("doc_id"))),
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): held-out docs
+    // labeled head/middle/tail against fixed per-token LM-score thresholds;
+    // the compare is exact decimal (sum_lp vs t·n), no float division
+    "text_perplexity_buckets" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      graft.operators.LangModel.perplexityBuckets(
+          all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("doc_id"))
+    }),
     "text_winnow_fingerprints" -> ((s, d) =>
       TextAnalysis.winnowFingerprints(par(s, docs(s, d).filter(col("doc_id") % 10 === 0)))
         .orderBy(col("doc_id"), col("fp"))),
@@ -3480,6 +3496,14 @@ object SparkEntry {
     // epochs of wiki" training mixture, replayed row-for-row by the
     // oracle's generate_series. Map-side only: no shuffle before the
     // presentation sort
+    // deterministic sharded epoch shuffle: shard = md5(seed‖id) mod 8,
+    // per-shard position by the same hash — a seed-keyed pseudo-random
+    // permutation via a PARTITIONED window (never the single-partition
+    // global-sort cliff); every row's position recomputable from (seed,id)
+    "sample_epoch_shuffle" -> ((s, d) =>
+      graft.operators.Governance.epochShuffle(
+          docs(s, d).select(col("doc_id")), col("doc_id"), seed = 7, nShards = 8)
+        .orderBy(col("doc_id"))),
     "sample_epoch_upsample" -> ((s, d) => {
       val rate = lit(1.0) +
         pmod(Dedup.md5Int32(col("source")), lit(300L)).cast("double") / lit(100.0)
@@ -4577,6 +4601,42 @@ object SparkEntry {
            |  FROM documents
            |) ORDER BY doc_id""".stripMargin
       },
+      "text_gopher_rules" ->
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS INT) AS chars,
+           |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopListSql)) AS INT) AS n_stop,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+           |  FROM documents)
+           |SELECT doc_id, n_words, n_stop, n_distinct,
+           |  (n_words >= 20 AND n_words <= 80) AS r_word_count,
+           |  (chars >= n_words * 3 AND chars <= n_words * 8) AS r_mean_word_len,
+           |  (n_stop * 50 >= n_words) AS r_stopwords,
+           |  (n_distinct * 2 >= n_words) AS r_distinct,
+           |  (n_words >= 20 AND n_words <= 80 AND chars >= n_words * 3 AND chars <= n_words * 8
+           |    AND n_stop * 50 >= n_words AND n_distinct * 2 >= n_words) AS keep
+           |FROM s ORDER BY doc_id""".stripMargin,
+      "text_perplexity_buckets" ->
+        """WITH train AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+          |tb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM train, unnest(range(1, len(w))) AS t(i)),
+          |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tb GROUP BY w1, w2),
+          |c1 AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY w1),
+          |vocab AS (SELECT COUNT(DISTINCT u.word) AS v FROM train, unnest(w) AS u(word)),
+          |held AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 <> 0),
+          |hb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM held, unnest(range(1, len(w))) AS t(i)),
+          |scored AS (
+          |  SELECT hb.doc_id,
+          |    CAST(ROUND(LN((COALESCE(c12.c12, 0) + 1.0) / (COALESCE(c1.c1, 0) + vocab.v)), 6)
+          |      AS DECIMAL(18,6)) AS lp
+          |  FROM hb LEFT JOIN c12 ON hb.w1 = c12.w1 AND hb.w2 = c12.w2
+          |          LEFT JOIN c1 ON hb.w1 = c1.w1
+          |          CROSS JOIN vocab)
+          |SELECT doc_id, COUNT(*) AS n_bigrams,
+          |  CASE WHEN SUM(lp) < CAST(-3.55 AS DECIMAL(18,6)) * COUNT(*) THEN 'tail'
+          |       WHEN SUM(lp) >= CAST(-3.49 AS DECIMAL(18,6)) * COUNT(*) THEN 'head'
+          |       ELSE 'middle' END AS bucket
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_winnow_fingerprints" ->
         """SELECT doc_id, fp FROM (
           |  SELECT doc_id, unnest(
@@ -7205,6 +7265,13 @@ object SparkEntry {
            |  round(median(v_day) OVER (PARTITION BY event_type ORDER BY day_epoch ASC
            |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
            |FROM daily ORDER BY event_type, day_epoch""".stripMargin,
+      "sample_epoch_shuffle" -> {
+        val h = Dedup.md5Int32Sql("'7:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH h AS (SELECT doc_id, ($h) AS h FROM documents)
+           |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+           |FROM h ORDER BY doc_id""".stripMargin
+      },
       "sample_epoch_upsample" -> {
         val srcH = Dedup.md5Int32Sql("source")
         val idH = Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")

@@ -63,6 +63,34 @@ object Governance {
       .drop("__n_copies")
   }
 
+  /** Deterministic sharded epoch shuffle — the global random permutation a
+    * training run wants, re-expressed as the shape a cluster can actually
+    * execute: shard = md5(seed‖id) mod nShards, then a per-shard position
+    * by the same hash (tie-broken on id, so the order is TOTAL and
+    * replayable). Reading shards in order, positions within each shard in
+    * order, visits the corpus in a seed-keyed pseudo-random permutation;
+    * changing `seed` reshuffles every epoch with zero state carried
+    * between epochs (no RNG to checkpoint, any row's position is
+    * recomputable from (seed, id) alone — the property that makes mid-
+    * epoch restart cheap).
+    *
+    * Scale shape: one hash-partitioned exchange on `shard` + a per-shard
+    * sort — Spark's `row_number` over a PARTITIONED window, never the
+    * single-partition global-window cliff. Each shard holds ~|corpus|/
+    * nShards rows; at 100 TB pick nShards so a shard fits an executor's
+    * sort budget (the same dial as shuffle partitions) — the plan shape
+    * is independent of corpus size. */
+  def epochShuffle(df: DataFrame, idCol: Column, seed: Int,
+      nShards: Int): DataFrame = {
+    val h = graft.operators.Dedup.md5Int32(
+      concat_ws(":", lit(seed), idCol.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), idCol)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
   /** Exact-duplicate resolution across sources by PRIORITY, not first-id:
     * within each content-digest group the survivor is the row with the
     * smallest (priority, id) — "when the same document appears in the

@@ -66,6 +66,27 @@ object LangModel {
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_lp").cast("double") / col("n_bigrams")).as("avg_logp"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * held-out docs labeled head/middle/tail by their per-token LM score
+    * against fixed thresholds. The threshold compare is EXACT decimal
+    * arithmetic: `avg < t` is evaluated as `sum_lp < t · n_bigrams`
+    * (n_bigrams > 0, so the cross-multiplication preserves direction) —
+    * the decimal sum from [[scoreSums]] against a decimal-literal product,
+    * no float division anywhere, so the bucket labels replay bit-exactly
+    * in any engine. Adds one broadcast-joined scan over [[scoreSums]]'s
+    * per-doc aggregate — nothing corpus-sized moves. */
+  def perplexityBuckets(train: DataFrame, held: DataFrame,
+      tTail: BigDecimal = BigDecimal("-3.55"),
+      tHead: BigDecimal = BigDecimal("-3.49")): DataFrame = {
+    val tailLit = lit(tTail.bigDecimal).cast(DecimalType(18, 6))
+    val headLit = lit(tHead.bigDecimal).cast(DecimalType(18, 6))
+    scoreSums(train, held).select(col("doc_id"), col("n_bigrams"),
+      when(col("sum_lp") < tailLit * col("n_bigrams"), lit("tail"))
+        .when(col("sum_lp") >= headLit * col("n_bigrams"), lit("head"))
+        .otherwise(lit("middle")).as("bucket"))
+  }
+
   /** DSIR-shape importance ratios (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", hashed-feature variant
     * simplified to word bigrams): every `raw` document scored under a

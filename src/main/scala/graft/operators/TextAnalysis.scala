@@ -189,6 +189,37 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Gopher-style per-document quality rule gate (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", App. A1 — word-count bounds, mean-word-length bounds,
+    * stop-word presence, repetition), adapted to the fixture corpus's
+    * signal ranges. Every rule is an INTEGER comparison (ratios cross-
+    * multiplied: stop/words ≥ 2% becomes `n_stop·50 ≥ n_words`), so the
+    * flags replay bit-exactly in any engine — no float thresholds to
+    * diverge on. One projection per row, zero shuffle at any corpus size:
+    * the filter gate of a 100 TB curation pass is map-side by design.
+    * Emits the per-rule booleans (not just the conjunction) because a
+    * production pipeline reports per-rule rejection rates (the data card),
+    * not a single opaque keep bit. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 20, maxWords: Int = 80): DataFrame = {
+    val w = words(col(textCol))
+    val nw = size(w)
+    // chars inside words: total minus the nw-1 single-space separators
+    val chars = length(col(textCol)) - nw + lit(1)
+    val nstop = nStopwords(col(textCol))
+    val ndist = size(array_distinct(w))
+    val rWc = nw >= minWords && nw <= maxWords
+    val rMwl = chars >= nw * lit(3) && chars <= nw * lit(8)
+    val rStop = nstop * lit(50) >= nw
+    val rDist = ndist * lit(2) >= nw
+    docs.select(col(idCol),
+      nw.as("n_words"), nstop.as("n_stop"), ndist.as("n_distinct"),
+      rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
+      rStop.as("r_stopwords"), rDist.as("r_distinct"),
+      (rWc && rMwl && rStop && rDist).as("keep"))
+  }
+
   /** fastText-shaped hashed linear classifier score: Σ over tokens of an
     * integer weight w(token) = (md5_32(token) mod 21) − 10 ∈ [−10, 10] — a
     * deterministic stand-in for trained weights (a real model drops its

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.operators.{Governance, LangModel, TextAnalysis}
+
+/** The round-10 curation-gate additions: Gopher-style rule flags
+  * (map-side, integer-exact), CCNet-style perplexity buckets (exact
+  * decimal threshold compare), and the deterministic sharded epoch
+  * shuffle (seed-keyed permutation through a PARTITIONED window).
+  */
+class QualityGateSpec extends SparkSpecBase {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("gopherRules flags match a per-row scala recomputation; keep is the conjunction") {
+    val got = TextAnalysis.gopherRules(docs).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val text = texts(r.getLong(0))
+      val ws = text.split(" ", -1)
+      val nw = ws.length
+      val chars = text.length - nw + 1
+      val nstop = ws.count(graft.core.Fixtures.Stopwords.contains)
+      val ndist = ws.distinct.length
+      assert(r.getInt(1) == nw && r.getInt(2) == nstop && r.getInt(3) == ndist)
+      val (rwc, rmwl) = (nw >= 20 && nw <= 80, chars >= nw * 3 && chars <= nw * 8)
+      val (rstop, rdist) = (nstop * 50 >= nw, ndist * 2 >= nw)
+      assert(r.getBoolean(4) == rwc && r.getBoolean(5) == rmwl)
+      assert(r.getBoolean(6) == rstop && r.getBoolean(7) == rdist)
+      assert(r.getBoolean(8) == (rwc && rmwl && rstop && rdist))
+    }
+    // rules must discriminate on the fixture (a rule that never fires
+    // tests nothing) — each flag sees both values somewhere
+    Seq(4, 6, 7).foreach { i =>
+      assert(got.map(_.getBoolean(i)).distinct.length == 2, s"rule col $i constant")
+    }
+  }
+
+  test("gopherRules is one map-side projection: zero shuffles in the plan") {
+    val p = TextAnalysis.gopherRules(docs).queryExecution.executedPlan
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+
+  test("perplexityBuckets agrees with the exact-decimal recomputation from scoreSums") {
+    val train = docs.filter(col("doc_id") % 10 === 0)
+    val held = docs.filter(col("doc_id") % 10 =!= 0)
+    val buckets = LangModel.perplexityBuckets(train, held).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val sums = LangModel.scoreSums(train, held).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+    assert(buckets.nonEmpty && buckets.length == sums.size)
+    val (tTail, tHead) = (BigDecimal("-3.55"), BigDecimal("-3.49"))
+    buckets.foreach { case (id, n, b) =>
+      val (nb, sum) = sums(id)
+      assert(n == nb)
+      val expect =
+        if (sum < tTail * nb) "tail"
+        else if (sum >= tHead * nb) "head"
+        else "middle"
+      assert(b == expect, s"doc $id: sum=$sum n=$nb got=$b want=$expect")
+    }
+    // thresholds must split the fixture corpus into 2+ non-empty buckets
+    assert(buckets.map(_._3).distinct.length >= 2)
+  }
+
+  test("epochShuffle is a bijection onto (shard, 1..shardSize), stable across runs, seed-sensitive") {
+    val ids = docs.select(col("doc_id"))
+    val a = Governance.epochShuffle(ids, col("doc_id"), seed = 7, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val n = ids.count()
+    assert(a.length == n)
+    // bijection: (shard, pos) keys are distinct, positions are 1..size(shard)
+    assert(a.map(t => (t._2, t._3)).distinct.length == n)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // deterministic replay
+    val b = Governance.epochShuffle(ids, col("doc_id"), seed = 7, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different seed is a different permutation
+    val c = Governance.epochShuffle(ids, col("doc_id"), seed = 8, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
+
+  test("epochShuffle windows are partitioned by shard — never a single-partition global sort") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Governance.epochShuffle(docs.select(col("doc_id")),
+        col("doc_id"), seed = 7, nShards = 8).queryExecution.executedPlan
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
