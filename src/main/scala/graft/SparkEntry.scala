@@ -1372,6 +1372,34 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.nWords(col("text")).as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // pretrain prep v2 — the round-10 curation stack composed end-to-end:
+    // Gopher rule gate (map-side integer flags, pushed into the scan) →
+    // CCNet perplexity-bucket filter (drop 'tail' under an LM trained on
+    // the %10 slice) → exact dedup → deterministic epoch shuffle. Text
+    // never moves after the gate: the bucket join carries only (doc_id,
+    // digest, n_tokens); dedup is a struct-MIN groupBy on the digest; the
+    // shuffle stage is one hash exchange + per-shard sort. Like
+    // pipeline_pretrain, the WHOLE composition is oracle-checked by
+    // chaining the proven per-stage SQL fragments
+    "pipeline_pretrain_v2" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      val train = all.filter(col("doc_id") % 10 === 0)
+      val gated = all.filter(col("doc_id") % 10 =!= 0 &&
+        TextAnalysis.gopherKeep(col("text")))
+      val buckets = graft.operators.LangModel.perplexityBuckets(train, gated)
+        .filter(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("bucket"))
+      val meta = gated.select(col("doc_id"), md5(col("text")).as("__digest"),
+        TextAnalysis.nWords(col("text")).as("n_tokens"))
+      val canon = buckets.join(meta, "doc_id")
+        .groupBy(col("__digest"))
+        .agg(min(struct(col("doc_id"), col("bucket"), col("n_tokens"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.bucket").as("bucket"),
+          col("r.n_tokens").as("n_tokens"))
+      graft.operators.Governance.epochShuffle(canon, col("doc_id"),
+          seed = 7, nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
     // --- multimodal plumbing (north star): binary payload + stub decode.
     // Checksum/decode are JVM-side (mapPartitions) — rows-only check.
     "media_features" -> ((s, d) =>
@@ -5853,6 +5881,50 @@ object SparkEntry {
            |)
            |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS INT) AS n_tokens
            |FROM clean c JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "pipeline_pretrain_v2" -> {
+        val h = Dedup.md5Int32Sql("'7:' || CAST(k.doc_id AS VARCHAR)")
+        s"""WITH gop AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           |      CAST(length(text) - len(string_split(text, ' ')) + 1 AS INT) AS chars,
+           |      CAST(len(list_filter(string_split(text, ' '), w -> w IN $stopListSql)) AS INT) AS n_stop,
+           |      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+           |    FROM documents WHERE doc_id % 10 <> 0)
+           |  WHERE n_words >= 20 AND n_words <= 80 AND chars >= n_words * 3 AND chars <= n_words * 8
+           |    AND n_stop * 50 >= n_words AND n_distinct * 2 >= n_words
+           |), train AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+           |tb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM train, unnest(range(1, len(w))) AS t(i)),
+           |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tb GROUP BY w1, w2),
+           |c1 AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY w1),
+           |vocab AS (SELECT COUNT(DISTINCT u.word) AS v FROM train, unnest(w) AS u(word)),
+           |held AS (SELECT d.doc_id, string_split(d.text, ' ') AS w FROM documents d JOIN gop USING (doc_id)),
+           |hb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM held, unnest(range(1, len(w))) AS t(i)),
+           |scored AS (
+           |  SELECT hb.doc_id,
+           |    CAST(ROUND(LN((COALESCE(c12.c12, 0) + 1.0) / (COALESCE(c1.c1, 0) + vocab.v)), 6)
+           |      AS DECIMAL(18,6)) AS lp
+           |  FROM hb LEFT JOIN c12 ON hb.w1 = c12.w1 AND hb.w2 = c12.w2
+           |          LEFT JOIN c1 ON hb.w1 = c1.w1
+           |          CROSS JOIN vocab),
+           |buck AS (
+           |  SELECT doc_id,
+           |    CASE WHEN SUM(lp) < CAST(-3.55 AS DECIMAL(18,6)) * COUNT(*) THEN 'tail'
+           |         WHEN SUM(lp) >= CAST(-3.49 AS DECIMAL(18,6)) * COUNT(*) THEN 'head'
+           |         ELSE 'middle' END AS bucket
+           |  FROM scored GROUP BY doc_id),
+           |kept AS (
+           |  SELECT b.doc_id, b.bucket, md5(d.text) AS digest,
+           |    CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+           |  FROM buck b JOIN documents d USING (doc_id) WHERE b.bucket <> 'tail'),
+           |canon AS (SELECT digest, MIN(doc_id) AS doc_id FROM kept GROUP BY digest),
+           |ch AS (
+           |  SELECT k.doc_id, k.bucket, k.n_tokens, ($h) AS h
+           |  FROM kept k JOIN canon c ON k.digest = c.digest AND k.doc_id = c.doc_id)
+           |SELECT doc_id, bucket, n_tokens, CAST(h % 8 AS INT) AS shard,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+           |FROM ch ORDER BY doc_id""".stripMargin
+      },
       "decontam_ngram_overlap" ->
         s"""WITH g AS (
            |  SELECT doc_id, ${Dedup.md5LongSql("g")} AS gh FROM (

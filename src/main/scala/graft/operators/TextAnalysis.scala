@@ -203,21 +203,35 @@ object TextAnalysis {
     * not a single opaque keep bit. */
   def gopherRules(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minWords: Int = 20, maxWords: Int = 80): DataFrame = {
-    val w = words(col(textCol))
-    val nw = size(w)
-    // chars inside words: total minus the nw-1 single-space separators
-    val chars = length(col(textCol)) - nw + lit(1)
-    val nstop = nStopwords(col(textCol))
-    val ndist = size(array_distinct(w))
-    val rWc = nw >= minWords && nw <= maxWords
-    val rMwl = chars >= nw * lit(3) && chars <= nw * lit(8)
-    val rStop = nstop * lit(50) >= nw
-    val rDist = ndist * lit(2) >= nw
+    val (nw, nstop, ndist, rWc, rMwl, rStop, rDist) =
+      gopherParts(col(textCol), minWords, maxWords)
     docs.select(col(idCol),
       nw.as("n_words"), nstop.as("n_stop"), ndist.as("n_distinct"),
       rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
       rStop.as("r_stopwords"), rDist.as("r_distinct"),
       (rWc && rMwl && rStop && rDist).as("keep"))
+  }
+
+  /** The [[gopherRules]] conjunction as a single map-side predicate — the
+    * form a pipeline's filter stage wants (no flag projection, pushable
+    * straight into the scan). */
+  def gopherKeep(text: Column, minWords: Int = 20, maxWords: Int = 80): Column = {
+    val (_, _, _, rWc, rMwl, rStop, rDist) = gopherParts(text, minWords, maxWords)
+    rWc && rMwl && rStop && rDist
+  }
+
+  private def gopherParts(text: Column, minWords: Int, maxWords: Int) = {
+    val w = words(text)
+    val nw = size(w)
+    // chars inside words: total minus the nw-1 single-space separators
+    val chars = length(text) - nw + lit(1)
+    val nstop = nStopwords(text)
+    val ndist = size(array_distinct(w))
+    (nw, nstop, ndist,
+      nw >= minWords && nw <= maxWords,
+      chars >= nw * lit(3) && chars <= nw * lit(8),
+      nstop * lit(50) >= nw,
+      ndist * lit(2) >= nw)
   }
 
   /** fastText-shaped hashed linear classifier score: Σ over tokens of an

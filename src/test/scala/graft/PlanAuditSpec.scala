@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "subquery_above_avg_orders", "text_bigram_lm",
     "text_bm25_topk", "text_chi2_lang_source", "text_chunk_bm25_doc",
     "text_nb_confusion", "text_perplexity_buckets", // scoreSums vocab scalar
+    "pipeline_pretrain_v2", // scoreSums vocab scalar inside the bucket stage
     "text_pmi_bigrams", "text_quality_qnorm",
     "rank_ndcg_bm25", "rerank_rrf_hybrid", "range_join_price_bands",
     // size-targeted query/probe pages (count-derived, ~20-25 rows at any SF)

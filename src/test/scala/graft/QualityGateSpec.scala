@@ -87,6 +87,26 @@ class QualityGateSpec extends SparkSpecBase {
     assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
   }
 
+  test("pipeline_pretrain_v2 composes the gates: survivors are gopher-kept, non-tail, digest-unique, shuffle-complete") {
+    val out = SparkEntry.queries("pipeline_pretrain_v2")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // every survivor passes the gopher gate and is a held-out (non-train) doc
+    val gateIds = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(TextAnalysis.gopherKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = out.map(_.getLong(0))
+    assert(ids.forall(gateIds.contains) && ids.distinct.length == ids.length)
+    // no 'tail' bucket survives; at least one doc was actually filtered somewhere
+    assert(out.forall(_.getString(1) != "tail"))
+    assert(ids.length < gateIds.size || gateIds.size < docs.count())
+    // the epoch-shuffle output is a bijection onto (shard, 1..shardSize)
+    val sp = out.map(r => (r.getInt(3), r.getInt(4)))
+    assert(sp.distinct.length == sp.length)
+    sp.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("epochShuffle windows are partitioned by shard — never a single-partition global sort") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
