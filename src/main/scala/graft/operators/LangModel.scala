@@ -97,12 +97,40 @@ object LangModel {
     * Selection (top-budget by ratio) composes downstream as a distributed
     * top-k. */
   def dsirLogRatios(target: DataFrame, raw: DataFrame): DataFrame = {
-    val st = scoreSums(target, raw)
-      .select(col("doc_id"), col("n_bigrams"), col("sum_lp").as("lp_t"))
-    val sr = scoreSums(raw, raw)
-      .select(col("doc_id"), col("sum_lp").as("lp_r"))
-    st.join(sr, "doc_id")
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("lp_t") - col("lp_r")).cast("double").as("log_ratio"))
+    // Both models score the SAME held bigrams, so fuse them into one
+    // pass: four broadcast model-table joins + one per-doc aggregation,
+    // instead of two full scoreSums (two held-side explodes, two per-doc
+    // groupBys, and a corpus-sized doc_id join to recombine). The per-
+    // bigram decimals are identical to the unfused form, so the sums —
+    // and the oracle — are bit-for-bit unchanged.
+    val (c12t, c1t, vt) = model(target, "c12_t", "c1_t", "v_t")
+    val (c12r, c1r, vr) = model(raw, "c12_r", "c1_r", "v_r")
+    def lp(c12: String, c1: String, v: String): Column = round(
+        log((coalesce(col(c12), lit(0L)) + lit(1.0)) /
+            (coalesce(col(c1), lit(0L)) + col(v))), 6)
+      .cast(DecimalType(18, 6))
+    bigrams(raw)
+      .join(broadcast(c12t), Seq("w1", "w2"), "left")
+      .join(broadcast(c1t), Seq("w1"), "left")
+      .join(broadcast(c12r), Seq("w1", "w2"), "left")
+      .join(broadcast(c1r), Seq("w1"), "left")
+      .crossJoin(broadcast(vt.crossJoin(vr)))
+      .select(col("doc_id"),
+        lp("c12_t", "c1_t", "v_t").as("lp_t"), lp("c12_r", "c1_r", "v_r").as("lp_r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp_t")) - sum(col("lp_r"))).cast("double").as("log_ratio"))
+      .select(col("doc_id"), col("n_bigrams"), col("log_ratio"))
+  }
+
+  /** Bigram-LM model tables for `train`: (c(w1,w2), c(w1·), |V|) under
+    * caller-chosen column names so two models join side by side. */
+  private def model(train: DataFrame, c12Name: String, c1Name: String,
+      vName: String): (DataFrame, DataFrame, DataFrame) = {
+    val tb = bigrams(train)
+    (tb.groupBy("w1", "w2").agg(count(lit(1)).as(c12Name)),
+      tb.groupBy("w1").agg(count(lit(1)).as(c1Name)),
+      train.select(explode(split(col("text"), " ")).as("word"))
+        .agg(count_distinct(col("word")).as(vName)))
   }
 }
