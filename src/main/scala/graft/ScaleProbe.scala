@@ -119,6 +119,34 @@ object ScaleProbe extends App {
     graft.operators.TextAnalysis.repetitionSignals(bigDocs)
       .write.format("noop").mode("overwrite").save()
   }
+  // Round-10 curation stack end-to-end at 1M docs: Gopher gate (map-side,
+  // pushed into the scan) → perplexity buckets (broadcast-model scoring;
+  // the only corpus-sized shuffles are the bigram model build and the
+  // per-doc aggregation) → exact dedup (digest groupBy) → epoch shuffle
+  // (one hash exchange + per-shard sort). The replicated corpus collapses
+  // at the dedup stage — the funnel a crawl corpus actually has.
+  t("curation stack v2 (1M docs)") {
+    val vReps = math.max(1L, 1000000L / nDocs)
+    val big1m = docsBase.crossJoin(spark.range(vReps).toDF("rep"))
+      .select((col("doc_id") * vReps + col("rep")).as("doc_id"), col("text"))
+      .repartition(64)
+    val train = big1m.filter(col("doc_id") % 10 === 0)
+    val gated = big1m.filter(col("doc_id") % 10 =!= 0 &&
+      graft.operators.TextAnalysis.gopherKeep(col("text")))
+    val buckets = graft.operators.LangModel.perplexityBuckets(train, gated)
+      .filter(col("bucket") =!= "tail").select(col("doc_id"))
+    val canon = buckets
+      .join(gated.select(col("doc_id"), md5(col("text")).as("d")), "doc_id")
+      .groupBy(col("d")).agg(min(col("doc_id")).as("doc_id"))
+    val out = graft.operators.Governance.epochShuffle(
+      canon.select(col("doc_id")), col("doc_id"), seed = 7, nShards = 64)
+    val (survivors, maxPos) = {
+      val r = out.agg(count(lit(1)), max(col("pos"))).head()
+      (r.getLong(0), r.getInt(1))
+    }
+    println(s"SCALE   v2 survivors: $survivors (max shard fill $maxPos)")
+    assert(survivors > 0 && maxPos.toLong <= survivors)
+  }
   val cents = t("IVF centroids + lloyd step") {
     val c0 = Ann.sampleCentroids(indexed, 64)
     Ann.lloydStep(Ann.assign(indexed, c0), c0)
