@@ -2812,6 +2812,16 @@ object SparkEntry {
     "text_bpe_token_counts" -> ((s, d) =>
       graft.operators.Bpe.trainAndEncode(par(s, docs(s, d)), nMerges = 4)
         .orderBy(col("doc_id"))),
+    // per-source tokenizer fertility (tokens/word, chars/token) under the
+    // learned merges — the tokenizer-efficiency row of the corpus data
+    // card; |sources| output rows at any corpus size
+    "text_token_fertility" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      val merges = graft.operators.Bpe.train(all, nMerges = 4).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.fertilityByGroup(all, merges, "source")
+        .orderBy(col("source"))
+    }),
     // trailing-window anomaly detection on the event stream: hourly counts
     // vs their own trailing-24-HOUR mean. The frame is a value-based RANGE
     // over hour_epoch (a ROWS frame would skip empty hours and stretch the
@@ -6543,6 +6553,7 @@ object SparkEntry {
       "text_bm25_topk" -> bm25ScoredSql(K),
       "text_bpe_merges" -> graft.operators.Bpe.oracleSql(4),
       "text_bpe_token_counts" -> graft.operators.Bpe.encodeOracleSql(4),
+      "text_token_fertility" -> graft.operators.Bpe.fertilityOracleSql(4),
       "events_hourly_anomaly" ->
         """WITH hourly AS (
           |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -226,6 +226,51 @@ object Bpe {
     encodeTokenCounts(docs, merges, textCol, idCol)
   }
 
+  /** Per-group tokenizer fertility under the learned merges: tokens/word
+    * and chars/token — the tokenizer-efficiency row of a corpus data card
+    * (a source whose fertility spikes is a tokenizer–domain mismatch; the
+    * statistic token-budget planning divides by). Same broadcast-dictionary
+    * shape as [[encodeTokenCounts]]: the merge fold runs over |vocab| rows,
+    * the corpus pays a broadcast hash probe and ONE aggregation keyed by
+    * the group — output is |groups| rows at any corpus size. */
+  def fertilityByGroup(docs: DataFrame, merges: Seq[(String, String)],
+      groupCol: String, textCol: String = "text"): DataFrame = {
+    val sym = merges.foldLeft(toSymbols(col("word"))) {
+      case (s, (p1, p2)) => applyMerge(s, p1, p2)
+    }
+    val words = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val dict = words.select(col("word")).distinct()
+      .select(col("word"), size(split(sym, " ")).as("n_tok"),
+        length(col("word")).as("n_chr"))
+    words.join(broadcast(dict), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
+  /** Unrolled DuckDB mirror of [[fertilityByGroup]] grouped by `source`. */
+  def fertilityOracleSql(nMerges: Int): String =
+    cteChain(nMerges, buildLast = true) + s"""
+      |SELECT source, n_words, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word,
+      |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+      |FROM (
+      |  SELECT w.source, COUNT(*) AS n_words,
+      |    CAST(SUM(len(string_split(d.sym, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(length(w.word)) AS BIGINT) AS n_chars
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) w
+      |  JOIN wf$nMerges d ON w.word = d.word
+      |  WHERE w.word <> ''
+      |  GROUP BY w.source)
+      |ORDER BY source""".stripMargin
+
   /** Unrolled DuckDB mirror of [[train]] for `nMerges` iterations over
     * `documents.text` — each iteration re-derives the top pair from the
     * previous dictionary state and applies the same left-fold merge. */

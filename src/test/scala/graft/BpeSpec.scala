@@ -51,6 +51,20 @@ class BpeSpec extends SparkSpecBase {
     assert(got == Set((1L, 3L, 6L), (2L, 2L, 8L)))
   }
 
+  test("fertilityByGroup: per-group tokens/word and chars/token under the merges") {
+    // merges (2): ab, then abab. src A: "abab cd" -> toks [abab]=1 + [c,d]=2
+    // over 2 words, 6 chars; src B: "abab abab" -> 2 toks, 2 words, 8 chars
+    val docs = Seq((1L, "abab cd", "A"), (2L, "abab abab", "B"))
+      .toDF("doc_id", "text", "source")
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val got = Bpe.fertilityByGroup(docs, merges, "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got == Set(
+      ("A", 2L, 3L, 1.5, 2.0),     // 3 toks / 2 words; 6 chars / 3 toks
+      ("B", 2L, 2L, 1.0, 4.0)))    // 2 toks / 2 words; 8 chars / 2 toks
+  }
+
   test("a run of repeats merges canonically within one iteration (aaaa case)") {
     // [a,a,a,a] under (a,a): left fold gives [aa,aa] — the new token never
     // pairs with the symbol that created it in the same pass
