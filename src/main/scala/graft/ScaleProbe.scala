@@ -142,7 +142,7 @@ object ScaleProbe extends App {
       canon.select(col("doc_id")), col("doc_id"), seed = 7, nShards = 64)
     val (survivors, maxPos) = {
       val r = out.agg(count(lit(1)), max(col("pos"))).head()
-      (r.getLong(0), r.getInt(1))
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
     }
     println(s"SCALE   v2 survivors: $survivors (max shard fill $maxPos)")
     assert(survivors > 0 && maxPos.toLong <= survivors)

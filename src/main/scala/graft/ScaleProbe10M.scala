@@ -113,6 +113,28 @@ object ScaleProbe10M extends App {
     funnel.foreach { case (s, n) => println(f"SCALE   funnel $s%-18s $n%10d") }
   }
 
+  // Round-10 curation stack at 10M: the perplexity LM is trained on the
+  // BOUNDED trusted slice (the 5k base docs — the CCNet shape: the model
+  // comes from Wikipedia, not from the crawl being filtered), so the
+  // broadcast model tables stay dictionary-sized no matter how large the
+  // raw corpus grows. Scoring is a map-side probe pass + one per-doc
+  // aggregation over the 10M side; dedup is a digest groupBy; the epoch
+  // shuffle is one hash exchange + per-shard sort over the survivors.
+  t("curation stack v2 (10M docs)") {
+    val gated = docs.filter(graft.operators.TextAnalysis.gopherKeep(col("text")))
+    val buckets = graft.operators.LangModel.perplexityBuckets(base, gated)
+      .filter(col("bucket") =!= "tail").select(col("doc_id"))
+    val canon = buckets
+      .join(gated.select(col("doc_id"), md5(col("text")).as("d")), "doc_id")
+      .groupBy(col("d")).agg(min(col("doc_id")).as("doc_id"))
+    val out = graft.operators.Governance.epochShuffle(
+      canon.select(col("doc_id")), col("doc_id"), seed = 7, nShards = 256)
+    val r = out.agg(count(lit(1)), max(col("pos"))).head()
+    val maxPos = if (r.isNullAt(1)) 0 else r.getInt(1)
+    println(s"SCALE   v2 survivors: ${r.getLong(0)} (max shard fill $maxPos)")
+    assert(r.getLong(0) > 0 && maxPos.toLong <= r.getLong(0))
+  }
+
   }
 
   // r7 scaled-SemDeDup cell bound at 1M vectors: stratified seeded

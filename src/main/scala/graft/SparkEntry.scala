@@ -1234,6 +1234,10 @@ object SparkEntry {
       val cand = broadcast(qs).join(assigned, "ivf_cell")
         .select(col("query_id"), col("rnp0"), col("vec_id"),
           Distances.squaredL2Cols(col("q_embedding"), col("embedding"), Dim).as("dist"))
+        // persist: the four arms reuse the scored set within one action;
+        // no unpersist hook exists on a returned-DataFrame contract, so
+        // reclamation is ContextCleaner's on the abandoned plan (the same
+        // documented reliance as Dedup's signature persist)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val curve = Seq(1, 2, 4, 8).map { np =>
         KnnTopK.topK(cand.filter(col("rnp0") < np), K)
@@ -3528,12 +3532,6 @@ object SparkEntry {
           round(col("med7"), 6).as("med7"))
         .orderBy(col("event_type"), col("day_epoch"))
     }),
-    // fractional-epoch upsampling: per-source rate in [1.00, 3.99] from
-    // the source-name hash; each doc emits ⌊rate⌋ copies plus a
-    // deterministic id-hash-selected extra — the materialized "2.5
-    // epochs of wiki" training mixture, replayed row-for-row by the
-    // oracle's generate_series. Map-side only: no shuffle before the
-    // presentation sort
     // deterministic sharded epoch shuffle: shard = md5(seed‖id) mod 8,
     // per-shard position by the same hash — a seed-keyed pseudo-random
     // permutation via a PARTITIONED window (never the single-partition
@@ -3542,6 +3540,12 @@ object SparkEntry {
       graft.operators.Governance.epochShuffle(
           docs(s, d).select(col("doc_id")), col("doc_id"), seed = 7, nShards = 8)
         .orderBy(col("doc_id"))),
+    // fractional-epoch upsampling: per-source rate in [1.00, 3.99] from
+    // the source-name hash; each doc emits ⌊rate⌋ copies plus a
+    // deterministic id-hash-selected extra — the materialized "2.5
+    // epochs of wiki" training mixture, replayed row-for-row by the
+    // oracle's generate_series. Map-side only: no shuffle before the
+    // presentation sort
     "sample_epoch_upsample" -> ((s, d) => {
       val rate = lit(1.0) +
         pmod(Dedup.md5Int32(col("source")), lit(300L)).cast("double") / lit(100.0)

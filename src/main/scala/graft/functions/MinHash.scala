@@ -26,6 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MinHashKernel extends Serializable {
 
+  // one digest + builder per executor thread, not per document — the
+  // getInstance provider lookup and builder allocation are measurable at
+  // 10M rows (the object lives per-JVM; ThreadLocal makes reuse safe
+  // under concurrent tasks)
+  private val mdLocal = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val sbLocal = ThreadLocal.withInitial[java.lang.StringBuilder](
+    () => new java.lang.StringBuilder(64))
+
   /** Signature of `text`, or null when the doc has no w-shingle (fewer
     * than w words) — callers filter null rows, mirroring the groupBy form
     * that simply produced no row for such docs. */
@@ -37,8 +46,8 @@ object MinHashKernel extends Serializable {
     if (n <= 0) return null
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val sb = new java.lang.StringBuilder(64)
+    val md = mdLocal.get()
+    val sb = sbLocal.get()
     var i = 0
     while (i < n) {
       sb.setLength(0)

@@ -82,6 +82,11 @@ object Governance {
     * is independent of corpus size. */
   def epochShuffle(df: DataFrame, idCol: Column, seed: Int,
       nShards: Int): DataFrame = {
+    // fail loudly instead of silently replacing a caller's column —
+    // "shard"/"pos" are plausible user names on a training-mix frame
+    Seq("shard", "pos", "__h").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochShuffle would overwrite existing column '$c'"))
     val h = graft.operators.Dedup.md5Int32(
       concat_ws(":", lit(seed), idCol.cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), idCol)

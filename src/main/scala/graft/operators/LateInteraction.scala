@@ -48,13 +48,13 @@ object LateInteraction {
 
   /** Column-vs-column MaxSim — the batch (join) form: score a packed
     * query-vector COLUMN against a packed document-vector column, both
-    * split into `nSub` sub-vectors of width dim/nSub. Same per-pair cost
-    * and rounding contract as [[maxSimLit]]; used under a broadcast
-    * query × corpus join + per-query top-k window. */
-  /** r10: the fused kernel expression ([[graft.functions.VecMaxSimCols]])
-    * — identical arithmetic/rounding to the former unrolled-Column tree
-    * (pinned in LateInteractionSpec), ~7× faster per pair: the old
-    * ~dim·nSub-node codegen method blew JIT inlining budgets. */
+    * split into `nSub` sub-vectors of width dim/nSub, same rounding
+    * contract as [[maxSimLit]]; used under a broadcast query × corpus
+    * join + the bounded KnnTopK aggregator. Implemented as the fused
+    * kernel expression ([[graft.functions.VecMaxSimCols]]) — identical
+    * arithmetic/rounding to the former unrolled-Column tree (pinned in
+    * LateInteractionSpec), ~7× faster per pair: the old ~dim·nSub-node
+    * codegen method blew JIT inlining budgets. */
   def maxSimCols(qv: Column, dv: Column, dim: Int, nSub: Int): Column = {
     require(dim % nSub == 0, s"dim $dim not divisible by $nSub")
     import org.apache.spark.sql.graftbridge.ColumnBridge
