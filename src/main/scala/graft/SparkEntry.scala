@@ -2182,6 +2182,19 @@ object SparkEntry {
         .withColumn("contaminated", col("contaminated").cast("int"))
         .orderBy(col("doc_id"))
     }),
+    // Bloom-filter decontamination: the benchmark gram set compressed to
+    // an 8 KB bitmask (the scale path when even the deduplicated gram
+    // dictionary is too big to broadcast exactly); Kirsch–Mitzenmacher
+    // double hashing over 32-bit md5s, so the oracle replays the exact
+    // bit positions — the flag set, false positives included, is
+    // deterministic. One-sided error: exact-contaminated ⊆ bloom-flagged
+    "decontam_bloom" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      graft.operators.Decontam.bloomNgramFlags(
+        all.filter(col("doc_id") % 50 =!= 0),
+        all.filter(col("doc_id") % 50 === 0), n = 4)
+        .orderBy(col("doc_id"))
+    }),
     // exact-span contamination report: hashed-gram candidates VERIFIED by
     // string equality (a 60-bit collision costs a compare, never a false
     // flag), overlapping verified grams merged into maximal spans — the
@@ -5955,6 +5968,31 @@ object SparkEntry {
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
            |LEFT JOIN hits ON d.doc_id = hits.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "decontam_bloom" ->
+        s"""WITH bg AS (
+           |  SELECT DISTINCT g FROM (
+           |    SELECT unnest(list_distinct(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')))) AS g
+           |    FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0))
+           |), bits AS (
+           |  SELECT DISTINCT (h1 + i * h2) % 65536 AS p FROM (
+           |    SELECT ${Dedup.md5Int32Sql("g")} AS h1, ${Dedup.md5Int32Sql("'b:' || g")} AS h2 FROM bg),
+           |    unnest([0, 1, 2]) AS t(i)
+           |), th AS (
+           |  SELECT doc_id, ${Dedup.md5Int32Sql("g")} AS h1, ${Dedup.md5Int32Sql("'b:' || g")} AS h2 FROM (
+           |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')))) AS g
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 <> 0))
+           |), fl AS (
+           |  SELECT doc_id, CASE WHEN
+           |        (h1 + 0 * h2) % 65536 IN (SELECT p FROM bits)
+           |    AND (h1 + 1 * h2) % 65536 IN (SELECT p FROM bits)
+           |    AND (h1 + 2 * h2) % 65536 IN (SELECT p FROM bits)
+           |    THEN 1 ELSE 0 END AS f FROM th
+           |)
+           |SELECT d.doc_id, CAST(COALESCE(SUM(f), 0) AS BIGINT) AS n_flagged_ngrams,
+           |  COALESCE(SUM(f), 0) > 0 AS contaminated_bloom
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+           |LEFT JOIN fl USING (doc_id)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
       "join_bloom_prefilter" ->
         s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
            |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -46,6 +46,59 @@ object Decontam {
         (col("n_hits") > 0L).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the scale path for when even the
+    * DEDUPLICATED benchmark gram dictionary is too large to broadcast as
+    * an exact hash set (a full eval-suite union at 13-gram granularity):
+    * the benchmark is compressed to an `mBits`-bit Bloom bitmask (8 KB at
+    * the default 2^16 — shippable to every executor as ONE literal), and
+    * the corpus probes it map-side. Kirsch–Mitzenmacher double hashing:
+    * position_i = (h1 + i·h2) mod m, h1/h2 = 32-bit md5 of the gram and
+    * of "b:"‖gram — max h1 + 2·h2 < 2^34, no BIGINT overflow in either
+    * engine, so the oracle replays the EXACT bit positions and the flag
+    * set (including its false positives) is deterministic.
+    *
+    * One-sided error by construction: a gram in the benchmark always
+    * probes all-ones, so exact-contaminated ⊆ bloom-flagged (no false
+    * negatives — the property a leakage gate must keep; DecontamSpec pins
+    * it). False positives over-quarantine at the configured m/k rate.
+    *
+    * Output per training doc: (idCol, n_flagged_ngrams, contaminated
+    * _bloom); gram-less docs carry 0/false, like [[ngramOverlap]]. */
+  def bloomNgramFlags(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 4,
+      mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+    def positions(h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column) =
+      (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))
+    // build: distinct bench-gram bit positions -> driver bitmask (bounded
+    // by mBits/8 bytes regardless of benchmark size — the whole point)
+    val benchPos = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(Dedup.md5Int32(col("g")).as("h1"),
+        Dedup.md5Int32(concat(lit("b:"), col("g"))).as("h2"))
+      .select(explode(array(positions(col("h1"), col("h2")): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    val mask = new Array[Long](mBits / 64)
+    benchPos.foreach(p => mask(p >> 6) |= (1L << (p & 63)))
+    val maskLit = typedlit(mask.toSeq)
+    def member(h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column) =
+      positions(h1, h2).map { p =>
+        call_function("shiftright",
+            element_at(maskLit, (p / 64L).cast("int") + 1),
+            (p % 64L).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    train
+      .select(col(idCol), explode_outer(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), Dedup.md5Int32(col("g")).as("h1"),
+        Dedup.md5Int32(concat(lit("b:"), col("g"))).as("h2"))
+      .groupBy(col(idCol))
+      .agg(sum(when(member(col("h1"), col("h2")), 1L).otherwise(0L))
+        .as("n_flagged_ngrams"))
+      .select(col(idCol), col("n_flagged_ngrams"),
+        (col("n_flagged_ngrams") > 0L).as("contaminated_bloom"))
+  }
+
   /** Exact-span verification of n-gram contamination: where [[ngramOverlap]]
     * counts HASHED gram hits (a 60-bit collision can flag a clean doc),
     * this verifies each candidate by exact string equality and then merges

@@ -27,6 +27,35 @@ class DecontamSpec extends SparkSpecBase {
     assert(got.length == 1 && got(0).getLong(1) == 0L)
   }
 
+  test("bloomNgramFlags: exact-contaminated ⊆ bloom-flagged (no false negatives); short docs unflagged") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+    val exact = Decontam.ngramOverlap(train, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val bloom = Decontam.bloomNgramFlags(train, bench, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(bloom.length == exact.size)
+    bloom.foreach { case (id, nf, flag) =>
+      assert(flag == (nf > 0))
+      if (exact(id)) assert(flag, s"doc $id exact-contaminated but bloom missed it")
+    }
+    // both verdicts must occur on the fixture (an all-true/all-false gate tests nothing)
+    assert(bloom.map(_._3).distinct.length == 2)
+  }
+
+  test("bloomNgramFlags on a tiny corpus: flags at least the exact hits, doc under n words gets 0") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "said the quick brown fox jumps high today"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = Decontam.bloomNgramFlags(train, bench, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(got.head._1 == 1L && got.head._2 >= 2L && got.head._3)
+    assert(got(1) == ((2L, 0L, false)))
+  }
+
   test("exactSpans merges overlapping verified grams into maximal spans") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
