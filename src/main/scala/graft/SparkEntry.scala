@@ -920,6 +920,11 @@ object SparkEntry {
     // for the rejection-rate data card
     "text_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(par(s, docs(s, d))).orderBy(col("doc_id"))),
+    // the repetition arm of the Gopher family: duplicate-word fraction and
+    // top-bigram share as integer cross-multiplied rules, raw counts
+    // included for the data card; per-row, zero shuffle
+    "text_gopher_repetition" -> ((s, d) =>
+      TextAnalysis.gopherRepetitionRules(par(s, docs(s, d))).orderBy(col("doc_id"))),
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): held-out docs
     // labeled head/middle/tail against fixed per-token LM-score thresholds;
     // the compare is exact decimal (sum_lp vs t·n), no float division
@@ -4672,6 +4677,25 @@ object SparkEntry {
            |  (n_words >= 20 AND n_words <= 80 AND chars >= n_words * 3 AND chars <= n_words * 8
            |    AND n_stop * 50 >= n_words AND n_distinct * 2 >= n_words) AS keep
            |FROM s ORDER BY doc_id""".stripMargin,
+      "text_gopher_repetition" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |base AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw FROM w),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+          |  FROM w WHERE len(w) >= 2
+          |), gmax AS (
+          |  SELECT doc_id, MAX(c) AS max2
+          |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+          |  GROUP BY doc_id
+          |)
+          |SELECT b.doc_id AS doc_id, CAST(nw AS INT) AS n_words,
+          |  CAST(nw - ndw AS INT) AS n_dup_words,
+          |  CAST(COALESCE(max2, 0) AS BIGINT) AS max_bigram_count,
+          |  ((nw - ndw) * 10 <= nw * 3) AS r_dup_words,
+          |  (COALESCE(max2, 0) * 5 <= nw - 1) AS r_top_bigram,
+          |  ((nw - ndw) * 10 <= nw * 3 AND COALESCE(max2, 0) * 5 <= nw - 1) AS keep
+          |FROM base b LEFT OUTER JOIN gmax g ON b.doc_id = g.doc_id
+          |ORDER BY doc_id""".stripMargin,
       "text_perplexity_buckets" ->
         """WITH train AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
           |tb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM train, unnest(range(1, len(w))) AS t(i)),

@@ -165,12 +165,25 @@ object TextAnalysis {
   def repetitionSignals(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val ws = docs.select(col(idCol), words(col(textCol)).as("w"))
-    // bigram i = words[i] + " " + words[i+1]; single-word docs have none
-    val sortedGrams = array_sort(transform(sequence(lit(1), size(col("w")) - 1),
-      i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-    // longest run of equal adjacent values in the sorted bigram array ==
-    // max bigram multiplicity (state: last value, current run, best run)
-    val maxRun = aggregate(sortedGrams,
+    ws.select(col(idCol), size(col("w")).as("nw"),
+        size(array_distinct(col("w"))).as("ndw"),
+        when(size(col("w")) >= 2, maxBigramRun(col("w"))).otherwise(lit(0L)).as("max2"))
+      .select(col(idCol), col("nw").as("n_words"),
+        ((col("nw") - col("ndw")).cast("double") / col("nw").cast("double"))
+          .as("dup_word_frac"),
+        when(col("nw") >= 2, col("max2").cast("double") / (col("nw") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Max word-bigram multiplicity of the word array `w`, computed per-row
+    * with no shuffle: bigram i = w[i]+" "+w[i+1]; sort the bigrams, then
+    * the longest run of equal adjacent values (one `aggregate` pass —
+    * state: last value, current run, best run) equals the max count.
+    * Callers guard `size(w) >= 2` (no bigrams otherwise). */
+  private def maxBigramRun(w: Column): Column = {
+    val sortedGrams = array_sort(transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    aggregate(sortedGrams,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
@@ -179,14 +192,27 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    ws.select(col(idCol), size(col("w")).as("nw"),
-        size(array_distinct(col("w"))).as("ndw"),
-        when(size(col("w")) >= 2, maxRun).otherwise(lit(0L)).as("max2"))
-      .select(col(idCol), col("nw").as("n_words"),
-        ((col("nw") - col("ndw")).cast("double") / col("nw").cast("double"))
-          .as("dup_word_frac"),
-        when(col("nw") >= 2, col("max2").cast("double") / (col("nw") - 1).cast("double"))
-          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** The repetition arm of the Gopher rule family (Rae et al. 2021 App.
+    * A1's "repetitious text" filters), integer cross-multiplied like
+    * [[gopherRules]]: duplicate-word fraction ≤ 30% → (nw−ndw)·10 ≤ nw·3;
+    * top-bigram share ≤ 20% → max2·5 ≤ nw−1. Emits the raw counts and the
+    * per-rule booleans for the rejection-rate data card. Same per-row
+    * zero-shuffle shape as [[repetitionSignals]] — a per-document
+    * statistic never leaves its row at 100 TB. */
+  def gopherRepetitionRules(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ws = docs.select(col(idCol), words(col(textCol)).as("w"))
+    val sig = ws.select(col(idCol), size(col("w")).as("n_words"),
+      (size(col("w")) - size(array_distinct(col("w")))).as("n_dup_words"),
+      when(size(col("w")) >= 2, maxBigramRun(col("w"))).otherwise(lit(0L))
+        .as("max_bigram_count"))
+    val rDup = sig("n_dup_words") * lit(10) <= sig("n_words") * lit(3)
+    val rTop = sig("max_bigram_count") * lit(5) <= (sig("n_words") - 1).cast("long")
+    sig.select(col(idCol), col("n_words"), col("n_dup_words"),
+      col("max_bigram_count"), rDup.as("r_dup_words"), rTop.as("r_top_bigram"),
+      (rDup && rTop).as("keep"))
   }
 
   /** Gopher-style per-document quality rule gate (Rae et al. 2021,

@@ -44,6 +44,27 @@ class QualityGateSpec extends SparkSpecBase {
     assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty)
   }
 
+  test("gopherRepetitionRules match a per-row scala recomputation; zero shuffles") {
+    val got = TextAnalysis.gopherRepetitionRules(docs).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1)
+      val nw = ws.length
+      val ndup = nw - ws.distinct.length
+      val max2 = if (nw >= 2)
+        ws.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size).max.toLong
+      else 0L
+      assert(r.getInt(1) == nw && r.getInt(2) == ndup && r.getLong(3) == max2,
+        s"doc ${r.getLong(0)}")
+      val (rd, rt) = (ndup * 10 <= nw * 3, max2 * 5 <= nw - 1)
+      assert(r.getBoolean(4) == rd && r.getBoolean(5) == rt && r.getBoolean(6) == (rd && rt))
+    }
+    val p = TextAnalysis.gopherRepetitionRules(docs).queryExecution.executedPlan
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+  }
+
   test("perplexityBuckets agrees with the exact-decimal recomputation from scoreSums") {
     val train = docs.filter(col("doc_id") % 10 === 0)
     val held = docs.filter(col("doc_id") % 10 =!= 0)
