@@ -115,6 +115,53 @@ class RandomizedSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom decontam: exact ⊆ bloom on random corpora; flag counts consistent (5 trials)") {
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 1 to 5) {
+      def mkDocs(base: Long, k: Int) = (base until base + k).map { i =>
+        (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val bench = mkDocs(100L, 3 + rnd.nextInt(3)).toDF("doc_id", "text")
+      val train = mkDocs(0L, 10 + rnd.nextInt(10)).toDF("doc_id", "text")
+      val exact = graft.operators.Decontam.ngramOverlap(train, bench, n = 4)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val bloom = graft.operators.Decontam.bloomNgramFlags(train, bench, n = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(bloom.length == exact.size, s"trial $trial row count")
+      bloom.foreach { case (id, nf, flag) =>
+        assert(flag == (nf > 0), s"trial $trial doc $id flag/count")
+        if (exact(id)) assert(flag, s"trial $trial doc $id: exact hit missed by bloom")
+      }
+    }
+  }
+
+  test("epochShuffle: bijection and seed-sensitivity on random id sets and shard counts (5 trials)") {
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(200)
+      val shards = 1 + rnd.nextInt(16)
+      val seed = rnd.nextInt(1000)
+      // non-contiguous ids exercise the hash, not the id layout
+      val ids = Seq.fill(n)(rnd.nextLong().abs % 1000000L).distinct
+      val df = ids.toDF("doc_id")
+      val out = graft.operators.Governance.epochShuffle(
+          df, col("doc_id"), seed = seed, nShards = shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(out.length == ids.length)
+      assert(out.forall(t => t._2 >= 0 && t._2 < shards), s"trial $trial shard range")
+      assert(out.map(t => (t._2, t._3)).distinct.length == out.length, s"trial $trial bijection")
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"trial $trial dense positions")
+      }
+      if (ids.length > 1) {
+        val out2 = graft.operators.Governance.epochShuffle(
+            df, col("doc_id"), seed = seed + 1, nShards = shards)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        assert(out.sortBy(_._1).toSeq != out2.sortBy(_._1).toSeq || ids.length < 4,
+          s"trial $trial seed-insensitive")
+      }
+    }
+  }
+
   test("grid bucketing: every row lands in exactly one cell, within [0, numCells)") {
     val dim = 4
     val cfg = GridConfig(dim = dim, lower = -1.0, upper = 1.0, partsPerDim = 3, gridDims = 3)
