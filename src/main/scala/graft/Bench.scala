@@ -76,7 +76,9 @@ object Bench {
       "interval_join_click_purchase", "stream_window_agg", "profile_lineitem",
       "rerank_rrf_hybrid", "vec_pca_top_component", "crud_merge",
       "store_zonemap_prune", "sim_dot_pruned", "dedup_incremental_batch",
-      "store_time_travel")
+      "store_time_travel",
+      // round-10 flagships (appended — earlier names stay comparable)
+      "pipeline_pretrain_v2", "decontam_bloom")
     val resMap = results.toMap
     val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
     // stop FIRST, print LAST: the driver keeps only the tail of stdout, so
