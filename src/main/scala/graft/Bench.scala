@@ -39,6 +39,7 @@ object Bench {
     // min of three runs per query: the host is shared and single-shot
     // numbers carry 20-30% contention noise (observed cross-round on
     // unchanged code); the min is the reproducible compute cost.
+    val nRuns = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -46,7 +47,21 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> Seq(once(), once(), once()).min
+      val best = Seq.fill(nRuns)(once()).min
+      // teardown between queries: several operators persist mid-plan
+      // tables (LSH signatures, candidate sets, recall-curve scores) with
+      // no unpersist hook — returned-DataFrame contracts can't know when
+      // the caller's action finished. Left to the ContextCleaner, 276
+      // queries × 3 runs accumulate MEMORY_AND_DISK blocks until GC
+      // happens to collect the abandoned plans, and the eviction churn
+      // lands on whichever queries run NEXT (the r10 driver artifact's
+      // phantom 4-8× window). Dropping caches here keeps each query's
+      // timing independent of its alphabetical neighbors.
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      } catch { case _: Throwable => () }
+      name -> best
     }
     val total = results.map(_._2).sum
     def jmap(rs: Seq[(String, Double)]): String =
@@ -62,7 +77,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
-      f"""{"sf":"$sfDir","n_queries":${results.size},"total_sec":$total%.3f,"queries":${jmap(results)}}""")
+      f"""{"sf":"$sfDir","n_queries":${results.size},"n_runs":$nRuns,"total_sec":$total%.3f,"queries":${jmap(results)}}""")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val headline = Seq(
       "knn_l2_brute", "knn_l2_pruned", "knn_join_l2_cells", "knn_join_l2_agg",
@@ -84,7 +99,7 @@ object Bench {
     // stop FIRST, print LAST: the driver keeps only the tail of stdout, so
     // nothing (shutdown warnings included) may follow the metric line
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -967,7 +967,8 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minHashLshNearDupPairs(par(s, docs(s, d)),
-          "text", "doc_id", shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+          "text", "doc_id", shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5,
+          docCountHint = docCount(s, d))
         .orderBy(col("id_a"), col("id_b"))),
     // incremental (batch-vs-corpus) dedup — the daily-crawl admission path:
     // docs with id%10==7 arrive as the new batch, the rest are the corpus;
@@ -988,14 +989,17 @@ object SparkEntry {
     "dedup_cluster_canonical" -> ((s, d) => {
       // persist: the self-join's broadcast side cannot share the md5-heavy
       // fingerprint subtree with the probe side (same pattern as the
-      // MinHash-LSH signature persist)
-      val fps = TextAnalysis.winnowFingerprints(par(s, docs(s, d)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges = fps.as("a").join(fps.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      Dedup.connectedComponents(edges).orderBy(col("id"))
+      // MinHash-LSH signature persist). Edges via the df-CAPPED bucket
+      // join (r11): a boilerplate fingerprint shared by 10^5 docs would
+      // make the raw self-join quadratic in that one bucket; the cap (256,
+      // far above any fixture bucket — max observed is single digits)
+      // bounds candidate volume and is mirrored in the oracle's HAVING
+      Dedup.connectedComponents(
+        Dedup.fingerprintEdges(
+          TextAnalysis.winnowFingerprints(par(s, docs(s, d)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          "doc_id", "fp", maxBucket = 256))
+        .orderBy(col("id"))
     }),
     // deterministic hash-mod sampling (portable: md5-derived bucket, not
     // engine-specific rand/hash) — the reproducible-subset primitive
@@ -1348,7 +1352,8 @@ object SparkEntry {
         .distinct()
         .withColumn("in_brute", lit(1L))
       val lsh = Dedup.minHashLshNearDupPairs(all, "text", "doc_id",
-          shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+          shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5,
+          docCountHint = docCount(s, d))
         .filter(col("id_a") % m === 0 || col("id_b") % m === 0)
         .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
       lsh.join(brute, Seq("id_a", "id_b"), "full_outer")
@@ -1406,7 +1411,12 @@ object SparkEntry {
         .select(col("r.doc_id").as("doc_id"), col("r.bucket").as("bucket"),
           col("r.n_tokens").as("n_tokens"))
       graft.operators.Governance.epochShuffle(canon, col("doc_id"),
-          seed = 7, nShards = 8)
+          seed = 7,
+          // count-derived from the INPUT corpus (memoized catalog lookup —
+          // counting `canon` itself would run the whole pipeline twice);
+          // an upper bound of the survivors, which only makes shards
+          // smaller than the target, never a skew cliff
+          nShards = graft.operators.Governance.shardCountFor(docCount(s, d)))
         .orderBy(col("doc_id"))
     }),
     // --- multimodal plumbing (north star): binary payload + stub decode.
@@ -2461,7 +2471,8 @@ object SparkEntry {
       def fold(c: Column) =
         pmod(Dedup.md5Int32(c.cast("string")), lit(5L))
       Dedup.minHashLshNearDupPairs(par(s, docs(s, d)), "text", "doc_id",
-          shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5)
+          shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5,
+          docCountHint = docCount(s, d))
         .select(fold(col("id_a")).as("fold_a"), fold(col("id_b")).as("fold_b"))
         .groupBy(col("fold_a"), col("fold_b"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -3550,13 +3561,17 @@ object SparkEntry {
           round(col("med7"), 6).as("med7"))
         .orderBy(col("event_type"), col("day_epoch"))
     }),
-    // deterministic sharded epoch shuffle: shard = md5(seed‖id) mod 8,
+    // deterministic sharded epoch shuffle: shard = md5(seed‖id) mod N,
     // per-shard position by the same hash — a seed-keyed pseudo-random
     // permutation via a PARTITIONED window (never the single-partition
-    // global-sort cliff); every row's position recomputable from (seed,id)
+    // global-sort cliff); every row's position recomputable from (seed,id).
+    // N is COUNT-derived (⌈n/64⌉ — 8 at the 500-doc fixture, so historical
+    // hashes hold), keeping per-shard window partitions bounded at any
+    // corpus size instead of O(corpus/8)
     "sample_epoch_shuffle" -> ((s, d) =>
       graft.operators.Governance.epochShuffle(
-          docs(s, d).select(col("doc_id")), col("doc_id"), seed = 7, nShards = 8)
+          docs(s, d).select(col("doc_id")), col("doc_id"), seed = 7,
+          nShards = graft.operators.Governance.shardCountFor(docCount(s, d)))
         .orderBy(col("doc_id"))),
     // fractional-epoch upsampling: per-source rate in [1.00, 3.99] from
     // the source-name hash; each doc emits ⌊rate⌋ copies plus a
@@ -4899,9 +4914,14 @@ object SparkEntry {
             |  )""".stripMargin
         s"""WITH RECURSIVE fps AS (
            |  $winnowFps
+           |), keptfp AS (
+           |  -- df cap mirroring Dedup.fingerprintEdges(maxBucket = 256):
+           |  -- boilerplate fingerprints generate no pairs
+           |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 256
            |), edges AS (
            |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
            |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  WHERE a.fp IN (SELECT fp FROM keptfp)
            |), sym AS MATERIALIZED (
            |  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
            |), reach(id, lab) AS (
@@ -5971,10 +5991,11 @@ object SparkEntry {
            |canon AS (SELECT digest, MIN(doc_id) AS doc_id FROM kept GROUP BY digest),
            |ch AS (
            |  SELECT k.doc_id, k.bucket, k.n_tokens, ($h) AS h
-           |  FROM kept k JOIN canon c ON k.digest = c.digest AND k.doc_id = c.doc_id)
-           |SELECT doc_id, bucket, n_tokens, CAST(h % 8 AS INT) AS shard,
-           |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
-           |FROM ch ORDER BY doc_id""".stripMargin
+           |  FROM kept k JOIN canon c ON k.digest = c.digest AND k.doc_id = c.doc_id),
+           |ns AS (SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS n FROM documents)
+           |SELECT doc_id, bucket, n_tokens, CAST(h % ns.n AS INT) AS shard,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY h % ns.n ORDER BY h, doc_id) AS INT) AS pos
+           |FROM ch, ns ORDER BY doc_id""".stripMargin
       },
       "decontam_ngram_overlap" ->
         s"""WITH g AS (
@@ -7416,10 +7437,12 @@ object SparkEntry {
            |FROM daily ORDER BY event_type, day_epoch""".stripMargin,
       "sample_epoch_shuffle" -> {
         val h = Dedup.md5Int32Sql("'7:' || CAST(doc_id AS VARCHAR)")
-        s"""WITH h AS (SELECT doc_id, ($h) AS h FROM documents)
-           |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
-           |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
-           |FROM h ORDER BY doc_id""".stripMargin
+        // shard count replays Governance.shardCountFor: ⌈n/64⌉
+        s"""WITH ns AS (SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS n FROM documents),
+           |h AS (SELECT doc_id, ($h) AS h FROM documents)
+           |SELECT doc_id, CAST(h % ns.n AS INT) AS shard,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY h % ns.n ORDER BY h, doc_id) AS INT) AS pos
+           |FROM h, ns ORDER BY doc_id""".stripMargin
       },
       "sample_epoch_upsample" -> {
         val srcH = Dedup.md5Int32Sql("source")

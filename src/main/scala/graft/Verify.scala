@@ -58,6 +58,13 @@ object Verify {
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query teardown (same as Bench): mid-plan persists with no
+      // unpersist hook would otherwise accumulate MEMORY_AND_DISK blocks
+      // across the 270+ query sweep until the ContextCleaner catches up
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

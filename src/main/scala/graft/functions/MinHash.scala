@@ -77,9 +77,17 @@ object MinHashKernel extends Serializable {
 /** Codegen wrapper over [[MinHashKernel.sig]] — stays inside whole-stage
   * codegen (one static call per row; the loop itself is plain JVM code,
   * which JITs as well as generated Java here since it is string/digest
-  * bound, not expression-tree bound). */
+  * bound, not expression-tree bound).
+  *
+  * Coefficients are `Seq[Long]` (value equality), not arrays: a catalyst
+  * case class with array fields compares them by REFERENCE, so two
+  * structurally identical expressions would never be `semanticEquals` and
+  * subexpression elimination / canonicalization could not dedupe them. */
 case class MinHashSigExpr(child: Expression, w: Int,
-    as: Array[Long], bs: Array[Long], p: Long) extends UnaryExpression {
+    as: Seq[Long], bs: Seq[Long], p: Long) extends UnaryExpression {
+
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -93,11 +101,11 @@ case class MinHashSigExpr(child: Expression, w: Int,
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(input: Any): Any =
-    MinHashKernel.sig(input.asInstanceOf[UTF8String], w, as, bs, p)
+    MinHashKernel.sig(input.asInstanceOf[UTF8String], w, aArr, bArr, p)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("mhA", as, "long[]")
-    val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, t => {
       val res = ctx.freshName("res")
       s"""

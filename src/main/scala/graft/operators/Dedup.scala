@@ -134,9 +134,15 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** Corpus size above which the candidate-prefilter path pays for itself
+    * (below it, every doc is a candidate and the semi-join + distinct are
+    * pure overhead — a confirmed 2-3.5× fixed cost at the 60k-doc bench
+    * scale, vs the 13× win it buys at 10M docs). */
+  val PrefilterMinDocs: Long = 100000L
+
   def minHashLshNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, docCountHint: Long = -1L): DataFrame = {
     // Persist the signature table: the bucket self-join's build side is a
     // BroadcastExchange, so exchange reuse can NOT share the md5+minhash
     // subtree between the two sides — without the persist it runs twice.
@@ -145,28 +151,57 @@ object Dedup {
     val sig = minHashSignature(docs, textCol, idCol, shingleWidth, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = lshBuckets(sig, idCol, numHashes, bands)
-    val cand = buckets.as("a").join(buckets.as("b"),
+    val candRaw = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    // Cost-based path choice (the small-graph-BFS pattern in GraphOps /
+    // connectedComponents): the left-semi candidate prefilter below is the
+    // scale path — at 10M docs the full-corpus shingle cache OOM'd an
+    // executor heap and the prefilter made near-dup 13× faster — but on a
+    // small corpus nearly every doc is a candidate, so the prefilter's
+    // extra shuffle/distinct/joins are pure fixed cost. Callers that know
+    // the corpus size pass it (the catalog-stats lookup); otherwise one
+    // bounded probe (LIMIT n+1 over the id column) decides.
+    val usePrefilter =
+      (if (docCountHint >= 0L) docCountHint
+       else docs.select(col(idCol)).limit(PrefilterMinDocs.toInt).count()
+      ) >= PrefilterMinDocs
+    if (usePrefilter) {
       // persisted: read three times below (two id projections + the verify
       // join); candidate volume is bounded by bucket sizes, a vanishing
       // fraction of the corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // r10: shingle sets are built ONLY for docs that appear in a candidate
-    // pair (left-semi prefilter), not the whole corpus. The old full-corpus
-    // sets cache held every doc's word-trigram array (~w× the corpus text)
-    // — it OOM'd the 10M probe's executor heap and burned shingle CPU on
-    // rows no verify join would ever read. The prefilter shuffles slim
-    // (id, text) rows once; candidates are a vanishing fraction at scale,
-    // so the persisted verify-side table shrinks by orders of magnitude.
-    val candIds = cand.select(col("id_a").as(idCol))
-      .union(cand.select(col("id_b").as(idCol)))
-      .distinct()
-    val sets = docs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = candRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r10: shingle sets are built ONLY for docs that appear in a candidate
+      // pair (left-semi prefilter), not the whole corpus. The old full-corpus
+      // sets cache held every doc's word-trigram array (~w× the corpus text)
+      // — it OOM'd the 10M probe's executor heap and burned shingle CPU on
+      // rows no verify join would ever read. The prefilter shuffles slim
+      // (id, text) rows once; candidates are a vanishing fraction at scale,
+      // so the persisted verify-side table shrinks by orders of magnitude.
+      val candIds = cand.select(col("id_a").as(idCol))
+        .union(cand.select(col("id_b").as(idCol)))
+        .distinct()
+      val sets = docs.join(candIds, Seq(idCol), "left_semi")
+        .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      verifyPairs(cand, sets, threshold)
+    } else {
+      // small corpus: shingle the whole table once (cheap at this size),
+      // skip the prefilter machinery; cand feeds exactly one join chain so
+      // it needs no persist either
+      val sets = docs
+        .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      verifyPairs(candRaw, sets, threshold)
+    }
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a
+    * (id, shingle-set) table — shared tail of both cost paths above. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val idCol = sets.columns.head
     cand
       .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), "id_b")
@@ -183,9 +218,17 @@ object Dedup {
     * jaccard 1.0 — demonstrated in ScaleProbe). */
   def nearDupPipeline(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleWidth: Int = 3, numHashes: Int = 8,
-      bands: Int = 4, threshold: Double = 0.5): DataFrame =
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    // probe the RAW input, not the dedup output — probing the windowed
+    // dedup plan would force its shuffle just to count it; the raw count
+    // upper-bounds the deduped count, so a false-positive only enables the
+    // prefilter on a corpus that shrank below the threshold (harmless: the
+    // prefilter is the always-correct scale path)
+    val hint = docs.select(col(idCol)).limit(PrefilterMinDocs.toInt).count()
     minHashLshNearDupPairs(exactDedup(docs, textCol, idCol),
-      textCol, idCol, shingleWidth, numHashes, bands, threshold)
+      textCol, idCol, shingleWidth, numHashes, bands, threshold,
+      docCountHint = hint)
+  }
 
   /** Connected components over a near-dup pair table (min-label
     * propagation): every node converges to the smallest doc id reachable
@@ -286,6 +329,40 @@ object Dedup {
     }
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "canonical")
   }
+
+  /** Pair edges from a (id, fingerprint) table with a document-frequency
+    * cap on the bucket join: only fingerprints shared by at most
+    * `maxBucket` documents generate pairs. The self-join is quadratic in
+    * bucket size — one boilerplate fingerprint shared by 10^5 docs would
+    * cost 10^10 candidate rows — and a key that common carries no
+    * duplication signal anyway (the df-bounded-bucket reasoning of
+    * [[SetSimJoin]]'s prefix index and exact dedup's clique cap). Dropped
+    * buckets are observable via [[hotBucketAudit]].
+    *
+    * Scale shape: one aggregation to the (tiny) hot-key list, a broadcast
+    * anti-join gate on the fingerprint table, then the bounded bucket
+    * self-join — candidate volume ≤ maxBucket × |rows|, never |bucket|².
+    */
+  def fingerprintEdges(fps: DataFrame, idCol: String = "doc_id",
+      fpCol: String = "fp", maxBucket: Int = 256): DataFrame = {
+    val hot = fps.groupBy(col(fpCol)).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(col(fpCol))
+    val kept = fps.join(broadcast(hot), Seq(fpCol), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col(s"a.$fpCol") === col(s"b.$fpCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** The audit side of [[fingerprintEdges]]'s cap: each dropped
+    * fingerprint bucket with its size — the observability row a governed
+    * dedup run logs next to the pair count. */
+  def hotBucketAudit(fps: DataFrame, idCol: String = "doc_id",
+      fpCol: String = "fp", maxBucket: Int = 256): DataFrame =
+    fps.groupBy(col(fpCol)).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over
     * tokens of (+1 if bit i of token-hash set else -1). Near-dups have

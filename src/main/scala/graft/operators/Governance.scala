@@ -80,6 +80,18 @@ object Governance {
     * nShards rows; at 100 TB pick nShards so a shard fits an executor's
     * sort budget (the same dial as shuffle partitions) — the plan shape
     * is independent of corpus size. */
+  /** Count-derived shard count for [[epochShuffle]]: ⌈n / targetShardSize⌉
+    * — the same scale knob every size-dependent operator here derives from
+    * a count instead of pinning (a pinned nShards makes the per-shard
+    * window O(corpus/nShards) rows per partition: fine at 10^5 rows, a
+    * skew cliff at 10^9). The default target keeps the 500-doc fixture at
+    * its historical 8 shards (500/64 → 8), so sf0.01 hashes are stable. */
+  def shardCountFor(n: Long, targetShardSize: Long = 64L): Int = {
+    require(n >= 0 && targetShardSize > 0)
+    math.max(1L, (n + targetShardSize - 1) / targetShardSize)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   def epochShuffle(df: DataFrame, idCol: Column, seed: Int,
       nShards: Int): DataFrame = {
     // fail loudly instead of silently replacing a caller's column —

@@ -54,7 +54,14 @@ object LateInteraction {
     * kernel expression ([[graft.functions.VecMaxSimCols]]) — identical
     * arithmetic/rounding to the former unrolled-Column tree (pinned in
     * LateInteractionSpec), ~7× faster per pair: the old ~dim·nSub-node
-    * codegen method blew JIT inlining budgets. */
+    * codegen method blew JIT inlining budgets.
+    *
+    * Null contract (STRICTER than the pre-r10 unrolled form, which
+    * partially evaluated malformed rows through element_at/greatest
+    * null-skipping): NULL when either array is null, shorter than `dim`,
+    * or carries a null element — the Vec* expression family's contract;
+    * malformed vectors surface as null scores instead of silently scoring
+    * a partial prefix. Pinned in LateInteractionSpec. */
   def maxSimCols(qv: Column, dv: Column, dim: Int, nSub: Int): Column = {
     require(dim % nSub == 0, s"dim $dim not divisible by $nSub")
     import org.apache.spark.sql.graftbridge.ColumnBridge

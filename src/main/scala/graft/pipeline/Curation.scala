@@ -56,10 +56,18 @@ object Curation {
     val exact = stage("exact_dedup",
       Dedup.exactDedup(gated, textCol, idCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // survivor count for the near-dup pass's cost-based path choice: the
+    // funnel already counted `exact`; without the funnel, a bounded probe
+    // of the RAW input (upper bound of the survivors — probing `exact`
+    // itself would force its window shuffle just to count)
+    val survivorsHint = funnel.result().find(_._1 == "exact_dedup").map(_._2)
+      .getOrElse(docs.select(col(idCol))
+        .limit(Dedup.PrefilterMinDocs.toInt).count())
 
     // 3. near-dup pairs on the survivors (banded MinHash-LSH, verified)
     val pairs = Dedup.minHashLshNearDupPairs(exact, textCol, idCol,
-      cfg.shingleWidth, cfg.numHashes, cfg.bands, cfg.nearDupThreshold)
+      cfg.shingleWidth, cfg.numHashes, cfg.bands, cfg.nearDupThreshold,
+      docCountHint = survivorsHint)
 
     // 4. cluster and keep the canonical (min-id) member of each cluster
     val clusters = Dedup.connectedComponents(pairs)

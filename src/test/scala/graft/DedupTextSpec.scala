@@ -37,6 +37,21 @@ class DedupTextSpec extends SparkSpecBase {
     assert(a.forall(v => v >= 0 && v < Dedup.MinHashP))
   }
 
+  test("MinHashSigExpr: independently built identical expressions are value-equal and semanticEquals") {
+    // coefficients ride as Seq (value equality) — with Array fields a
+    // catalyst case class compares by reference and two structurally
+    // identical kernels would never canonicalize together (no
+    // subexpression elimination across them)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def expr() = {
+      val c = Dedup.minHashCoeffs(4) // fresh arrays each call
+      graft.functions.MinHashSigExpr(Literal("a b c d"), 3,
+        c.map(_._1), c.map(_._2), Dedup.MinHashP)
+    }
+    assert(expr() == expr())
+    assert(expr().semanticEquals(expr()))
+  }
+
   test("fused minhash kernel == explode+groupBy reference on random docs (incl. unicode/edge cases)") {
     // The r10 kernel (MinHashSigExpr) must be BIT-identical to the
     // original shingle-explode → md5Int32 → pmod-min formulation it

@@ -88,6 +88,27 @@ class LateInteractionSpec extends SparkSpecBase {
     }
   }
 
+  test("maxSimCols null contract: null array, short array, null element all score NULL") {
+    // STRICTER than the pre-r10 unrolled form (which partially evaluated
+    // malformed rows via element_at/greatest null-skipping) — malformed
+    // vectors must surface as null scores, never a silent partial prefix
+    import spark.implicits._
+    val good = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val rows = Seq(
+      (1L, Some(good.toSeq.map(Option(_)))),                         // well-formed
+      (2L, None),                                                    // null array
+      (3L, Some(good.take(5).toSeq.map(Option(_)))),                 // shorter than dim
+      (4L, Some(good.toSeq.map(Option(_)).updated(3, None)))         // null element
+    ).toDF("id", "v")
+    val q = good.map(_.toDouble)
+    val out = rows.select(col("id"),
+        LateInteraction.maxSimCols(
+          typedLit(q.map(_.toFloat)), col("v"), dim = 8, nSub = 2).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty && out(3L).isEmpty && out(4L).isEmpty)
+  }
+
   test("prefix squared-L2 is a lower bound of the full distance (Matryoshka monotonicity)") {
     import graft.functions.Distances
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet")

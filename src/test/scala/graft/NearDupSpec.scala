@@ -25,6 +25,19 @@ class NearDupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash-lsh: prefilter (scale) path and small-corpus path return identical pairs") {
+    def run(hint: Long) =
+      Dedup.minHashLshNearDupPairs(docs, "text", "doc_id",
+          shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5,
+          docCountHint = hint)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // hint below the threshold → small path; hint above → the left-semi
+    // candidate-prefilter path; the cost-based choice must never change
+    // the answer
+    assert(run(4L) == run(Dedup.PrefilterMinDocs * 2))
+    assert(run(4L).contains((1L, 4L)))
+  }
+
   test("winnowing: identical docs share all fingerprints; overlap detected; local to content") {
     val fps = TextAnalysis.winnowFingerprints(docs, k = 4, win = 5)
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -59,6 +72,22 @@ class NearDupSpec extends SparkSpecBase {
     // touches 100 or 4; the genuine near-dup pair (1,2) survives
     assert(!pairs.exists(p => p._1 == 100L || p._2 == 100L || p._1 == 4L || p._2 == 4L))
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("fingerprintEdges: df cap drops the hot boilerplate bucket, keeps real pairs") {
+    // one deliberately hot fingerprint (50 docs — quadratic hazard) plus a
+    // genuine 2-doc duplicate bucket
+    val fps = ((1L to 50L).map(i => (i, 999L)) ++ Seq((60L, 7L), (61L, 7L)))
+      .toDF("doc_id", "fp")
+    val edges = Dedup.fingerprintEdges(fps, "doc_id", "fp", maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(edges == Set((60L, 61L))) // hot bucket contributes zero candidates
+    val audit = Dedup.hotBucketAudit(fps, "doc_id", "fp", maxBucket = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(audit == Seq((999L, 50L)))
+    // the uncapped join would have paid the full |bucket|² on the hot key
+    assert(Dedup.fingerprintEdges(fps, "doc_id", "fp", maxBucket = 1000).count()
+      == 50L * 49 / 2 + 1)
   }
 
   test("connected components on an empty edge list returns an empty result") {

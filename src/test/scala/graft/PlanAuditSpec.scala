@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
-/** Global plan hygiene over the ENTIRE declared registry: every one of the
-  * 268 query plans is built (AQE off, so the real join strategies are
-  * visible) and checked against the two big-data cliff patterns:
+/** Global plan hygiene over the ENTIRE declared registry: every query
+  * plan (all of `SparkEntry.queries` — the test iterates the live
+  * registry, so the count never goes stale) is built (AQE off, so the
+  * real join strategies are visible) and checked against the two
+  * big-data cliff patterns:
   *
   *  - CartesianProductExec: never acceptable — a non-broadcast cross of
   *    two distributed relations is the first thing to die at scale. The

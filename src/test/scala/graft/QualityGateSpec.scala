@@ -108,6 +108,27 @@ class QualityGateSpec extends SparkSpecBase {
     assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
   }
 
+  test("shardCountFor: ceil(n/target), fixture-stable at 8, scales with the corpus") {
+    assert(Governance.shardCountFor(0) == 1)
+    assert(Governance.shardCountFor(1) == 1)
+    assert(Governance.shardCountFor(64) == 1)
+    assert(Governance.shardCountFor(65) == 2)
+    assert(Governance.shardCountFor(500) == 8)   // the sf0.01 fixture → historical 8 shards
+    assert(Governance.shardCountFor(1000000000L) == 15625000) // 10^9 rows: 64-row shards, no cliff
+    assert(Governance.shardCountFor(100, targetShardSize = 10) == 10)
+    // bijection holds at a count-derived, non-power-of-two shard count too
+    val ids = docs.select(col("doc_id"))
+    val n = ids.count()
+    val out = Governance.epochShuffle(ids, col("doc_id"), seed = 7,
+        nShards = Governance.shardCountFor(n, targetShardSize = 7))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == n)
+    assert(out.map(t => (t._2, t._3)).distinct.length == n)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("pipeline_pretrain_v2 composes the gates: survivors are gopher-kept, non-tail, digest-unique, shuffle-complete") {
     val out = SparkEntry.queries("pipeline_pretrain_v2")(spark, sfDir).collect()
     assert(out.nonEmpty)
