@@ -345,10 +345,14 @@ object Dedup {
     */
   def fingerprintEdges(fps: DataFrame, idCol: String = "doc_id",
       fpCol: String = "fp", maxBucket: Int = 256): DataFrame = {
-    val hot = fps.groupBy(col(fpCol)).agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
-      .select(col(fpCol))
-    val kept = fps.join(broadcast(hot), Seq(fpCol), "left_anti")
+    // bucket size via a window on fpCol, not a separate groupBy+anti-join:
+    // the window's exchange partitions by the SAME key the self-join needs,
+    // so both join sides reuse one identical (dedup'd) exchange subtree —
+    // the cap costs a window pass, not an extra aggregation + broadcast
+    val kept = fps
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col(fpCol))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     kept.as("a").join(kept.as("b"),
         col(s"a.$fpCol") === col(s"b.$fpCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
