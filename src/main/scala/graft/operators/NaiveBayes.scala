@@ -104,11 +104,76 @@ object NaiveBayes {
         col("score"))
   }
 
-  /** Confusion matrix of [[trainPredict]]: (label_true, predicted, n). */
+  /** [[trainPredict]], fused (r11): the closed-form fit runs as two small
+    * aggregation jobs whose results collect into a driver-side model (the
+    * broadcast-model assumption every scorer here already makes — the
+    * model is dictionary-sized, not corpus-sized), and scoring is ONE
+    * codegen'd expression per test doc ([[graft.functions.NbPredictExpr]])
+    * — no token explode, no (doc, word) shuffle, no ×|classes| expansion,
+    * no model join. Bit-identical to [[trainPredict]] (NaiveBayesSpec):
+    * the kernel accumulates the SAME DECIMAL(18,9) ln terms as unscaled
+    * longs, and java Math.log + HALF_UP-scale-9 on the driver is exactly
+    * Spark's `round(log(x), 9)`.
+    *
+    * At 100 TB the fit aggregations shuffle only dictionary-sized data
+    * (map-side combine) and the collect is |C|·|V| rows — the same scale
+    * contract as the DSIR/bigram-LM broadcast models. */
+  def trainPredictFused(train: DataFrame, test: DataFrame,
+      textCol: String = "text", labelCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def q9(x: Double): Long =
+      java.math.BigDecimal.valueOf(math.log(x))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    // fit job 1: per-(class, word) token counts — the whole model body
+    val cwRows = train
+      .select(col(labelCol).as("cls"), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cw"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // fit job 2: per-class doc counts (a class of all-empty texts still
+    // has a prior — same contract as the relational form)
+    val classRows = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val classes = classRows.map(_._1).sorted
+    val cIdx = classes.zipWithIndex.toMap
+    val nDocs = classRows.map(_._2).sum
+    val priors = {
+      val nd = classRows.toMap
+      classes.map(c => q9(nd(c).toDouble / nDocs.toDouble))
+    }
+    val cc = new Array[Long](classes.length)
+    cwRows.foreach { case (c, _, n) => cc(cIdx(c)) += n }
+    val v = cwRows.iterator.map(_._2).toSet.size.toLong
+    val unseen = classes.indices.map(ci => q9(1.0 / (cc(ci) + v).toDouble))
+    val words = cwRows.iterator.map(_._2).toSet.toSeq.sorted
+    val wIdx = words.zipWithIndex.toMap
+    // default every (word, class) cell to the unseen fallback — a word
+    // seen only in SOME classes scores the fallback in the others, exactly
+    // the relational left-join + COALESCE(lp, unseen_lp)
+    val lps = Array.tabulate(words.size * classes.length)(i => unseen(i % classes.length))
+    cwRows.foreach { case (c, w, n) =>
+      lps(wIdx(w) * classes.length + cIdx(c)) =
+        q9((n + 1).toDouble / (cc(cIdx(c)) + v).toDouble)
+    }
+    val model = graft.functions.NbScoreKernel.Model(
+      classes.toSeq, priors.toSeq, unseen, words, lps.toSeq)
+    val p = ColumnBridge.column(graft.functions.NbPredictExpr(
+      ColumnBridge.expression(coalesce(col(textCol), lit(""))), model))
+    test.select(col(idCol), col(labelCol).as("label_true"), p.as("__p"))
+      .select(col(idCol), col("label_true"),
+        col("__p.predicted").as("predicted"), col("__p.score").as("score"))
+  }
+
+  /** Confusion matrix over the fused scorer: (label_true, predicted, n).
+    * ([[trainPredictFused]] ≡ [[trainPredict]] is pinned in
+    * NaiveBayesSpec, so the matrix is unchanged from the relational form.) */
   def confusion(train: DataFrame, test: DataFrame,
       textCol: String = "text", labelCol: String = "lang",
       idCol: String = "doc_id"): DataFrame =
-    trainPredict(train, test, textCol, labelCol, idCol)
+    trainPredictFused(train, test, textCol, labelCol, idCol)
       .groupBy(col("label_true"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 }

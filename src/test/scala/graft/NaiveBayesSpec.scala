@@ -55,6 +55,32 @@ class NaiveBayesSpec extends SparkSpecBase {
     assert(got("t1") === "B")
   }
 
+  test("fused scorer == relational scorer, bit for bit (fixture + edge cases)") {
+    // the r11 kernel (NbPredictExpr over the collected model) must return
+    // the SAME (predicted, DECIMAL(29,9) score) as the relational
+    // explode + model-join + decimal-sum form it replaced
+    val docs = Tables.documents(spark, sfDir)
+    val cases: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)),
+      // class with empty training texts + all-unseen and token-empty tests
+      (Seq(("a1", "A", "x y"), ("b1", "B", ""), ("b2", "B", "")).toDF("doc_id", "lang", "text"),
+        Seq(("t1", "A", ""), ("t2", "A", "q"), ("t3", "B", "x x  y")).toDF("doc_id", "lang", "text"))
+    )
+    cases.foreach { case (train, test) =>
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getString(2),
+          r.getAs[java.math.BigDecimal]("score")))
+        .sortBy(_._1)
+      val a = norm(NaiveBayes.trainPredict(train, test))
+      val b = norm(NaiveBayes.trainPredictFused(train, test))
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x._1 == y._1 && x._2 == y._2 && x._3 == y._3, s"$x vs $y")
+        assert(x._4.compareTo(y._4) == 0, s"score drift: $x vs $y")
+      }
+    }
+  }
+
   test("fixture confusion matrix: every test doc classified exactly once") {
     val docs = Tables.documents(spark, sfDir)
     val conf = NaiveBayes.confusion(
