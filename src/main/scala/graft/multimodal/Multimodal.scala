@@ -59,6 +59,42 @@ object Multimodal {
       }
   }
 
+  /** REAL image decode (r11): `javax.imageio` ships in the JDK, so
+    * PNG/JPEG/BMP/GIF payloads decode with zero external dependencies —
+    * the "stub decoder is the documented swap-in" promise, cashed for the
+    * image kind. Returns None for anything ImageIO cannot read (non-image
+    * kinds, truncated bytes) so callers can fall back to [[stubDecode]].
+    * ImageIO is headless-safe; the reader allocates per call, which is the
+    * right trade for payloads of arbitrary size (no shared mutable state
+    * across executor threads). */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Throwable => None }
+
+  /** [[extractFeatures]] with the REAL decoder on the image path: width/
+    * height come from the actual decoded raster (frames = 1 for stills);
+    * payloads that don't decode — and non-image kinds, which have no JDK
+    * codec — keep the deterministic stub's pseudo-dimensions, so a mixed
+    * corpus never throws. Same schema, same partition-parallel batch
+    * shape; the DECLARED `media_features` query stays on [[extractFeatures]]
+    * (the stub is what the DuckDB oracle can replay — a codec is not SQL). */
+  def extractFeaturesReal(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val checksum = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+          val decoded = if (kind == "image") decodeImage(payload) else None
+          val (w, h, f) = decoded match {
+            case Some(img) => (img.getWidth, img.getHeight, 1)
+            case None => stubDecode(payload, kind)
+          }
+          MediaFeatures(id, kind, payload.length.toLong, checksum, w, h, f)
+        }
+      }
+  }
+
   /** Exact binary dedup: group payloads by md5 digest, keep groups with ≥2
     * copies, canonical = min media_id. The digest a 100 TB blob store dedups
     * on — one hash-shuffle on the 16-byte digest, never on the payload.
@@ -154,6 +190,52 @@ object Multimodal {
           }
           val n = math.max(1, payload.length).toFloat
           MediaEmbedding(id, kind, counts.map(_ / n))
+        }
+      }
+  }
+
+  /** [[embedMedia]] with the REAL decoder on the image path: decodable
+    * images embed as a normalized `dim`-bucket LUMINANCE histogram of the
+    * actual pixels (ITU-R 601 integer weights — deterministic, no float
+    * colorspace math), so two re-encodings of the same picture land near
+    * each other where their byte histograms would not. Everything else
+    * falls back to the byte-histogram stub. Output contract identical:
+    * `ARRAY<FLOAT>` summing to 1, feeding the same Grid/Knn/Ann/Pq stack. */
+  def embedMediaDecoded(media: DataFrame, dim: Int = 64): Dataset[MediaEmbedding] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val decoded = if (kind == "image") decodeImage(payload) else None
+          decoded match {
+            case Some(img) =>
+              val counts = new Array[Int](dim)
+              val w = img.getWidth; val h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  counts(lum * dim / 256) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = math.max(1, w * h).toFloat
+              MediaEmbedding(id, kind, counts.map(_ / n))
+            case None =>
+              val counts = new Array[Int](dim)
+              var i = 0
+              while (i < payload.length) {
+                counts(math.floorMod(payload(i).toInt, dim)) += 1
+                i += 1
+              }
+              val n = math.max(1, payload.length).toFloat
+              MediaEmbedding(id, kind, counts.map(_ / n))
+          }
         }
       }
   }

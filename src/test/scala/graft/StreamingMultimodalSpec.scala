@@ -65,6 +65,54 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     assert(feats.filter(col("kind") === "video").count() > 0)
   }
 
+  test("multimodal REAL decode: PNG/JPEG bytes yield true dimensions and pixel embeddings; others fall back to the stub") {
+    import spark.implicits._
+    def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val junk = "definitely not an image payload".getBytes("UTF-8")
+    val videoPng = encode("png", 20, 10, 0x123456)
+    val media = Seq(
+      (1L, "image", encode("png", 20, 10, 0xFFFFFF)),  // white PNG
+      (2L, "image", encode("png", 7, 5, 0x000000)),    // black PNG
+      (3L, "image", encode("jpg", 12, 9, 0x808080)),   // grey JPEG
+      (4L, "image", junk),                             // undecodable → stub
+      (5L, "video", videoPng)                          // non-image kind → stub
+    ).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeaturesReal(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 20 && f(1L).height == 10 && f(1L).n_frames == 1)
+    assert(f(2L).width == 7 && f(2L).height == 5)
+    assert(f(3L).width == 12 && f(3L).height == 9)
+    assert((f(4L).width, f(4L).height, f(4L).n_frames)
+      == Multimodal.stubDecode(junk, "image"))
+    // non-image kinds never hit the codec, even for decodable bytes
+    assert((f(5L).width, f(5L).height, f(5L).n_frames)
+      == Multimodal.stubDecode(videoPng, "video"))
+    // pixel-luminance embedding: white = all mass in the top bucket,
+    // black = all in bucket 0 (ITU-R 601 integer luminance)
+    val emb = Multimodal.embedMediaDecoded(media, dim = 64).collect()
+      .map(e => e.media_id -> e.embedding).toMap
+    assert(emb(1L)(63) == 1.0f && emb(1L).count(_ != 0f) == 1)
+    assert(emb(2L)(0) == 1.0f && emb(2L).count(_ != 0f) == 1)
+    // undecodable and non-image rows equal the byte-histogram stub exactly
+    val stubEmb = Multimodal.embedMedia(media, dim = 64).collect()
+      .map(e => e.media_id -> e.embedding).toMap
+    assert(emb(4L).toSeq == stubEmb(4L).toSeq)
+    assert(emb(5L).toSeq == stubEmb(5L).toSeq)
+    // a re-encoding of the same picture (PNG vs JPEG of solid grey) lands
+    // at the SAME pixel embedding, where byte histograms would differ
+    val regray = Seq((6L, "image", encode("png", 12, 9, 0x808080)))
+      .toDF("media_id", "kind", "payload")
+    val embPng = Multimodal.embedMediaDecoded(regray, 64).collect()(0).embedding
+    assert(embPng.toSeq == emb(3L).toSeq)
+  }
+
   test("multimodal: media embedding feeds the similarity engine (dup payload = own NN at dist 0)") {
     // duplicate one payload under a fresh id — the byte-histogram embedding
     // must make it its own nearest neighbor through the standard kNN stack
