@@ -55,6 +55,47 @@ object ScaleProbe extends App {
   }
   assert(pruned.map(n => (n.vec_id, n.dist)) == brute, "pruned != brute at scale")
   println("SCALE pruned == brute: OK")
+  // Quantile-calibrated grid at 1M SKEWED rows (r11): square the jittered
+  // coordinates so mass piles toward 0 — the regime where the equal-width
+  // grid's docstring caveat bites (reference kd_tree_database.py:226-233).
+  // The quantile grid must (a) calibrate in one aggregation, (b) hold a
+  // materially more even cell population than equal width at the same
+  // cell count, (c) stay EXACT under pruning.
+  locally {
+    val skew = big.select(col("vec_id"),
+      transform(col("embedding"), x => (x * x).cast("float")).as("embedding"),
+      col("label")).localCheckpoint(true)
+    val qcfg = t("quantile calibrate (1M skewed)") {
+      graft.index.QuantileGrid.calibrate(skew, "embedding", partsPerDim = 4,
+        gridDims = 3, dim = Fixtures.Dim)
+    }
+    val qIdx = graft.index.QuantileGrid.withCellId(skew, "embedding", qcfg)
+      .localCheckpoint(true)
+    val eCfg = GridConfig(dim = Fixtures.Dim, lower = 0.0, upper = 0.4,
+      partsPerDim = 4, gridDims = 3)
+    def maxCell(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("cell_id").count().agg(max("count")).head().getLong(0)
+    val (qMax, eMax) = t("cell balance (quantile vs equal)") {
+      (maxCell(qIdx), maxCell(Grid.withCellId(skew, "embedding", eCfg)))
+    }
+    println(s"SCALE   max cell: quantile $qMax vs equal-width $eMax")
+    assert(qMax * 2 < eMax,
+      s"quantile grid not materially more balanced: $qMax vs $eMax")
+    val q2 = Fixtures.Q64.map(x => x * x)
+    val qPruned = t("quantile pruned kNN k=10") {
+      graft.operators.Knn.prunedSearchBound(qIdx,
+        Distances.squaredL2Lit(col("embedding"), q2), 10,
+        cell => graft.index.QuantileGrid.cellLowerBoundSqL2(q2, cell, qcfg),
+        bruteForceThreshold = 0L)
+    }
+    val qBrute = t("quantile brute kNN k=10") {
+      Knn.bruteForce(skew, Distances.squaredL2Lit(col("embedding"), q2), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    }
+    assert(qPruned.map(n => (n.vec_id, n.dist)) == qBrute,
+      "quantile pruned != brute at scale")
+    println("SCALE quantile pruned == brute: OK")
+  }
   t("MaxSim late-interaction top-10 (1M x 4x16)") {
     indexed.select(col("vec_id"),
         graft.operators.LateInteraction.maxSimLit(col("embedding"), Fixtures.Q64, 4)

@@ -41,6 +41,15 @@ object SparkEntry {
   private def docCount(s: SparkSession, d: String): Long =
     countCache.computeIfAbsent(s"doc:$d", _ => docs(s, d).count())
 
+  /** Memoized quantile-grid calibration per fixture dir (one percentile
+    * aggregation — the same catalog-stats contract as the row counts;
+    * the fixture parquet is immutable per dir). */
+  private val qgridCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.QuantileGridConfig]()
+  private def qgridCfg(s: SparkSession, d: String): graft.index.QuantileGridConfig =
+    qgridCache.computeIfAbsent(d, _ => graft.index.QuantileGrid.calibrate(
+      emb(s, d), "embedding", partsPerDim = 4, gridDims = 3, dim = Dim))
+
   /** Fixed literal codebook for the incremental-IVF demo: the LSH planes
     * scaled into the fixture's data range (‖0.05·plane‖ ≈ 0.4 vs raw ≈ 8,
     * which would collapse every row into one or two cells). */
@@ -378,6 +387,26 @@ object SparkEntry {
     // pruned == brute (exactness of the widening loop; oracle is the brute SQL)
     "knn_l2_pruned" -> ((s, d) =>
       Knn.prunedSearchDf(s, Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, Q64, K)),
+    // QUANTILE-calibrated grid (r11): bucket edges at the data's own exact
+    // interpolated percentiles (one calibration aggregation, memoized like
+    // every catalog stat), so cells stay balanced on skewed embeddings
+    // where equal width piles up. Pruning is exact (interval bounds +
+    // the geometry-generic widening loop), so the oracle is the plain
+    // brute-force kNN SQL — any inadmissible bound would hash-fail here
+    "knn_l2_quantile_grid" -> ((s, d) => {
+      val qc = qgridCfg(s, d)
+      graft.index.QuantileGrid.prunedKnnDf(s,
+        graft.index.QuantileGrid.withCellId(emb(s, d), "embedding", qc), qc, Q64, K)
+    }),
+    // the calibration itself under the hash gate: per-cell populations of
+    // the quantile grid — the oracle RECOMPUTES the quantile_cont edges
+    // and re-buckets, so the boundary doubles (round-6, the quantized-
+    // boundary rule) are proven engine-exact, not just copied literals
+    "index_quantile_cells" -> ((s, d) =>
+      graft.index.QuantileGrid
+        .withCellId(emb(s, d), "embedding", qgridCfg(s, d))
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cell_id"))),
     // the STORE lifecycle under the driver's hash gate: write the state
     // cell-partitioned (partitionBy dirs = grid cells), read it back, and
     // answer pruned kNN off the LOADED store — candidate-cell pruning is
@@ -4355,6 +4384,22 @@ object SparkEntry {
            |FROM (SELECT vec_id, label, embedding[1:8] AS e8 FROM embeddings)
            |ORDER BY dist ASC, vec_id ASC LIMIT $K""".stripMargin,
       "knn_l2_pruned" -> knnSql(sq, K),
+      // exact pruning ⇒ the quantile-grid search answers the SAME query
+      "knn_l2_quantile_grid" -> knnSql(sq, K),
+      "index_quantile_cells" -> {
+        import graft.index.QuantileGrid
+        s"""WITH b AS (
+           |  SELECT ${QuantileGrid.calibrateSql("embedding", 0, 4)} AS b0,
+           |         ${QuantileGrid.calibrateSql("embedding", 1, 4)} AS b1,
+           |         ${QuantileGrid.calibrateSql("embedding", 2, 4)} AS b2
+           |  FROM embeddings)
+           |SELECT cell_id, COUNT(*) AS n FROM (
+           |  SELECT (CAST(len(list_filter(b.b0, x -> CAST(e.embedding[1] AS DOUBLE) >= x)) AS BIGINT)
+           |        + CAST(len(list_filter(b.b1, x -> CAST(e.embedding[2] AS DOUBLE) >= x)) AS BIGINT) * 4
+           |        + CAST(len(list_filter(b.b2, x -> CAST(e.embedding[3] AS DOUBLE) >= x)) AS BIGINT) * 16) AS cell_id
+           |  FROM embeddings e, b)
+           |GROUP BY cell_id ORDER BY cell_id""".stripMargin
+      },
       "store_roundtrip_knn" -> knnSql(sq, K),
       "knn_l2_pruned_filtered" -> knnSql(sq, K, "WHERE label = 3"),
       "sim_cosine_topk" ->

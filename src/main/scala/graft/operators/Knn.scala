@@ -69,6 +69,25 @@ object Knn {
       cellBound: (Array[Double], Long, GridConfig) => Double = Grid.cellLowerBoundSqL2,
       distExpr: Option[Column] = None,
       cellCountsCache: Option[Map[Long, Long]] = None,
+      bruteForceThreshold: Long = 200000L): Seq[Neighbor] =
+    prunedSearchBound(indexed,
+      distExpr.getOrElse(Distances.squaredL2Lit(col("embedding"), q)), k,
+      cell => cellBound(q, cell, cfg), pred, cellCountsCache,
+      bruteForceThreshold)
+
+  /** Geometry-generic core of [[prunedSearch]]: the ranking + widening loop
+    * over an OPAQUE cell lower-bound function, so any grid that can price
+    * a cell (equal-width [[GridConfig]], the quantile-calibrated
+    * [[graft.index.QuantileGridConfig]], …) reuses the same exact search.
+    * Correctness needs only admissibility: `bound(cell)` ≤ the true
+    * distance from the query to every point bucketed into `cell`. */
+  def prunedSearchBound(
+      indexed: DataFrame,
+      dist: Column,
+      k: Int,
+      bound: Long => Double,
+      pred: Option[Column] = None,
+      cellCountsCache: Option[Map[Long, Long]] = None,
       bruteForceThreshold: Long = 200000L): Seq[Neighbor] = {
 
     val cellCounts: Map[Long, Long] = cellCountsCache.getOrElse {
@@ -79,10 +98,8 @@ object Knn {
 
     // Rank non-empty cells by lower bound, ascending.
     val ranked: Array[(Long, Double, Long)] = cellCounts.toArray
-      .map { case (cell, n) => (cell, cellBound(q, cell, cfg), n) }
+      .map { case (cell, n) => (cell, bound(cell), n) }
       .sortBy { case (cell, b, _) => (b, cell) }
-
-    val dist = distExpr.getOrElse(Distances.squaredL2Lit(col("embedding"), q))
 
     // Cost-based path choice: below the threshold, one codegen'd full scan
     // is cheaper than the widening loop's multiple scan+collect jobs (the
