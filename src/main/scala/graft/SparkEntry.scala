@@ -2600,6 +2600,26 @@ object SparkEntry {
       Knn.radiusSearch(s.read.parquet(dir),
         Distances.squaredL2Lit(col("embedding"), Q64.take(2)), RadiusAuto)
     }),
+    // the same automatic data skipping over a QUANTILE-calibrated store
+    // (r11): calibrate 2-D edges from the data, write partitioned by the
+    // quantile cell, register the geometry BY PATH, and the sibling rule
+    // injects `cell_id IN (interval-bound ≤ r cells)` into a plain radius
+    // filter — spark.sql text gets quantile-index pruning without knowing
+    // the index exists. Answer ≡ the unpruned radius SQL (admissibility
+    // under the hash gate)
+    "store_autoprune_radius_quantile" -> ((s, d) => {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_autoprune_qstore").getPath
+      val twoD = emb(s, d).select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, 2).as("embedding"))
+      val qc = graft.index.QuantileGrid.calibrate(twoD, "embedding",
+        partsPerDim = 8, gridDims = 2, dim = 2)
+      graft.index.QuantileGrid.withCellId(twoD, "embedding", qc)
+        .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+      graft.plans.QuantileGridRadiusPruning.register(s, qc, dir)
+      Knn.radiusSearch(s.read.parquet(dir),
+        Distances.squaredL2Lit(col("embedding"), Q64.take(2)), RadiusAuto)
+    }),
     // snapshot diff (CDC read side): I/D/U changelog keys between two
     // states — one full-outer key join
     "crud_snapshot_diff" -> ((s, d) => {
@@ -6417,6 +6437,13 @@ object SparkEntry {
         s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq AS dist FROM embeddings)
            |WHERE dist <= ${DuckSql.fmt(Radius)} ORDER BY dist ASC, vec_id ASC""".stripMargin,
       "store_autoprune_radius" -> {
+        val sq2 = DuckSql.squaredL2Lit("embedding", Q64.take(2))
+        s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq2 AS dist FROM embeddings)
+           |WHERE dist <= ${DuckSql.fmt(RadiusAuto)} ORDER BY dist ASC, vec_id ASC""".stripMargin
+      },
+      // pruning is admissible, so the quantile-store variant answers the
+      // identical radius query
+      "store_autoprune_radius_quantile" -> {
         val sq2 = DuckSql.squaredL2Lit("embedding", Q64.take(2))
         s"""SELECT vec_id, label, dist FROM (SELECT vec_id, label, $sq2 AS dist FROM embeddings)
            |WHERE dist <= ${DuckSql.fmt(RadiusAuto)} ORDER BY dist ASC, vec_id ASC""".stripMargin

@@ -166,13 +166,49 @@ object QuantileGrid {
     var s = 0.0
     var d = 0
     while (d < cfg.gridDims) {
-      val bs = cfg.boundaries(d)
-      val lo = if (b(d) == 0) Double.NegativeInfinity else bs(b(d) - 1)
-      val hi = if (b(d) == bs.length) Double.PositiveInfinity else bs(b(d))
-      val x = q(d)
-      val gap = if (x < lo) lo - x else if (x > hi) x - hi else 0.0
+      val gap = dimGap(q, b, d, cfg)
       s += gap * gap
       d += 1
+    }
+    s
+  }
+
+  /** Per-dim gap from q(d) to the cell's bucket interval (0 inside;
+    * edge buckets open-ended). Shared by all four metric bounds. */
+  @inline private def dimGap(q: Array[Double], b: Array[Int], d: Int,
+      cfg: QuantileGridConfig): Double = {
+    val bs = cfg.boundaries(d)
+    val lo = if (b(d) == 0) Double.NegativeInfinity else bs(b(d) - 1)
+    val hi = if (b(d) == bs.length) Double.PositiveInfinity else bs(b(d))
+    val x = q(d)
+    if (x < lo) lo - x else if (x > hi) x - hi else 0.0
+  }
+
+  /** L1 lower bound: sum of per-dim gaps. */
+  def cellLowerBoundL1(q: Array[Double], cell: Long, cfg: QuantileGridConfig): Double = {
+    val b = decode(cell, cfg)
+    var s = 0.0; var d = 0
+    while (d < cfg.gridDims) { s += dimGap(q, b, d, cfg); d += 1 }
+    s
+  }
+
+  /** L∞ lower bound: max per-dim gap. */
+  def cellLowerBoundLInf(q: Array[Double], cell: Long, cfg: QuantileGridConfig): Double = {
+    val b = decode(cell, cfg)
+    var m = 0.0; var d = 0
+    while (d < cfg.gridDims) {
+      val g = dimGap(q, b, d, cfg); if (g > m) m = g; d += 1
+    }
+    m
+  }
+
+  /** Mahalanobis-diagonal lower bound: inverse-variance-weighted gaps². */
+  def cellLowerBoundMahalanobisDiag(q: Array[Double], cell: Long,
+      cfg: QuantileGridConfig, invDiag: Array[Double]): Double = {
+    val b = decode(cell, cfg)
+    var s = 0.0; var d = 0
+    while (d < cfg.gridDims) {
+      val g = dimGap(q, b, d, cfg); s += g * g * invDiag(d); d += 1
     }
     s
   }

@@ -146,6 +146,11 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
     * for the priority order), or None → no pruning. */
   private def bindCfg(entries: Seq[(GridConfig, Option[String])],
       child: LogicalPlan, attr: Attribute, qDim: Int): Option[GridConfig] = {
+    // a column stamped by the QUANTILE grid belongs to the sibling rule:
+    // an equal-width cell list against quantile buckets is inadmissible,
+    // and without this check the dim-unique unbound fallback would guess
+    // (caught by QuantileGridPruneRuleSpec)
+    if (attr.metadata.contains(QuantileGridRadiusPruning.FpMetaKey)) return None
     if (attr.metadata.contains(FpMetaKey)) {
       // a fingerprinted column binds by fingerprint ONLY: a foreign
       // geometry must refuse, not fall through to weaker matching
