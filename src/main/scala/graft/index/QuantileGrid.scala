@@ -123,6 +123,35 @@ object QuantileGrid {
     df.withColumn("cell_id", cellId(col(vecCol), cfg).as("cell_id", md))
   }
 
+  /** Re-calibration maintenance — the quantile sibling of [[Grid.maintain]]
+    * (whose trigger is leaf overflow; here the trigger is DRIFT): boundary
+    * tables are computed from a snapshot of the data, and a distribution
+    * that drifts since calibration re-skews the cells. When the observed
+    * max cell population exceeds `imbalanceFactor` × the uniform share
+    * (n / numCells), recalibrate the boundaries from the CURRENT state and
+    * re-bucket in one pass; otherwise a no-op (same state, same config).
+    * Call after large ingest batches — at 100 TB the rewrite is one
+    * repartition-by-cell job amortized over the batch that tripped it,
+    * and the trigger statistic is the |cells|-row index-health aggregate
+    * every probe already maintains. */
+  def maintain(state: DataFrame, vecCol: String, cfg: QuantileGridConfig,
+      imbalanceFactor: Double = 8.0): (DataFrame, QuantileGridConfig) = {
+    require(imbalanceFactor > 1.0)
+    require(cfg.partsPerDim.distinct.size == 1,
+      "maintain recalibrates uniform per-dim bucket counts")
+    val stats = state.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("n")).head()
+    if (stats.isNullAt(0)) return (state, cfg) // empty state
+    val (mx, n) = (stats.getLong(0), stats.getLong(1))
+    val uniformShare = math.max(1.0, n.toDouble / cfg.numCells)
+    if (mx <= imbalanceFactor * uniformShare) (state, cfg)
+    else {
+      val cfg2 = calibrate(state, vecCol, cfg.partsPerDim.head, cfg.gridDims, cfg.dim)
+      (withCellId(state.drop("cell_id"), vecCol, cfg2), cfg2)
+    }
+  }
+
   // ---- driver-side math (candidate-cell pricing for pruned search) ----
 
   def bucketOf(x: Double, dimIdx: Int, cfg: QuantileGridConfig): Int = {

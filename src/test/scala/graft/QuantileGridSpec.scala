@@ -85,6 +85,34 @@ class QuantileGridSpec extends SparkSpecBase {
     assert(qMax * 2 < eMax, s"quantile max $qMax vs equal-width max $eMax")
   }
 
+  test("maintain: drift re-calibrates and re-balances; steady state is a no-op") {
+    // calibrate on near-uniform data, then drift the distribution hard:
+    // the stale boundaries pile the skewed state into the low cells
+    val uniform = {
+      val rnd = new scala.util.Random(3)
+      (0 until 1500).map(i => (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f), 0))
+        .toDF("vec_id", "embedding", "label")
+    }
+    val cfg0 = QuantileGrid.calibrate(uniform, "embedding", 4, 3, 4)
+    val drifted = skewed(1500, 4, 17)
+    val staleState = QuantileGrid.withCellId(drifted, "embedding", cfg0).cache()
+    def maxCell(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("cell_id").count().agg(max("count")).head().getLong(0)
+    val staleMax = maxCell(staleState)
+    assert(staleMax > 8.0 * 1500 / 64, "fixture not drifted enough to trip the trigger")
+    val (rebucketed, cfg1) = QuantileGrid.maintain(staleState, "embedding", cfg0)
+    assert(cfg1 != cfg0, "maintain must recalibrate under drift")
+    assert(maxCell(rebucketed) * 2 < staleMax, "recalibration must re-balance")
+    // steady state: the freshly calibrated grid is a no-op
+    val fresh = rebucketed.cache()
+    val (same, cfg2) = QuantileGrid.maintain(fresh, "embedding", cfg1)
+    assert(cfg2 == cfg1 && (same eq fresh))
+    // empty state: no-op, never divides by zero
+    val empty = staleState.filter(lit(false))
+    val (e, ce) = QuantileGrid.maintain(empty, "embedding", cfg1)
+    assert(ce == cfg1 && e.count() == 0)
+  }
+
   test("declared queries: quantile-grid kNN equals the brute flagship; cell counts cover the corpus") {
     val knn = SparkEntry.queries("knn_l2_quantile_grid")(spark, sfDir).collect()
     val brute = SparkEntry.queries("knn_l2_brute")(spark, sfDir).collect()
