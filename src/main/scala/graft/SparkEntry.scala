@@ -2612,8 +2612,11 @@ object SparkEntry {
         sys.props("java.io.tmpdir"), "graft_autoprune_qstore").getPath
       val twoD = emb(s, d).select(col("vec_id"), col("label"),
         slice(col("embedding"), 1, 2).as("embedding"))
-      val qc = graft.index.QuantileGrid.calibrate(twoD, "embedding",
-        partsPerDim = 8, gridDims = 2, dim = 2)
+      // calibration memoized per fixture dir (the catalog-stats contract);
+      // the write + pruned read-back is the lifecycle under test
+      val qc = qgridCache.computeIfAbsent(s"2d:$d", _ =>
+        graft.index.QuantileGrid.calibrate(twoD, "embedding",
+          partsPerDim = 8, gridDims = 2, dim = 2))
       graft.index.QuantileGrid.withCellId(twoD, "embedding", qc)
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       graft.plans.QuantileGridRadiusPruning.register(s, qc, dir)

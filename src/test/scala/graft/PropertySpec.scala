@@ -74,6 +74,37 @@ class PropertySpec extends SparkSpecBase {
     check(p, "all-metric bound admissibility")
   }
 
+  test("QUANTILE grid: ALL metric interval bounds are admissible over random boundary tables") {
+    // the quantile pruning rule's contract: for ANY ascending boundary
+    // table (not just calibrated ones) and any point, the bound of the
+    // point's own cell never exceeds the true distance — the mixed-radix
+    // decode, count-of-boundaries bucketing, and open-ended edge
+    // intervals must agree
+    import graft.index.{QuantileGrid, QuantileGridConfig}
+    val gen = for {
+      dim <- Gen.choose(1, 6)
+      gdims <- Gen.choose(1, dim)
+      bs <- Gen.listOfN(gdims,
+        Gen.choose(1, 4).flatMap(nb =>
+          Gen.containerOfN[List, Double](nb, Gen.choose(-1.0, 1.0)).map(_.sorted)))
+      q <- vecGen(dim)
+      v <- Gen.containerOfN[Array, Double](dim, Gen.choose(-2.0, 2.0))
+      inv <- Gen.containerOfN[Array, Double](dim, Gen.choose(0.1, 5.0))
+    } yield (QuantileGridConfig(dim, bs.map(_.toSeq)), q, v, inv)
+    val p = Prop.forAll(gen) { case (cfg, q, v, inv) =>
+      val cell = QuantileGrid.cellOf(v, cfg)
+      (QuantileGrid.cellLowerBoundSqL2(q, cell, cfg) <=
+        Distances.squaredL2(q, v) + 1e-9) &&
+      (QuantileGrid.cellLowerBoundL1(q, cell, cfg) <= Distances.l1(q, v) + 1e-9) &&
+      (QuantileGrid.cellLowerBoundLInf(q, cell, cfg) <= Distances.lInf(q, v) + 1e-9) &&
+      (QuantileGrid.cellLowerBoundMahalanobisDiag(q, cell, cfg, inv) <=
+        q.indices.map(i => { val d = q(i) - v(i); d * d * inv(i) }).sum + 1e-9) &&
+      QuantileGrid.decode(cell, cfg).toSeq ==
+        (0 until cfg.gridDims).map(d => QuantileGrid.bucketOf(v(d), d, cfg))
+    }
+    check(p, "quantile-grid bound admissibility")
+  }
+
   test("cellOf is total and stable over [lower,upper] plus out-of-bounds points") {
     val gen = for {
       dim <- Gen.choose(1, 6)
