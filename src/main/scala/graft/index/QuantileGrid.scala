@@ -79,6 +79,28 @@ object QuantileGrid {
     QuantileGridConfig(dim, bs)
   }
 
+  /** [[calibrate]] on a DETERMINISTIC sample — the 100 TB path: the exact
+    * interpolated percentile holds per-value counts in its aggregation
+    * buffer (O(distinct values) memory), which a corpus-scale float column
+    * overruns. Boundaries only need to balance cells, so an md5-gated
+    * sample of ~`sampleTarget` rows (modulus ⌈n/target⌉ from the caller's
+    * catalog count — the repo's size-targeted-sampling contract) calibrates
+    * within sampling error at constant memory, RNG-free and replayable.
+    * The grid stays CORRECT for any boundaries (pruning admissibility
+    * never depends on where the edges sit — PropertySpec sweeps random
+    * boundary tables); sampling only trades balance precision. */
+  def calibrateSampled(df: DataFrame, vecCol: String, idCol: String,
+      partsPerDim: Int, gridDims: Int, dim: Int,
+      rowCount: Long, sampleTarget: Long = 100000L): QuantileGridConfig = {
+    require(rowCount >= 0 && sampleTarget > 0)
+    val m = math.max(1L, (rowCount + sampleTarget - 1) / sampleTarget)
+    val sampled =
+      if (m <= 1L) df
+      else df.filter(pmod(
+        graft.operators.Dedup.md5Long(col(idCol).cast("string")), lit(m)) === 0L)
+    calibrate(sampled, vecCol, partsPerDim, gridDims, dim)
+  }
+
   /** DuckDB replay of [[calibrate]] for one dim: `quantile_cont` at the
     * same fractions, rounded to the same 6 decimals. */
   def calibrateSql(col: String, dimIdx: Int, partsPerDim: Int): String = {

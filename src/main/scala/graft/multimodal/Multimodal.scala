@@ -66,9 +66,15 @@ object Multimodal {
     * kinds, truncated bytes) so callers can fall back to [[stubDecode]].
     * ImageIO is headless-safe; the reader allocates per call, which is the
     * right trade for payloads of arbitrary size (no shared mutable state
-    * across executor threads). */
-  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    * across executor threads).
+    * A `maxBytes` guard bounds the decode: a single hostile or corrupt
+    * multi-hundred-MB payload would otherwise allocate an executor-OOM
+    * raster mid-task (real ingest pipelines bound decode size the same
+    * way); oversized payloads fall back to the stub like undecodable ones. */
+  def decodeImage(payload: Array[Byte],
+      maxBytes: Int = 64 << 20): Option[java.awt.image.BufferedImage] =
+    if (payload.length > maxBytes) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Throwable => None }
 
   /** [[extractFeatures]] with the REAL decoder on the image path: width/

@@ -120,18 +120,27 @@ object NaiveBayes {
     * contract as the DSIR/bigram-LM broadcast models. */
   def trainPredictFused(train: DataFrame, test: DataFrame,
       textCol: String = "text", labelCol: String = "lang",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxModelRows: Int = 2000000): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def q9(x: Double): Long =
       java.math.BigDecimal.valueOf(math.log(x))
         .setScale(9, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
-    // fit job 1: per-(class, word) token counts — the whole model body
-    val cwRows = train
+    // fit job 1: per-(class, word) token counts — the whole model body.
+    // Bounded collect (the cost-based-path pattern): a curated corpus's
+    // model is dictionary-sized, but a DIRTY web-scale corpus's raw vocab
+    // (urls, typos, binary junk) is not — above the cap the driver-side
+    // model would be the OOM, so fall back to the relational scorer,
+    // whose model stays distributed (broadcast joins of DataFrames).
+    // Same answer either way (the fused ≡ relational spec contract).
+    val cwDf = train
       .select(col(labelCol).as("cls"), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cw"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cwBounded = cwDf.limit(maxModelRows + 1).collect()
+    if (cwBounded.length > maxModelRows)
+      return trainPredict(train, test, textCol, labelCol, idCol)
+    val cwRows = cwBounded.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     // fit job 2: per-class doc counts (a class of all-empty texts still
     // has a prior — same contract as the relational form)
     val classRows = train.groupBy(col(labelCol).as("cls"))

@@ -73,10 +73,14 @@ class NaiveBayesSpec extends SparkSpecBase {
         .sortBy(_._1)
       val a = norm(NaiveBayes.trainPredict(train, test))
       val b = norm(NaiveBayes.trainPredictFused(train, test))
-      assert(a.length == b.length)
-      a.zip(b).foreach { case (x, y) =>
+      // model-cap fallback (the 100 TB dirty-vocab guard): forcing the cap
+      // below the vocab size must route to the relational path, same answer
+      val c = norm(NaiveBayes.trainPredictFused(train, test, maxModelRows = 1))
+      assert(a.length == b.length && a.length == c.length)
+      a.zip(b).zip(c).foreach { case ((x, y), z) =>
         assert(x._1 == y._1 && x._2 == y._2 && x._3 == y._3, s"$x vs $y")
         assert(x._4.compareTo(y._4) == 0, s"score drift: $x vs $y")
+        assert(x._3 == z._3 && x._4.compareTo(z._4) == 0, s"fallback drift: $x vs $z")
       }
     }
   }

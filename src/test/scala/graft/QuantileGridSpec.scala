@@ -85,6 +85,30 @@ class QuantileGridSpec extends SparkSpecBase {
     assert(qMax * 2 < eMax, s"quantile max $qMax vs equal-width max $eMax")
   }
 
+  test("calibrateSampled: constant-memory path stays balanced and pruning stays exact") {
+    val df = skewed(3000, 4, 41).cache()
+    val cfg = QuantileGrid.calibrateSampled(df, "embedding", "vec_id",
+      partsPerDim = 4, gridDims = 3, dim = 4, rowCount = 3000, sampleTarget = 500)
+    // sampled boundaries still balance: max cell well under the skewed
+    // equal-width pile-up (uniform share would be 3000/64 ≈ 47)
+    val mx = QuantileGrid.withCellId(df, "embedding", cfg)
+      .groupBy("cell_id").count().agg(max("count")).head().getLong(0)
+    assert(mx < 8L * 3000 / 64, s"sampled calibration left a hot cell of $mx")
+    // pruning correctness never depends on boundary placement
+    val q = Array(0.4, 0.1, 0.9, 0.2)
+    val brute = Knn.bruteForce(df, Distances.squaredL2Lit(col("embedding"), q), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val pruned = QuantileGrid.prunedKnnDf(spark,
+        QuantileGrid.withCellId(df, "embedding", cfg), cfg, q, 10,
+        bruteForceThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(pruned == brute)
+    // sampleTarget ≥ n → identical to exact calibration
+    assert(QuantileGrid.calibrateSampled(df, "embedding", "vec_id", 4, 3, 4,
+      rowCount = 3000, sampleTarget = 3000)
+      == QuantileGrid.calibrate(df, "embedding", 4, 3, 4))
+  }
+
   test("maintain: drift re-calibrates and re-balances; steady state is a no-op") {
     // calibrate on near-uniform data, then drift the distribution hard:
     // the stale boundaries pile the skewed state into the low cells

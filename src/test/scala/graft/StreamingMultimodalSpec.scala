@@ -111,6 +111,11 @@ class StreamingMultimodalSpec extends SparkSpecBase {
       .toDF("media_id", "kind", "payload")
     val embPng = Multimodal.embedMediaDecoded(regray, 64).collect()(0).embedding
     assert(embPng.toSeq == emb(3L).toSeq)
+    // decode-size guard: an over-limit payload refuses the codec (the
+    // executor-OOM bound a real ingest pipeline sets) — stub fallback
+    val bigPng = encode("png", 20, 10, 0xFFFFFF)
+    assert(Multimodal.decodeImage(bigPng).isDefined)
+    assert(Multimodal.decodeImage(bigPng, maxBytes = 10).isEmpty)
   }
 
   test("multimodal: media embedding feeds the similarity engine (dup payload = own NN at dist 0)") {
