@@ -30,6 +30,25 @@ object StreamingIngest {
           .write.mode("append").partitionBy("cell_id").parquet(storePath)
       }
 
+  /** [[vectorIngest]] onto a QUANTILE-calibrated store (r11): identical
+    * micro-batch shape, cells from the boundary table. Boundaries are
+    * plan literals, so streamed bucketing ≡ the batch
+    * [[graft.index.QuantileGrid.withCellId]] by construction; drift since
+    * calibration is handled out-of-band by `QuantileGrid.maintain` (the
+    * ingest never re-calibrates mid-stream — a moving geometry would
+    * scatter one logical cell across files). */
+  def vectorIngestQuantile(stream: DataFrame,
+      cfg: graft.index.QuantileGridConfig,
+      storePath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("cell_id", graft.index.QuantileGrid.cellId(col("embedding"), cfg))
+          .repartition(col("cell_id"))
+          .write.mode("append").partitionBy("cell_id").parquet(storePath)
+      }
+
   /** One micro-batch of the IDEMPOTENT ingest — factored out so the
     * replay contract is testable without a harness restart. */
   def writeVectorBatchIdempotent(batch: DataFrame, batchId: Long,

@@ -31,6 +31,27 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     assert(streamCells === batchCells)
   }
 
+  test("streaming quantile ingest: micro-batch cells equal batch quantile bucketing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftqstream").toString
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    emb.write.parquet(s"$tmp/src")
+    val qcfg = graft.index.QuantileGrid.calibrate(emb, "embedding",
+      partsPerDim = 4, gridDims = 3, dim = graft.core.Fixtures.Dim)
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$tmp/src")
+    val q = StreamingIngest.vectorIngestQuantile(stream, qcfg, s"$tmp/store")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stored = spark.read.parquet(s"$tmp/store")
+    assert(stored.count() === 100)
+    val batchCells = graft.index.QuantileGrid.withCellId(emb, "embedding", qcfg)
+      .groupBy("cell_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamCells = stored.groupBy("cell_id").count().collect()
+      .map(r => r.getAs[Number]("cell_id").longValue() -> r.getLong(1)).toMap
+    assert(streamCells === batchCells)
+  }
+
   test("windowed event stats with watermark runs as a stream and matches batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graftstream2").toString
     val events = Tables.events(spark, sfDir)
