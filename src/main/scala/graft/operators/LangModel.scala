@@ -39,7 +39,10 @@ object LangModel {
     * form behind [[scoreHeldOut]] and the DSIR importance ratio (two
     * such sums under different training slices subtract exactly). */
   def scoreSums(train: DataFrame, held: DataFrame): DataFrame = {
+    // persisted: the training bigram explode feeds both count tables —
+    // without it the train text is split twice
     val tb = bigrams(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c12 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = train.select(explode(split(col("text"), " ")).as("word"))
@@ -104,12 +107,22 @@ object LangModel {
     // bigram decimals are identical to the unfused form, so the sums —
     // and the oracle — are bit-for-bit unchanged.
     val (c12t, c1t, vt) = model(target, "c12_t", "c1_t", "v_t")
-    val (c12r, c1r, vr) = model(raw, "c12_r", "c1_r", "v_r")
+    // the raw corpus is the expensive side (target is a slice): its bigram
+    // explode feeds THREE consumers — c12_r, c1_r, and the scoring pass —
+    // so persist it once instead of re-splitting the corpus text per
+    // consumer (the NaiveBayes toks-persist pattern; freed by the
+    // ContextCleaner / the harness teardown with the returned plan)
+    val rawBi = bigrams(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12r = rawBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12_r"))
+    val c1r = rawBi.groupBy("w1").agg(count(lit(1)).as("c1_r"))
+    val vr = raw.select(explode(split(col("text"), " ")).as("word"))
+      .agg(count_distinct(col("word")).as("v_r"))
     def lp(c12: String, c1: String, v: String): Column = round(
         log((coalesce(col(c12), lit(0L)) + lit(1.0)) /
             (coalesce(col(c1), lit(0L)) + col(v))), 6)
       .cast(DecimalType(18, 6))
-    bigrams(raw)
+    rawBi
       .join(broadcast(c12t), Seq("w1", "w2"), "left")
       .join(broadcast(c1t), Seq("w1"), "left")
       .join(broadcast(c12r), Seq("w1", "w2"), "left")
@@ -128,6 +141,7 @@ object LangModel {
   private def model(train: DataFrame, c12Name: String, c1Name: String,
       vName: String): (DataFrame, DataFrame, DataFrame) = {
     val tb = bigrams(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (tb.groupBy("w1", "w2").agg(count(lit(1)).as(c12Name)),
       tb.groupBy("w1").agg(count(lit(1)).as(c1Name)),
       train.select(explode(split(col("text"), " ")).as("word"))
