@@ -212,13 +212,21 @@ object Governance {
       .withColumn("__lo", floor(col("__idx")).cast("long"))
       .withColumn("__hi", ceil(col("__idx")).cast("long"))
       .withColumn("__frac", col("__idx") - col("__lo").cast("double"))
-    val lo = ph.select(col("score_q").as("__v_lo"),
-      col("__cum_start").as("__s1"), col("__cum_end").as("__e1"))
-    val hi = ph.select(col("score_q").as("__v_hi"),
-      col("__cum_start").as("__s2"), col("__cum_end").as("__e2"))
+    // rank→value lookup as an EQUI join: each histogram bucket explodes to
+    // the pooled ranks it covers ([cum_start, cum_end) — Σ = n rows total,
+    // one per corpus row), so both lookups hash-join on a long key. The
+    // former broadcast range join was a BroadcastNestedLoopJoin costing
+    // rows × |histogram| comparisons — fine on a narrow histogram, but at
+    // corpus scale with a wide quantized-score domain it re-grows a
+    // quadratic term; the exploded-rank table stays exactly corpus-sized.
+    val rankVal = ph.select(
+      explode(sequence(col("__cum_start"), col("__cum_end") - 1)).as("__rank"),
+      col("score_q"))
+    val lo = rankVal.select(col("__rank").as("__lo"), col("score_q").as("__v_lo"))
+    val hi = rankVal.select(col("__rank").as("__hi"), col("score_q").as("__v_hi"))
     withIdx
-      .join(broadcast(lo), col("__lo") >= col("__s1") && col("__lo") < col("__e1"))
-      .join(broadcast(hi), col("__hi") >= col("__s2") && col("__hi") < col("__e2"))
+      .join(lo, Seq("__lo"))
+      .join(hi, Seq("__hi"))
       .withColumn("qnorm",
         round(col("__v_lo").cast("double") +
           (col("__v_hi").cast("double") - col("__v_lo").cast("double")) * col("__frac"), 6))
