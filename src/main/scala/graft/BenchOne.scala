@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// throwaway local timing harness (deleted after use; see .claude verify skill)
-object TmpTime {
+/** Spot-timing harness for local iteration: time a named subset of the
+  * declared queries (min of 3, same noop-sink + per-query teardown as
+  * [[Bench]]) without paying the full 279-query sweep.
+  * `runMain graft.BenchOne <sfDir> <name,name,...>` */
+object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args(1).split(",").toSeq
