@@ -3625,6 +3625,20 @@ object SparkEntry {
           docs(s, d).select(col("doc_id")), col("doc_id"), seed = 7,
           nShards = graft.operators.Governance.shardCountFor(docCount(s, d)))
         .orderBy(col("doc_id"))),
+    // shard-export integrity manifest (r11): per shard of the epoch
+    // shuffle, row count + token mass + md5 over the doc ids in POSITION
+    // order — what a training-data exporter publishes next to its shard
+    // files so consumers can verify nothing was truncated or re-ordered.
+    // Pure function of (seed, ids) ⇒ the digest itself hash-checks
+    "sample_shard_manifest" -> ((s, d) =>
+      graft.operators.Governance.shardManifest(
+          graft.operators.Governance.epochShuffle(
+            docs(s, d).select(col("doc_id"),
+              TextAnalysis.nWords(col("text")).cast("long").as("n_tok")),
+            col("doc_id"), seed = 7,
+            nShards = graft.operators.Governance.shardCountFor(docCount(s, d))),
+          col("doc_id"), col("n_tok"))
+        .orderBy(col("shard"))),
     // fractional-epoch upsampling: per-source rate in [1.00, 3.99] from
     // the source-name hash; each doc emits ⌊rate⌋ copies plus a
     // deterministic id-hash-selected extra — the materialized "2.5
@@ -7518,6 +7532,20 @@ object SparkEntry {
            |SELECT doc_id, CAST(h % ns.n AS INT) AS shard,
            |  CAST(ROW_NUMBER() OVER (PARTITION BY h % ns.n ORDER BY h, doc_id) AS INT) AS pos
            |FROM h, ns ORDER BY doc_id""".stripMargin
+      },
+      "sample_shard_manifest" -> {
+        val h = Dedup.md5Int32Sql("'7:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH ns AS (SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS n FROM documents),
+           |h AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, ($h) AS h
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, n_tok, CAST(h % ns.n AS INT) AS shard,
+           |    ROW_NUMBER() OVER (PARTITION BY h % ns.n ORDER BY h, doc_id) AS pos
+           |  FROM h, ns)
+           |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS content_digest
+           |FROM s GROUP BY shard ORDER BY shard""".stripMargin
       },
       "sample_epoch_upsample" -> {
         val srcH = Dedup.md5Int32Sql("source")

@@ -108,6 +108,29 @@ object Governance {
       .drop("__h")
   }
 
+  /** Shard-export integrity manifest — the publishing step after
+    * [[epochShuffle]]: per shard, the row count, token mass, and an
+    * ORDER-SENSITIVE content digest (md5 over the shard's doc ids in
+    * position order). This is what a training-data exporter writes next
+    * to its shard files so a consumer can verify a shard was neither
+    * truncated nor re-ordered (position order matters: the epoch order IS
+    * the training order). Every column is a pure function of (seed, ids),
+    * so the whole manifest replays in SQL.
+    *
+    * Scale: one shard-keyed aggregation; the per-shard id list is bounded
+    * by the target shard size (the [[shardCountFor]] knob), never the
+    * corpus. Input must carry [[epochShuffle]]'s (shard, pos) columns. */
+  def shardManifest(shuffled: DataFrame, idCol: Column,
+      tokensCol: Column): DataFrame =
+    shuffled.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokensCol).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("pos"), idCol.as("__id")))),
+            x => x.getField("__id").cast("string")))).as("content_digest"))
+
   /** Exact-duplicate resolution across sources by PRIORITY, not first-id:
     * within each content-digest group the survivor is the row with the
     * smallest (priority, id) — "when the same document appears in the

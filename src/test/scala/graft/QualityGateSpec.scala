@@ -129,6 +129,32 @@ class QualityGateSpec extends SparkSpecBase {
     }
   }
 
+  test("shardManifest: covers the corpus exactly, digests are order-sensitive and seed-sensitive") {
+    val ids = docs.select(col("doc_id"), lit(3L).as("n_tok"))
+    val n = ids.count()
+    def manifest(seed: Int) = Governance.shardManifest(
+      Governance.epochShuffle(ids, col("doc_id"), seed = seed, nShards = 8),
+      col("doc_id"), col("n_tok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val m7 = manifest(7)
+    assert(m7.map(_._2).sum == n)          // every doc in exactly one shard
+    assert(m7.map(_._3).sum == 3L * n)     // token mass conserved
+    assert(m7.map(_._4).distinct.length == m7.length) // shards have distinct content
+    // deterministic replay; a different seed re-permutes → different digests
+    assert(manifest(7).toSeq == m7.toSeq)
+    val m8 = manifest(8)
+    assert(m7.map(_._4).toSet != m8.map(_._4).toSet)
+    // order sensitivity: the digest hashes ids in POSITION order, so two
+    // shards with the same id SET but different order must differ — build
+    // one directly
+    import spark.implicits._
+    val a = Seq((0, 1, 10L, 1L), (0, 2, 20L, 1L)).toDF("shard", "pos", "doc_id", "n_tok")
+    val b = Seq((0, 1, 20L, 1L), (0, 2, 10L, 1L)).toDF("shard", "pos", "doc_id", "n_tok")
+    val da = Governance.shardManifest(a, col("doc_id"), col("n_tok")).collect()(0).getString(3)
+    val db = Governance.shardManifest(b, col("doc_id"), col("n_tok")).collect()(0).getString(3)
+    assert(da != db)
+  }
+
   test("pipeline_pretrain_v2 composes the gates: survivors are gopher-kept, non-tail, digest-unique, shuffle-complete") {
     val out = SparkEntry.queries("pipeline_pretrain_v2")(spark, sfDir).collect()
     assert(out.nonEmpty)
