@@ -85,6 +85,27 @@ class NaiveBayesSpec extends SparkSpecBase {
     }
   }
 
+  test("fused == relational on seeded random unicode corpora (40 docs x 3 classes)") {
+    val vocab = Vector("alpha", "beta", "γάμμα", "δ", "naïve", "🙂x", "e", "",
+      "longertoken", "x", "ZZ", "mixedCase")
+    val rnd = new scala.util.Random(97)
+    def corpus(n: Int, offset: Int) = (0 until n).map { i =>
+      val words = (0 until rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      ((i + offset).toString, s"C${rnd.nextInt(3)}", words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val train = corpus(40, 0)
+    val test = corpus(25, 1000)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(2), r.getAs[java.math.BigDecimal](3)))
+      .sortBy(_._1)
+    val a = norm(NaiveBayes.trainPredict(train, test))
+    val b = norm(NaiveBayes.trainPredictFused(train, test))
+    assert(a.length == b.length && a.length == 25)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2 && x._3.compareTo(y._3) == 0, s"$x vs $y")
+    }
+  }
+
   test("fixture confusion matrix: every test doc classified exactly once") {
     val docs = Tables.documents(spark, sfDir)
     val conf = NaiveBayes.confusion(
