@@ -289,6 +289,16 @@ object ScaleProbe extends App {
   t("BPE train 4 merges (100k docs)") {
     graft.operators.Bpe.train(bigDocs, nMerges = 4).count()
   }
+  // BPE at realistic tokenizer vocabulary scale: 1000 merges over a
+  // 20k-word dictionary with dense pair structure (32-hex-char words).
+  // The dictionary fits DriverDictLimit, so after the ONE wordFreq probe
+  // the whole merge loop runs driver-side — zero Spark jobs per merge; a
+  // 32k-merge production tokenizer is this same loop, not 2·32k jobs.
+  t("BPE train 1000 merges, driver path (20k vocab)") {
+    val synth = spark.range(20000L).select(col("id").as("doc_id"),
+      md5(col("id").cast("string")).as("text"))
+    assert(graft.operators.Bpe.train(synth, nMerges = 1000).count() == 1000L)
+  }
   // BM25 at 100k docs: corpus stats collapse to broadcast scalars, then
   // one codegen'd scoring pass + distributed top-k — linear in corpus.
   t("BM25 top-10 (100k docs)") {

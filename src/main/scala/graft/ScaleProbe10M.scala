@@ -35,11 +35,13 @@ object ScaleProbe10M extends App {
     println(f"SCALE $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
   }
 
-  // SCALE10M_STAGES=docs|semdedup|all (default all) — rerun one half
-  // without paying the other's ~30 min
+  // SCALE10M_STAGES=docs|semdedup|dsir|all (default all) — rerun one arm
+  // without paying the others' ~30 min ("dsir" reuses the docs store, so
+  // it needs a prior docs run's parquet on disk)
   val stages = sys.env.getOrElse("SCALE10M_STAGES", "all")
   val runDocs = stages == "all" || stages == "docs"
   val runSem = stages == "all" || stages == "semdedup"
+  val runDsir = stages == "all" || stages == "docs" || stages == "dsir"
 
   val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     .select(col("doc_id"), col("text"))
@@ -135,6 +137,31 @@ object ScaleProbe10M extends App {
     assert(r.getLong(0) > 0 && maxPos.toLong <= r.getLong(0))
   }
 
+  }
+
+  // r12 — the LangModel broadcast cap at its design point: the corpus's
+  // unique-ized texts give the RAW bigram model a vocabulary that grows
+  // with the corpus (row-unique tokens → ~20 novel bigram types per doc),
+  // so at a 500k-doc slice the raw c(w1,w2) table sits far past
+  // MaxModelRows and the broadcast-fit probe must route the raw model to
+  // the distributed relational scorer — no driver/executor-sized
+  // broadcast — while the bounded 5k-doc target model stays broadcast.
+  // This is the "What's wrong #1" OOM scenario of the r11 verdict run on
+  // purpose, surviving by design.
+  if (runDsir) {
+    val docs = spark.read.parquet(store)
+    t("DSIR log-ratios (500k raw docs, raw model over cap)") {
+      val raw = docs.filter(pmod(col("doc_id"), lit(20L)) === 2L)
+      val rawBigramTypes = graft.operators.LangModel.bigrams(raw)
+        .select(col("w1"), col("w2")).distinct()
+        .limit((graft.operators.LangModel.MaxModelRows + 1L).toInt).count()
+      println(s"SCALE   raw bigram-type probe: $rawBigramTypes (cap ${graft.operators.LangModel.MaxModelRows})")
+      assert(rawBigramTypes > graft.operators.LangModel.MaxModelRows,
+        "probe corpus no longer exceeds the cap — shrink MaxModelRows or grow the slice")
+      val n = graft.operators.LangModel.dsirLogRatios(base, raw).count()
+      println(s"SCALE   dsir-scored docs: $n")
+      assert(n > 0L)
+    }
   }
 
   // r7 scaled-SemDeDup cell bound at 1M vectors: stratified seeded

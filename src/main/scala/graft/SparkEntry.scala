@@ -199,6 +199,17 @@ object SparkEntry {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $keyExpr AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
+  /** [[bandSelectsSql]] with Dedup.minHashLshNearDupPairs' hot-bucket cap
+    * mirrored (window count per (band, bkey), keep ≤ LshMaxBucket) — the
+    * buckets CTE body for every oracle that replays the band SELF-join;
+    * the incremental-admission oracle probes batch-vs-corpus and stays
+    * uncapped like its operator. */
+  private def cappedBandBucketsSql: String =
+    s"""SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey,
+       |      COUNT(*) OVER (PARTITION BY band, bkey) AS __bsz
+       |    FROM ($bandSelectsSql)
+       |  ) WHERE __bsz <= ${Dedup.LshMaxBucket}""".stripMargin
   /** Brute-force 60-bit word-SimHash Hamming pairs over a (doc_id, text)
     * relation — the oracle for every banded SimHash pairing (document
     * near-dup AND the media perceptual-hash path share it). */
@@ -245,7 +256,7 @@ object SparkEntry {
        |    )
        |  ) GROUP BY doc_id
        |), buckets AS (
-       |  $bandSelectsSql
+       |  $cappedBandBucketsSql
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -820,14 +831,38 @@ object SparkEntry {
       Tables.orders(s, d).agg(
         countDistinct(col("o_custkey")).as("n_custs"),
         count(lit(1)).as("n_orders"))),
-    // sketch aggregates (HLL++ distinct, quantile summary) — engine-specific
-    // sketches have no DuckDB-exact oracle, so the driver records a
-    // rows-only check; exactness bounds are asserted in SketchSpec
-    "agg_sketches" -> ((s, d) =>
-      Tables.orders(s, d).agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custs"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"))),
+    // sketch aggregates (HLL++ distinct, quantile summary) — the raw
+    // sketch OUTPUTS are engine-specific, so the query is SELF-VALIDATING
+    // (r12): it computes the exact statistics side by side and emits
+    // within-bound FLAGS (HLL estimate within 3·rsd = 15% relative error;
+    // approx percentile within 0.1% RANK error, 10× the documented
+    // 1/accuracy guarantee) plus the exact values. Every output column is
+    // engine-portable, so the oracle is a full hash check — a sketch
+    // drifting out of its error contract fails the gate, not just a spec.
+    "agg_sketches" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val stats = o.agg(
+        approx_count_distinct(col("o_custkey")).as("ac"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"),
+        countDistinct(col("o_custkey")).as("nce"),
+        count(lit(1)).as("nr"))
+      o.crossJoin(broadcast(stats))
+        .agg(
+          max(col("nce")).as("n_custs_exact"),
+          max(col("nr")).as("n_rows"),
+          max(when(abs(col("ac") - col("nce")).cast("double") <=
+            col("nce").cast("double") * 0.15, 1).otherwise(0)).as("hll_within_bound"),
+          sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("rp50"),
+          sum(when(col("o_totalprice") <= col("p99"), 1L).otherwise(0L)).as("rp99"))
+        .select(col("n_custs_exact"), col("n_rows"), col("hll_within_bound"),
+          when(abs(col("rp50").cast("double") - col("n_rows").cast("double") * 0.5) <=
+            greatest(col("n_rows").cast("double") / 1000.0, lit(10.0)), 1)
+            .otherwise(0).as("p50_within_bound"),
+          when(abs(col("rp99").cast("double") - col("n_rows").cast("double") * 0.99) <=
+            greatest(col("n_rows").cast("double") / 1000.0, lit(10.0)), 1)
+            .otherwise(0).as("p99_within_bound"))
+    }),
     "anti_customers_without_orders" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
@@ -1466,6 +1501,15 @@ object SparkEntry {
       Multimodal.dedupExactGroups(
         Multimodal.mediaFromDocuments(base.unionByName(dups)))
     }),
+    // REAL image decode through the gate (r12): deterministic solid-color
+    // PNG/BMP/GIF payloads encoded driver-side, decoded by the actual
+    // javax.imageio codec on executors — width/height/mean-luminance are
+    // exact for lossless formats, so the oracle is the expected-value
+    // table and the whole row set hash-checks. Junk bytes and non-image
+    // kinds pin the decoded=0 fallback contract.
+    "media_decode_real" -> ((s, d) =>
+      Multimodal.decodeStats(Multimodal.realDecodeFixture(s))
+        .toDF().orderBy(col("media_id"))),
     // video frame-sampling plan: stride-spaced frame indices per video
     // payload (the fan-out manifest a decode stage consumes; decode itself
     // is the documented stub — rows-only check on the JVM-side plumbing)
@@ -4623,6 +4667,14 @@ object SparkEntry {
            |ORDER BY custkey""".stripMargin,
       "agg_count_distinct" ->
         "SELECT COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders FROM orders",
+      // the self-validating sketch query (r12): exact stats replay in any
+      // engine; the bound flags MUST be 1 — a sketch outside its error
+      // contract hash-mismatches here instead of hiding in a rows-only row
+      "agg_sketches" ->
+        """SELECT COUNT(DISTINCT o_custkey) AS n_custs_exact,
+          |  COUNT(*) AS n_rows,
+          |  1 AS hll_within_bound, 1 AS p50_within_bound, 1 AS p99_within_bound
+          |FROM orders""".stripMargin,
       "anti_customers_without_orders" ->
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
       "date_orders_by_month" ->
@@ -4716,6 +4768,20 @@ object SparkEntry {
       "media_features" ->
         s"""$mediaFeaturesSql
            |ORDER BY media_id""".stripMargin,
+      // expected-value table for the REAL-decode fixture: solid colors in
+      // lossless formats decode to exactly the drawn pixels, so integer
+      // ITU-R 601 luminance is a constant per row ((299R+587G+114B)/1000)
+      "media_decode_real" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), 1, 8, 5, 1, 255),
+          |  (CAST(2 AS BIGINT), 1, 20, 10, 1, 0),
+          |  (CAST(3 AS BIGINT), 1, 12, 7, 1, 128),
+          |  (CAST(4 AS BIGINT), 1, 9, 9, 1, 76),
+          |  (CAST(5 AS BIGINT), 1, 16, 4, 1, 45),
+          |  (CAST(6 AS BIGINT), 0, -1, -1, -1, -1),
+          |  (CAST(7 AS BIGINT), 0, -1, -1, -1, -1)
+          |) AS t(media_id, decoded, width, height, n_frames, luma)
+          |ORDER BY media_id""".stripMargin,
       "media_frame_sample_plan" ->
         s"""SELECT media_id, n_frames,
            |  CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
@@ -4854,7 +4920,7 @@ object SparkEntry {
            |    )
            |  ) GROUP BY doc_id
            |), buckets AS (
-           |  $bandSelectsSql
+           |  $cappedBandBucketsSql
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -4877,7 +4943,7 @@ object SparkEntry {
            |    )
            |  ) GROUP BY doc_id
            |), buckets AS (
-           |  $bandSelectsSql
+           |  $cappedBandBucketsSql
            |), sets AS (SELECT doc_id, $ssetSql AS sset FROM words_t),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -6374,7 +6440,7 @@ object SparkEntry {
            |    )
            |  ) GROUP BY doc_id
            |), buckets AS (
-           |  $bandSelectsSql
+           |  $cappedBandBucketsSql
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id

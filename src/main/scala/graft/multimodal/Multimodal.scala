@@ -67,15 +67,38 @@ object Multimodal {
     * ImageIO is headless-safe; the reader allocates per call, which is the
     * right trade for payloads of arbitrary size (no shared mutable state
     * across executor threads).
-    * A `maxBytes` guard bounds the decode: a single hostile or corrupt
-    * multi-hundred-MB payload would otherwise allocate an executor-OOM
-    * raster mid-task (real ingest pipelines bound decode size the same
-    * way); oversized payloads fall back to the stub like undecodable ones. */
+    * Two guards bound the decode (oversized payloads fall back to the
+    * stub like undecodable ones):
+    *   - `maxBytes` on the ENCODED payload — cheap first gate;
+    *   - `maxPixels` on the DECLARED raster, read from the image HEADER
+    *     (`ImageReader.getWidth/getHeight` parse metadata only) before any
+    *     full decode. The byte check alone does not deliver raster safety:
+    *     a decompression-bomb PNG (a solid-color 60k×60k image compressing
+    *     to a few MB) passes a 64 MB byte gate yet allocates a multi-GB
+    *     BufferedImage inside `ImageIO.read` — the header check refuses it
+    *     without decoding a pixel. 64 MPix ≈ 256 MB of ARGB raster, the
+    *     per-task ceiling a real ingest pipeline budgets for. */
   def decodeImage(payload: Array[Byte],
-      maxBytes: Int = 64 << 20): Option[java.awt.image.BufferedImage] =
+      maxBytes: Int = 64 << 20,
+      maxPixels: Long = 64L << 20): Option[java.awt.image.BufferedImage] =
     if (payload.length > maxBytes) None
-    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: Throwable => None }
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val declared = reader.getWidth(0).toLong * reader.getHeight(0).toLong
+            if (declared > maxPixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Throwable => None }
 
   /** [[extractFeatures]] with the REAL decoder on the image path: width/
     * height come from the actual decoded raster (frames = 1 for stills);
@@ -99,6 +122,72 @@ object Multimodal {
           MediaFeatures(id, kind, payload.length.toLong, checksum, w, h, f)
         }
       }
+  }
+
+  /** Per-payload REAL-decode stats for the gated `media_decode_real` query:
+    * width/height/frames from the actual decoded raster plus the integer
+    * mean ITU-R 601 luminance over ALL pixels — values a fixture-side
+    * expected table can assert exactly for lossless formats (PNG/BMP/GIF).
+    * Rows the codec refuses (junk bytes, non-image kinds, over-budget
+    * rasters) come back as decoded = 0 with -1 dimensions, so the fallback
+    * is observable without baking stub internals into the oracle. */
+  final case class MediaDecodeStats(media_id: Long, decoded: Int,
+      width: Int, height: Int, n_frames: Int, luma: Int)
+
+  def decodeStats(media: DataFrame): Dataset[MediaDecodeStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val img = if (kind == "image") decodeImage(payload) else None
+          img match {
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              var sum = 0L; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = im.getRGB(x, y)
+                  sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                    114 * (p & 0xff)) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              MediaDecodeStats(id, 1, w, h, 1, (sum / (w.toLong * h)).toInt)
+            case None => MediaDecodeStats(id, 0, -1, -1, -1, -1)
+          }
+        }
+      }
+  }
+
+  /** Deterministic REAL-codec fixture: solid-color PNG/BMP/GIF payloads
+    * encoded driver-side with `javax.imageio` (lossless formats only, so
+    * decoded pixel values are exact), one junk-bytes row and one
+    * decodable-bytes-but-non-image-kind row for the fallback contract.
+    * Feeds the declared `media_decode_real` query, whose oracle is the
+    * corresponding expected-value table. */
+  def realDecodeFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    Seq(
+      (1L, "image", encode("png", 8, 5, 0xFFFFFF)),   // luma 255
+      (2L, "image", encode("png", 20, 10, 0x000000)), // luma 0
+      (3L, "image", encode("bmp", 12, 7, 0x808080)),  // luma 128
+      (4L, "image", encode("gif", 9, 9, 0xFF0000)),   // luma 299·255/1000 = 76
+      (5L, "image", encode("png", 16, 4, 0x123456)),  // luma 45710/1000 = 45
+      (6L, "image", "definitely not an image payload".getBytes("UTF-8")),
+      (7L, "audio", encode("png", 6, 6, 0xFFFFFF))    // non-image kind: no codec
+    ).toDF("media_id", "kind", "payload")
   }
 
   /** Exact binary dedup: group payloads by md5 digest, keep groups with ≥2

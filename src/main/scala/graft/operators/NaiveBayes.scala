@@ -158,6 +158,13 @@ object NaiveBayes {
     val v = cwRows.iterator.map(_._2).toSet.size.toLong
     val unseen = classes.indices.map(ci => q9(1.0 / (cc(ci) + v).toDouble))
     val words = cwRows.iterator.map(_._2).toSet.toSeq.sorted
+    // the model allocates |V|·|C| cells — up to |C|× the collected row
+    // count when words concentrate in single classes, so the row cap alone
+    // does not bound the array (50 classes × 2M one-class rows ≈ 800 MB of
+    // longs). Gate the CELL count by the same budget and fall back to the
+    // relational scorer, whose model stays distributed.
+    if (words.size.toLong * classes.length > maxModelRows)
+      return trainPredict(train, test, textCol, labelCol, idCol)
     val wIdx = words.zipWithIndex.toMap
     // default every (word, class) cell to the unseen fallback — a word
     // seen only in SOME classes scores the fallback in the others, exactly

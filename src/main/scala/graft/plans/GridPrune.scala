@@ -55,6 +55,13 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.grid.pruneCfg"
   val FpMetaKey = "graft.grid.fp"
 
+  /** Upper bound on geometries the cell-pruning rules will enumerate
+    * driver-side (shared with [[QuantileGridPruning]]): the rules walk
+    * every cell id per matching Filter per optimizer pass, so an
+    * unbounded registered geometry would turn plan OPTIMIZATION into an
+    * O(numCells) driver loop. Larger geometries simply don't prune. */
+  val MaxEnumCells: Long = 1000000L
+
   /** Register `cfg` on the session UNBOUND (dim-unique fallback matching
     * only) and install the rule (idempotent). */
   def register(spark: SparkSession, cfg: GridConfig): Unit =
@@ -191,6 +198,12 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
           (_, q, _, _) <- bound
           if !cond.references.exists(_.name == "cell_id")
           cfg <- bindCfg(entries, child, attr, q.length)
+          // the rule enumerates every cell on the DRIVER per matching
+          // Filter per optimizer pass — an unbounded registered geometry
+          // would make query OPTIMIZATION itself O(numCells). Past the cap
+          // the rule degrades to "no pruning" (always correct); a geometry
+          // that large should partition-prune via the store layout instead
+          if cfg.numCells <= GridRadiusPruning.MaxEnumCells
         } yield cfg
         if (cfgOpt.isEmpty) f
         else {
@@ -198,7 +211,7 @@ object GridRadiusPruning extends Rule[LogicalPlan] {
           val (m, q, w, r) = bound.get
           val cells = (0L until cfg.numCells)
             .filter(c => cellBound(m, q, w, c, cfg) <= r)
-          if (cells.size == cfg.numCells.toInt) f // every cell qualifies
+          if (cells.size.toLong == cfg.numCells) f // every cell qualifies
           else {
             val lits: Seq[Expression] =
               if (cellAttr.get.dataType == LongType)

@@ -146,6 +146,12 @@ object QuantileGridRadiusPruning extends Rule[LogicalPlan] {
           (_, q, _, _) <- bound
           if !cond.references.exists(_.name == "cell_id")
           cfg <- bindCfg(entries, child, attr, q.length)
+          // the rule enumerates every cell on the DRIVER per matching
+          // Filter per optimizer pass — an unbounded registered geometry
+          // would make query OPTIMIZATION itself O(numCells). Past the cap
+          // the rule degrades to "no pruning" (always correct); a geometry
+          // that large should partition-prune via the store layout instead
+          if cfg.numCells <= GridRadiusPruning.MaxEnumCells
         } yield cfg
         if (cfgOpt.isEmpty) f
         else {
@@ -153,7 +159,7 @@ object QuantileGridRadiusPruning extends Rule[LogicalPlan] {
           val (m, q, w, r) = bound.get
           val cells = (0L until cfg.numCells)
             .filter(c => cellBound(m, q, w, c, cfg) <= r)
-          if (cells.size == cfg.numCells.toInt) f // every cell qualifies
+          if (cells.size.toLong == cfg.numCells) f // every cell qualifies
           else {
             val lits: Seq[Expression] =
               if (cellAttr.get.dataType == LongType)

@@ -85,6 +85,47 @@ class BpeSpec extends SparkSpecBase {
     assert(driver.toSeq == dist.toSeq)
   }
 
+  test("incremental driver trainer == naive full-recount, 120 merges on a random dictionary") {
+    // the r12 incremental pair-count maintenance must learn the EXACT
+    // merge sequence the straightforward recount-every-iteration loop
+    // learns — counts, picks, and tie-breaks included. ASCII-only words so
+    // String ordering == code-point ordering in the in-test reimplementation.
+    val rnd = new scala.util.Random(123)
+    val alpha = "abcdef"
+    val words = (0 until 400).map { _ =>
+      (0 until (3 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w)).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val nMerges = 120
+    // naive reference: full recount every iteration, canonical left fold
+    def applyM(syms: Vector[String], p1: String, p2: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (out, x) =>
+        if (out.nonEmpty && out.last == p1 && x == p2) out.init :+ (p1 + p2)
+        else out :+ x
+      }
+    val wf = text.split(" ").filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, g) => (w, g.length.toLong) }.toSeq
+    var dict = wf.map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector, f) }
+    val expect = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.sliding(2).foreach { case Seq(a, b) =>
+          counts.update((a, b), counts.getOrElse((a, b), 0L) + f)
+        case _ => }
+      }
+      if (counts.nonEmpty) {
+        val ((p1, p2), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        expect += ((i, p1, p2, cnt))
+        dict = dict.map { case (syms, f) => (applyM(syms, p1, p2), f) }
+      }
+    }
+    val got = Bpe.train(docs, nMerges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expect.result(), "incremental trainer diverged from the recount reference")
+  }
+
   test("corpus with no adjacent pairs trains zero merges; encode still counts tokens") {
     // every word is a single char -> no pairs -> empty merge table; the
     // nMerges=3 request must not loop or throw

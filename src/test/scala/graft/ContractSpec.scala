@@ -17,13 +17,30 @@ class ContractSpec extends SparkSpecBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("rows-only (no-oracle) queries are exactly the documented one") {
-    // agg_sketches alone: HLL/KLL sketch internals are engine-specific by
-    // design. The trained IVF/PQ family moved under the hash gate in r6
-    // via seeded-exact training (integer-exact centroid updates).
+  test("every declared query is hash-checked (zero rows-only entries)") {
+    // r12 closed the last gap: agg_sketches became self-validating (exact
+    // stats + error-bound flags — all engine-portable columns), so the
+    // registry has NO rows-only queries left. The trained IVF/PQ family
+    // moved under the hash gate in r6 via seeded-exact training.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_sketches"),
-      s"undocumented rows-only queries: $noOracle")
+    assert(noOracle.isEmpty, s"rows-only queries crept back in: $noOracle")
+  }
+
+  test("cross-SF growth audit artifact carries an empty flag list (no quadratic creepers)") {
+    // r12 (VERDICT item 4): scripts/cross_sf_audit.py compares the full
+    // registry's per-query times at sf0.01 vs sf0.1 and flags any query
+    // growing faster than 1.5x the data ratio. The committed artifact's
+    // flag list must stay empty — a creeper either gets fixed or gets a
+    // justified entry HERE with its cause.
+    val justified = Set.empty[String]
+    val p = java.nio.file.Paths.get("CROSS_SF_AUDIT_r12.json")
+    assume(java.nio.file.Files.exists(p), "audit artifact not generated yet")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(p))
+    val flagged = (0 until node.get("flagged_queries").size())
+      .map(node.get("flagged_queries").get(_).asText()).toSet
+    assert((flagged -- justified).isEmpty,
+      s"unjustified cross-SF growth flags: ${flagged -- justified}")
   }
 
   test("no oracle SQL is orphaned (every oracle key has a query)") {

@@ -113,6 +113,25 @@ class GovernanceSpec extends SparkSpecBase {
     }
   }
 
+  test("quantileNormalize: degenerate hot bucket — chunked rank explode is value-identical and per-task bounded") {
+    import org.apache.spark.sql.types.DecimalType
+    // 90% of the corpus lands on ONE quantized score (the "millions of
+    // docs all at quality 0" hazard): the rank explode must never build a
+    // bucket-sized array. rankChunk = 16 forces the hot bucket through
+    // ⌈900/16⌉ = 57 chunks; the default path at this size is one array.
+    val docs = ((0 until 900).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", "x")) ++
+      (0 until 100).map(i => (900L + i, "a", ("y " * (i % 10 + 2)).trim))
+      ).toDF("doc_id", "source", "text")
+    val q4 = round(TextAnalysis.qualityScore(col("text")), 4).cast(DecimalType(9, 4))
+    def key(rc: Long) = Governance.quantileNormalize(docs, "source", q4, rankChunk = rc)
+      .select(col("doc_id"), col("qnorm")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // chunk width must not change a single value: 16-wide chunks and the
+    // 1-wide extreme (every rank its own array) both equal the default
+    assert(key(16L) == key(Governance.QnormRankChunk))
+    assert(key(1L) == key(Governance.QnormRankChunk))
+  }
+
   test("epochUpsample replicates ⌊rate⌋ or ⌈rate⌉ times and converges to rate·n") {
     import org.apache.spark.sql.functions.{col, lit}
     val n = 1000

@@ -58,6 +58,50 @@ class LangModelSpec extends SparkSpecBase {
     }
   }
 
+  test("over-cap model: distributed fallback is value-identical to the broadcast path") {
+    val train = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "b c d e")).toDF("doc_id", "text")
+    val held = Seq((10L, "a b z"), (11L, "c d e a"), (12L, "q r")).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).sortBy(_._1).toSeq
+    // maxModelRows = 1 forces every model table over the cap → shuffle joins
+    assert(key(LangModel.scoreSums(train, held, maxModelRows = 1L)) ==
+      key(LangModel.scoreSums(train, held)))
+    def dsir(cap: Long) = LangModel.dsirLogRatios(train, held, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(dsir(1L) == dsir(LangModel.MaxModelRows))
+    def buckets(cap: Long) = LangModel.perplexityBuckets(train, held, maxModelRows = cap)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(buckets(1L) == buckets(LangModel.MaxModelRows))
+  }
+
+  test("over-cap model plans with no broadcast hash join on the model tables") {
+    val train = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val held = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    def planOf(cap: Long) = {
+      val df = LangModel.scoreSums(train, held, maxModelRows = cap)
+      df.collect() // materialize so AQE finalizes the join strategies
+      df.queryExecution.executedPlan.toString
+    }
+    // With size-based broadcasting off, only the explicit hint can yield a
+    // BroadcastHashJoin — so its absence proves the over-cap path dropped
+    // the hint (in production AQE may still re-broadcast a measured-small
+    // side, which is safe: it never broadcasts an over-threshold table).
+    // The vocab scalar rides a BroadcastNestedLoopJoin either way.
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      assert(!planOf(1L).contains("BroadcastHashJoin"))
+      assert(planOf(LangModel.MaxModelRows).contains("BroadcastHashJoin"))
+    } finally {
+      prev.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      if (prev.isEmpty) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      if (prevA.isEmpty) spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("unseen-everything document scores ln(1/V) per bigram") {
     val train = Seq((1L, "a b c")).toDF("doc_id", "text")
     val held = Seq((10L, "p q r")).toDF("doc_id", "text")

@@ -85,6 +85,23 @@ class NaiveBayesSpec extends SparkSpecBase {
     }
   }
 
+  test("cell cap: |V|·|C| over budget routes to relational fallback even when row count fits") {
+    // disjoint per-class vocabularies: 9 collected (class, word) rows but
+    // 9 words × 3 classes = 27 model cells — the worst case where the lps
+    // array outgrows the row cap by a factor of |C|
+    val train = Seq(("a1", "A", "w1 w2 w3"), ("b1", "B", "w4 w5 w6"),
+      ("c1", "C", "w7 w8 w9")).toDF("doc_id", "lang", "text")
+    val test = Seq(("t1", "A", "w1 w5 w9 q")).toDF("doc_id", "lang", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(2), r.getAs[java.math.BigDecimal]("score")))
+      .sortBy(_._1).toSeq
+    // rows (9) ≤ cap (10) but cells (27) > cap → must fall back, same answer
+    val capped = norm(NaiveBayes.trainPredictFused(train, test, maxModelRows = 10))
+    val full = norm(NaiveBayes.trainPredictFused(train, test))
+    assert(capped.map(t => (t._1, t._2)) == full.map(t => (t._1, t._2)))
+    capped.zip(full).foreach { case (x, y) => assert(x._3.compareTo(y._3) == 0) }
+  }
+
   test("fused == relational on seeded random unicode corpora (40 docs x 3 classes)") {
     val vocab = Vector("alpha", "beta", "γάμμα", "δ", "naïve", "🙂x", "e", "",
       "longertoken", "x", "ZZ", "mixedCase")

@@ -90,6 +90,31 @@ class NearDupSpec extends SparkSpecBase {
       == 50L * 49 / 2 + 1)
   }
 
+  test("minhash-lsh band cap: hot near-identical pocket is dropped and audited, real pairs kept") {
+    // 30 byte-identical texts (one LSH clique — every band bucket holds all
+    // 30) plus a genuine 2-doc near-dup pair in a different dialect. With
+    // the cap below 30 the clique contributes ZERO candidates, bounding
+    // the band join's volume; the audit lists exactly the dropped buckets.
+    val hot = (1L to 30L).map(i => (i, "the same boilerplate template text repeated verbatim"))
+    val near = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta"))
+    val docs = (hot ++ near).toDF("doc_id", "text")
+    val capped = Dedup.minHashLshNearDupPairs(docs, "text", "doc_id",
+        threshold = 0.4, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)))
+    val audit = Dedup.lshHotBandAudit(docs, maxBucket = 10)
+      .as[(Int, String, Long)].collect()
+    assert(audit.length == 4 && audit.forall(_._3 == 30L)) // all 4 bands hot
+    // uncapped: the clique pays its full C(30,2) pair volume
+    val uncapped = Dedup.minHashLshNearDupPairs(docs, "text", "doc_id", threshold = 0.4)
+    assert(uncapped.count() == 30L * 29 / 2 + 1)
+    // a cap ABOVE the clique size leaves the output untouched — the cap
+    // only ever bites past its threshold
+    assert(Dedup.minHashLshNearDupPairs(docs, "text", "doc_id", threshold = 0.4,
+      maxBucket = 31).count() == 30L * 29 / 2 + 1)
+  }
+
   test("connected components on an empty edge list returns an empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)

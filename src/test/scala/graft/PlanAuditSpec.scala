@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpecBase {
     * sample/model page onto a distributed side. */
   private val bnljBounded: Set[String] = Set(
     // scalar corpus totals / denominators / thresholds
+    "agg_sketches", // 1-row sketch/exact stats re-joined for the bound flags
     "agg_equidepth_hist", "agg_kmv_distinct", "agg_kmv_merge_daily",
     "agg_rfm_segments", "agg_theta_intersect", "agg_winsorized_monthly",
     "ann_ivf_cell_stats", "events_ewma_hourly", "events_funnel",

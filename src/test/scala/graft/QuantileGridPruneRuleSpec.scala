@@ -148,4 +148,27 @@ class QuantileGridPruneRuleSpec extends SparkSpecBase {
     assert(out.toSeq == plain.toSeq && out.nonEmpty)
     clearRegistries()
   }
+
+  test("over-cap geometry (numCells > MaxEnumCells) degrades to no pruning, result unchanged") {
+    clearRegistries()
+    // 1025² ≈ 1.05M cells — past the driver-enumeration cap: optimizing a
+    // query must NOT walk a million cells per pass; the rule skips and the
+    // plain filter answers (always-correct degradation)
+    val edges = (1 to 1024).map(_ / 1025.0)
+    val hugeCfg = graft.index.QuantileGridConfig(2, Seq(edges, edges))
+    assert(hugeCfg.numCells > GridRadiusPruning.MaxEnumCells)
+    QuantileGridRadiusPruning.register(spark, hugeCfg, store)
+    val indexed = spark.read.parquet(store)
+    val dist = Distances.squaredL2Lit(col("embedding"), q)
+    val pruned = indexed.filter(dist <= lit(r)).select("vec_id")
+    val opt = pruned.queryExecution.optimizedPlan.toString
+    assert(!opt.contains(" IN "), s"over-cap geometry still injected pruning:\n$opt")
+    clearRegistries()
+    val plain = indexed.filter(dist <= lit(r)).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    QuantileGridRadiusPruning.register(spark, hugeCfg, store)
+    val got = pruned.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == plain)
+    clearRegistries()
+  }
 }

@@ -137,6 +137,11 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     val bigPng = encode("png", 20, 10, 0xFFFFFF)
     assert(Multimodal.decodeImage(bigPng).isDefined)
     assert(Multimodal.decodeImage(bigPng, maxBytes = 10).isEmpty)
+    // decompression-bomb guard: the DECLARED raster (header width×height,
+    // no pixel decoded) is checked against maxPixels — a 20×10 image is
+    // refused at a 100-pixel budget but passes at exactly 200
+    assert(Multimodal.decodeImage(bigPng, maxPixels = 100L).isEmpty)
+    assert(Multimodal.decodeImage(bigPng, maxPixels = 200L).isDefined)
   }
 
   test("multimodal: media embedding feeds the similarity engine (dup payload = own NN at dist 0)") {
