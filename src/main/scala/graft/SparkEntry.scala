@@ -5401,8 +5401,13 @@ object SparkEntry {
           s"SELECT vec_id, $b AS band, ${bandSigSql("embedding", b)} AS sig FROM embeddings WHERE vec_id % 5 = 0"
         }.mkString("\n  UNION ALL ")
         val cs = DuckSql.cosineSimCols("ea.embedding", "eb.embedding", Dim)
+        // hot-bucket cap mirror (Ann.lshBandedNearDupPairs maxBucket)
         s"""WITH buckets AS (
-           |  $bandSelects
+           |  SELECT vec_id, band, sig FROM (
+           |    SELECT vec_id, band, sig,
+           |      COUNT(*) OVER (PARTITION BY band, sig) AS __bsz
+           |    FROM ($bandSelects)
+           |  ) WHERE __bsz <= ${Dedup.LshMaxBucket}
            |), cand AS (
            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id

@@ -38,9 +38,19 @@ object Ann {
   /** Near-dup candidate pairs: same LSH signature (all bits equal). For
     * banded multi-probe, call with slices of the planes and union. */
   def lshCandidatePairs(db: DataFrame, planes: Array[Array[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
+    // hot-bucket cap (the Dedup band-join guard, same rationale): a
+    // signature bucket holding a large near-identical embedding pocket is
+    // a |bucket|² candidate cliff — and HERE each pair also carries two
+    // vector payloads through the shuffle. Buckets past the cap drop out
+    // of pairing; max observed full-signature bucket at sf0.1 is 2.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lsh_sig"))
     val sig = db.select(col(idCol), col(vecCol))
       .withColumn("lsh_sig", lshSignature(col(vecCol), planes))
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("lsh_sig"))
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("lsh_sig"))
     a.join(b, Seq("lsh_sig")).filter(col("id_a") < col("id_b"))
@@ -103,13 +113,26 @@ object Ann {
     * keeps the 500-row fixture non-degenerate. */
   def lshBandedNearDupPairs(db: DataFrame, planes: Array[Array[Double]], dim: Int,
       bandBits: Int, minCosine: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = Dedup.LshMaxBucket): DataFrame = {
     val bandCols = planes.grouped(bandBits).toArray.zipWithIndex.map { case (ps, b) =>
       struct(lit(b).as("band"), lshSignature(col(vecCol), ps).as("sig"))
     }
+    // hot-bucket cap before the self-join (see [[lshCandidatePairs]]):
+    // short band signatures make hot buckets LIKELIER (4-bit bands at the
+    // fixture scale already hold ~50 vectors); the window partitions by
+    // the join key, so the gate reuses the join's own exchange. Dropped
+    // buckets are boilerplate-pocket signals, observable by re-running
+    // the aggregation without the filter. Max observed band bucket at
+    // sf0.1 is 53 — the 1024 default never bites on real geometry.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
     val buckets = db
       .select(col(idCol), col(vecCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("band"), col("sig"))
     val b = buckets.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))

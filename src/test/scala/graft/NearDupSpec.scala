@@ -148,6 +148,22 @@ class NearDupSpec extends SparkSpecBase {
     assert(viaDriver == viaLoop)
   }
 
+  test("embedding LSH band cap: identical-vector clique past the cap stops pairing, small buckets unaffected") {
+    val v = Array.fill(Fixtures.Dim)(0.5f)
+    val u = Array.fill(Fixtures.Dim)(-0.5f)
+    // 30 byte-identical embeddings collide in every band (one |bucket|²
+    // clique); a separate 2-vector duplicate pocket must keep pairing
+    val db = ((1L to 30L).map(i => (i, v)) ++ Seq((100L, u), (101L, u)))
+      .toDF("vec_id", "embedding")
+    val capped = Ann.lshBandedNearDupPairs(db, Fixtures.Planes16, Fixtures.Dim,
+        bandBits = 4, minCosine = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)))
+    // default cap far above the clique: full C(30,2) + the pocket pair
+    assert(Ann.lshBandedNearDupPairs(db, Fixtures.Planes16, Fixtures.Dim,
+      4, 0.5).count() == 30L * 29 / 2 + 1)
+  }
+
   test("banded LSH pairs are deduped across bands (no duplicate pair rows)") {
     val v = Array.fill(Fixtures.Dim)(0.5f)
     val db = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
