@@ -841,12 +841,19 @@ object SparkEntry {
     // drifting out of its error contract fails the gate, not just a spec.
     "agg_sketches" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val stats = o.agg(
+      // sketches and the exact stats aggregate SEPARATELY: fusing the
+      // exact countDistinct (Expand-based) with the two imperative sketch
+      // aggregates in one Aggregate degrades to a SortAggregate that costs
+      // ~8× the two plans side by side (15.4 s vs ~2 s at sf0.1); two
+      // 1-row frames cross-joined keep each in its best physical form
+      val sketch = o.agg(
         approx_count_distinct(col("o_custkey")).as("ac"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
+      val exact = o.agg(
         countDistinct(col("o_custkey")).as("nce"),
         count(lit(1)).as("nr"))
+      val stats = sketch.crossJoin(exact)
       o.crossJoin(broadcast(stats))
         .agg(
           max(col("nce")).as("n_custs_exact"),

@@ -44,13 +44,17 @@ object Ann {
     // signature bucket holding a large near-identical embedding pocket is
     // a |bucket|² candidate cliff — and HERE each pair also carries two
     // vector payloads through the shuffle. Buckets past the cap drop out
-    // of pairing; max observed full-signature bucket at sf0.1 is 2.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lsh_sig"))
-    val sig = db.select(col(idCol), col(vecCol))
+    // of pairing (over-cap keys aggregated — near-empty by definition —
+    // then anti-joined; AQE broadcasts the tiny list). Max observed
+    // full-signature bucket at sf0.1 is 2.
+    val sig0 = db.select(col(idCol), col(vecCol))
       .withColumn("lsh_sig", lshSignature(col(vecCol), planes))
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val hot = sig0.groupBy(col("lsh_sig")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket).drop("__bsz")
+    // persisted: both self-join sides read the capped signatures from
+    // cache — the signature expression and the cap run once
+    val sig = sig0.join(hot, Seq("lsh_sig"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("lsh_sig"))
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("lsh_sig"))
     a.join(b, Seq("lsh_sig")).filter(col("id_a") < col("id_b"))
@@ -120,19 +124,22 @@ object Ann {
     }
     // hot-bucket cap before the self-join (see [[lshCandidatePairs]]):
     // short band signatures make hot buckets LIKELIER (4-bit bands at the
-    // fixture scale already hold ~50 vectors); the window partitions by
-    // the join key, so the gate reuses the join's own exchange. Dropped
-    // buckets are boilerplate-pocket signals, observable by re-running
-    // the aggregation without the filter. Max observed band bucket at
-    // sf0.1 is 53 — the 1024 default never bites on real geometry.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("sig"))
-    val buckets = db
+    // fixture scale already hold ~50 vectors). Over-cap (band, sig) keys
+    // aggregate to a near-empty list and anti-join out — cheaper than a
+    // window count, which would re-sort the full bucket table per join
+    // side. Dropped buckets are boilerplate-pocket signals. Max observed
+    // band bucket at sf0.1 is 53 — the 1024 default never bites on real
+    // geometry.
+    val buckets0 = db
       .select(col(idCol), col(vecCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    val hot = buckets0.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket).drop("__bsz")
+    // persisted: both self-join sides read the capped buckets from cache —
+    // the band signatures and the cap run once
+    val buckets = buckets0.join(hot, Seq("band", "sig"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("band"), col("sig"))
     val b = buckets.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))

@@ -102,16 +102,24 @@ object Dedup {
     * (max observed band bucket at sf0.1: 12). */
   val LshMaxBucket: Int = 1024
 
-  /** Window-based bucket-size gate on a bucket table — the exchange the
-    * window needs partitions by the SAME key the self-join needs, so both
-    * join sides reuse one exchange subtree (the [[fingerprintEdges]]
-    * pattern): the cap costs a window pass, not an extra aggregation. */
+  /** Bucket-size gate on a bucket table: aggregate the (tiny) over-cap
+    * key list, then anti-join it out. Measured against the window-count
+    * form ([[fingerprintEdges]]'s device): the window re-shuffles AND
+    * sorts the full bucket table on EACH self-join side (~2× on the whole
+    * MinHash family at sf0.1), while the aggregation is map-side
+    * combinable and its output is only the over-cap keys — near-empty by
+    * definition (≤ n/maxBucket, usually zero). No broadcast hint: AQE
+    * converts the anti-join to broadcast when the hot list is actually
+    * small, and keeps it a shuffle join in the adversarial case where
+    * millions of buckets overflow. */
   private def capHotBuckets(buckets: DataFrame, keyCols: Seq[String],
-      maxBucket: Int): DataFrame =
-    buckets.withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
-      .filter(col("__bsz") <= maxBucket)
+      maxBucket: Int): DataFrame = {
+    val hot = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
       .drop("__bsz")
+    buckets.join(hot, keyCols, "left_anti")
+  }
 
   /** LSH banding over minhash signatures: docs sharing any band land in the
     * same bucket; same-bucket pairs are near-dup candidates. Buckets larger
@@ -178,9 +186,13 @@ object Dedup {
     // drops it when the plan is garbage-collected.
     val sig = minHashSignature(docs, textCol, idCol, shingleWidth, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hot-bucket cap BEFORE the self-join — the quadratic guard ([[LshMaxBucket]])
+    // hot-bucket cap BEFORE the self-join — the quadratic guard
+    // ([[LshMaxBucket]]). Persisted: BOTH self-join sides (probe + the
+    // broadcast build) read the capped table from cache, so the cap's
+    // aggregation + anti-join run once, not once per side.
     val buckets = capHotBuckets(
-      lshBuckets(sig, idCol, numHashes, bands), Seq("band", "bkey"), maxBucket)
+        lshBuckets(sig, idCol, numHashes, bands), Seq("band", "bkey"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candRaw = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
