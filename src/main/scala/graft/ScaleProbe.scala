@@ -160,6 +160,19 @@ object ScaleProbe extends App {
     graft.operators.TextAnalysis.repetitionSignals(bigDocs)
       .write.format("noop").mode("overwrite").save()
   }
+  // r12 qnorm chunking at its design point: 1M rows with 90% of the
+  // corpus on ONE quantized score — the pooled rank explode must stream
+  // the hot bucket as ⌈900k/64k⌉ = 14 chunks instead of materializing a
+  // 900k-element array in a single task.
+  t("quantile normalize, 90% hot bucket (1M rows)") {
+    val df = spark.range(1000000L).select(col("id").as("doc_id"),
+      (col("id") % 4).cast("string").as("source"),
+      when(pmod(col("id"), lit(10)) =!= 0, lit(0.0))
+        .otherwise(pmod(col("id"), lit(97)).cast("double") / 97.0).as("q"))
+    graft.operators.Governance.quantileNormalize(df, "source",
+        round(col("q"), 4).cast(org.apache.spark.sql.types.DecimalType(9, 4)))
+      .write.format("noop").mode("overwrite").save()
+  }
   // Round-10 curation stack end-to-end at 1M docs: Gopher gate (map-side,
   // pushed into the scan) → perplexity buckets (broadcast-model scoring;
   // the only corpus-sized shuffles are the bigram model build and the

@@ -1041,6 +1041,14 @@ object SparkEntry {
           "text", "doc_id", shingleWidth = 3, numHashes = 8, bands = 4, threshold = 0.5,
           docCountHint = docCount(s, d))
         .orderBy(col("id_a"), col("id_b"))),
+    // the audit side of the r12 hot-bucket cap: every LSH band bucket past
+    // a threshold with its population — what a governed dedup run logs
+    // next to the pair count so capped boilerplate pockets are observable.
+    // Audited at threshold 2 (the production cap of 1024 yields an empty
+    // — and therefore unprovable — fixture result)
+    "dedup_lsh_hot_buckets" -> ((s, d) =>
+      Dedup.lshHotBandAudit(par(s, docs(s, d)), maxBucket = 2)
+        .orderBy(col("band"), col("bkey"))),
     // incremental (batch-vs-corpus) dedup — the daily-crawl admission path:
     // docs with id%10==7 arrive as the new batch, the rest are the corpus;
     // each batch doc is classified exact / near (LSH + jaccard vs the
@@ -4940,6 +4948,21 @@ object SparkEntry {
            |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
            |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a JOIN sets sb ON sb.doc_id = cand.id_b
            |) WHERE jac >= ${DuckSql.fmt(0.5)} ORDER BY id_a, id_b""".stripMargin,
+      "dedup_lsh_hot_buckets" ->
+        s"""WITH sig AS (
+           |  SELECT doc_id, $minsSql
+           |  FROM (
+           |    SELECT doc_id, ${Dedup.md5Int32Sql("shingle")} AS h FROM (
+           |      SELECT doc_id, unnest($ssetSql) AS shingle
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |    )
+           |  ) GROUP BY doc_id
+           |), buckets AS (
+           |  $bandSelectsSql
+           |)
+           |SELECT band, bkey, COUNT(*) AS n_docs FROM buckets
+           |GROUP BY band, bkey HAVING COUNT(*) > 2
+           |ORDER BY band, bkey""".stripMargin,
       "dedup_lsh_recall" ->
         s"""WITH words_t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            |sig AS (
