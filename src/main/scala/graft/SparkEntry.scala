@@ -30,24 +30,6 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** Deterministic PII-bearing rows for the text_pii_* queries (the
-    * fixture corpus is clean word soup, so exposure must be injected to
-    * be provable). Ids start at 9M, far past any fixture doc_id. The
-    * SAME literals are replayed as a VALUES table in the oracles. */
-  private val PiiFixtureRows = Seq(
-    (9000001L, "contact alice.smith@example.com or bob_77@mail.example.org today", "en", "leaky"),
-    (9000002L, "server at 10.0.0.1 and backup 192.168.001.005 replied", "en", "leaky"),
-    (9000003L, "call 555-123-4567 about the order and fax 555-000-1111 after", "en", "leaky"),
-    (9000004L, "mixed eve@example.net from 172.16.254.3 phone 800-555-0199", "en", "leaky"),
-    (9000005L, "a clean row with no identifiers at all", "en", "leaky"))
-
-  /** The [[PiiFixtureRows]] literals as a DuckDB VALUES relation. */
-  private def piiFixtureValuesSql: String =
-    PiiFixtureRows.map { case (id, t, l, src) =>
-      s"(CAST($id AS BIGINT), '$t', '$l', '$src')"
-    }.mkString("SELECT * FROM (VALUES\n    ", ",\n    ",
-      ") AS t(doc_id, text, lang, source)")
-
   /** Memoized fixture row counts, keyed by (table, dir). A dozen queries
     * derive their size-targeted sample modulus from a count; the fixture
     * parquet is immutable per dir, so re-running the count job per query
@@ -1836,27 +1818,6 @@ object SparkEntry {
       par(s, docs(s, d)).select(col("doc_id"),
           md5(regexp_replace(col("text"), "[0-9]+", "#")).as("redacted_md5"))
         .orderBy(col("doc_id"))),
-    // class-aware PII governance (r12): the fixture corpus is clean word
-    // soup, so deterministic PII-bearing rows are injected (the
-    // media_decode_real device) — the report shows per-source exposure
-    // incl. the all-zero clean sources, the scrub hash-checks the
-    // redacted STRINGS and proves residual_hits = 0. Patterns restricted
-    // to char classes + counted repetition so Java and RE2-family engines
-    // match identically.
-    "text_pii_report" -> ((s, d) => {
-      import s.implicits._
-      val injected = PiiFixtureRows.toDF("doc_id", "text", "lang", "source")
-      graft.operators.Pii.report(
-          par(s, docs(s, d)).select(col("doc_id"), col("text"), col("lang"), col("source"))
-            .unionByName(injected))
-        .orderBy(col("source"))
-    }),
-    "text_pii_scrub" -> ((s, d) => {
-      import s.implicits._
-      graft.operators.Pii.scrub(PiiFixtureRows.toDF("doc_id", "text", "lang", "source"))
-        .select(col("doc_id"), col("text"), col("pii_hits"), col("residual_hits"))
-        .orderBy(col("doc_id"))
-    }),
     // corpus-level document frequency: top 20 non-stopword terms
     "text_top_terms" -> ((s, d) =>
       par(s, docs(s, d))
@@ -5675,42 +5636,6 @@ object SparkEntry {
       },
       "text_redact_digits" ->
         "SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5 FROM documents ORDER BY doc_id",
-      "text_pii_report" -> {
-        val e = graft.operators.Pii.EmailRe
-        val i = graft.operators.Pii.Ipv4Re
-        val p = graft.operators.Pii.PhoneRe
-        s"""WITH leaky AS (
-           |  $piiFixtureValuesSql
-           |), alldocs AS (
-           |  SELECT doc_id, text, lang, source FROM documents
-           |  UNION ALL SELECT doc_id, text, lang, source FROM leaky
-           |)
-           |SELECT source, COUNT(*) AS n_docs,
-           |  CAST(SUM(CASE WHEN len(regexp_extract_all(text, '$e')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
-           |  CAST(SUM(len(regexp_extract_all(text, '$e'))) AS BIGINT) AS email_hits,
-           |  CAST(SUM(len(regexp_extract_all(text, '$i'))) AS BIGINT) AS ipv4_hits,
-           |  CAST(SUM(len(regexp_extract_all(text, '$p'))) AS BIGINT) AS phone_hits
-           |FROM alldocs GROUP BY source ORDER BY source""".stripMargin
-      },
-      "text_pii_scrub" -> {
-        val e = graft.operators.Pii.EmailRe
-        val i = graft.operators.Pii.Ipv4Re
-        val p = graft.operators.Pii.PhoneRe
-        s"""WITH leaky AS (
-           |  $piiFixtureValuesSql
-           |), scrubbed AS (
-           |  SELECT doc_id,
-           |    regexp_replace(regexp_replace(regexp_replace(text,
-           |      '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS text,
-           |    CAST(len(regexp_extract_all(text, '$e')) + len(regexp_extract_all(text, '$i'))
-           |      + len(regexp_extract_all(text, '$p')) AS BIGINT) AS pii_hits
-           |  FROM leaky
-           |)
-           |SELECT doc_id, text, pii_hits,
-           |  CAST(len(regexp_extract_all(text, '$e')) + len(regexp_extract_all(text, '$i'))
-           |    + len(regexp_extract_all(text, '$p')) AS BIGINT) AS residual_hits
-           |FROM scrubbed ORDER BY doc_id""".stripMargin
-      },
       "text_heavy_terms" ->
         """WITH terms AS (
           |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
