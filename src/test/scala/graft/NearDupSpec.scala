@@ -164,6 +164,28 @@ class NearDupSpec extends SparkSpecBase {
       4, 0.5).count() == 30L * 29 / 2 + 1)
   }
 
+  test("random corpora: cap above max bucket == uncapped; capped pairs ⊆ uncapped (4 trials)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (_ <- 1 to 4) {
+      // ~60 docs over a tiny vocab with deliberate replication — collisions
+      // and mid-size buckets guaranteed, bucket sizes vary per trial
+      val base = (0 until 20).map { i =>
+        (0 until (4 + rnd.nextInt(6))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docsSeq = (0 until 60).map(i => (i.toLong, base(rnd.nextInt(base.size))))
+      val docs = docsSeq.toDF("doc_id", "text")
+      def pairs(cap: Int) = Dedup.minHashLshNearDupPairs(docs, "text", "doc_id",
+          threshold = 0.3, maxBucket = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val un = pairs(1000000)
+      // a cap above any possible bucket (60 docs) must change nothing
+      assert(pairs(60) == un)
+      // a biting cap may only REMOVE pairs, never invent them
+      assert(pairs(3).subsetOf(un))
+    }
+  }
+
   test("banded LSH pairs are deduped across bands (no duplicate pair rows)") {
     val v = Array.fill(Fixtures.Dim)(0.5f)
     val db = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
