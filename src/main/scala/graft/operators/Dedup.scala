@@ -131,10 +131,13 @@ object Dedup {
       struct(lit(b).as("band"),
         hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh_$j")): _*).as("sig"))
     }
+    // persisted: both self-join sides read the capped table from cache
+    // (the minHashLshNearDupPairs contract)
     val buckets = capHotBuckets(
       sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
         .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig")),
       Seq("band", "sig"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -574,6 +577,14 @@ object Dedup {
   /** Build the corpus index (the once-per-store-generation cost; append
     * per ingest in production — here rebuilt because the fixture has no
     * store between queries). */
+  /** Index buckets are deliberately NOT hot-bucket-capped (unlike the
+    * self-join paths): admission probes join BATCH buckets against index
+    * buckets, so candidate volume is bounded by |batch|·|bucket| — linear
+    * in the batch, never |bucket|². Capping here would instead change
+    * admission SEMANTICS (a batch doc colliding with a boilerplate pocket
+    * would silently admit as "keep"). A corpus with such pockets should
+    * run [[exactDedup]] / [[minHashLshNearDupPairs]] (capped + audited)
+    * before indexing — the [[nearDupPipeline]] order. */
   def buildDedupIndex(corpus: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4): DedupIndex = {
