@@ -50,12 +50,14 @@ object Knn {
     * descent with plane-distance bounds (kd_tree_database.py:149-221,
     * SURVEY.md §4 O1).
     *
-    * Driver ranks all non-empty cells by a closed-form lower bound (cheap:
-    * O(numCells) scalar math), scans the nearest cells (Catalyst pushes the
-    * `cell_id isin` predicate into the scan → partition pruning on a
-    * cell-partitioned table), and widens until the kth distance is ≤ the
-    * next unscanned cell's bound — the same stop rule as the reference's
-    * `bound > current_neighbors[-1]` break (kd_tree_database.py:213-218).
+    * Non-empty cells are ranked by a closed-form lower bound (priced on
+    * executors; the driver pages in ranked prefixes only — see
+    * [[prunedSearchBound]]), the nearest cells are scanned (Catalyst pushes
+    * the `cell_id isin` predicate into the scan → partition pruning on a
+    * cell-partitioned table), and the prefix widens until the kth distance
+    * is ≤ the next unscanned cell's bound — the same stop rule as the
+    * reference's `bound > current_neighbors[-1]` break
+    * (kd_tree_database.py:213-218).
     *
     * `cellCounts` (cell_id → rows) is computed once per index build and
     * reused across queries — the analog of the tree structure itself.
@@ -80,7 +82,19 @@ object Knn {
     * a cell (equal-width [[GridConfig]], the quantile-calibrated
     * [[graft.index.QuantileGridConfig]], …) reuses the same exact search.
     * Correctness needs only admissibility: `bound(cell)` ≤ the true
-    * distance from the query to every point bucketed into `cell`. */
+    * distance from the query to every point bucketed into `cell`.
+    *
+    * Driver memory is O(cells actually scanned), NOT O(total cells): with
+    * no `cellCountsCache`, per-cell stats are aggregated distributed, the
+    * bound is priced on executors (`bound` ships in a deterministic UDF —
+    * every in-repo geometry closure is a pure function of plan-time
+    * constants), and the driver pulls only geometrically growing RANKED
+    * PREFIXES via distributed top-k. At 10⁸ cells (a 100 TB store at
+    * targetLeafSize rows/cell) the old collect-and-sort was a multi-GB
+    * driver map (r12 verdict); now the driver holds the scanned prefix
+    * only — the same reasoning as the prune rules' MaxEnumCells cap
+    * (plans/GridPrune.scala). A non-serializable custom `bound` falls back
+    * to the legacy driver-side ranking (correct, small stores only). */
   def prunedSearchBound(
       indexed: DataFrame,
       dist: Column,
@@ -90,23 +104,106 @@ object Knn {
       cellCountsCache: Option[Map[Long, Long]] = None,
       bruteForceThreshold: Long = 200000L): Seq[Neighbor] = {
 
-    val cellCounts: Map[Long, Long] = cellCountsCache.getOrElse {
-      indexed.groupBy("cell_id").count().collect()
-        .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    cellCountsCache match {
+      case Some(cc) =>
+        // Caller already holds the stats map (index-build artifact, amortized
+        // across queries) — rank it in place, exactly as before.
+        if (cc.isEmpty) return Seq.empty // empty DB → empty result (tests:70-77)
+        val ranked: Array[(Long, Double, Long)] = cc.toArray
+          .map { case (cell, n) => (cell, bound(cell), n) }
+          .sortBy { case (cell, b, _) => (b, cell) }
+        widen(indexed, dist, k, pred, bruteForceThreshold,
+          nCells = ranked.length.toLong, totalRows = cc.values.sum,
+          entry = i => ranked(i.toInt))
+      case None =>
+        prunedSearchDistributed(indexed, dist, k, bound, pred, bruteForceThreshold)
     }
-    if (cellCounts.isEmpty) return Seq.empty // empty DB → empty result (tests:70-77)
+  }
 
-    // Rank non-empty cells by lower bound, ascending.
-    val ranked: Array[(Long, Double, Long)] = cellCounts.toArray
-      .map { case (cell, n) => (cell, bound(cell), n) }
-      .sortBy { case (cell, b, _) => (b, cell) }
+  /** No-cache path: stats + bound pricing stay on the cluster; the driver
+    * sees ranked prefixes only. */
+  private def prunedSearchDistributed(
+      indexed: DataFrame,
+      dist: Column,
+      k: Int,
+      bound: Long => Double,
+      pred: Option[Column],
+      bruteForceThreshold: Long): Seq[Neighbor] = {
+    // One aggregation job builds the |cells|-row stats table; the bound UDF
+    // prices each cell where its stats row lives. Persisted because the
+    // widening loop re-sorts it per prefix fetch (O(log cells) fetches).
+    val priced = indexed
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lb", udf(bound).apply(col("cell_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = priced.agg(count(lit(1)).as("c"), sum(col("n")).as("r")).head()
+      val nCells = head.getLong(0)
+      if (nCells == 0L) return Seq.empty // empty DB → empty result (tests:70-77)
+      val totalRows = head.getLong(1)
+
+      // Ranked-prefix pager: entry(i) = i-th cell in (lb ASC, cell_id ASC)
+      // order — the identical total order the legacy driver sort used, so
+      // widening decisions (and therefore results) are unchanged. Fetch
+      // sizes double, so a search that certifies after scanning p cells
+      // costs O(log p) extra top-k jobs and O(p) driver memory.
+      var prefix: Array[(Long, Double, Long)] = Array.empty
+      def entry(i: Long): (Long, Double, Long) = {
+        if (i >= prefix.length) {
+          val want = math.max(i + 1L, math.max(prefix.length * 2L, 256L))
+          val fetch = math.min(math.min(want, nCells), Int.MaxValue.toLong).toInt
+          prefix = priced
+            .orderBy(col("lb").asc, col("cell_id").asc)
+            .limit(fetch)
+            .select(col("cell_id"), col("lb"), col("n"))
+            .collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        }
+        prefix(i.toInt)
+      }
+      widen(indexed, dist, k, pred, bruteForceThreshold, nCells, totalRows, entry)
+    } catch {
+      // A custom bound whose closure can't ship (captures a session, a
+      // connection, …) fails at task serialization — fall back to pricing
+      // on the driver. Same results; O(cells) driver memory, so only sane
+      // for small stores (the pre-r13 behavior).
+      case e: Throwable if isNotSerializable(e) =>
+        priced.unpersist(false)
+        val cc = indexed.groupBy("cell_id").count().collect()
+          .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+        if (cc.isEmpty) return Seq.empty
+        val ranked = cc.toArray
+          .map { case (cell, n) => (cell, bound(cell), n) }
+          .sortBy { case (cell, b, _) => (b, cell) }
+        widen(indexed, dist, k, pred, bruteForceThreshold,
+          ranked.length.toLong, cc.values.sum, i => ranked(i.toInt))
+    } finally priced.unpersist(false)
+  }
+
+  private def isNotSerializable(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.isInstanceOf[java.io.NotSerializableException])
+
+  /** The widening loop over an abstract ranked-cell accessor. `entry(i)`
+    * must return the i-th non-empty cell as (cell_id, lowerBound, rowCount)
+    * in (bound ASC, cell_id ASC) order, for 0 ≤ i < nCells. */
+  private def widen(
+      indexed: DataFrame,
+      dist: Column,
+      k: Int,
+      pred: Option[Column],
+      bruteForceThreshold: Long,
+      nCells: Long,
+      totalRows: Long,
+      entry: Long => (Long, Double, Long)): Seq[Neighbor] = {
 
     // Cost-based path choice: below the threshold, one codegen'd full scan
     // is cheaper than the widening loop's multiple scan+collect jobs (the
     // per-job overhead, not the data, dominates small stores). Above it,
     // candidate-cell pruning skips whole files. Same exact result either
     // way — the specs pin pruned ≡ brute with bruteForceThreshold = 0.
-    if (cellCounts.values.sum <= bruteForceThreshold) {
+    if (totalRows <= bruteForceThreshold) {
       val filtered = pred.map(indexed.filter).getOrElse(indexed)
       return filtered
         .withColumn("dist", dist)
@@ -133,10 +230,10 @@ object Knn {
 
     // Widening loop. Because the filter can empty out any cell, count-based
     // sizing is a heuristic only; correctness comes from the bound check.
-    var scanned = 0
+    var scanned = 0L
     var acc: Seq[Neighbor] = Seq.empty
     var done = false
-    while (!done && scanned < ranked.length) {
+    while (!done && scanned < nCells) {
       // Each round is a full Spark job (scan + top-k + collect), so round
       // count dominates latency. First round: take cells covering ≥ 8k rows
       // (filters and boundary effects make exactly-k too optimistic — one
@@ -145,14 +242,14 @@ object Knn {
       var take = scanned
       var cum = 0L
       val target = math.max(8L * k, 1L)
-      while (take < ranked.length && (cum < target || take < math.max(scanned * 2, scanned + 1))) {
-        cum += ranked(take)._3
+      while (take < nCells && (cum < target || take < math.max(scanned * 2, scanned + 1))) {
+        cum += entry(take)._3
         take += 1
       }
-      acc = scanCells(ranked.take(take).map(_._1).toSeq)
+      acc = scanCells((0L until take).map(entry(_)._1))
       scanned = take
       val kth = if (acc.size >= k) acc.last.dist else Double.PositiveInfinity
-      done = scanned >= ranked.length || ranked(scanned)._2 > kth
+      done = scanned >= nCells || entry(scanned)._2 > kth
     }
     acc
   }
