@@ -41,7 +41,10 @@ object ScaleProbe10M extends App {
   val stages = sys.env.getOrElse("SCALE10M_STAGES", "all")
   val runDocs = stages == "all" || stages == "docs"
   val runSem = stages == "all" || stages == "semdedup"
-  val runDsir = stages == "all" || stages == "docs" || stages == "dsir"
+  // dsir is NOT implied by docs (r13, ADVICE): a docs-only rerun must not
+  // pay the 500k-doc DSIR arm — the docs parquet persists on disk, so a
+  // later dsir-only run still works without re-running docs
+  val runDsir = stages == "all" || stages == "dsir"
 
   val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     .select(col("doc_id"), col("text"))

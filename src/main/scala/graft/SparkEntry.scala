@@ -95,6 +95,26 @@ object SparkEntry {
   private def par(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Documents with deterministically INJECTED PII spans (the fixture
+    * corpus is synthetic and PII-free): emails on doc_id % 7, phones on
+    * % 11, IPv4 on % 13 — shared by the redaction query and the exposure
+    * report so both replay the identical corpus. */
+  private def piiInjectedDocs(s: SparkSession, d: String): DataFrame = {
+    val ds = col("doc_id").cast("string")
+    par(s, docs(s, d))
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), ds, lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"), lit(".9"))).otherwise(lit(""))))
+  }
+
   /** Size-TARGETED deterministic sample of the embeddings table: modulus
     * m = ⌈n / target⌉, keep `vec_id % m == 0` — the sample stays ≈`target`
     * rows at ANY corpus scale, so downstream pair enumeration is bounded
@@ -589,6 +609,19 @@ object SparkEntry {
         Grid.withCellId(emb(s, d), "embedding", gridCfg), gridCfg, k = 3,
         bruteForceThreshold = 0)
         .orderBy(col("query_id"), col("rn"))),
+    // QUANTILE-grid batch kNN join (r13): the widening loop's per-query
+    // candidate boxes priced off the calibrated boundary table instead of
+    // the uniform bucket formula — the batch sibling of
+    // knn_l2_quantile_grid, for skewed corpora where equal-width cells
+    // pile up (19,980 vs 977,885 max-cell at 1M rows, SCALE_NOTES). Same
+    // brute-force oracle as every kNN-join form: pruning must not change
+    // the answer
+    "knn_join_quantile" -> ((s, d) =>
+      graft.operators.KnnCellJoin.joinQuantile(
+        emb(s, d).filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        graft.index.QuantileGrid.withCellId(emb(s, d), "embedding", qgridCfg(s, d)),
+        qgridCfg(s, d), k = 3, bruteForceThreshold = 0)
+        .orderBy(col("query_id"), col("rn"))),
     // first-class plan variant: custom LogicalPlan → SparkStrategy →
     // KnnJoinExec (per-partition bounded top-k + k-bounded reduceByKey
     // merge); bit-equal to the composition forms, same oracle
@@ -854,21 +887,31 @@ object SparkEntry {
         countDistinct(col("o_custkey")).as("nce"),
         count(lit(1)).as("nr"))
       val stats = sketch.crossJoin(exact)
-      o.crossJoin(broadcast(stats))
+      // rank bracketing (r13, ADVICE): a returned value that TIES many
+      // rows occupies the whole rank interval [count_lt, count_le]; the
+      // old single `<=` count over-stated the rank on tie-heavy data and
+      // could fail an in-contract sketch. Within-bound now means the
+      // padded target-rank window [n·p − eps, n·p + eps] INTERSECTS the
+      // value's rank interval.
+      val rankCounts = o.crossJoin(broadcast(stats))
         .agg(
           max(col("nce")).as("n_custs_exact"),
           max(col("nr")).as("n_rows"),
           max(when(abs(col("ac") - col("nce")).cast("double") <=
             col("nce").cast("double") * 0.15, 1).otherwise(0)).as("hll_within_bound"),
-          sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("rp50"),
-          sum(when(col("o_totalprice") <= col("p99"), 1L).otherwise(0L)).as("rp99"))
-        .select(col("n_custs_exact"), col("n_rows"), col("hll_within_bound"),
-          when(abs(col("rp50").cast("double") - col("n_rows").cast("double") * 0.5) <=
-            greatest(col("n_rows").cast("double") / 1000.0, lit(10.0)), 1)
-            .otherwise(0).as("p50_within_bound"),
-          when(abs(col("rp99").cast("double") - col("n_rows").cast("double") * 0.99) <=
-            greatest(col("n_rows").cast("double") / 1000.0, lit(10.0)), 1)
-            .otherwise(0).as("p99_within_bound"))
+          sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L)).as("rp50_lt"),
+          sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("rp50_le"),
+          sum(when(col("o_totalprice") < col("p99"), 1L).otherwise(0L)).as("rp99_lt"),
+          sum(when(col("o_totalprice") <= col("p99"), 1L).otherwise(0L)).as("rp99_le"))
+      def withinBound(lt: Column, le: Column, p: Double): Column = {
+        val target = col("n_rows").cast("double") * p
+        val eps = greatest(col("n_rows").cast("double") / 1000.0, lit(10.0))
+        when(lt.cast("double") <= target + eps && le.cast("double") >= target - eps, 1)
+          .otherwise(0)
+      }
+      rankCounts.select(col("n_custs_exact"), col("n_rows"), col("hll_within_bound"),
+        withinBound(col("rp50_lt"), col("rp50_le"), 0.5).as("p50_within_bound"),
+        withinBound(col("rp99_lt"), col("rp99_le"), 0.99).as("p99_within_bound"))
     }),
     "anti_customers_without_orders" -> ((s, d) =>
       Tables.customer(s, d)
@@ -2551,6 +2594,20 @@ object SparkEntry {
           "text", "doc_id", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // perceptual near-dup on REAL decoded pixels (r13, closing the r12
+    // stub gap): deterministic block-patterned PNG/BMP payloads decode
+    // through the actual javax.imageio codec on executors, fingerprint via
+    // the integer average-hash (Multimodal.perceptualHash), and pair by
+    // the pigeonhole banded-Hamming join. Re-encodings of one raster pair
+    // at Hamming 0, a 3-block edit at Hamming 3, junk bytes fall back to a
+    // digest fingerprint and stay unpaired — the expected-value oracle is
+    // derivable by hand from the fixture's block layout (see
+    // Multimodal.phashFixture)
+    "media_phash_real" -> ((s, d) =>
+      Dedup.bandedHammingPairs(
+          Multimodal.perceptualHash(Multimodal.phashFixture(s)).toDF(),
+          "phash", "media_id", maxHamming = 8, sigBits = 64)
+        .orderBy(col("id_a"), col("id_b"))),
     // cross-split contamination audit: near-dup pairs (the proven
     // MinHash-LSH path) whose members land in DIFFERENT deterministic
     // k-fold splits — exactly the train/eval leakage a dedup-after-split
@@ -2609,29 +2666,26 @@ object SparkEntry {
     // counts plus a hash-sum of every redacted text, pinning the
     // replacement output byte-for-byte. Pure per-row regex — no shuffle
     // before the final rollup
-    "text_pii_redact" -> ((s, d) => {
-      val ds = col("doc_id").cast("string")
-      val injected = par(s, docs(s, d))
-        .select(col("doc_id"), col("source"), col("text"))
-        .withColumn("text", concat(col("text"),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" contact u"), ds, lit("@example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            concat(lit(" call +1-555-"),
-              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
-          when(col("doc_id") % 13 === 0,
-            concat(lit(" host 10."), (col("doc_id") % 256).cast("string"), lit("."),
-              ((col("doc_id") * 7) % 256).cast("string"), lit(".9"))).otherwise(lit(""))))
-      TextAnalysis.piiRedact(injected, "text")
+    "text_pii_redact" -> ((s, d) =>
+      TextAnalysis.piiRedact(piiInjectedDocs(s, d), "text")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_email")).as("n_email"),
           sum(col("n_phone")).as("n_phone"),
           sum(col("n_ip")).as("n_ip"),
           sum(Dedup.md5Int32(col("redacted"))).as("redacted_hashsum"))
-        .orderBy(col("source"))
-    }),
+        .orderBy(col("source"))),
+    // per-source PII EXPOSURE report (r13, re-adding the capability the
+    // b06e9a9→5193e6 add/revert cycle dropped): docs-carrying-PII per
+    // class + any-class rate + occurrence totals, per source — the
+    // governance readout a curation pipeline gates releases on, composed
+    // from the SAME single pattern set the redaction pass uses (no second
+    // regex table). One map-side per-source aggregation over the per-row
+    // counts; streams at 100 TB
+    "text_pii_report" -> ((s, d) =>
+      TextAnalysis.piiReport(
+        TextAnalysis.piiRedact(piiInjectedDocs(s, d), "text"), "source")
+        .orderBy(col("source"))),
     // radius (range) search — the other half of the vector-DB read API:
     // all rows within squared-L2 distance r of the query
     "knn_radius" -> ((s, d) =>
@@ -4587,6 +4641,7 @@ object SparkEntry {
       "knn_join_l2_plan" -> knnJoinSql,
       "knn_join_l2_agg" -> knnJoinSql,
       "knn_join_l2_cells" -> knnJoinSql,
+      "knn_join_quantile" -> knnJoinSql,
       "point_lookup" -> "SELECT vec_id, label FROM embeddings WHERE vec_id = 42",
       "count_rows" -> "SELECT COUNT(*) AS n_rows FROM embeddings",
       "full_scan" -> "SELECT vec_id, label FROM embeddings ORDER BY vec_id",
@@ -5077,6 +5132,20 @@ object SparkEntry {
           |    UNION ALL
           |    SELECT doc_id + 1000000, text || ' zz qq' FROM documents
           |    WHERE doc_id % 28 = 0""".stripMargin, 8),
+      // expected-value table for the REAL-pixel perceptual pairing (the
+      // media_decode_real pattern: a codec is not SQL): Hamming distances
+      // follow from the fixture's block layout — identical rasters 0, the
+      // 3-flipped-block variant 3, everything else past the threshold
+      "media_phash_real" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0),
+          |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), 3),
+          |  (CAST(1 AS BIGINT), CAST(7 AS BIGINT), 3),
+          |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 3),
+          |  (CAST(2 AS BIGINT), CAST(7 AS BIGINT), 3),
+          |  (CAST(3 AS BIGINT), CAST(7 AS BIGINT), 0)
+          |) AS t(id_a, id_b, hamming)
+          |ORDER BY id_a, id_b""".stripMargin,
       "dedup_cluster_canonical" -> {
         val winnowFps =
           """SELECT doc_id, unnest(
@@ -6545,6 +6614,36 @@ object SparkEntry {
            |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
            |  CAST(SUM(n_ip) AS BIGINT) AS n_ip,
            |  CAST(SUM(${Dedup.md5Int32Sql("redacted")}) AS BIGINT) AS redacted_hashsum
+           |FROM s3 GROUP BY source ORDER BY source""".stripMargin
+      },
+      "text_pii_report" -> {
+        val em = TextAnalysis.PiiEmail
+        val ph = TextAnalysis.PiiPhone
+        val ip = TextAnalysis.PiiIp
+        s"""WITH injected AS (
+           |  SELECT doc_id, source, text ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           |    CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9' ELSE '' END AS text
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, source,
+           |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+           |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1 FROM injected),
+           |s2 AS (SELECT doc_id, source, n_email,
+           |    CAST(len(regexp_extract_all(t1, '$ph')) AS BIGINT) AS n_phone,
+           |    regexp_replace(t1, '$ph', '<PHONE>', 'g') AS t2 FROM s1),
+           |s3 AS (SELECT doc_id, source, n_email, n_phone,
+           |    CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ip FROM s2)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+           |  CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+           |  CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ip,
+           |  CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_any,
+           |  CAST(SUM(n_email) AS BIGINT) AS occ_email,
+           |  CAST(SUM(n_phone) AS BIGINT) AS occ_phone,
+           |  CAST(SUM(n_ip) AS BIGINT) AS occ_ip,
+           |  CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS pii_doc_rate
            |FROM s3 GROUP BY source ORDER BY source""".stripMargin
       },
       "knn_radius" -> {

@@ -190,6 +190,115 @@ object Multimodal {
     ).toDF("media_id", "kind", "payload")
   }
 
+  final case class MediaPHash(media_id: Long, decoded: Int, phash: Long)
+
+  /** Average-hash perceptual fingerprint over REAL decoded pixels (r13):
+    * the raster is cut into an 8×8 grid of blocks; bit (by·8+bx) is set
+    * iff block (bx, by)'s mean ITU-R 601 luminance exceeds the GLOBAL
+    * pixel mean — compared cross-multiplied in exact integer arithmetic
+    * (blockSum·totalPixels > globalSum·blockPixels), so no division
+    * rounding can flip a bit. Re-encodings of one image in lossless
+    * formats (PNG↔BMP) decode to identical rasters → identical hashes;
+    * a few edited blocks flip exactly those bits → small Hamming
+    * distance, pairable by [[graft.operators.Dedup.bandedHammingPairs]].
+    * Payloads the codec refuses (junk bytes, non-image kinds, over-budget
+    * rasters) fall back DETERMINISTICALLY to the first 8 bytes of
+    * md5(payload) with decoded = 0 — junk pairs only with byte-identical
+    * junk. Per-row independent work: embarrassingly parallel, no shuffle. */
+  def perceptualHash(media: DataFrame): Dataset[MediaPHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val img = if (kind == "image") decodeImage(payload) else None
+          img match {
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              val blockSum = new Array[Long](64)
+              val blockN = new Array[Long](64)
+              var globalSum = 0L
+              var y = 0
+              while (y < h) {
+                val by = math.min(7, y * 8 / h)
+                var x = 0
+                while (x < w) {
+                  val bx = math.min(7, x * 8 / w)
+                  val p = im.getRGB(x, y)
+                  val lum = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                    114 * (p & 0xff)) / 1000
+                  val b = by * 8 + bx
+                  blockSum(b) += lum; blockN(b) += 1; globalSum += lum
+                  x += 1
+                }
+                y += 1
+              }
+              val totalN = w.toLong * h
+              var bits = 0L
+              var b = 0
+              while (b < 64) {
+                if (blockN(b) > 0 && blockSum(b) * totalN > globalSum * blockN(b))
+                  bits |= 1L << b
+                b += 1
+              }
+              MediaPHash(id, 1, bits)
+            case None =>
+              val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+              var bits = 0L
+              var i = 0
+              while (i < 8) { bits = (bits << 8) | (d(i) & 0xffL); i += 1 }
+              MediaPHash(id, 0, bits)
+          }
+        }
+      }
+  }
+
+  /** Deterministic REAL-pixel near-dup fixture for `media_phash_real`:
+    * block-structured 32×32 grayscale images (8×8 blocks of 4×4 px, each
+    * block solid 0 or 255 — gray (v,v,v) has ITU-R 601 luma exactly v), so
+    * every [[perceptualHash]] bit is decidable by hand: bit b = block b is
+    * 255 (the global mean always sits strictly between 0 and 255).
+    *   1 checkerboard PNG          — bits = even-parity blocks
+    *   2 same pixels as BMP        — identical raster → Hamming(1,2) = 0
+    *   3 checkerboard, 3 blocks flipped 0→255 (b 1, 3, 5), PNG → Hamming 3
+    *   7 same pixels as 3, BMP     — Hamming(3,7) = 0, (1,7) = (2,7) = 3
+    *   4 INVERTED checkerboard PNG — Hamming ≥ 58 vs everything: no pair
+    *   5 junk bytes                — md5 fallback, unique: no pair
+    *   6 non-image kind (PNG bytes)— no JDK codec for 'audio': fallback
+    * Expected pairs at maxHamming 8: (1,2,0) (1,3,3) (1,7,3) (2,3,3)
+    * (2,7,3) (3,7,0) — the oracle's expected-value table. */
+  def phashFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def blockImage(fmt: String, bright: Int => Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val b = (y / 4) * 8 + (x / 4)
+          img.setRGB(x, y, if (bright(b)) 0xFFFFFF else 0x000000)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val checker = (b: Int) => (b / 8 + b % 8) % 2 == 0
+    val flipped = (b: Int) => checker(b) || b == 1 || b == 3 || b == 5
+    Seq(
+      (1L, "image", blockImage("png", checker)),
+      (2L, "image", blockImage("bmp", checker)),
+      (3L, "image", blockImage("png", flipped)),
+      (4L, "image", blockImage("png", b => !checker(b))),
+      (5L, "image", "not an image at all, definitely".getBytes("UTF-8")),
+      (6L, "audio", blockImage("png", checker)),
+      (7L, "image", blockImage("bmp", flipped))
+    ).toDF("media_id", "kind", "payload")
+  }
+
   /** Exact binary dedup: group payloads by md5 digest, keep groups with ≥2
     * copies, canonical = min media_id. The digest a 100 TB blob store dedups
     * on — one hash-shuffle on the 16-byte digest, never on the payload.

@@ -47,12 +47,17 @@ object Ann {
     // of pairing (over-cap keys aggregated — near-empty by definition —
     // then anti-joined; AQE broadcasts the tiny list). Max observed
     // full-signature bucket at sf0.1 is 2.
+    // pre-cap signature table persisted (r13): the nBits×dim dot-products
+    // are the expensive stage, and BOTH the hot-bucket aggregation build
+    // side and the anti-join probe side read sig0 — without this persist
+    // the signature expression ran twice per call
     val sig0 = db.select(col(idCol), col(vecCol))
       .withColumn("lsh_sig", lshSignature(col(vecCol), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sig0.groupBy(col("lsh_sig")).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket).drop("__bsz")
-    // persisted: both self-join sides read the capped signatures from
-    // cache — the signature expression and the cap run once
+    // capped table persisted too: both self-join sides read it from cache
+    // (the anti-join itself then runs once, not once per side)
     val sig = sig0.join(hot, Seq("lsh_sig"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("lsh_sig"))
@@ -130,14 +135,17 @@ object Ann {
     // side. Dropped buckets are boilerplate-pocket signals. Max observed
     // band bucket at sf0.1 is 53 — the 1024 default never bites on real
     // geometry.
+    // pre-cap bucket table persisted (r13): the per-band signature
+    // dot-products feed both the hot aggregation and the anti-join probe —
+    // persisting here means they run once per call, not twice
     val buckets0 = db
       .select(col(idCol), col(vecCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = buckets0.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket).drop("__bsz")
-    // persisted: both self-join sides read the capped buckets from cache —
-    // the band signatures and the cap run once
+    // capped table persisted too: both self-join sides read it from cache
     val buckets = buckets0.join(hot, Seq("band", "sig"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("band"), col("sig"))

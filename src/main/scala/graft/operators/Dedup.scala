@@ -111,12 +111,25 @@ object Dedup {
     * definition (≤ n/maxBucket, usually zero). No broadcast hint: AQE
     * converts the anti-join to broadcast when the hot list is actually
     * small, and keeps it a shuffle join in the adversarial case where
-    * millions of buckets overflow. */
+    * millions of buckets overflow.
+    *
+    * IN-BAND drop surfacing (r13, ADVICE): the over-cap key list flows
+    * through a named `observe` metrics node — `graft.lsh.capped.<n>`
+    * reporting (n_capped_buckets, n_capped_rows) — so a
+    * QueryExecutionListener / Observation sees exactly what the cap
+    * silently removed from pairing, with ZERO extra jobs and no change to
+    * the rows. Callers wanting the per-bucket detail as data run
+    * [[lshHotBandAudit]]. Metric names carry a per-call counter: Spark
+    * rejects duplicate CollectMetrics names on different plans. */
+  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong()
   private def capHotBuckets(buckets: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
     val hot = buckets.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
+      .observe(s"graft.lsh.capped.${capMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("n_capped_buckets"),
+        coalesce(sum(col("__bsz")), lit(0L)).as("n_capped_rows"))
       .drop("__bsz")
     buckets.join(hot, keyCols, "left_anti")
   }
@@ -158,6 +171,16 @@ object Dedup {
     * Scale: candidate generation is linear scans + ONE shuffle on
     * (band, key); only same-bucket pairs (a vanishing fraction at 100 TB)
     * reach the exact-Jaccard verification join. Never a cross join.
+    *
+    * RECALL CAVEAT — the hot-bucket cap: band buckets holding more than
+    * `maxBucket` ([[LshMaxBucket]] = 1024) docs are DROPPED from pairing,
+    * so a near-identical (but not byte-identical) pocket larger than the
+    * cap escapes near-dup detection entirely (exact dedup collapses only
+    * identical texts). Run [[exactDedup]] first (the [[nearDupPipeline]]
+    * order) so identical-copy cliques never reach the cap; monitor the
+    * in-band `graft.lsh.capped.*` observe metrics (zero when nothing was
+    * dropped), and audit surviving hot pockets with [[lshHotBandAudit]].
+    * Pass a larger `maxBucket` to trade candidate volume for recall.
     */
   /** (id, band, bkey) LSH bucket rows from a signature table — band key =
     * the band's minhash values joined positionally. */
@@ -263,7 +286,12 @@ object Dedup {
     * the exact pass is a scale cliff: replicated documents form n-cliques
     * in every LSH bucket, exploding candidate pairs quadratically
     * (1000 copies of one doc = 499 500 candidate pairs that all verify at
-    * jaccard 1.0 — demonstrated in ScaleProbe). */
+    * jaccard 1.0 — demonstrated in ScaleProbe).
+    *
+    * Inherits [[minHashLshNearDupPairs]]'s hot-bucket cap: NON-identical
+    * near-dup pockets larger than [[LshMaxBucket]] drop out of pairing
+    * (surfaced in-band via the `graft.lsh.capped.*` observe metrics;
+    * detail via [[lshHotBandAudit]]). */
   def nearDupPipeline(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleWidth: Int = 3, numHashes: Int = 8,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
@@ -455,22 +483,38 @@ object Dedup {
     * materializes (same shape as the MinHash-LSH and prefix-filter
     * paths: linear explode + one bucket-join + verify-on-candidates). */
   def simHashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simHash(docs, textCol, idCol), "simhash", idCol,
+      maxHamming, sigBits = 60)
+
+  /** Banded Hamming pairing over a PRECOMPUTED bit-signature column: all
+    * (id_a < id_b) with Hamming distance ≤ `maxHamming` between `sigBits`-
+    * bit signatures. The geometry-free half of [[simHashNearDupPairs]] —
+    * any fingerprint (text SimHash, perceptual image hash, …) reuses the
+    * same pigeonhole candidate generation: `maxHamming + 1` bands of
+    * `sigBits / (maxHamming+1)` low-order bits each; two sigs within the
+    * threshold must agree exactly on ≥ 1 band (bits above the banded
+    * region only LOWER the banded difference count, so recall stays 1),
+    * and the band-bucket self-join never materializes the cross product.
+    * The arithmetic `shiftright` sign-extends on bit-63 signatures; the
+    * band mask strips the extension bits, so 64-bit signatures are safe. */
+  def bandedHammingPairs(sig: DataFrame, sigCol: String, idCol: String,
+      maxHamming: Int, sigBits: Int): DataFrame = {
     val bands = maxHamming + 1
-    val bandBits = 60 / bands
+    val bandBits = sigBits / bands
+    require(bandBits >= 1, s"sigBits=$sigBits too small for maxHamming=$maxHamming")
     val mask = (1L << bandBits) - 1
-    val sig = simHash(docs, textCol, idCol)
-    val banded = sig.select(col(idCol).as("id"), col("simhash"),
+    val banded = sig.select(col(idCol).as("id"), col(sigCol).as("__sig"),
       explode(array((0 until bands).map(b => struct(
         lit(b).as("band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+        shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("__sig"), col("bk.band"), col("bk.key"))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+        hammingDistance(col("a.__sig"), col("b.__sig")).as("hamming"))
       .distinct()
     cands.filter(col("hamming") <= maxHamming)
   }

@@ -40,7 +40,17 @@ object LangModel {
   /** One bounded job deciding broadcast-vs-distributed for a model table:
     * LIMIT cap+1 + count, never a full count of an over-cap table. The
     * c(w1·) table is a projection of c(w1,w2)'s key space, so probing the
-    * bigram table bounds both. */
+    * bigram table bounds both.
+    *
+    * EAGER BY DESIGN (r13, ADVICE note): the probe is a Spark job that
+    * runs during operator CONSTRUCTION, so [[scoreSums]] /
+    * [[dsirLogRatios]] / [[perplexityBuckets]] are not pure plan
+    * constructors — callers pay the model aggregation + persist + probe
+    * when they build, not at first action. Deliberate: the broadcast-vs-
+    * shuffle decision changes the PLAN SHAPE, which Spark fixes at build
+    * time; deferring it would mean always planning the shuffle join and
+    * losing the broadcast fast path, and a caller that builds one of
+    * these operators always executes it. */
   private def fitsBroadcast(modelTable: DataFrame, cap: Long): Boolean =
     modelTable.limit(math.min(cap + 1L, Int.MaxValue.toLong).toInt).count() <= cap
 

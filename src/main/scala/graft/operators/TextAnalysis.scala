@@ -105,6 +105,28 @@ object TextAnalysis {
       .withColumn("redacted", regexp_replace(col("__t2"), PiiIp, "<IP>"))
       .drop("__t1", "__t2")
 
+  /** Per-source PII EXPOSURE report over [[piiRedact]]'s output — the
+    * governance rollup next to the redaction pass itself: how many docs in
+    * each source carry each PII class (and any class at all), alongside
+    * total occurrences. One map-side-combinable aggregation on the same
+    * single pattern set ([[PiiEmail]]/[[PiiPhone]]/[[PiiIp]]) — no second
+    * regex table to drift. The rate divides two exact longs, so both
+    * engines produce the identical IEEE double. */
+  def piiReport(redacted: DataFrame, groupCol: String): DataFrame =
+    redacted.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_email") > 0).cast("long")).as("docs_email"),
+        sum((col("n_phone") > 0).cast("long")).as("docs_phone"),
+        sum((col("n_ip") > 0).cast("long")).as("docs_ip"),
+        sum((col("n_email") + col("n_phone") + col("n_ip") > 0).cast("long"))
+          .as("docs_any"),
+        sum(col("n_email")).as("occ_email"),
+        sum(col("n_phone")).as("occ_phone"),
+        sum(col("n_ip")).as("occ_ip"))
+      .withColumn("pii_doc_rate",
+        col("docs_any").cast("double") / col("n_docs").cast("double"))
+
   /** n-gram-free language-ID heuristic: English stopword density. The
     * fixture corpus is synthetic, so this pins the OPERATOR (deterministic
     * classification), not linguistic accuracy. */

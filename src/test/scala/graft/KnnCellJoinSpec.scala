@@ -68,6 +68,55 @@ class KnnCellJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("QUANTILE-grid batch kNN join equals the broadcast-cross join on the fixture") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qc = graft.index.QuantileGrid.calibrate(emb, "embedding",
+      partsPerDim = 4, gridDims = 3, dim = Fixtures.Dim)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaCells = KnnCellJoin.joinQuantile(queries,
+        graft.index.QuantileGrid.withCellId(emb, "embedding", qc), qc, k = 4,
+        bruteForceThreshold = 0)
+      .orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val viaCross = KnnJoin.join(queries, emb, k = 4, dim = Fixtures.Dim)
+      .orderBy("query_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(viaCells.toSeq == viaCross.toSeq)
+  }
+
+  test("QUANTILE-grid join is exact on random SKEWED data + random boundary tables (5 trials)") {
+    for (trial <- 1 to 5) {
+      val dim = 2 + rnd.nextInt(3)
+      val gridDims = 1 + rnd.nextInt(dim)
+      // skewed coordinates (exp-ish tail) — the regime the quantile grid
+      // exists for; boundaries random ascending, NOT the data's quantiles
+      // (admissibility must never depend on where the edges sit)
+      val bs = (0 until gridDims).map { _ =>
+        val nb = 1 + rnd.nextInt(4)
+        Seq.fill(nb)(rnd.nextDouble() * 2.0 - 1.0).sorted
+      }
+      val qc = graft.index.QuantileGridConfig(dim, bs)
+      val n = 1 + rnd.nextInt(40)
+      val db = (0L until n.toLong).map { i =>
+        (i, Array.fill(dim)((math.pow(rnd.nextDouble(), 3) * 2.4 - 0.6).toFloat))
+      }.toDF("vec_id", "embedding")
+      val k = 1 + rnd.nextInt(n + 3) // may exceed |db|
+      val queries = (100L until 104L).map(i =>
+        (i, Array.fill(dim)((rnd.nextDouble() * 4.0 - 2.0).toFloat))) // often OOB
+        .toDF("query_id", "embedding")
+      val viaCells = KnnCellJoin.joinQuantile(queries,
+          graft.index.QuantileGrid.withCellId(db, "embedding", qc), qc, k,
+          bruteForceThreshold = 0)
+        .orderBy("query_id", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaCross = KnnJoin.join(queries, db, k, dim)
+        .orderBy("query_id", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(viaCells == viaCross, s"trial $trial qc=$qc n=$n k=$k")
+    }
+  }
+
   test("cell-pruned join is exact on random data incl. out-of-bounds queries and k > |db| (5 trials)") {
     for (trial <- 1 to 5) {
       val dim = 2 + rnd.nextInt(3)

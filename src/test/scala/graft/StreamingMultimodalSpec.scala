@@ -182,6 +182,32 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     assert(groups.map(_.getAs[String]("digest")).contains(md5Alpha))
   }
 
+  test("multimodal: perceptual hash pairs re-encodings and small edits, isolates junk (r13)") {
+    val ph = Multimodal.perceptualHash(Multimodal.phashFixture(spark))
+      .collect().map(p => p.media_id -> p).toMap
+    // real decode on the five decodable images; fallback on junk + non-image kind
+    assert(Seq(1L, 2L, 3L, 4L, 7L).forall(ph(_).decoded == 1))
+    assert(ph(5L).decoded == 0 && ph(6L).decoded == 0)
+    // PNG and BMP re-encodings of one raster: identical hashes
+    assert(ph(1L).phash == ph(2L).phash)
+    assert(ph(3L).phash == ph(7L).phash)
+    // the 3-flipped-block edit flips exactly 3 bits
+    assert(java.lang.Long.bitCount(ph(1L).phash ^ ph(3L).phash) == 3)
+    // inverted checkerboard is maximally far on the checker blocks
+    assert(java.lang.Long.bitCount(ph(1L).phash ^ ph(4L).phash) == 64)
+    // id 6 carries id 1's PNG BYTES but kind=audio: digest fallback, not
+    // the pixel hash (the fallback contract)
+    assert(ph(6L).phash != ph(1L).phash)
+    // banded pairing at maxHamming 8: exactly the derivable six pairs
+    val pairs = graft.operators.Dedup.bandedHammingPairs(
+        Multimodal.perceptualHash(Multimodal.phashFixture(spark)).toDF(),
+        "phash", "media_id", maxHamming = 8, sigBits = 64)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0), (1L, 3L, 3), (1L, 7L, 3),
+      (2L, 3L, 3), (2L, 7L, 3), (3L, 7L, 0)))
+  }
+
   test("multimodal: frame sampling plan only covers video with stride steps") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir).limit(30))
     val feats = Multimodal.extractFeatures(media)
