@@ -67,11 +67,97 @@ object Bpe {
       })
   }
 
+  /** Multi-merge left fold (r13): applies a batch of merges in ONE pass.
+    * ONLY sound for batches admitted by [[selectBatch]] (pairwise
+    * symbol-disjoint, merged tokens distinct from every batch symbol and
+    * from each other): disjointness means no application can create,
+    * destroy, or relabel an adjacency any OTHER batch member matches, so
+    * the single accumulator pass collapses exactly what the iterated
+    * per-merge folds would — pinned against iterated [[applyMerge]] on
+    * random disjoint merge sets in BpeSpec. */
+  def applyMerges(sym: Column, ms: Seq[(String, String)]): Column = {
+    require(ms.nonEmpty)
+    val syms = split(sym, " ")
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      element_at(syms, 1),
+      (acc, x) => {
+        val last = regexp_extract(acc, "[^ ]+$", 0)
+        ms.foldLeft(concat(acc, lit(" "), x): Column) { case (els, (p1, p2)) =>
+          when(last === lit(p1) && x === lit(p2),
+            when(length(acc) === length(last), lit(p1 + p2))
+              .otherwise(concat(
+                acc.substr(lit(1), length(acc) - length(last) - 1),
+                lit(" "), lit(p1 + p2))))
+            .otherwise(els)
+        }
+      })
+  }
+
+  /** Batch admission for the distributed loop (r13): from one ranked
+    * count-table prefix, take the longest CONTIGUOUS prefix of merges that
+    * sequential training would provably pick in exactly this order.
+    *
+    * A later pick `p_j` is admitted only when
+    *  - it is symbol-disjoint from every earlier member, its merged token
+    *    collides with no earlier symbol/merged token and vice versa (so
+    *    applying the earlier members cannot touch any adjacency `p_j`
+    *    matches — `p_j`'s count is invariant), and
+    *  - `cnt(p_j)` strictly exceeds the worst-case post-count of ANY pair
+    *    an earlier application can create or grow. Applying (a,b)→ab only
+    *    creates/grows pairs containing the token `ab`; each such count is
+    *    ≤ cnt(x,a) + cnt(x,"ab") (resp. the right side) — two entries of
+    *    the CURRENT table — so it is bounded by 2·max(count of any visible
+    *    pair sharing a symbol with the member or naming its merged token,
+    *    `floor`), where `floor` (the last visible count when the slice is
+    *    full) bounds every invisible pair.
+    * Everything ranked above an admitted pick is already in the batch
+    * (contiguous prefix), decreased pairs stay decreased, and ties were
+    * pre-resolved by the (cnt DESC, p1, p2) ranking — so the sequential
+    * argmax sequence is reproduced bit-for-bit. Conservative by design:
+    * when the guard can't prove safety the batch just ends (worst case
+    * batch = 1 = the old per-merge behavior). */
+  private[operators] def selectBatch(ranked: Array[(String, String, Long)],
+      floor: Long, maxN: Int): Seq[(String, String, Long)] = {
+    val batch = Seq.newBuilder[(String, String, Long)]
+    val usedSyms = scala.collection.mutable.Set.empty[String]
+    val usedMerged = scala.collection.mutable.Set.empty[String]
+    var bound = -1L // max worst-case created-pair count over earlier members
+    var i = 0
+    var stop = false
+    var taken = 0
+    while (!stop && i < ranked.length && taken < maxN) {
+      val (p1, p2, c) = ranked(i)
+      val merged = p1 + p2
+      val disjoint = !usedSyms(p1) && !usedSyms(p2) && !usedMerged(p1) &&
+        !usedMerged(p2) && !usedSyms(merged) && !usedMerged(merged)
+      if (taken > 0 && (!disjoint || c <= bound)) stop = true
+      else {
+        batch += ((p1, p2, c))
+        taken += 1
+        usedSyms += p1; usedSyms += p2; usedMerged += merged
+        // worst-case post-count any pair touched by THIS member can reach
+        var nbr = floor
+        ranked.foreach { case (q1, q2, qc) =>
+          if (q1 == p1 || q1 == p2 || q2 == p1 || q2 == p2 ||
+            q1 == merged || q2 == merged) nbr = math.max(nbr, qc)
+        }
+        bound = math.max(bound, 2L * nbr)
+      }
+      i += 1
+    }
+    batch.result()
+  }
+
   /** One learned merge. */
   final case class Merge(idx: Int, p1: String, p2: String, cnt: Long)
 
   /** Dictionaries up to this many distinct words train on the driver. */
   private val DriverDictLimit = 2000000
+
+  /** Ranked count-table slice collected per distributed round; the slice's
+    * tail count is the `floor` bounding every invisible pair. */
+  private val DefaultBatchTopK = 512
 
   /** Train `nMerges` BPE merges from the corpus. The returned DataFrame is
     * the merge table (merge_idx, p1, p2, merged, pair_count) — the
@@ -87,7 +173,8 @@ object Bpe {
     * BpeSpec), turning 2 Spark jobs per merge into zero. Beyond it, the
     * distributed dictionary loop below handles the pathological case. */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
-      driverDictLimit: Int = DriverDictLimit): DataFrame = {
+      driverDictLimit: Int = DriverDictLimit,
+      batchTopK: Int = DefaultBatchTopK): DataFrame = {
     val spark = docs.sparkSession
     val probe =
       if (driverDictLimit > 0)
@@ -100,19 +187,38 @@ object Bpe {
     // localCheckpoint (not cache) TRUNCATES the lineage so iteration i's
     // pair-count argmax plans over a one-scan tree instead of re-optimizing
     // i chained applyMerge folds — with cache() the growing logical plan
-    // made Catalyst time dominate the whole training loop
+    // made Catalyst time dominate the whole training loop.
+    //
+    // r13: BATCHED rounds — each round collects the ranked top-`batchTopK`
+    // slice of the count table (one job, same ordering as the old
+    // argmax-of-1), admits the provably-sequential prefix ([[selectBatch]])
+    // and applies it in one fold pass ([[applyMerges]]) — so an over-cap
+    // vocabulary pays 2 jobs per BATCH instead of 2 per merge. batchTopK=1
+    // reproduces the old per-merge loop exactly (the spec pin).
     var wf = wordFreq(docs, textCol)
       .select(toSymbols(col("word")).as("sym"), col("freq"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
-    for (i <- 1 to nMerges) {
+    var learned = 0
+    var exhausted = false
+    while (learned < nMerges && !exhausted) {
       val top = pairCounts(wf)
         .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val Row(p1: String, p2: String, cnt: Long) = top.head
-        merges += Merge(i, p1, p2, cnt)
-        wf = wf.select(applyMerge(col("sym"), p1, p2).as("sym"), col("freq"))
+        .limit(math.max(1, batchTopK)).collect()
+        .map { case Row(p1: String, p2: String, cnt: Long) => (p1, p2, cnt) }
+      if (top.isEmpty) exhausted = true
+      else {
+        // a full slice means invisible pairs can count up to its tail; a
+        // short slice means we saw everything (floor 0)
+        val floor = if (top.length == math.max(1, batchTopK)) top.last._3 else 0L
+        val batch = selectBatch(top, floor, nMerges - learned)
+        batch.foreach { case (p1, p2, cnt) =>
+          learned += 1
+          merges += Merge(learned, p1, p2, cnt)
+        }
+        wf = wf.select(
+            applyMerges(col("sym"), batch.map(t => (t._1, t._2))).as("sym"),
+            col("freq"))
           .localCheckpoint(true)
       }
     }

@@ -126,6 +126,59 @@ class BpeSpec extends SparkSpecBase {
     assert(got == expect.result(), "incremental trainer diverged from the recount reference")
   }
 
+  test("batched distributed trainer == per-merge distributed loop == driver trainer (r13)") {
+    // batchTopK=1 reproduces the pre-r13 argmax-of-1 loop exactly;
+    // the default batched path must learn the identical merge sequence
+    val docs = Seq(
+      (1L, "the theme there then the"), (2L, "other mother the bother"),
+      (3L, "aaa abab xy xz aaaa"), (4L, "the then there other"),
+      (5L, "banana bandana cabana"), (6L, "mississippi missive miss")).toDF("doc_id", "text")
+    def run(topK: Int) = Bpe.train(docs, nMerges = 10, driverDictLimit = 0,
+        batchTopK = topK).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val batched = run(512)
+    assert(batched == run(1))
+    assert(batched == Bpe.train(docs, nMerges = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq)
+  }
+
+  test("batched trainer == sequential on random corpora (5 trials), incl. small topK slices") {
+    val rnd = new scala.util.Random(77)
+    val alpha = "abcdefgh"
+    for (trial <- 1 to 5) {
+      val words = (0 until 120).map { _ =>
+        (0 until (2 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w)).mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      // a SMALL slice raises the floor, so the guard must stay sound when
+      // most of the count table is invisible
+      val topK = Seq(512, 8)(trial % 2)
+      val batched = Bpe.train(docs, 15, driverDictLimit = 0, batchTopK = topK)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val seqtl = Bpe.train(docs, 15, driverDictLimit = 0, batchTopK = 1)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(batched == seqtl, s"trial $trial topK=$topK")
+    }
+  }
+
+  test("one-pass multi-merge fold == iterated single-merge folds for disjoint merge sets") {
+    val rnd = new scala.util.Random(55)
+    val alpha = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val runs = (0 until 40).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString(" ")
+    }
+    // disjoint merge batch over distinct symbols: (a,b), (c,d), (e,e)
+    val batch = Seq(("a", "b"), ("c", "d"), ("e", "e"))
+    val df = runs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sym")
+    val onePass = df.select(col("id"), Bpe.applyMerges(col("sym"), batch).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val iterated = df.select(col("id"),
+        batch.foldLeft(col("sym")) { case (c, (p1, p2)) => Bpe.applyMerge(c, p1, p2) }.as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(onePass == iterated)
+  }
+
   test("corpus with no adjacent pairs trains zero merges; encode still counts tokens") {
     // every word is a single char -> no pairs -> empty merge table; the
     // nMerges=3 request must not loop or throw
