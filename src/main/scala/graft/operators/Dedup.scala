@@ -113,23 +113,20 @@ object Dedup {
     * small, and keeps it a shuffle join in the adversarial case where
     * millions of buckets overflow.
     *
-    * IN-BAND drop surfacing (r13, ADVICE): the over-cap key list flows
-    * through a named `observe` metrics node — `graft.lsh.capped.<n>`
-    * reporting (n_capped_buckets, n_capped_rows) — so a
-    * QueryExecutionListener / Observation sees exactly what the cap
-    * silently removed from pairing, with ZERO extra jobs and no change to
-    * the rows. Callers wanting the per-bucket detail as data run
-    * [[lshHotBandAudit]]. Metric names carry a per-call counter: Spark
-    * rejects duplicate CollectMetrics names on different plans. */
-  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong()
+    * DROP SURFACING (r13, ADVICE): an `observe`/CollectMetrics node on the
+    * hot list was built and MEASURED OUT — it cost ~55% on the whole LSH
+    * family at sf0.1 (0.73→1.15 s per query under BenchOne A/B; the
+    * metrics barrier stops AQE from broadcasting the near-empty anti-join
+    * build side, so the full bucket table pays a shuffle anti-join).
+    * Drops are therefore surfaced by CONTRACT instead: the recall caveat
+    * documented at [[minHashLshNearDupPairs]] / [[nearDupPipeline]], and
+    * [[lshHotBandAudit]] (gated as `dedup_lsh_hot_buckets`) as the
+    * queryable per-bucket report a pipeline schedules next to dedup. */
   private def capHotBuckets(buckets: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
     val hot = buckets.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
-      .observe(s"graft.lsh.capped.${capMetricSeq.incrementAndGet()}",
-        count(lit(1)).as("n_capped_buckets"),
-        coalesce(sum(col("__bsz")), lit(0L)).as("n_capped_rows"))
       .drop("__bsz")
     buckets.join(hot, keyCols, "left_anti")
   }
@@ -177,10 +174,11 @@ object Dedup {
     * so a near-identical (but not byte-identical) pocket larger than the
     * cap escapes near-dup detection entirely (exact dedup collapses only
     * identical texts). Run [[exactDedup]] first (the [[nearDupPipeline]]
-    * order) so identical-copy cliques never reach the cap; monitor the
-    * in-band `graft.lsh.capped.*` observe metrics (zero when nothing was
-    * dropped), and audit surviving hot pockets with [[lshHotBandAudit]].
-    * Pass a larger `maxBucket` to trade candidate volume for recall.
+    * order) so identical-copy cliques never reach the cap, and schedule
+    * [[lshHotBandAudit]] (the `dedup_lsh_hot_buckets` query) next to any
+    * dedup run — it reports exactly which (band, bucket) keys were
+    * dropped and how many docs they held. Pass a larger `maxBucket` to
+    * trade candidate volume for recall.
     */
   /** (id, band, bkey) LSH bucket rows from a signature table — band key =
     * the band's minhash values joined positionally. */
@@ -289,9 +287,9 @@ object Dedup {
     * jaccard 1.0 — demonstrated in ScaleProbe).
     *
     * Inherits [[minHashLshNearDupPairs]]'s hot-bucket cap: NON-identical
-    * near-dup pockets larger than [[LshMaxBucket]] drop out of pairing
-    * (surfaced in-band via the `graft.lsh.capped.*` observe metrics;
-    * detail via [[lshHotBandAudit]]). */
+    * near-dup pockets larger than [[LshMaxBucket]] drop out of pairing —
+    * schedule [[lshHotBandAudit]] next to this pipeline for the
+    * per-bucket drop report. */
   def nearDupPipeline(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleWidth: Int = 3, numHashes: Int = 8,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
