@@ -129,6 +129,13 @@ object Knn {
       bound: Long => Double,
       pred: Option[Column],
       bruteForceThreshold: Long): Seq[Neighbor] = {
+    // Cheap row probe FIRST: a count() scans no columns, and the
+    // under-threshold (brute) path needs no cell stats at all — building
+    // and persisting the priced table before the threshold check cost the
+    // fixture-scale pruned queries ~+0.1 s each (r13 bench).
+    val totalRows = indexed.count()
+    if (totalRows == 0L) return Seq.empty // empty DB → empty result (tests:70-77)
+    if (totalRows <= bruteForceThreshold) return bruteScan(indexed, dist, k, pred)
     // One aggregation job builds the |cells|-row stats table; the bound UDF
     // prices each cell where its stats row lives. Persisted because the
     // widening loop re-sorts it per prefix fetch (O(log cells) fetches).
@@ -140,8 +147,6 @@ object Knn {
     try {
       val head = priced.agg(count(lit(1)).as("c"), sum(col("n")).as("r")).head()
       val nCells = head.getLong(0)
-      if (nCells == 0L) return Seq.empty // empty DB → empty result (tests:70-77)
-      val totalRows = head.getLong(1)
 
       // Ranked-prefix pager: entry(i) = i-th cell in (lb ASC, cell_id ASC)
       // order — the identical total order the legacy driver sort used, so
@@ -185,6 +190,21 @@ object Knn {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .exists(_.isInstanceOf[java.io.NotSerializableException])
 
+  /** The under-threshold path: one codegen'd full scan + distributed
+    * top-k, no index machinery. */
+  private def bruteScan(indexed: DataFrame, dist: Column, k: Int,
+      pred: Option[Column]): Seq[Neighbor] = {
+    val filtered = pred.map(indexed.filter).getOrElse(indexed)
+    filtered
+      .withColumn("dist", dist)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+      .collect()
+      .map(r => Neighbor(r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq
+  }
+
   /** The widening loop over an abstract ranked-cell accessor. `entry(i)`
     * must return the i-th non-empty cell as (cell_id, lowerBound, rowCount)
     * in (bound ASC, cell_id ASC) order, for 0 ≤ i < nCells. */
@@ -203,17 +223,7 @@ object Knn {
     // per-job overhead, not the data, dominates small stores). Above it,
     // candidate-cell pruning skips whole files. Same exact result either
     // way — the specs pin pruned ≡ brute with bruteForceThreshold = 0.
-    if (totalRows <= bruteForceThreshold) {
-      val filtered = pred.map(indexed.filter).getOrElse(indexed)
-      return filtered
-        .withColumn("dist", dist)
-        .select(col("vec_id"), col("label"), col("dist"))
-        .orderBy(col("dist").asc, col("vec_id").asc)
-        .limit(k)
-        .collect()
-        .map(r => Neighbor(r.getLong(0), r.getInt(1), r.getDouble(2)))
-        .toSeq
-    }
+    if (totalRows <= bruteForceThreshold) return bruteScan(indexed, dist, k, pred)
 
     def scanCells(cells: Seq[Long]): Seq[Neighbor] = {
       val base = indexed.filter(col("cell_id").isin(cells: _*))

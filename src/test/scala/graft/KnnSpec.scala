@@ -55,6 +55,29 @@ class KnnSpec extends SparkSpecBase {
     }
   }
 
+  test("distributed ranked-prefix pager: multi-fetch widening equals brute (r13)") {
+    import spark.implicits._
+    // 900-cell 2-dim grid over 2000 skewed rows (~2 rows/cell), far-corner
+    // query + large k ⇒ the widening loop pages past the initial 256-cell
+    // prefix through several geometric fetches — the de-O(cells) path's
+    // pager, exercised end to end with NO stats cache
+    val cfg = GridConfig(dim = 2, lower = 0.0, upper = 1.0, partsPerDim = 30, gridDims = 2)
+    val rnd = new scala.util.Random(31)
+    val db = (0L until 2000L).map { i =>
+      (i, Array(math.pow(rnd.nextDouble(), 2).toFloat, rnd.nextFloat()), rnd.nextInt(5))
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Grid.withCellId(db, "embedding", cfg)
+    val q = Array(0.98, 0.97)
+    val dist = Distances.squaredL2Lit(col("embedding"), q)
+    for (k <- Seq(50, 400)) {
+      val brute = Knn.bruteForce(db, dist, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val pruned = Knn.prunedSearch(idx, cfg, q, k, bruteForceThreshold = 0L)
+        .map(n => (n.vec_id, n.dist))
+      assert(pruned == brute, s"k=$k")
+    }
+  }
+
   test("kNN on empty DB returns empty (tests:70-77)") {
     val empty = indexed.filter(lit(false))
     val res = Knn.prunedSearch(empty, SparkEntry.gridCfg, Q64, 5)
