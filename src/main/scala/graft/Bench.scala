@@ -60,6 +60,11 @@ object Bench {
     val nRuns = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        // untimed setup: every rep starts from empty store roots, so all
+        // three reps measure the same clean-directory cost (clearing only
+        // BETWEEN queries left reps 2-3 overwriting their own leftovers —
+        // exactly the dirty-disk state this teardown exists to avoid)
+        perQueryStoreRoots.foreach(deleteRecursively)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -85,9 +90,8 @@ object Bench {
       // dirty pages / filesystem metadata ride into whichever query runs
       // next — the r12 driver sweep showed the store trio 2.5-3.9× slower
       // than the same-HEAD cross-SF audit measured them, with no code
-      // change. Deleting the roots after each query forces every
-      // store-writing run to start from an empty directory (overwrite-mode
-      // writes then create instead of replace) and bounds tmp disk usage.
+      // change. Each rep also pre-cleans inside once(); this post-query
+      // sweep keeps tmp disk usage bounded after the LAST store query.
       // Bucketed fixture tables (graft_<appId>_*) are prep state, NOT torn
       // down — they're written once outside the timed region.
       perQueryStoreRoots.foreach(deleteRecursively)

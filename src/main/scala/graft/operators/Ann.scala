@@ -47,19 +47,21 @@ object Ann {
     // of pairing (over-cap keys aggregated — near-empty by definition —
     // then anti-joined; AQE broadcasts the tiny list). Max observed
     // full-signature bucket at sf0.1 is 2.
-    // pre-cap signature table persisted (r13): the nBits×dim dot-products
-    // are the expensive stage, and BOTH the hot-bucket aggregation build
-    // side and the anti-join probe side read sig0 — without this persist
-    // the signature expression ran twice per call
+    // ONE persist, on the PRE-cap signature table (r13): the nBits×dim
+    // dot-products are the expensive stage, and the hot-bucket aggregation
+    // build side, the anti-join probe side, AND both self-join sides all
+    // derive from sig0 — caching it means the signatures compute once.
+    // The capped table is deliberately NOT persisted (the r13 review
+    // caught the double-cache leaking two full vector-payload copies per
+    // call): each self-join side re-runs only the map-side-combinable hot
+    // aggregation + a broadcast anti-join over CACHED rows, which is far
+    // cheaper than pinning a second payload copy for the session.
     val sig0 = db.select(col(idCol), col(vecCol))
       .withColumn("lsh_sig", lshSignature(col(vecCol), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sig0.groupBy(col("lsh_sig")).agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket).drop("__bsz")
-    // capped table persisted too: both self-join sides read it from cache
-    // (the anti-join itself then runs once, not once per side)
     val sig = sig0.join(hot, Seq("lsh_sig"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("lsh_sig"))
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("lsh_sig"))
     a.join(b, Seq("lsh_sig")).filter(col("id_a") < col("id_b"))
@@ -135,9 +137,11 @@ object Ann {
     // side. Dropped buckets are boilerplate-pocket signals. Max observed
     // band bucket at sf0.1 is 53 — the 1024 default never bites on real
     // geometry.
-    // pre-cap bucket table persisted (r13): the per-band signature
-    // dot-products feed both the hot aggregation and the anti-join probe —
-    // persisting here means they run once per call, not twice
+    // ONE persist, on the PRE-cap bucket table (r13, same reasoning as
+    // [[lshCandidatePairs]]): the per-band signature dot-products compute
+    // once into cache; the hot aggregation + broadcast anti-join replay
+    // cheaply from cached rows per self-join side, instead of pinning a
+    // second nBands-exploded vector-payload copy for the session
     val buckets0 = db
       .select(col(idCol), col(vecCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col(vecCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
@@ -145,9 +149,7 @@ object Ann {
     val hot = buckets0.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket).drop("__bsz")
-    // capped table persisted too: both self-join sides read it from cache
     val buckets = buckets0.join(hot, Seq("band", "sig"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("band"), col("sig"))
     val b = buckets.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))

@@ -136,11 +136,21 @@ object Bpe {
         batch += ((p1, p2, c))
         taken += 1
         usedSyms += p1; usedSyms += p2; usedMerged += merged
-        // worst-case post-count any pair touched by THIS member can reach
+        // Worst-case post-count any pair created/grown by THIS member can
+        // reach. Applying (a,b)→ab only touches pairs containing the new
+        // token: post(x,ab) ≤ cnt(x,a) + cnt(x,ab) and post(ab,y) ≤
+        // cnt(b,y) + cnt(ab,y) — so the relevant neighbor set is exactly
+        // {q2 = a} ∪ {q1 = b} ∪ {ab ∈ q}. Pairs merely SHARING a or b in
+        // the other position ((a,y), (x,b)) can only lose occurrences and
+        // are excluded — scanning them matched the member against ITSELF
+        // (q2=b hits (a,b)), forcing bound ≥ 2·cnt(member) and pinning
+        // every batch at size 1 (r13 review finding). A self-pair (a,a)
+        // still matches its own q2 = a, which is correct: (x,aa) growth
+        // draws on cnt(a,a) occurrences.
         var nbr = floor
         ranked.foreach { case (q1, q2, qc) =>
-          if (q1 == p1 || q1 == p2 || q2 == p1 || q2 == p2 ||
-            q1 == merged || q2 == merged) nbr = math.max(nbr, qc)
+          if (q2 == p1 || q1 == p2 || q1 == merged || q2 == merged)
+            nbr = math.max(nbr, qc)
         }
         bound = math.max(bound, 2L * nbr)
       }

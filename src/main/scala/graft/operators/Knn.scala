@@ -145,8 +145,9 @@ object Knn {
       .withColumn("lb", udf(bound).apply(col("cell_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val head = priced.agg(count(lit(1)).as("c"), sum(col("n")).as("r")).head()
-      val nCells = head.getLong(0)
+      // (totalRows is already known from the count() probe above; this
+      // materializing action only needs the cell count)
+      val nCells = priced.agg(count(lit(1)).as("c")).head().getLong(0)
 
       // Ranked-prefix pager: entry(i) = i-th cell in (lb ASC, cell_id ASC)
       // order — the identical total order the legacy driver sort used, so
