@@ -228,7 +228,12 @@ object Governance {
 
   def quantileNormalize(df: DataFrame, group: String, scoreQ: Column,
       rankChunk: Long = QnormRankChunk): DataFrame = {
+    // ranked feeds three consumers (the pooled histogram and the row-side
+    // of both rank lookups below); without the persist each consumer
+    // re-runs the corpus scan + histogram join of percentileByGroup (the
+    // dsir rawBi pattern — freed by the ContextCleaner / harness teardown)
     val ranked = percentileByGroup(df, group, scoreQ)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pooled = ranked.groupBy(col("score_q")).agg(count(lit(1)).as("__c"))
     val before = Window.orderBy(col("score_q").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -259,6 +264,9 @@ object Governance {
     // pooled rank appears exactly once with its bucket's score_q.
     require(rankChunk >= 1L, "rankChunk must be positive")
     val ck = lit(rankChunk)
+    // persisted: lo and hi are two differently-keyed joins over the SAME
+    // exploded table — without it each join subtree re-runs the pooled
+    // histogram, its window, and the corpus-sized explode
     val rankVal = ph
       .select(col("score_q"), col("__cum_start"), col("__cum_end"),
         explode(sequence(lit(0L),
@@ -267,6 +275,7 @@ object Governance {
         explode(sequence(
           col("__cum_start") + col("__ck") * ck,
           least(col("__cum_end"), col("__cum_start") + (col("__ck") + 1) * ck) - 1)).as("__rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lo = rankVal.select(col("__rank").as("__lo"), col("score_q").as("__v_lo"))
     val hi = rankVal.select(col("__rank").as("__hi"), col("score_q").as("__v_hi"))
     withIdx
