@@ -51,7 +51,12 @@ object ScaleProbe10M extends App {
   val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     .select(col("doc_id"), col("text"))
   val nBase = base.count()
-  val reps = math.max(1L, 10000000L / nBase)
+  // SCALE10M_TARGET_ROWS (default 10M) — the corpus size the docs arm
+  // amplifies to; the 30M tier re-runs the same mix at 3x to show the
+  // dedup path's growth stays linear past the round-7 design point
+  val targetRows = sys.env.get("SCALE10M_TARGET_ROWS").map(_.toLong)
+    .getOrElse(10000000L)
+  val reps = math.max(1L, targetRows / nBase)
   val store = "/tmp/graft_scale10m_docs"
 
   if (runDocs) {
