@@ -104,25 +104,37 @@ object Bpe {
     *    applying the earlier members cannot touch any adjacency `p_j`
     *    matches — `p_j`'s count is invariant), and
     *  - `cnt(p_j)` strictly exceeds the worst-case post-count of ANY pair
-    *    an earlier application can create or grow. Applying (a,b)→ab only
-    *    creates/grows pairs containing the token `ab`; each such count is
-    *    ≤ cnt(x,a) + cnt(x,"ab") (resp. the right side) — two entries of
-    *    the CURRENT table — so it is bounded by 2·max(count of any visible
-    *    pair sharing a symbol with the member or naming its merged token,
-    *    `floor`), where `floor` (the last visible count when the slice is
-    *    full) bounds every invisible pair.
+    *    the earlier applications can create or grow, in COMBINATION.
+    *    Applying one member (a,b)→ab only creates/grows pairs containing
+    *    the token `ab`; each such count is ≤ cnt(x,a) + cnt(x,"ab")
+    *    (resp. the right side) — two entries of the CURRENT table — so a
+    *    single member i contributes at most 2·nbr_i, where nbr_i is the
+    *    max count over pairs touching the member ({q2=p1} ∪ {q1=p2} ∪
+    *    {merged ∈ q}), floored by `floor` (the last visible count when
+    *    the slice is full, bounding every invisible pair). TWO members
+    *    i, j can grow the SAME pair only when it is (merged_i, merged_j)
+    *    in some order — growth events only touch pairs containing the
+    *    grower's merged token — and that pair's four occurrence sources
+    *    (pre-existing (m_i,m_j); created by i from (p2_i, m_j); created
+    *    by j from (m_i, p1_j); created by both from (p2_i, p1_j)) each
+    *    lie in BOTH neighbor sets, so its post-count is ≤
+    *    4·min(nbr_i, nbr_j) ≤ 2·nbr_i + 2·nbr_j. Hence the SUM
+    *    Σ_i 2·nbr_i over admitted members bounds every pair's post-count
+    *    (a max over members did NOT: the doubly-grown (m_i, m_j) pair can
+    *    reach 4·min while max recorded only 2·max — the r13 review
+    *    finding; the sum is what `bound` accumulates).
     * Everything ranked above an admitted pick is already in the batch
     * (contiguous prefix), decreased pairs stay decreased, and ties were
     * pre-resolved by the (cnt DESC, p1, p2) ranking — so the sequential
     * argmax sequence is reproduced bit-for-bit. Conservative by design:
     * when the guard can't prove safety the batch just ends (worst case
     * batch = 1 = the old per-merge behavior). */
-  private[operators] def selectBatch(ranked: Array[(String, String, Long)],
+  private[graft] def selectBatch(ranked: Array[(String, String, Long)],
       floor: Long, maxN: Int): Seq[(String, String, Long)] = {
     val batch = Seq.newBuilder[(String, String, Long)]
     val usedSyms = scala.collection.mutable.Set.empty[String]
     val usedMerged = scala.collection.mutable.Set.empty[String]
-    var bound = -1L // max worst-case created-pair count over earlier members
+    var bound = 0L // Σ_i 2·nbr_i over earlier members (see proof above)
     var i = 0
     var stop = false
     var taken = 0
@@ -131,7 +143,7 @@ object Bpe {
       val merged = p1 + p2
       val disjoint = !usedSyms(p1) && !usedSyms(p2) && !usedMerged(p1) &&
         !usedMerged(p2) && !usedSyms(merged) && !usedMerged(merged)
-      if (taken > 0 && (!disjoint || c <= bound)) stop = true
+      if (taken > 0 && (!disjoint || c <= bound || bound < 0L)) stop = true
       else {
         batch += ((p1, p2, c))
         taken += 1
@@ -152,7 +164,12 @@ object Bpe {
           if (q2 == p1 || q1 == p2 || q1 == merged || q2 == merged)
             nbr = math.max(nbr, qc)
         }
-        bound = math.max(bound, 2L * nbr)
+        // SUM, not max: two members can both grow the pair of their merged
+        // tokens (post ≤ 4·min(nbr_i, nbr_j) ≤ 2·nbr_i + 2·nbr_j), so only
+        // the accumulated Σ 2·nbr_i bounds every pair's post-count. The
+        // bound<0 admission guard above catches the (astronomical-count)
+        // Long overflow of the running sum by refusing further members.
+        bound += 2L * nbr
       }
       i += 1
     }

@@ -142,6 +142,23 @@ class BpeSpec extends SparkSpecBase {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq)
   }
 
+  test("selectBatch accumulates the created-pair bound as a SUM over members (r13 review)") {
+    // Two admitted members can both grow the pair of their merged tokens
+    // (post <= 4*min(nbr_i, nbr_j)), so the safe admission bound is
+    // sum(2*nbr_i), not max(2*nbr_i). With floor=10 and no visible
+    // neighbors, nbr_i = 10 per member: after two members the sum bound is
+    // 40 — a third pick with count 30 must be REFUSED (under the old max
+    // bound of 20 it was admitted, and a doubly-grown pair could
+    // sequentially outrank it).
+    val ranked = Array(("a", "b", 100L), ("r", "s", 90L), ("x", "y", 30L))
+    val got = graft.operators.Bpe.selectBatch(ranked, floor = 10L, maxN = 512)
+    assert(got == Seq(("a", "b", 100L), ("r", "s", 90L)))
+    // counts strictly above the accumulated sum keep batching
+    val ranked2 = Array(("a", "b", 100L), ("r", "s", 90L), ("x", "y", 41L))
+    assert(graft.operators.Bpe.selectBatch(ranked2, floor = 10L, maxN = 512)
+      == ranked2.toSeq)
+  }
+
   test("batched trainer == sequential on random corpora (5 trials), incl. small topK slices") {
     val rnd = new scala.util.Random(77)
     val alpha = "abcdefgh"
