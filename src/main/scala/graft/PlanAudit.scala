@@ -123,10 +123,13 @@ object PlanAudit {
         "Exchange", "HashAggregate", "ObjectHashAggregate", "SortAggregate",
         "TakeOrderedAndProject", "Sort", "Window", "KnnJoin")
         .map { op =>
+          // the line-anchored regex already cannot match "Exchange" inside
+          // a "ReusedExchange" line (the "Reused" letters block the
+          // prefix), so no subtraction — subtracting the reuse count here
+          // once UNDERcounted real exchanges by one per reuse node
           val n = ("(?m)^[\\s:+*-]*(?:\\([0-9]+\\) )?" +
             op + "\\b").r.findAllIn(tree).size
-          op -> (if (op == "Exchange")
-            n - "ReusedExchange".r.findAllIn(tree).size else n)
+          op -> n
         }
         .filter(_._2 > 0)
         .map { case (op, n) => s"$op=$n" }
