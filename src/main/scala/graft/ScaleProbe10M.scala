@@ -59,7 +59,16 @@ object ScaleProbe10M extends App {
   val reps = math.max(1L, targetRows / nBase)
   val store = "/tmp/graft_scale10m_docs"
 
+  // SCALE10M_SKIP: comma-set of docs-arm sub-stages to skip
+  // (materialize,exact,neardup,admission,curate,v2) — at the 30M tier the
+  // admission arm's shuffle spill exceeds this host's ~80 GB scratch disk
+  // (aggregate executor scratch on a cluster), so the other arms must be
+  // runnable without it; `materialize` reuses the on-disk parquet
+  val skipSub = sys.env.getOrElse("SCALE10M_SKIP", "")
+    .split(",").map(_.trim).filter(_.nonEmpty).toSet
+
   if (runDocs) {
+  if (!skipSub("materialize"))
   t(s"materialize ${nBase * reps} docs (write parquet)") {
     val id = col("doc_id") * reps + col("rep")
     val words = split(col("text"), " ")
@@ -75,25 +84,38 @@ object ScaleProbe10M extends App {
       zip_with(words, sequence(lit(0), size(words) - 1),
         (w, i) => when(i.cast("long") === pocketPos, concat(lit("sub"), col("doc_id"))).otherwise(w)),
       " ")
-    base.crossJoin(spark.range(reps).toDF("rep"))
+    // parallelize the GENERATION, not just the write: base is a
+    // one-partition parquet read, and crossJoin(range) broadcast the tiny
+    // range side and streamed base — the whole corpus-sized string
+    // generation (and the shuffle write behind a post-hoc repartition) ran
+    // in ONE task (caught at the 30M tier: a single core pegged for
+    // minutes). Repartitioning the 6k base docs first and exploding the
+    // rep sequence per row keeps every stage 64-wide with no shuffle of
+    // generated text.
+    base.repartition(64)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(reps - 1))).as("rep"))
       .select(id.as("doc_id"),
         when(pmod(col("rep"), lit(5)) === 0, col("text"))
           .when(pmod(col("rep"), lit(200)) === 1, oneWordSub)
           .otherwise(uniqueized).as("text"))
-      .repartition(64)
       .write.mode("overwrite").parquet(store)
   }
   val docs = spark.read.parquet(store)
 
-  val nCanonical = t("exact dedup (10M, 1000-copy cliques)") {
-    graft.operators.Dedup.exactDedup(docs).count()
+  if (!skipSub("exact")) {
+    val nCanonical = t("exact dedup (10M, 1000-copy cliques)") {
+      graft.operators.Dedup.exactDedup(docs).count()
+    }
+    println(s"SCALE   canonical docs: $nCanonical of ${nBase * reps}")
   }
-  println(s"SCALE   canonical docs: $nCanonical of ${nBase * reps}")
 
-  val nPairs = t("near-dup pipeline (exact-first + LSH)") {
-    graft.operators.Dedup.nearDupPipeline(docs).count()
+  if (!skipSub("neardup")) {
+    val nPairs = t("near-dup pipeline (exact-first + LSH)") {
+      graft.operators.Dedup.nearDupPipeline(docs).count()
+    }
+    println(s"SCALE   verified near-dup pairs: $nPairs")
   }
-  println(s"SCALE   verified near-dup pairs: $nPairs")
 
   // Incremental admission. The batch must contain every verdict class, so
   // it is selected on REP (the duplication axis): rep%100==0 rows are
@@ -105,21 +127,24 @@ object ScaleProbe10M extends App {
   val inBatch = pmod(repOf, lit(100L)).isin(0L, 1L, 3L)
   val corpus = docs.filter(!inBatch)
   val batch = docs.filter(inBatch)
-  val idx = t("dedup index build (~9.4M corpus)") {
-    val i = graft.operators.Dedup.buildDedupIndex(corpus)
-    i.digests.count(); i.buckets.count(); i.sets.count()
-    i
-  }
-  t("admission probe (~300k batch)") {
-    val verdicts = graft.operators.Dedup.admitBatch(idx, batch)
-      .groupBy(col("verdict")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    println(s"SCALE   admission verdicts: $verdicts")
-    assert(verdicts.getOrElse("exact", 0L) > 0, "expected exact-dup admissions")
-    assert(verdicts.getOrElse("near", 0L) > 0, "expected near-dup admissions")
-    assert(verdicts.getOrElse("keep", 0L) > 0, "expected novel admissions")
+  if (!skipSub("admission")) {
+    val idx = t("dedup index build (~9.4M corpus)") {
+      val i = graft.operators.Dedup.buildDedupIndex(corpus)
+      i.digests.count(); i.buckets.count(); i.sets.count()
+      i
+    }
+    t("admission probe (~300k batch)") {
+      val verdicts = graft.operators.Dedup.admitBatch(idx, batch)
+        .groupBy(col("verdict")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"SCALE   admission verdicts: $verdicts")
+      assert(verdicts.getOrElse("exact", 0L) > 0, "expected exact-dup admissions")
+      assert(verdicts.getOrElse("near", 0L) > 0, "expected near-dup admissions")
+      assert(verdicts.getOrElse("keep", 0L) > 0, "expected novel admissions")
+    }
   }
 
+  if (!skipSub("curate"))
   t("curate() end-to-end (10M, with funnel)") {
     val (_, funnel) = graft.pipeline.Curation.curate(docs)
     funnel.foreach { case (s, n) => println(f"SCALE   funnel $s%-18s $n%10d") }
@@ -132,6 +157,7 @@ object ScaleProbe10M extends App {
   // raw corpus grows. Scoring is a map-side probe pass + one per-doc
   // aggregation over the 10M side; dedup is a digest groupBy; the epoch
   // shuffle is one hash exchange + per-shard sort over the survivors.
+  if (!skipSub("v2"))
   t("curation stack v2 (10M docs)") {
     val gated = docs.filter(graft.operators.TextAnalysis.gopherKeep(col("text")))
     val buckets = graft.operators.LangModel.perplexityBuckets(base, gated)
