@@ -3854,6 +3854,21 @@ object SparkEntry {
           count(lit(1)).as("n_copies"))
         .orderBy(col("source"))
     }),
+    // Greedy k-center coreset (farthest-first traversal, Gonzalez 1985)
+    // over the embedding corpus: the 8 maximally-spread exemplars.
+    // k scans — each ONE codegen'd VecMinDistL2 pass + distributed top-1
+    // (TakeOrderedAndProject, no shuffle); driver holds the 8 centers
+    // only. The selection is data-DEPENDENT, so DuckDB replays the whole
+    // greedy chain bit-for-bit as unrolled argmax-of-min-distance CTEs
+    "sample_coreset_kcenter" -> ((s, d) =>
+      graft.operators.Coreset.kCenterSelect(emb(s, d), k = 8)),
+    // the same 8 exemplars as a stratification device: nearest-center
+    // assignment (VecArgMinL2, first-min tiebreak) + per-center
+    // population and covering radius — one assignment scan + an
+    // 8-row aggregate; max(max_d) is the k-center objective the greedy
+    // 2-approximates
+    "sample_coreset_assign" -> ((s, d) =>
+      graft.operators.Coreset.kCenterAssignSummary(emb(s, d), k = 8)),
     // KMV distinct-count sketch over order keys: (k−1)/kth-smallest
     // normalized hash. Pure function of the deterministic md5 hash ⇒ the
     // estimate itself is HASH-CHECKED cross-engine (the HLL sketch in
@@ -4499,6 +4514,30 @@ object SparkEntry {
        |             ('b3_ge200k', ${DuckSql.fmt(200000.0)}, ${DuckSql.fmt(1e18)})) AS bands(band, lo, hi)
        |  ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY band ORDER BY band""".stripMargin
+
+  /** Unrolled greedy k-center CTE chain (`e`, `c0..c{k-1}`, `d1..`) for
+    * the coreset oracles. The selection is data-dependent, so DuckDB
+    * REPLAYS the greedy loop itself: seed = min vec_id, then k−1
+    * argmax-of-min-distance steps, each LEAST-folding the new center's
+    * left-assoc squared L2 into the running min — bit-equal to
+    * VecMinDistL2's recomputed min (min is associative and exact).
+    * Assumes ≥ k distinct vectors (the suite pins early-stop Scala-side). */
+  private def kcenterChainSql(k: Int): String = {
+    def sq(a: String, b: String) = DuckSql.squaredL2Cols(a, b, Dim)
+    val parts = Seq(
+      "e AS (SELECT vec_id, embedding FROM embeddings)",
+      "c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id ASC LIMIT 1)",
+      s"d1 AS (SELECT e.vec_id, e.embedding, ${sq("e.embedding", "c0.embedding")} AS md FROM e CROSS JOIN c0)") ++
+      (1 until k).flatMap { i =>
+        Seq(s"c$i AS (SELECT vec_id, embedding, md FROM d$i ORDER BY md DESC, vec_id ASC LIMIT 1)") ++
+          (if (i < k - 1)
+            Seq(s"d${i + 1} AS (SELECT d$i.vec_id, d$i.embedding, " +
+              s"LEAST(d$i.md, ${sq(s"d$i.embedding", s"c$i.embedding")}) AS md " +
+              s"FROM d$i CROSS JOIN c$i)")
+          else Seq.empty)
+      }
+    parts.mkString(",\n")
+  }
 
   private def knnSql(distExpr: String, k: Int, where: String = ""): String =
     s"SELECT vec_id, label, $distExpr AS dist FROM embeddings $where ORDER BY dist ASC, vec_id ASC LIMIT $k"
@@ -7820,6 +7859,30 @@ object SparkEntry {
            |  CAST(COUNT(DISTINCT CASE WHEN n_copies >= 1 THEN doc_id END) AS BIGINT) AS n_docs_kept,
            |  CAST(SUM(n_copies) AS BIGINT) AS n_copies
            |FROM n GROUP BY source, cents ORDER BY source""".stripMargin
+      },
+      "sample_coreset_kcenter" -> {
+        val steps = (0 until 8).map { i =>
+          if (i == 0)
+            s"SELECT CAST(0 AS INT) AS step, vec_id, ${DuckSql.fmt(-1.0)} AS r_cov FROM c0"
+          else s"SELECT CAST($i AS INT) AS step, vec_id, md AS r_cov FROM c$i"
+        }.mkString("\nUNION ALL ")
+        s"WITH ${kcenterChainSql(8)}\n$steps\nORDER BY step"
+      },
+      "sample_coreset_assign" -> {
+        val dists = (0 until 8)
+          .map(i => DuckSql.squaredL2Cols("e.embedding", s"c$i.embedding", Dim))
+          .mkString(",\n    ")
+        val crosses = (0 until 8).map(i => s"CROSS JOIN c$i").mkString(" ")
+        s"""WITH ${kcenterChainSql(8)},
+           |lst AS (
+           |  SELECT e.vec_id, [$dists] AS l
+           |  FROM e $crosses),
+           |assigned AS (
+           |  SELECT vec_id, CAST(list_position(l, list_min(l)) - 1 AS INT) AS step,
+           |    list_min(l) AS d
+           |  FROM lst)
+           |SELECT step, CAST(COUNT(*) AS BIGINT) AS n, MAX(d) AS max_d
+           |FROM assigned GROUP BY step ORDER BY step""".stripMargin
       },
       "agg_kmv_distinct" -> {
         val h = Dedup.md5Int32Sql("CAST(l_orderkey AS VARCHAR)")
