@@ -55,6 +55,26 @@ object ScaleProbe extends App {
   }
   assert(pruned.map(n => (n.vec_id, n.dist)) == brute, "pruned != brute at scale")
   println("SCALE pruned == brute: OK")
+
+  // Greedy k-center coreset at 1M rows (r13): k rounds of one codegen'd
+  // VecMinDistL2 scan + distributed top-1 each — the cost model is
+  // k scans, flat driver memory (k centers), no shuffle anywhere.
+  {
+    val centers = t("k-center coreset k=16 (1M)") {
+      graft.operators.Coreset.kCenterGreedy(indexed, k = 16)
+    }
+    assert(centers.size == 16 && centers.map(_.vecId).distinct.size == 16,
+      "coreset centers not distinct")
+    val covs = centers.drop(1).map(_.rCov)
+    assert(covs.zip(covs.tail).forall { case (a, b) => a >= b },
+      "coreset r_cov not non-increasing")
+    val summ = t("k-center assign summary (1M)") {
+      graft.operators.Coreset.kCenterAssignSummary(indexed, k = 16).collect()
+    }
+    assert(summ.map(_.getLong(1)).sum == nBase * reps,
+      "coreset assignment lost rows")
+    println(f"SCALE   coreset r_cov(1)=${centers(1).rCov}%.4f r_cov(15)=${centers.last.rCov}%.4f")
+  }
   // Quantile-calibrated grid at 1M SKEWED rows (r11): square the jittered
   // coordinates so mass piles toward 0 — the regime where the equal-width
   // grid's docstring caveat bites (reference kd_tree_database.py:226-233).
