@@ -3869,6 +3869,19 @@ object SparkEntry {
     // 2-approximates
     "sample_coreset_assign" -> ((s, d) =>
       graft.operators.Coreset.kCenterAssignSummary(emb(s, d), k = 8)),
+    // per-source bounded A-ES priority sample (Efraimidis-Spirakis
+    // without replacement): top-20 by the deterministic -ln(u)/w key per
+    // source. Planned as the map-side-combinable bounded aggregator (the
+    // KnnTopK device), so each map task ships <= R rows per key to the
+    // shuffle — never the corpus; StreamSampleSpec pins the streaming
+    // state form EXACTLY equal under any arrival order (the priority is a
+    // pure row function, so the sample is a function of the set)
+    "sample_priority_per_source" -> ((s, d) =>
+      graft.streaming.StreamSample.prioritySample(
+          docs(s, d), col("source"), col("doc_id"),
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)), r = 20)
+        .withColumnRenamed("key", "source")
+        .orderBy(col("source"), col("rank"))),
     // KMV distinct-count sketch over order keys: (k−1)/kth-smallest
     // normalized hash. Pure function of the deterministic md5 hash ⇒ the
     // estimate itself is HASH-CHECKED cross-engine (the HLL sketch in
@@ -7884,6 +7897,17 @@ object SparkEntry {
            |SELECT step, CAST(COUNT(*) AS BIGINT) AS n, MAX(d) AS max_d
            |FROM assigned GROUP BY step ORDER BY step""".stripMargin
       },
+      "sample_priority_per_source" ->
+        s"""WITH scored AS (
+           |  SELECT source, doc_id,
+           |    ROUND((-LN((CAST((${Dedup.md5Int32Sql("CAST(doc_id AS VARCHAR)")}) % 1048576 AS DOUBLE) + 1.0) / 1048577.0))
+           |      / LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0), 6) AS es_key
+           |  FROM documents)
+           |SELECT source, CAST(rn AS INT) AS rank, doc_id, es_key FROM (
+           |  SELECT source, doc_id, es_key,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY es_key ASC, doc_id ASC) AS rn
+           |  FROM scored)
+           |WHERE rn <= 20 ORDER BY source, rank""".stripMargin,
       "agg_kmv_distinct" -> {
         val h = Dedup.md5Int32Sql("CAST(l_orderkey AS VARCHAR)")
         s"""WITH hs AS (SELECT DISTINCT $h AS h FROM lineitem),
