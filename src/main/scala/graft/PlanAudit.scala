@@ -77,7 +77,17 @@ object PlanAudit {
     "window_rolling_revenue" ->
       ("Window frame: single hash-partitioned exchange on the partition " +
         "key, RANGE frame evaluated in one WindowExec pass - no self-join " +
-        "re-derivation of the frame."))
+        "re-derivation of the frame."),
+    "sample_priority_per_source" ->
+      ("Bounded priority sample: ObjectHashAggregate over the typed top-R " +
+        "aggregator with a partial_ (map-side) phase before the one " +
+        "exchange - at most R rows per key per map task cross the " +
+        "shuffle; no WindowExec, no corpus sort."),
+    "sample_coreset_assign" ->
+      ("k-center coverage summary: one scan with the codegen'd argmin/" +
+        "min-distance expressions (centers are plan literals - no join to " +
+        "a center table), partial HashAggregate before the single k-row " +
+        "exchange."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
