@@ -127,7 +127,9 @@ object Bench {
       "store_zonemap_prune", "sim_dot_pruned", "dedup_incremental_batch",
       "store_time_travel",
       // round-10 flagships (appended — earlier names stay comparable)
-      "pipeline_pretrain_v2", "decontam_bloom")
+      "pipeline_pretrain_v2", "decontam_bloom",
+      // round-13 flagships
+      "sample_coreset_kcenter", "sample_priority_per_source")
     val resMap = results.toMap
     val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
     // stop FIRST, print LAST: the driver keeps only the tail of stdout, so
