@@ -1678,6 +1678,22 @@ object SparkEntry {
     // exact interpolated percentiles (sort-based; the sketch variant is
     // agg_sketches) — IEEE-exact: both engines compute p*(n-1) and
     // interpolate in double
+    // EXACT global order statistics WITHOUT a global sort or a buffering
+    // percentile aggregate: recursive bucket-count bisection (OrderStat) —
+    // one codegen'd counting pass per level, the driver holds 1024 longs,
+    // and only the final <= 4096-row slice is collect-sorted. The answer
+    // is an ELEMENT of the column (no arithmetic), so the oracle compare
+    // is bit-trivial; ranks are the lower median and ceil(0.99 n)
+    "agg_exact_median_bisect" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val n = li.count()
+      val med = graft.operators.OrderStat.kthSmallest(
+        li, col("l_extendedprice"), (n + 1) / 2, collectThreshold = 4096).get
+      val p99 = graft.operators.OrderStat.kthSmallest(
+        li, col("l_extendedprice"), (99L * n + 99L) / 100L, collectThreshold = 4096).get
+      Seq((n, med, p99)).toDF("n_rows", "median", "p99")
+    }),
     "agg_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -5653,6 +5669,15 @@ object SparkEntry {
            |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
            |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            |ORDER BY rf, ls""".stripMargin,
+      "agg_exact_median_bisect" ->
+        """WITH o AS (
+          |  SELECT l_extendedprice AS v,
+          |    ROW_NUMBER() OVER (ORDER BY l_extendedprice ASC) AS rn
+          |  FROM lineitem)
+          |SELECT CAST(n AS BIGINT) AS n_rows,
+          |  MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median,
+          |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
+          |FROM o, (SELECT COUNT(*) AS n FROM lineitem) GROUP BY n""".stripMargin,
       "agg_percentiles" ->
         s"""SELECT l_returnflag,
            |  quantile_cont(l_quantity, ${DuckSql.fmt(0.5)}) AS p50_qty,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics without a global sort: the k-th smallest value
+  * of a column by recursive bucket-count bisection.
+  *
+  * Spark's exact `percentile` aggregate buffers every value of a group in
+  * one aggregation buffer — fine for per-group medians over bounded
+  * groups, a single-node memory cliff for a global quantile over 10¹²
+  * rows. The classic distributed-exact alternative needs no sort and no
+  * value buffering: count values into B equal-width buckets (one
+  * codegen'd aggregation pass), locate the bucket containing the target
+  * rank by cumulative counts on the driver (B longs), recurse into that
+  * bucket with the rank offset rebased, and only when the candidate set
+  * is small (≤ `collectThreshold`) collect-and-sort it exactly. Each
+  * level divides the candidate count by ~B, so 10¹² rows reach a
+  * collectable slice in 3–4 passes; every pass is a full-scan aggregate
+  * whose range predicate pushes to the parquet scan (zone maps prune
+  * whole files once the range narrows).
+  *
+  * Exactness does not depend on floating-point bucket boundaries: the
+  * SAME integer bucket expression is used for counting and for the
+  * recursion filter, so a value sits in exactly one bucket by
+  * construction; rank arithmetic over counts is exact for ties (the k-th
+  * order statistic VALUE is unique even when row order under ties is
+  * not); an all-equal candidate set (lo == hi) short-circuits to that
+  * value. The returned value is an ELEMENT of the column — no arithmetic
+  * touches it, so cross-engine comparison is bit-trivial.
+  *
+  * No reference-file analog (the reference has no aggregation surface);
+  * the standard reference is the external-memory selection literature
+  * (multi-pass histogram selection).
+  */
+object OrderStat {
+
+  private val Buckets = 1024
+
+  /** The k-th smallest (1-based, ties counted) value of `value` among the
+    * rows of `df`, or None for an empty input or k out of range. */
+  def kthSmallest(df: DataFrame, value: Column, k: Long,
+      collectThreshold: Long = 100000L): Option[Double] = {
+    require(k >= 1L, s"k=$k must be >= 1")
+    val vals = df.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+    var pred: Column = lit(true)
+    var rank = k
+    var level = 0
+    while (level < 256) {
+      level += 1
+      val agg = vals.filter(pred)
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .head()
+      val n = agg.getLong(0)
+      if (n == 0L || rank > n) return None
+      val lo = agg.getDouble(1); val hi = agg.getDouble(2)
+      if (lo == hi) return Some(lo)
+      if (n <= collectThreshold) {
+        val arr = vals.filter(pred).orderBy(col("v").asc)
+          .limit(rank.min(Int.MaxValue.toLong).toInt).collect()
+        return Some(arr(rank.toInt - 1).getDouble(0))
+      }
+      // One counting pass: the SAME integer bucket expression drives both
+      // the histogram and the next level's filter, so membership is exact.
+      val bucketOf = least(lit(Buckets - 1),
+        greatest(lit(0), floor((col("v") - lit(lo)) / (lit(hi) - lit(lo)) * Buckets)
+          .cast("int")))
+      val counts = vals.filter(pred)
+        .groupBy(bucketOf.as("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var b = 0
+      var cum = 0L
+      while (b < Buckets && cum + counts.getOrElse(b, 0L) < rank) {
+        cum += counts.getOrElse(b, 0L); b += 1
+      }
+      rank -= cum
+      pred = pred && (bucketOf === lit(b))
+    }
+    // Each level shrinks the candidate range ≥1024×; even the full double
+    // range (≈2100 binades) collapses to a single value within ~210
+    // levels, so 256 is unreachable — kept as a loop guard.
+    None
+  }
+}
