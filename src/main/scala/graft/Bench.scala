@@ -129,7 +129,8 @@ object Bench {
       // round-10 flagships (appended — earlier names stay comparable)
       "pipeline_pretrain_v2", "decontam_bloom",
       // round-13 flagships
-      "sample_coreset_kcenter", "sample_priority_per_source")
+      "sample_coreset_kcenter", "sample_priority_per_source",
+      "agg_exact_median_bisect")
     val resMap = results.toMap
     val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
     // stop FIRST, print LAST: the driver keeps only the tail of stdout, so

@@ -622,5 +622,46 @@ object ScaleProbe extends App {
     val plain = indexed.filter(dist <= lit(0.9)).count()
     assert(auto == plain, s"auto $auto != plain $plain")
   }
+  // Bounded priority sample at 1M (r13): the aggregator form must equal
+  // the window row_number formulation on the full store — at scale the
+  // aggregator ships <= R rows per key per map task where the window
+  // shuffles all 1M; equality is the license to use the cheap plan.
+  t("priority sample 16 keys x top-20 (1M)") {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = indexed.select(col("vec_id"),
+      (col("vec_id") % 16).cast("string").as("src"),
+      (lit(0.25) + (col("vec_id") % 7).cast("double") * lit(0.25)).as("w"))
+    val agg = graft.streaming.StreamSample.prioritySample(
+        keyed, col("src"), col("vec_id"), col("w"), r = 20)
+      .orderBy(col("key"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.length == 16 * 20, s"expected 320 sampled rows, got ${agg.length}")
+    val win = keyed.select(col("src"), col("vec_id"),
+        graft.streaming.StreamSample.esPriority(col("vec_id"), col("w")).as("pri"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("pri").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 20)
+      .orderBy(col("src"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+    assert(agg.toSeq == win.toSeq, "aggregator sample != window sample at 1M")
+  }
+  // Exact rank-k bisection at 10M (r13): hash-shuffled permutation of
+  // 0..n-1, so the k-th smallest is k-1 by construction — exactness
+  // checked with zero reference cost; plus a 1000-copy-tie variant.
+  t("exact median bisect (10M permutation + ties)") {
+    val n = 10000000L
+    val perm = spark.range(n).select(col("id"),
+        pmod(col("id") * 2654435761L + 104729L, lit(n)).as("v"))
+      .repartition(64).select(col("v").cast("double").as("v"))
+    val k = (n + 1) / 2
+    val med = graft.operators.OrderStat.kthSmallest(perm, col("v"), k).get
+    assert(med == (k - 1).toDouble, s"bisect median $med != ${k - 1}")
+    val p99k = (99L * n + 99L) / 100L
+    val p99 = graft.operators.OrderStat.kthSmallest(perm, col("v"), p99k).get
+    assert(p99 == (p99k - 1).toDouble, s"bisect p99 $p99 != ${p99k - 1}")
+    val ties = perm.select((floor(col("v") / 1000.0)).cast("double").as("v"))
+    val tmed = graft.operators.OrderStat.kthSmallest(ties, col("v"), k).get
+    assert(tmed == ((k - 1) / 1000).toDouble, s"tied median $tmed")
+  }
   spark.stop()
 }
