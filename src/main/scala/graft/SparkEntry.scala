@@ -1694,6 +1694,20 @@ object SparkEntry {
         li, col("l_extendedprice"), (99L * n + 99L) / 100L, collectThreshold = 4096).get
       Seq((n, med, p99)).toDF("n_rows", "median", "p99")
     }),
+    // the WEIGHTED sibling: volume-weighted median price — smallest price
+    // whose cumulative quantity reaches half the total. Integer weight
+    // sums keep every cumulative exact across engines and partitionings;
+    // same bisection passes, same element-of-the-column answer
+    "agg_weighted_median_price" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val w = li.filter(col("l_quantity") > 0)
+        .agg(sum(col("l_quantity").cast("long"))).head().getLong(0)
+      val wm = graft.operators.OrderStat.weightedRankSmallest(
+        li, col("l_extendedprice"), col("l_quantity").cast("long"),
+        (w + 1) / 2, collectThreshold = 4096).get
+      Seq((w, wm)).toDF("w_total", "wmedian")
+    }),
     "agg_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -5678,6 +5692,15 @@ object SparkEntry {
           |  MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median,
           |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
           |FROM o, (SELECT COUNT(*) AS n FROM lineitem) GROUP BY n""".stripMargin,
+      "agg_weighted_median_price" ->
+        """WITH w AS (
+          |  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+          |  FROM lineitem WHERE l_quantity > 0),
+          |cum AS (
+          |  SELECT v, SUM(wt) OVER (ORDER BY v ASC) AS cw FROM w)
+          |SELECT CAST(tw AS BIGINT) AS w_total,
+          |  MIN(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS wmedian
+          |FROM cum, (SELECT SUM(wt) AS tw FROM w) GROUP BY tw""".stripMargin,
       "agg_percentiles" ->
         s"""SELECT l_returnflag,
            |  quantile_cont(l_quantity, ${DuckSql.fmt(0.5)}) AS p50_qty,

@@ -81,4 +81,60 @@ object OrderStat {
     // levels, so 256 is unreachable — kept as a loop guard.
     None
   }
+
+  /** WEIGHTED exact selection: the smallest value v such that the total
+    * weight of rows with value ≤ v reaches `targetW` — e.g. the
+    * volume-weighted median at targetW = (ΣW + 1) / 2, or a token-weighted
+    * corpus quantile. Same bisection as [[kthSmallest]] with per-bucket
+    * LONG weight sums instead of counts (integer weights keep every
+    * cumulative exactly reproducible across engines and partitionings —
+    * a double weight sum's order-dependent rounding could flip a bucket
+    * decision at a boundary). Rows with weight ≤ 0 are excluded. The
+    * row-count threshold still bounds the collected slice, so skewed
+    * weights never enlarge driver memory. */
+  def weightedRankSmallest(df: DataFrame, value: Column, weight: Column,
+      targetW: Long, collectThreshold: Long = 100000L): Option[Double] = {
+    require(targetW >= 1L, s"targetW=$targetW must be >= 1")
+    val vals = df.select(value.cast("double").as("v"), weight.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w") > 0L)
+    var pred: Column = lit(true)
+    var target = targetW
+    var level = 0
+    while (level < 256) {
+      level += 1
+      val agg = vals.filter(pred)
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("tw"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .head()
+      val n = agg.getLong(0)
+      if (n == 0L || target > agg.getLong(1)) return None
+      val lo = agg.getDouble(2); val hi = agg.getDouble(3)
+      if (lo == hi) return Some(lo)
+      if (n <= collectThreshold) {
+        val rows = vals.filter(pred).orderBy(col("v").asc).collect()
+        var cum = 0L
+        var i = 0
+        while (i < rows.length) {
+          cum += rows(i).getLong(1)
+          if (cum >= target) return Some(rows(i).getDouble(0))
+          i += 1
+        }
+        return None // unreachable: target ≤ tw was checked above
+      }
+      val bucketOf = least(lit(Buckets - 1),
+        greatest(lit(0), floor((col("v") - lit(lo)) / (lit(hi) - lit(lo)) * Buckets)
+          .cast("int")))
+      val weights = vals.filter(pred)
+        .groupBy(bucketOf.as("b")).agg(sum(col("w")).as("tw"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var b = 0
+      var cum = 0L
+      while (b < Buckets && cum + weights.getOrElse(b, 0L) < target) {
+        cum += weights.getOrElse(b, 0L); b += 1
+      }
+      target -= cum
+      pred = pred && (bucketOf === lit(b))
+    }
+    None
+  }
 }

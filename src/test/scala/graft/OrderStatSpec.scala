@@ -46,6 +46,35 @@ class OrderStatSpec extends SparkSpecBase {
     assert(OrderStat.kthSmallest(df, col("x"), 4L) === None)
   }
 
+  test("weighted selection matches a cumulative-walk reference incl. ties and w=0 exclusion") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.fill(400)((rnd.nextInt(25).toDouble / 2.0, rnd.nextInt(5).toLong))
+    val df = rows.toDF("x", "w")
+    val kept = rows.filter(_._2 > 0L).sortBy(_._1)
+    val total = kept.map(_._2).sum
+    def ref(target: Long): Option[Double] = {
+      var cum = 0L
+      kept.foreach { case (v, w) => cum += w; if (cum >= target) return Some(v) }
+      None
+    }
+    Seq(1L, total / 3, (total + 1) / 2, total, total + 1).foreach { t =>
+      val got = graft.operators.OrderStat.weightedRankSmallest(
+        df, col("x"), col("w"), t, collectThreshold = 8)
+      assert(got === ref(t), s"targetW=$t")
+    }
+  }
+
+  test("unit weights reduce weighted selection to kthSmallest") {
+    val rnd = new scala.util.Random(23)
+    val values = Seq.fill(300)(rnd.nextDouble() * 100.0)
+    val df = values.toDF("x").withColumn("w", lit(1L))
+    Seq(1L, 150L, 300L).foreach { k =>
+      assert(
+        graft.operators.OrderStat.weightedRankSmallest(df, col("x"), col("w"), k, 8L) ===
+          graft.operators.OrderStat.kthSmallest(values.toDF("x"), col("x"), k, 8L))
+    }
+  }
+
   test("fixture-scale median equals Spark's exact percentile on the same column") {
     val li = graft.core.Tables.lineitem(spark, sfDir).select(col("l_extendedprice"))
     val n = li.count()
