@@ -3912,6 +3912,16 @@ object SparkEntry {
           least(col("n_chars").cast("double") / 500.0, lit(1.0)), r = 20)
         .withColumnRenamed("key", "source")
         .orderBy(col("source"), col("rank"))),
+    // greedy MAX-COVERAGE selection (the (1-1/e) submodular greedy): the
+    // 5 documents jointly covering the most distinct tokens — the
+    // set-system sibling of the k-center coreset (spread in embedding
+    // space there, vocabulary captured here). k rounds of one anti-join +
+    // one partial-aggregated gain count + distributed top-1; the covered
+    // set stays on the cluster (bounded by VOCABULARY, not corpus). The
+    // data-dependent chain replays in DuckDB as unrolled MATERIALIZED CTEs
+    "sample_coverage_greedy" -> ((s, d) =>
+      graft.operators.Coverage.selectByWordCoverage(
+        docs(s, d).filter(col("doc_id") % 2 === 0), k = 5)),
     // KMV distinct-count sketch over order keys: (k−1)/kth-smallest
     // normalized hash. Pure function of the deterministic md5 hash ⇒ the
     // estimate itself is HASH-CHECKED cross-engine (the HLL sketch in
@@ -7944,6 +7954,33 @@ object SparkEntry {
            |  FROM lst)
            |SELECT step, CAST(COUNT(*) AS BIGINT) AS n, MAX(d) AS max_d
            |FROM assigned GROUP BY step ORDER BY step""".stripMargin
+      },
+      "sample_coverage_greedy" -> {
+        // unrolled greedy chain: u1 = all distinct (doc, token) pairs;
+        // s_i = argmax marginal gain over u_i; u_{i+1} = u_i minus the
+        // winner's tokens. MATERIALIZED: each u_i is referenced twice.
+        val k = 5
+        val steps = (1 to k).flatMap { i =>
+          Seq(
+            s"""s$i AS MATERIALIZED (
+               |  SELECT doc_id, COUNT(*) AS gain FROM u$i GROUP BY doc_id
+               |  ORDER BY gain DESC, doc_id ASC LIMIT 1)""".stripMargin) ++
+            (if (i < k)
+              Seq(s"""u${i + 1} AS MATERIALIZED (
+                     |  SELECT u$i.doc_id, u$i.sh FROM u$i
+                     |  WHERE sh NOT IN (
+                     |    SELECT DISTINCT sh FROM u$i JOIN s$i USING (doc_id)))""".stripMargin)
+            else Seq.empty)
+        }
+        val sel = (1 to k).map(i =>
+          s"SELECT CAST(${i - 1} AS INT) AS step, doc_id, CAST(gain AS BIGINT) AS gain FROM s$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH u1 AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS sh
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |${steps.mkString(",\n")}
+           |$sel
+           |ORDER BY step""".stripMargin
       },
       "sample_priority_per_source" ->
         s"""WITH scored AS (
