@@ -622,6 +622,18 @@ object ScaleProbe extends App {
     val plain = indexed.filter(dist <= lit(0.9)).count()
     assert(auto == plain, s"auto $auto != plain $plain")
   }
+  // Greedy max-coverage over the 100k replicated-doc corpus (r13): k
+  // anti-join + gain-count + top-1 rounds; the covered set is bounded by
+  // vocabulary. Replication makes later gains collapse fast — the greedy
+  // must keep gains non-increasing and never pick a zero-gain doc.
+  t("greedy max-coverage k=8 (100k docs)") {
+    val picks = graft.operators.Coverage.selectByWordCoverage(bigDocs, k = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(picks.nonEmpty && picks.forall(_._2 > 0L), "zero-gain pick")
+    val gs = picks.map(_._2)
+    assert(gs.zip(gs.tail).forall { case (a, b) => a >= b }, "gains increased")
+    println(s"SCALE   coverage picks: ${picks.length}, gains ${gs.mkString(",")}")
+  }
   // Bounded priority sample at 1M (r13): the aggregator form must equal
   // the window row_number formulation on the full store — at scale the
   // aggregator ships <= R rows per key per map task where the window
