@@ -674,6 +674,13 @@ object ScaleProbe extends App {
     val ties = perm.select((floor(col("v") / 1000.0)).cast("double").as("v"))
     val tmed = graft.operators.OrderStat.kthSmallest(ties, col("v"), k).get
     assert(tmed == ((k - 1) / 1000).toDouble, s"tied median $tmed")
+    // weighted path at 10M: constant weight 3 ⇒ smallest m with 3m ≥
+    // (3n+1)/2 is ceil((3n+1)/6) — the expected value is m−1 exactly.
+    val wTarget = (3L * n + 1L) / 2L
+    val m = (wTarget + 2L) / 3L
+    val wmed = graft.operators.OrderStat.weightedRankSmallest(
+      perm, col("v"), lit(3L), wTarget).get
+    assert(wmed == (m - 1).toDouble, s"weighted median $wmed != ${m - 1}")
   }
   spark.stop()
 }

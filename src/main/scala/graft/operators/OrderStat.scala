@@ -38,7 +38,11 @@ object OrderStat {
   private val Buckets = 1024
 
   /** The k-th smallest (1-based, ties counted) value of `value` among the
-    * rows of `df`, or None for an empty input or k out of range. */
+    * rows of `df`, or None for an empty input or k out of range.
+    * PRECONDITION: values must be FINITE — a NaN poisons the min/max
+    * probe (NaN sorts above everything in Spark), and ±Inf endpoints
+    * collapse the bucket ratio to NaN. Nulls are excluded; non-finite
+    * inputs need a caller-side filter. */
   def kthSmallest(df: DataFrame, value: Column, k: Long,
       collectThreshold: Long = 100000L): Option[Double] = {
     require(k >= 1L, s"k=$k must be >= 1")
@@ -91,7 +95,8 @@ object OrderStat {
     * a double weight sum's order-dependent rounding could flip a bucket
     * decision at a boundary). Rows with weight ≤ 0 are excluded. The
     * row-count threshold still bounds the collected slice, so skewed
-    * weights never enlarge driver memory. */
+    * weights never enlarge driver memory. Same finite-values
+    * precondition as [[kthSmallest]]. */
   def weightedRankSmallest(df: DataFrame, value: Column, weight: Column,
       targetW: Long, collectThreshold: Long = 100000L): Option[Double] = {
     require(targetW >= 1L, s"targetW=$targetW must be >= 1")
