@@ -296,6 +296,9 @@ object SparkEntry {
        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
        |), clusters AS (
        |  SELECT id, MIN(lab) AS canonical FROM reach GROUP BY id
+       |), lsh_drops AS (
+       |  SELECT band, bkey, COUNT(*) AS n_docs FROM ($bandSelectsSql)
+       |  GROUP BY band, bkey HAVING COUNT(*) > ${Dedup.LshMaxBucket}
        |)""".stripMargin
 
   /** DuckDB replay of Multimodal.{mediaFromDocuments, extractFeatures}:
@@ -1701,10 +1704,13 @@ object SparkEntry {
     "agg_weighted_median_price" -> ((s, d) => {
       import s.implicits._
       val li = Tables.lineitem(s, d)
+      // floor() before the integer cast: Spark's cast('long') truncates
+      // while DuckDB's CAST(.. AS BIGINT) rounds half-even — floor makes
+      // both engines agree even for fractional quantities
       val w = li.filter(col("l_quantity") > 0)
-        .agg(sum(col("l_quantity").cast("long"))).head().getLong(0)
+        .agg(sum(floor(col("l_quantity")).cast("long"))).head().getLong(0)
       val wm = graft.operators.OrderStat.weightedRankSmallest(
-        li, col("l_extendedprice"), col("l_quantity").cast("long"),
+        li, col("l_extendedprice"), floor(col("l_quantity")).cast("long"),
         (w + 1) / 2, collectThreshold = 4096).get
       Seq((w, wm)).toDF("w_total", "wmedian")
     }),
@@ -3290,6 +3296,38 @@ object SparkEntry {
           "l_returnflag" -> graft.operators.Profile.Str,
           "l_shipdate" -> graft.operators.Profile.Ts))
         .orderBy(col("col_name"))),
+    // the APPROXIMATE sibling (r14): profileApprox is ONE flat pass — HLL++
+    // distinct instead of the Expand-based exact multi-distinct, which
+    // replicates the input |cols|× and makes profile_lineitem the sweep's
+    // slowest query. The HLL estimate is engine-specific, so the gate uses
+    // the agg_sketches self-validation device: exact distincts computed
+    // alongside (gate-scale only — the operator itself never pays them)
+    // and a within-3·rsd flag emitted per column; a sketch drifting out of
+    // its error contract flips the flag and FAILS the hash gate. rsd=0.02
+    // puts the 15% gate bound at 7.5σ.
+    "profile_approx" -> ((s, d) => {
+      import graft.operators.Profile
+      val li = Tables.lineitem(s, d)
+      val profCols = Seq(
+        "l_orderkey" -> Profile.Num, "l_quantity" -> Profile.Num,
+        "l_extendedprice" -> Profile.Num, "l_returnflag" -> Profile.Str,
+        "l_shipdate" -> Profile.Ts)
+      val ap = Profile.profileApprox(li, profCols, rsd = 0.02)
+      val dctAggs = profCols.map { case (c, _) =>
+        count_distinct(col(c)).as(s"${c}__dct") }
+      val exactRows = li.agg(dctAggs.head, dctAggs.tail: _*)
+        .select(explode(array(profCols.map { case (c, _) =>
+          struct(lit(c).as("col_name"),
+            col(s"${c}__dct").as("n_distinct_exact")) }: _*)).as("e"))
+        .select(col("e.*"))
+      ap.join(exactRows, "col_name")
+        .select(col("col_name"), col("n_nulls"), col("n_distinct_exact"),
+          when(abs(col("n_distinct_approx") - col("n_distinct_exact")).cast("double") <=
+            col("n_distinct_exact").cast("double") * 0.15, 1).otherwise(0)
+            .as("hll_within_bound"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        .orderBy(col("col_name"))
+    }),
     // referential-integrity audit: FK orphan + PK duplicate checks, with
     // violations INJECTED deterministically (3 orphaned lineitem rows, 2
     // duplicated embedding ids) so the audit path is exercised non-vacuously
@@ -5289,6 +5327,9 @@ object SparkEntry {
            |  UNION ALL SELECT 1, 'quality_lang_gate', (SELECT COUNT(*) FROM gated)
            |  UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM exact)
            |  UNION ALL SELECT 3, 'near_dup_dedup', (SELECT COUNT(*) FROM curated)
+           |  UNION ALL SELECT 4, 'lsh_dropped_buckets', (SELECT COUNT(*) FROM lsh_drops)
+           |  UNION ALL SELECT 5, 'lsh_dropped_docs',
+           |    (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) FROM lsh_drops)
            |) ORDER BY stage_idx""".stripMargin
       },
       "sample_documents_hashmod" ->
@@ -5704,7 +5745,7 @@ object SparkEntry {
           |FROM o, (SELECT COUNT(*) AS n FROM lineitem) GROUP BY n""".stripMargin,
       "agg_weighted_median_price" ->
         """WITH w AS (
-          |  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+          |  SELECT l_extendedprice AS v, CAST(FLOOR(l_quantity) AS BIGINT) AS wt
           |  FROM lineitem WHERE l_quantity > 0),
           |cum AS (
           |  SELECT v, SUM(wt) OVER (ORDER BY v ASC) AS cw FROM w)
@@ -7256,6 +7297,31 @@ object SparkEntry {
           s"""SELECT '$c' AS col_name,
              |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              |  COUNT(DISTINCT $c) AS n_distinct,
+             |  $minNum AS min_num, $maxNum AS max_num,
+             |  $minStr AS min_str, $maxStr AS max_str
+             |FROM lineitem""".stripMargin
+        def num(c: String) = row(c,
+          s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        def str(c: String) = row(c,
+          "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"MIN($c)", s"MAX($c)")
+        def ts(c: String) = row(c,
+          s"CAST(CAST(epoch(MIN($c)) AS BIGINT) AS DOUBLE)",
+          s"CAST(CAST(epoch(MAX($c)) AS BIGINT) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), ts("l_shipdate"))
+          .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+      },
+      // approx profile: exact stats + literal within-bound flags (the
+      // agg_sketches device — the Spark side computes the real flag)
+      "profile_approx" -> {
+        def row(c: String, minNum: String, maxNum: String,
+            minStr: String, maxStr: String) =
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct_exact,
+             |  1 AS hll_within_bound,
              |  $minNum AS min_num, $maxNum AS max_num,
              |  $minStr AS min_str, $maxStr AS max_str
              |FROM lineitem""".stripMargin

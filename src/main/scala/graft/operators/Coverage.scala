@@ -68,7 +68,18 @@ object Coverage {
           }.persist(StorageLevel.MEMORY_AND_DISK)
           nextCovered.count() // materialize before dropping the parent
           covered.foreach(_.unpersist(false))
-          covered = Some(nextCovered)
+          // Sever lineage every few rounds: the covered table otherwise
+          // accumulates one union()+distinct() layer per pick, and a lost
+          // cached block at round k would replay the whole O(k)-deep chain
+          // (and the analyzed plan itself grows O(k)). localCheckpoint
+          // keeps recomputation depth — and plan size — O(1) per round,
+          // same device as Dedup.connectedComponents.
+          covered = Some(
+            if (picks.size % 4 == 0) {
+              val cp = nextCovered.localCheckpoint(true)
+              nextCovered.unpersist(false)
+              cp
+            } else nextCovered)
         }
       }
       picks

@@ -202,7 +202,22 @@ object Dedup {
   def minHashLshNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.5, docCountHint: Long = -1L,
-      maxBucket: Int = LshMaxBucket): DataFrame = {
+      maxBucket: Int = LshMaxBucket): DataFrame =
+    minHashLshNearDupPairsWithDrops(docs, textCol, idCol, shingleWidth,
+      numHashes, bands, threshold, docCountHint, maxBucket)._1
+
+  /** [[minHashLshNearDupPairs]] plus IN-BAND drop accounting: also returns
+    * the (band, bkey, n_docs) rows of every bucket the hot-bucket cap
+    * removed from pairing — the [[lshHotBandAudit]] report computed from
+    * the SAME persisted signature table, so reading it after the pair job
+    * is one cheap cache-side aggregation instead of a second corpus scan
+    * (and, unlike the measured-out `observe()` route, it adds NO node to
+    * the pair plan, so AQE's broadcast anti-join is untouched). Count the
+    * stats frame AFTER an action on the pairs frame to ride the cache. */
+  def minHashLshNearDupPairsWithDrops(docs: DataFrame, textCol: String,
+      idCol: String, shingleWidth: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5, docCountHint: Long = -1L,
+      maxBucket: Int = LshMaxBucket): (DataFrame, DataFrame) = {
     // Persist the signature table: the bucket self-join's build side is a
     // BroadcastExchange, so exchange reuse can NOT share the md5+minhash
     // subtree between the two sides — without the persist it runs twice.
@@ -210,6 +225,9 @@ object Dedup {
     // drops it when the plan is garbage-collected.
     val sig = minHashSignature(docs, textCol, idCol, shingleWidth, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropStats = lshBuckets(sig, idCol, numHashes, bands)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
     // hot-bucket cap BEFORE the self-join — the quadratic guard
     // ([[LshMaxBucket]]). Persisted: BOTH self-join sides (probe + the
     // broadcast build) read the capped table from cache, so the cap's
@@ -252,7 +270,7 @@ object Dedup {
       val sets = docs.join(candIds, Seq(idCol), "left_semi")
         .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      verifyPairs(cand, sets, threshold, idCol)
+      (verifyPairs(cand, sets, threshold, idCol), dropStats)
     } else {
       // small corpus: shingle the whole table once (cheap at this size),
       // skip the prefilter machinery; cand feeds exactly one join chain so
@@ -260,7 +278,7 @@ object Dedup {
       val sets = docs
         .select(col(idCol), shingles(col(textCol), shingleWidth).as("sset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      verifyPairs(candRaw, sets, threshold, idCol)
+      (verifyPairs(candRaw, sets, threshold, idCol), dropStats)
     }
   }
 

@@ -105,8 +105,17 @@ object GraphOps {
         .select(col("dst").as("node"), lit(i.toLong).as("hop"))
       dist = dist.unionByName(next)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+      // sever lineage every two supersteps (the Dedup.connectedComponents
+      // device): without it the evolving dist plan doubles per round —
+      // fine at maxHops=3, a plan/recompute blow-up at 30
+      if (i % 2 == 0) dist = dist.localCheckpoint(true)
     }
-    dist
+    // final eager checkpoint so the returned frame no longer references
+    // the cached edge list — lets us release it here instead of leaking
+    // the persist for the session's lifetime
+    val out = dist.localCheckpoint(true)
+    dir.unpersist(false)
+    out
   }
 
   /** Semi-supervised label propagation with FIXED rounds and clamped
@@ -154,7 +163,9 @@ object GraphOps {
       return labMap.toSeq.toDF("node", "label")
     }
     var lab = seeds
+    var round = 0
     for (_ <- 1 to iters) {
+      round += 1
       val votes = dir.join(lab, dir("src") === lab("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
       val win = votes
@@ -163,8 +174,12 @@ object GraphOps {
         .select(col("node"), (-col("m.nl")).as("label"))
       lab = seeds.unionByName(
         win.join(seeds.select(col("node")), Seq("node"), "left_anti"))
+      // sever lineage every two rounds (cf. bfsHops / connectedComponents)
+      if (round % 2 == 0) lab = lab.localCheckpoint(true)
     }
-    lab
+    val out = lab.localCheckpoint(true)
+    dir.unpersist(false)
+    out
   }
 
   /** PageRank with a FIXED iteration count over the undirected edge list —
@@ -204,7 +219,9 @@ object GraphOps {
     // engines compute the identical double product and identical floor
     def q9(c: Column): Column = floor(c * lit(1e9)) / lit(1e9)
     var pr = deg.select(col("node"), col("deg"), q9(lit(1.0 / n)).as("pr"))
+    var it = 0
     for (_ <- 1 to iters) {
+      it += 1
       val contrib = dir
         .join(pr, dir("src") === pr("node"))
         .select(col("dst"),
@@ -214,7 +231,13 @@ object GraphOps {
           lit(damping) * (sum(col("c9")).cast("double") / lit(1e9))).as("pr"))
         .join(deg, "node")
         .select(col("node"), col("deg"), col("pr"))
+      // sever lineage every two iterations (cf. bfsHops / labelProp):
+      // the rank table's plan otherwise nests one join+agg layer per
+      // superstep — a recompute/plan blow-up at high iteration counts
+      if (it % 2 == 0) pr = pr.localCheckpoint(true)
     }
-    pr.select(col("node"), col("pr"))
+    val out = pr.select(col("node"), col("pr")).localCheckpoint(true)
+    dir.unpersist(false); deg.unpersist(false)
+    out
   }
 }

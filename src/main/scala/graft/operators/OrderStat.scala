@@ -37,16 +37,27 @@ object OrderStat {
 
   private val Buckets = 1024
 
+  /** Nulls, NaN and ±Inf are all EXCLUDED up front: a NaN would poison the
+    * min/max probe (NaN sorts above everything in Spark, and the bucket
+    * expression maps it to null → silently bucket 0 under greatest()), and
+    * ±Inf endpoints collapse the bucket ratio to NaN. Rank `k` therefore
+    * counts over the finite values only — enforced here, not a caller
+    * precondition. */
+  private def finiteVals(df: DataFrame, value: Column): DataFrame =
+    df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        col("v") > lit(Double.NegativeInfinity) &&
+        col("v") < lit(Double.PositiveInfinity))
+
   /** The k-th smallest (1-based, ties counted) value of `value` among the
-    * rows of `df`, or None for an empty input or k out of range.
-    * PRECONDITION: values must be FINITE — a NaN poisons the min/max
-    * probe (NaN sorts above everything in Spark), and ±Inf endpoints
-    * collapse the bucket ratio to NaN. Nulls are excluded; non-finite
-    * inputs need a caller-side filter. */
+    * rows of `df`, or None for an empty input or k out of range. Ranks
+    * count over FINITE values only (null/NaN/±Inf rows are filtered — see
+    * [[finiteVals]]); callers whose rank derives from a raw count() should
+    * count with the same finiteness filter. */
   def kthSmallest(df: DataFrame, value: Column, k: Long,
       collectThreshold: Long = 100000L): Option[Double] = {
     require(k >= 1L, s"k=$k must be >= 1")
-    val vals = df.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+    val vals = finiteVals(df, value)
     var pred: Column = lit(true)
     var rank = k
     var level = 0
@@ -95,13 +106,15 @@ object OrderStat {
     * a double weight sum's order-dependent rounding could flip a bucket
     * decision at a boundary). Rows with weight ≤ 0 are excluded. The
     * row-count threshold still bounds the collected slice, so skewed
-    * weights never enlarge driver memory. Same finite-values
-    * precondition as [[kthSmallest]]. */
+    * weights never enlarge driver memory. Non-finite values are filtered
+    * like [[kthSmallest]] (see [[finiteVals]]). */
   def weightedRankSmallest(df: DataFrame, value: Column, weight: Column,
       targetW: Long, collectThreshold: Long = 100000L): Option[Double] = {
     require(targetW >= 1L, s"targetW=$targetW must be >= 1")
     val vals = df.select(value.cast("double").as("v"), weight.cast("long").as("w"))
-      .filter(col("v").isNotNull && col("w") > 0L)
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        col("v") > lit(Double.NegativeInfinity) &&
+        col("v") < lit(Double.PositiveInfinity) && col("w") > 0L)
     var pred: Column = lit(true)
     var target = targetW
     var level = 0

@@ -67,6 +67,50 @@ object Profile {
       .select(col("p.*"))
   }
 
+  /** APPROXIMATE column profile — the 100 TB ANALYZE default. Identical
+    * output shape to [[profile]] with `n_distinct_approx` (HLL++,
+    * `relativeSD = rsd`) in place of the exact distinct count, computed in
+    * ONE flat aggregation pass with NO Expand: `approx_count_distinct` is
+    * an imperative sketch aggregate, so each extra column adds a fixed
+    * sketch buffer instead of replicating the input |cols|× the way the
+    * exact multi-distinct plan does. At petabyte inputs that is the
+    * difference between one scan and a |cols|×-wide shuffle-free Expand
+    * over every row.
+    *
+    * The estimate is ENGINE-SPECIFIC (HLL++ register layout), so a gated
+    * query must not compare it raw — wrap it with the self-validating
+    * flag device (compute exact alongside at gate scale, emit a
+    * within-3·rsd flag; `profile_approx` in SparkEntry, the
+    * `agg_sketches` precedent) so a sketch drifting out of its error
+    * contract FAILS the gate while the output stays engine-portable. */
+  def profileApprox(df: DataFrame, cols: Seq[(String, Kind)],
+      rsd: Double = 0.05): DataFrame = {
+    def mnum(c: String, k: Kind, f: Column => Column): Column = k match {
+      case Num => f(col(c)).cast(DoubleType)
+      case Ts  => unix_timestamp(f(col(c))).cast(DoubleType)
+      case Str => lit(null).cast(DoubleType)
+    }
+    def mstr(c: String, k: Kind, f: Column => Column): Column = k match {
+      case Str => f(col(c))
+      case _   => lit(null).cast("string")
+    }
+    val aggs = cols.flatMap { case (c, k) => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__adct"),
+      mnum(c, k, min).as(s"${c}__min_num"), mnum(c, k, max).as(s"${c}__max_num"),
+      mstr(c, k, min).as(s"${c}__min_str"), mstr(c, k, max).as(s"${c}__max_str"))
+    }
+    val rows = cols.map { case (c, _) =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__adct").as("n_distinct_approx"),
+        col(s"${c}__min_num").as("min_num"), col(s"${c}__max_num").as("max_num"),
+        col(s"${c}__min_str").as("min_str"), col(s"${c}__max_str").as("max_str"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Foreign-key orphans: child rows whose `childKey` has no match in
     * `parent.parentKey` (anti join — broadcast when the parent is a dim).
     * NULL child keys count as orphans (anti-join semantics, the audit-

@@ -64,16 +64,30 @@ object Curation {
       .getOrElse(docs.select(col(idCol))
         .limit(Dedup.PrefilterMinDocs.toInt).count())
 
-    // 3. near-dup pairs on the survivors (banded MinHash-LSH, verified)
-    val pairs = Dedup.minHashLshNearDupPairs(exact, textCol, idCol,
-      cfg.shingleWidth, cfg.numHashes, cfg.bands, cfg.nearDupThreshold,
-      docCountHint = survivorsHint)
+    // 3. near-dup pairs on the survivors (banded MinHash-LSH, verified),
+    // plus the hot-bucket drop report off the same cached signature table
+    val (pairs, dropStats) = Dedup.minHashLshNearDupPairsWithDrops(exact,
+      textCol, idCol, cfg.shingleWidth, cfg.numHashes, cfg.bands,
+      cfg.nearDupThreshold, docCountHint = survivorsHint)
 
     // 4. cluster and keep the canonical (min-id) member of each cluster
     val clusters = Dedup.connectedComponents(pairs)
     val dropIds = clusters.filter(col("id") =!= col("canonical")).select(col("id"))
     val curated = stage("near_dup_dedup",
       exact.join(dropIds, exact(idCol) === dropIds("id"), "left_anti"))
+
+    // 5. IN-BAND drop accounting (r14): how much the LSH hot-bucket cap
+    // silently excluded from near-dup pairing — aggregated AFTER the
+    // near_dup_dedup count so the signature table is already cached (one
+    // cheap cache-side job, vs the measured-out observe() route's +55%).
+    // Zero in healthy corpora; a non-zero row is the retune-the-cap alarm.
+    if (withFunnel) {
+      val r = dropStats
+        .agg(count(lit(1)).as("nb"), coalesce(sum(col("n_docs")), lit(0L)).as("nd"))
+        .head()
+      funnel += "lsh_dropped_buckets" -> r.getLong(0)
+      funnel += "lsh_dropped_docs" -> r.getLong(1)
+    }
 
     (curated, funnel.result())
   }

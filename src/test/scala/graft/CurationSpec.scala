@@ -9,12 +9,41 @@ class CurationSpec extends SparkSpecBase {
   test("curation funnel on the fixture corpus is monotone and ends non-empty") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (curated, funnel) = Curation.curate(docs)
-    val counts = funnel.map(_._2)
+    // survivor stages are monotone; the two r14 drop-accounting rows that
+    // follow are counters, not survivor counts
+    val (stages, dropRows) = funnel.splitAt(4)
+    val counts = stages.map(_._2)
     assert(counts.sliding(2).forall { case Seq(a, b) => b <= a })
     assert(counts.last > 0)
     assert(curated.count() == counts.last)
+    // in-band LSH drop accounting: present, and zero on the healthy fixture
+    // (max observed band bucket ~12 vs cap 1024)
+    assert(dropRows.map(_._1) == Seq("lsh_dropped_buckets", "lsh_dropped_docs"))
+    assert(dropRows.forall(_._2 == 0L))
     // curated output carries the quality metadata
     assert(curated.columns.contains("quality") && curated.columns.contains("lang_pred"))
+  }
+
+  test("drop accounting reports capped LSH buckets (non-identical pocket > cap)") {
+    import graft.operators.Dedup
+    // 12 docs: 8 near-identical (one trailing word varies — identical
+    // shingle PREFIX keeps them in one band bucket) + 4 unrelated
+    val pocket = (0 until 8).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa word$i"))
+    val rest = (8 until 12).map(i =>
+      (i.toLong, s"totally different document number $i about unrelated subject matter entirely"))
+    val docs = (pocket ++ rest).toDF("doc_id", "text")
+    val (pairs, drops) = Dedup.minHashLshNearDupPairsWithDrops(
+      docs, "text", "doc_id", maxBucket = 4)
+    pairs.count() // materialize the pair job first (the documented order)
+    val d = drops.collect()
+    assert(d.nonEmpty, "the >4-doc pocket must surface in the drop report")
+    assert(d.forall(_.getLong(2) > 4L))
+    // every reported bucket was actually excluded from pairing: pair count
+    // under the cap is <= pair count without it
+    val (pairsUncapped, _) = Dedup.minHashLshNearDupPairsWithDrops(
+      docs, "text", "doc_id", maxBucket = 10000)
+    assert(pairs.count() <= pairsUncapped.count())
   }
 
   test("exact replicas and near-dups collapse to one canonical document") {

@@ -76,6 +76,32 @@ class GraphPropagationSpec extends SparkSpecBase {
     assert(r2(10L) == 5L && r2(11L) == 5L)
   }
 
+  test("deep iteration: plan size stays bounded at iters=30 and results match the driver path") {
+    // 12-node cycle so 30 supersteps keep doing (idempotent) work
+    val edges = (0 until 12).map(i => (i.toLong, ((i + 1) % 12).toLong)).toDF("src", "dst")
+    val seeds = Seq((0L, 2L), (6L, 1L)).toDF("node", "label")
+    val bfsSeeds = Seq(0L, 6L).toDF("node")
+    // distributed loop forced; the every-2-rounds localCheckpoint must keep
+    // the ANALYZED plan O(1) in the iteration count, not O(2^iters)
+    val distBfs = GraphOps.bfsHops(edges, bfsSeeds, 30, driverThreshold = 0L)
+    val distLp = GraphOps.labelProp(edges, seeds, 30, driverThreshold = 0L)
+    for (df <- Seq(distBfs, distLp)) {
+      val planLen = df.queryExecution.analyzed.toString.length
+      assert(planLen < 20000, s"analyzed plan grew with iterations: $planLen chars")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(distBfs) ==
+      rows(GraphOps.bfsHops(edges, bfsSeeds, 30, driverThreshold = Long.MaxValue)))
+    assert(rows(distLp) ==
+      rows(GraphOps.labelProp(edges, seeds, 30, driverThreshold = Long.MaxValue)))
+    // pageRank: deep loop completes and conserves quantized mass within
+    // n·1e-9 floor loss per iteration
+    val pr = GraphOps.pageRank(edges, iters = 20).collect().map(_.getDouble(1))
+    assert(pr.length == 12)
+    assert(math.abs(pr.sum - 1.0) < 12 * 20 * 1e-9 + 1e-6)
+  }
+
   test("welchTTest matches a hand-computed two-sample case") {
     // group a: 1,2,3,4 (mean 2.5, var 5/3); group b: 10,12 (mean 11, var 2)
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
