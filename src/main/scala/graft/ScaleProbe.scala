@@ -234,6 +234,23 @@ object ScaleProbe extends App {
   t("IVF probe nprobe=8") {
     Ann.search(ivfAssigned, cents, Fixtures.Q64, 10, nprobe = 8).collect()
   }
+  // Incremental admission (r14): a 1% batch assigned to the frozen
+  // centroids + appended — the daily-drop path. Timed against the full
+  // rebuild above ("IVF assign 1M rows"): admission must scale with the
+  // BATCH, not the store.
+  t("IVF admit 1% batch (O(batch) vs rebuild)") {
+    val batch = indexed.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"),
+        col("label"), col("cell_id"))
+    val admitted = Ann.admitBatch(
+      ivfAssigned, batch.select(ivfAssigned.columns.filter(_ != "ivf_cell").map(col): _*),
+      cents).localCheckpoint(true)
+    val rep = Ann.admissionReport(ivfAssigned, admitted, nCells = 64, maxLoad = 2.0)
+      .collect()
+    val admittedN = rep.map(_.getLong(3)).sum
+    println(s"SCALE   admitted $admittedN rows; hot cells: ${rep.count(_.getInt(5) == 1)}")
+    assert(admittedN > 0)
+  }
   t("IVF batch join (100 q x 1M db, nprobe=8/64)") {
     Ann.ivfJoin(probeQueries4.withColumnRenamed("embedding", "q64")
         .join(indexed.select(col("vec_id").as("query_id"), col("embedding")), "query_id")

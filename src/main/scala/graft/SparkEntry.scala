@@ -2610,6 +2610,23 @@ object SparkEntry {
             col("total").cast("double"), 9).as("load_factor"))
         .orderBy(col("ivf_cell"))
     }),
+    // INCREMENTAL IVF admission (r14): the O(batch) append path — train
+    // the codebook on the BASE store (seeded-exact, so the oracle replays
+    // training), argmin-assign only the NEW batch to the frozen
+    // centroids, and emit the post-admission health report (per-cell
+    // before/after populations, load factor, retrain flag once a cell
+    // exceeds 2x uniform). The store is never rescanned: a daily
+    // embedding drop costs one codegen'd assignment pass over the batch
+    "ann_ivf_append" -> ((s, d) => {
+      val all = emb(s, d)
+      val base = all.filter(col("vec_id") % 5 =!= 0)
+      val batch = all.filter(col("vec_id") % 5 === 0)
+      val cents = Ann.lloydSeededExact(base, IvfSeeds, iters = 2)
+      val assignedBase = Ann.assign(base, cents)
+      val admitted = Ann.admitBatch(assignedBase, batch, cents)
+      Ann.admissionReport(assignedBase, admitted,
+        nCells = IvfSeeds.length, maxLoad = 2.0)
+    }),
     // perceptual-hash near-dup over media payloads: binary payload →
     // (stub) decoded token stream → 60-bit SimHash → pigeonhole banded
     // Hamming pairing, recall 1 with no cross product. A real pHash swaps
@@ -3045,6 +3062,20 @@ object SparkEntry {
     // sequence-length statistic the packing stage consumes
     "text_bpe_token_counts" -> ((s, d) =>
       graft.operators.Bpe.trainAndEncode(par(s, docs(s, d)), nMerges = 4)
+        .orderBy(col("doc_id"))),
+    // unigram-LM (SentencePiece-family) tokenizer training (r14): seed
+    // substring counts → hard-EM Viterbi rounds with micro-unit quantized
+    // log-probs → prune to target vocab + chars → final usage counts.
+    // Every intermediate is integer/decimal-exact, so the ENTIRE training
+    // loop replays as unrolled DuckDB CTEs (Unigram.vocabOracleSql) —
+    // same contract as text_bpe_merges
+    "text_unigram_vocab" -> ((s, d) =>
+      graft.operators.Unigram.train(par(s, docs(s, d)))._1),
+    // unigram encode: per-doc Viterbi token/char counts under the trained
+    // vocab — the sequence-length statistic for packing, over the
+    // broadcast distinct-word dictionary like text_bpe_token_counts
+    "text_unigram_token_counts" -> ((s, d) =>
+      graft.operators.Unigram.trainAndEncode(par(s, docs(s, d)))
         .orderBy(col("doc_id"))),
     // per-source tokenizer fertility (tokens/word, chars/token) under the
     // learned merges — the tokenizer-efficiency row of the corpus data
@@ -4432,7 +4463,8 @@ object SparkEntry {
     * coordinate is bit-identical across engines; assignment ranks the
     * same left-associated 64-term double distance with the same
     * (dist, cell) tie-break as VecArgMinL2. */
-  private def ivfTrainedCtes(seeds: Array[Array[Double]], iters: Int): String = {
+  private def ivfTrainedCtes(seeds: Array[Array[Double]], iters: Int,
+      rel: String = "embeddings"): String = {
     def distToC(eCol: String): String =
       (0 until Dim).map { i =>
         val dfr = s"(CAST($eCol[${i + 1}] AS DOUBLE) - c.c[${i + 1}])"
@@ -4452,14 +4484,14 @@ object SparkEntry {
       s"""$name AS (
          |  SELECT vec_id, (MIN({'dc': dc, 'cell': cell})).cell AS cell FROM (
          |    SELECT e.vec_id, c.cell, ${distToC("e.embedding")} AS dc
-         |    FROM embeddings e CROSS JOIN $cents c)
+         |    FROM $rel e CROSS JOIN $cents c)
          |  GROUP BY vec_id)""".stripMargin
     val its = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""${assignCte(s"a$it", prev)},
          |m$it AS (
          |  SELECT a.cell, $meanExprs AS c
-         |  FROM a$it a JOIN embeddings USING (vec_id) GROUP BY a.cell),
+         |  FROM a$it a JOIN $rel USING (vec_id) GROUP BY a.cell),
          |c$it AS (
          |  SELECT p.cell, COALESCE(m.c, p.c) AS c
          |  FROM $prev p LEFT JOIN m$it m USING (cell))""".stripMargin
@@ -4469,6 +4501,22 @@ object SparkEntry {
        |    $seedRows) AS t(cell, c)),
        |$its,
        |${assignCte("af", s"c$iters")}""".stripMargin
+  }
+
+  /** Standalone argmin-assignment CTE of `rel` against centroid CTE
+    * `cents` — the assignCte shape of [[ivfTrainedCtes]] exposed for
+    * oracles that assign a SECOND relation (the admission batch) to an
+    * already-trained codebook. */
+  private def ivfAssignCte(name: String, rel: String, cents: String): String = {
+    val distToC = (0 until Dim).map { i =>
+      val dfr = s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - c.c[${i + 1}])"
+      s"($dfr * $dfr)"
+    }.mkString("(", " + ", ")")
+    s"""$name AS (
+       |  SELECT vec_id, (MIN({'dc': dc, 'cell': cell})).cell AS cell FROM (
+       |    SELECT e.vec_id, c.cell, $distToC AS dc
+       |    FROM $rel e CROSS JOIN $cents c)
+       |  GROUP BY vec_id)""".stripMargin
   }
 
   /** Probe-cell pick for a LITERAL query vector over a trained-centroid
@@ -6683,6 +6731,34 @@ object SparkEntry {
            |  round(CAST(n_vecs * 8 AS DOUBLE) / CAST(total AS DOUBLE), 9) AS load_factor
            |FROM cells, tot ORDER BY ivf_cell""".stripMargin
       },
+      // incremental admission: replay seeded-exact training on the BASE,
+      // assign the batch to the frozen trained centroids, recompute the
+      // health report (the ivf_cell_stats shape with before/after + flag)
+      "ann_ivf_append" -> {
+        val nc = IvfSeeds.length
+        s"""WITH base AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+           |batch AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+           |${ivfTrainedCtes(IvfSeeds, 2, rel = "base")},
+           |${ivfAssignCte("abatch", "batch", "c2")},
+           |nb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM af GROUP BY cell),
+           |nn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM abatch GROUP BY cell),
+           |cells AS (
+           |  SELECT CAST(r.range AS INT) AS ivf_cell,
+           |    CAST(COALESCE(b.n, 0) AS BIGINT) AS n_before,
+           |    CAST(COALESCE(b.n, 0) + COALESCE(a.n, 0) AS BIGINT) AS n_after,
+           |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_admitted
+           |  FROM range(0, $nc) r
+           |  LEFT JOIN nb b ON r.range = b.cell
+           |  LEFT JOIN nn a ON r.range = a.cell),
+           |tot AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total FROM cells)
+           |SELECT ivf_cell, n_before, n_after, n_admitted,
+           |  round(CAST(n_after * $nc AS DOUBLE) / CAST(total AS DOUBLE), 9) AS load_factor,
+           |  CASE WHEN CAST(n_after * $nc AS DOUBLE) > CAST(total AS DOUBLE) * ${DuckSql.fmt(2.0)}
+           |       THEN 1 ELSE 0 END AS retrain_flag
+           |FROM cells, tot ORDER BY ivf_cell""".stripMargin
+      },
       "split_leakage_audit" -> {
         val foldSql = (c: String) =>
           s"(${Dedup.md5Int32Sql(s"CAST($c AS VARCHAR)")} % 5)"
@@ -7080,6 +7156,8 @@ object SparkEntry {
       "text_bm25_topk" -> bm25ScoredSql(K),
       "text_bpe_merges" -> graft.operators.Bpe.oracleSql(4),
       "text_bpe_token_counts" -> graft.operators.Bpe.encodeOracleSql(4),
+      "text_unigram_vocab" -> graft.operators.Unigram.vocabOracleSql(),
+      "text_unigram_token_counts" -> graft.operators.Unigram.encodeOracleSql(),
       "text_token_fertility" -> graft.operators.Bpe.fertilityOracleSql(4),
       "events_hourly_anomaly" ->
         """WITH hourly AS (

@@ -362,4 +362,54 @@ object Ann {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** INCREMENTAL IVF admission — the O(batch) append path (the
+    * [[Dedup.buildDedupIndex]]/`admitBatch` pattern for the vector
+    * index): new vectors are argmin-assigned to the EXISTING (frozen)
+    * centroids and unioned onto the already-assigned store. The store is
+    * never rescanned and the codebook never retrained — one codegen'd
+    * assignment pass over the batch, exactly what a daily embedding drop
+    * costs at 100 TB. Assignment under frozen centroids is identical to
+    * what a full rebuild with the same centroids would produce (pinned in
+    * AnnSpec), so correctness never degrades — only cell BALANCE can,
+    * which is what [[admissionReport]] watches. */
+  def admitBatch(assignedStore: DataFrame, batch: DataFrame,
+      centroids: Array[Array[Double]], vecCol: String = "embedding"): DataFrame =
+    assignedStore.unionByName(
+      assign(batch, centroids, vecCol).select(assignedStore.columns.map(col): _*))
+
+  /** Post-admission index health: per codebook cell, the population
+    * before/after the batch, the post-admission load factor (n_after ×
+    * nCells / total — 1.0 = perfectly uniform), and a retrain flag once a
+    * cell exceeds `maxLoad`. Empty cells appear with zeros (wasted
+    * codebook is a finding too — the ann_ivf_cell_stats contract). The
+    * flag is the RETRAIN TRIGGER: admission keeps appending under drift,
+    * but once hot cells pass the threshold, probe-cost variance grows and
+    * a re-run of [[lloydSeededExact]] is due. Two aggregations, |cells|
+    * output rows at any store size. */
+  def admissionReport(before: DataFrame, after: DataFrame, nCells: Int,
+      maxLoad: Double): DataFrame = {
+    val spark = before.sparkSession
+    def counted(df: DataFrame, ncol: String) =
+      df.groupBy(col("ivf_cell").cast("int").as("ivf_cell"))
+        .agg(count(lit(1)).as(ncol))
+    val cells = spark.range(0, nCells.toLong)
+      .select(col("id").cast("int").as("ivf_cell"))
+    val joined = cells
+      .join(counted(before, "n_before"), Seq("ivf_cell"), "left")
+      .join(counted(after, "n_after"), Seq("ivf_cell"), "left")
+      .select(col("ivf_cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val tot = joined.agg(sum(col("n_after")).as("total"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("ivf_cell"), col("n_before"), col("n_after"),
+        (col("n_after") - col("n_before")).as("n_admitted"),
+        round((col("n_after") * nCells).cast("double") /
+          col("total").cast("double"), 9).as("load_factor"),
+        when((col("n_after") * nCells).cast("double") >
+          col("total").cast("double") * maxLoad, 1).otherwise(0)
+          .as("retrain_flag"))
+      .orderBy(col("ivf_cell"))
+  }
 }

@@ -76,4 +76,37 @@ class AnnSpec extends SparkSpecBase {
     val sigB = emb.select(Ann.lshSignature(col("embedding"), Planes16)).collect().map(_.getLong(0))
     assert(sigA.sameElements(sigB))
   }
+
+  test("incremental admission == full rebuild under frozen centroids; report flags hot cells") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val cents = Ann.sampleCentroids(base, 8)
+    val assignedBase = Ann.assign(base, cents)
+    val admitted = Ann.admitBatch(assignedBase, batch, cents)
+    // admission is exactly a rebuild with the same frozen centroids
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("ivf_cell").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(admitted) == cells(Ann.assign(emb, cents)))
+    // report accounting: n_after - n_before == batch assignment; totals add up
+    val rep = Ann.admissionReport(assignedBase, admitted, nCells = 8, maxLoad = 2.0)
+      .collect()
+    assert(rep.length == 8)
+    assert(rep.map(_.getLong(2)).sum == emb.count())
+    assert(rep.map(_.getLong(3)).sum == batch.count())
+    val total = rep.map(_.getLong(2)).sum
+    rep.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) == r.getLong(3))
+      val flagged = r.getInt(5) == 1
+      val over = r.getLong(2) * 8.0 > total * 2.0 // the unrounded rule
+      assert(flagged == over, s"cell ${r.getInt(0)}: flag=$flagged lf=${r.getDouble(4)}")
+    }
+    // a deliberately skewed admission trips the retrain flag: assign the
+    // whole batch to cell 0 by training a one-cell codebook for it
+    val skewed = assignedBase.unionByName(
+      batch.withColumn("ivf_cell", lit(0)).select(assignedBase.columns.map(col): _*))
+    val rep2 = Ann.admissionReport(assignedBase, skewed, nCells = 8, maxLoad = 2.0)
+      .collect()
+    assert(rep2.exists(_.getInt(5) == 1), "skewed load must raise the retrain flag")
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+class UnigramSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val cfgSmall = Unigram.Config(
+    maxPieceLen = 3, seedSize = 24, vocabSize = 10, emIters = 2, maxWordLen = 10)
+
+  test("viterbi fold matches the local DP incl. micro-score ties") {
+    // hand vocab with a deliberate tie: score(ab) == score(a)+score(b)
+    val scores = Seq("a" -> -5L, "b" -> -5L, "ab" -> -10L, "c" -> -3L,
+      "abc" -> -7L)
+    val words = Seq("ab", "abc", "ababc", "ccc", "bca").toDF("word")
+    val got = words.select(col("word"),
+      ltrim(Unigram.viterbiBest(col("word"), scores, 3)).as("g"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((w, g) <- got) {
+      val local = Unigram.viterbiLocal(w, scores.toMap, 3).mkString(" ")
+      assert(g == local, s"word $w: spark=$g local=$local")
+      // tie case: 'ab' has paths 'a b' (score -10) and 'ab' (-10); the
+      // lexicographically smaller segmentation string must win
+      if (w == "ab") assert(g == "a b")
+    }
+  }
+
+  test("randomized corpora: Spark training == local mirror (vocab + token counts)") {
+    val rnd = new scala.util.Random(2014)
+    for (trial <- 0 until 5) {
+      val alphabet = "abcde".take(3 + rnd.nextInt(3))
+      def word() = (0 until (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = (0 until 30).map(i =>
+        (i.toLong, (0 until (2 + rnd.nextInt(10))).map(_ => word()).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val (vocabDf, sf) = Unigram.train(df, cfgSmall)
+      val gotVocab = vocabDf.collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).movePointRight(6).longValueExact())).toSeq
+      val gotCounts = Unigram.encodeTokenCounts(df, sf, cfgSmall).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (expVocab, expCounts) = Unigram.trainLocal(docs, cfgSmall)
+      assert(gotVocab == expVocab, s"trial $trial vocab mismatch")
+      assert(gotCounts == expCounts, s"trial $trial token counts mismatch")
+    }
+  }
+
+  test("vocab invariants: chars always present, size bounded, encode covers every word") {
+    val docs = Seq(
+      (1L, "banana bandana banana cabana"),
+      (2L, "an ana banana nan"),
+      (3L, "dana ban cab")).toDF("doc_id", "text")
+    val cfg = Unigram.Config(maxPieceLen = 4, seedSize = 16, vocabSize = 6,
+      emIters = 2, maxWordLen = 10)
+    val (vocab, sf) = Unigram.train(docs, cfg)
+    val pieces = vocab.select("piece").as[String].collect().toSet
+    val chars = Set("a", "b", "c", "d", "n")
+    assert(chars.subsetOf(pieces), s"single chars missing: ${chars -- pieces}")
+    // bounded by vocabSize + |chars| (chars are force-kept)
+    assert(pieces.size <= cfg.vocabSize + chars.size)
+    // every corpus word tokenizes (total chars reconstruct)
+    val enc = Unigram.encodeTokenCounts(docs, sf, cfg).collect()
+    assert(enc.length == 3 && enc.forall(r => r.getLong(1) >= 1L))
+  }
+
+  test("maxWordLen fail-fast: an over-long dictionary word aborts training") {
+    val docs = Seq((1L, "short " + "x" * 20)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(docs, cfgSmall)
+    }
+    assert(e.getMessage.contains("maxWordLen"))
+  }
+}
