@@ -22,6 +22,9 @@ object SparkEntry {
 
   private val K = 10
   private val Q8 = Q64.take(8)
+  /** Query histogram for media_embed_knn (= fixture image 1's embedding). */
+  private val MediaQ8: Array[Double] =
+    Array(0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5)
   /** Grid over the first 3 dims, 4 buckets each (64 cells) — fixture
     * embeddings live in ~[-0.5, 0.5]; out-of-bounds clamps to edge cells. */
   private[graft] val gridCfg =
@@ -1571,6 +1574,21 @@ object SparkEntry {
     "media_decode_real" -> ((s, d) =>
       Multimodal.decodeStats(Multimodal.realDecodeFixture(s))
         .toDF().orderBy(col("media_id"))),
+    // REAL-decode EMBEDDING retrieval through the gate (r14): lossless
+    // block/gradient rasters → javax.imageio decode on executors →
+    // real-pixel luminance histogram (embedMediaDecoded, dim=8) → exact-L2
+    // top-5 against a literal query histogram — the media→vector→kNN
+    // bridge end-to-end on real pixels. Every histogram mass is dyadic
+    // (k/1024 pixels, k/32 junk bytes), so the FLOAT embedding equals the
+    // oracle's DOUBLE literals bit-for-bit and the ranking hash-checks
+    "media_embed_knn" -> ((s, d) => {
+      val embedded = Multimodal.embedMediaDecoded(
+        Multimodal.embedKnnFixture(s), dim = 8).toDF()
+      embedded.select(col("media_id"), col("kind"),
+          Distances.squaredL2Lit(col("embedding"), MediaQ8).as("dist"))
+        .orderBy(col("dist").asc, col("media_id").asc)
+        .limit(5)
+    }),
     // video frame-sampling plan: stride-spaced frame indices per video
     // payload (the fan-out manifest a decode stage consumes; decode itself
     // is the documented stub — rows-only check on the JVM-side plumbing)
@@ -5036,6 +5054,32 @@ object SparkEntry {
            |FROM ($mediaFeaturesSql)
            |WHERE kind = 'video'
            |ORDER BY media_id, frame_idx""".stripMargin,
+      // expected-value embeddings of the real-decode retrieval fixture:
+      // per-image luminance masses from the documented pixel patterns
+      // (k/1024 — dyadic, float==double) and the junk row's byte
+      // histogram recomputed here from the same constant string (k/32);
+      // the DISTANCES and the ranking are recomputed by DuckDB
+      "media_embed_knn" -> {
+        def frac(counts: Map[Int, Int], denom: Int): String =
+          (0 until 8).map(b => s"(${counts.getOrElse(b, 0)}.0/$denom)")
+            .mkString("[", ", ", "]")
+        val junkCounts = Multimodal.EmbedJunk.getBytes("UTF-8")
+          .groupBy(b => math.floorMod(b.toInt, 8)).map { case (k, v) => k -> v.length }
+        val rows = Seq(
+          (1L, "image", frac(Map(0 -> 512, 7 -> 512), 1024)),
+          (2L, "image", frac(Map(0 -> 512, 7 -> 512), 1024)),
+          (3L, "image", frac(Map(0 -> 768, 7 -> 256), 1024)),
+          (4L, "image", frac(Map(4 -> 1024), 1024)),
+          (5L, "image", frac((0 until 8).map(_ -> 128).toMap, 1024)),
+          (6L, "image", frac(junkCounts, 32))
+        ).map { case (id, kind, e) => s"(CAST($id AS BIGINT), '$kind', $e)" }
+          .mkString(",\n  ")
+        s"""WITH m AS (SELECT * FROM (VALUES
+           |  $rows) AS t(media_id, kind, embedding))
+           |SELECT media_id, kind,
+           |  ${DuckSql.squaredL2Lit("embedding", MediaQ8)} AS dist
+           |FROM m ORDER BY dist ASC, media_id ASC LIMIT 5""".stripMargin
+      },
       "corpus_stats_card" -> {
         val nw = nWordsSql("text"); val ns = nStopSql("text")
         s"""WITH scored AS (

@@ -299,6 +299,55 @@ object Multimodal {
     ).toDF("media_id", "kind", "payload")
   }
 
+  /** 32-byte junk payload for [[embedKnnFixture]]: 32 = a power of two, so
+    * the byte-histogram fallback masses are k/32 — exactly representable
+    * in FLOAT, which keeps the expected-value oracle bit-exact. */
+  val EmbedJunk: String = "0123456789abcdefghijklmnopqrstuv"
+
+  /** Deterministic REAL-pixel retrieval fixture for `media_embed_knn`:
+    * 32×32 grayscale rasters (gray (v,v,v) has ITU-R 601 luma exactly v)
+    * whose [[embedMediaDecoded]] dim=8 luminance histograms are known by
+    * construction, with every mass k/1024 — dyadic, so the FLOAT
+    * histogram equals the oracle's DOUBLE literal bit-for-bit:
+    *   1 PNG  half 0 / half 255      → [.5, 0,0,0,0,0,0, .5]
+    *   2 BMP  same raster            → identical embedding (dist-0 tie,
+    *                                    id tie-break vs 1)
+    *   3 PNG  3/4 luma 0, 1/4 255    → [.75, 0,…,0, .25]
+    *   4 PNG  all luma 128           → bucket 4 = 1
+    *   5 PNG  row gradient luma 8y   → uniform 0.125 per bucket
+    *   6 junk bytes ([[EmbedJunk]])  → byte-histogram fallback, masses k/32
+    * Real javax.imageio decode on the image rows; the query ranks these
+    * against a literal query histogram through the same exact-L2 kNN the
+    * text embeddings use. */
+  def embedKnnFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def gray(fmt: String, lumaAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val v = lumaAt(x, y) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    Seq(
+      (1L, "image", gray("png", (_, y) => if (y < 16) 0 else 255)),
+      (2L, "image", gray("bmp", (_, y) => if (y < 16) 0 else 255)),
+      (3L, "image", gray("png", (_, y) => if (y < 8) 255 else 0)),
+      (4L, "image", gray("png", (_, _) => 128)),
+      (5L, "image", gray("png", (_, y) => y * 8)),
+      (6L, "image", EmbedJunk.getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+  }
+
   /** Exact binary dedup: group payloads by md5 digest, keep groups with ≥2
     * copies, canonical = min media_id. The digest a 100 TB blob store dedups
     * on — one hash-shuffle on the 16-byte digest, never on the payload.
