@@ -663,6 +663,13 @@ case class VecArgMinL2TwoLevel(child: Expression,
 case class VecMaxCosLit(child: Expression, qs: Array[Array[Double]])
     extends UnaryExpression {
 
+  // driver-literal budget (SCALE_NOTES): the benchmark matrix ships in the
+  // plan (k×dim doubles; janino cost is CONSTANT — one fused loop — but
+  // task-binary size is not). Beyond the cap, shard the benchmark set
+  // into multiple passes or move to a broadcast join.
+  require(qs.length <= 16384,
+    s"${qs.length} benchmark vectors exceed the 16384 plan-literal budget")
+
   private val k = qs.length
   private val dim = if (k > 0) qs(0).length else 0
   private val qNorms: Array[Double] =

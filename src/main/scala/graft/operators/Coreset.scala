@@ -52,6 +52,13 @@ object Coreset {
   def kCenterGreedy(emb: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): Seq[Center] = {
     require(k >= 1, s"k=$k must be >= 1")
+    // driver-literal budget (SCALE_NOTES): the selected centers ship in
+    // every round's plan as a k×dim double array — 4096×64d ≈ 2 MB of
+    // task binary is the comfort ceiling; beyond it, switch to a
+    // broadcast-join formulation rather than plan literals
+    require(k <= 4096,
+      s"k=$k exceeds the 4096 centers-as-plan-literals budget " +
+        "(k·dim doubles ride in every round's task binary)")
     val base = emb
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)

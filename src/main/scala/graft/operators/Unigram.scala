@@ -102,6 +102,12 @@ object Unigram {
   private[graft] def viterbiBest(word: Column, scores: Seq[(String, Long)],
       maxPieceLen: Int): Column = {
     require(scores.nonEmpty)
+    // driver-literal budget (SCALE_NOTES): the vocab rides in the plan as
+    // a literal map — CreateMap codegen grows linearly with entries, so
+    // cap where janino/task-binary cost stays trivial; a larger tokenizer
+    // vocab should move to a broadcast-join segmentation instead
+    require(scores.size <= 4096,
+      s"vocab of ${scores.size} exceeds the 4096 scores-as-literal-map budget")
     val smap = map(scores.flatMap { case (p, s) => Seq(lit(p), lit(s)) }: _*)
     val nullS = lit(null).cast("struct<s:bigint,g:string>")
     val init = array(struct(lit(0L).as("s"), lit("").as("g")))
