@@ -130,7 +130,10 @@ object Bench {
       "pipeline_pretrain_v2", "decontam_bloom",
       // round-13 flagships
       "sample_coreset_kcenter", "sample_priority_per_source",
-      "agg_exact_median_bisect")
+      "agg_exact_median_bisect",
+      // round-14 flagships
+      "profile_approx", "text_unigram_token_counts", "ann_ivf_append",
+      "media_embed_knn")
     val resMap = results.toMap
     val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
     // stop FIRST, print LAST: the driver keeps only the tail of stdout, so

@@ -269,6 +269,28 @@ object ScaleProbe extends App {
   t("PQ ADC search + refine (k=10)") {
     graft.operators.Pq.search(pqEncoded, pqModel, Fixtures.Q64, 10).collect()
   }
+  // Approximate vs exact column profile (r14): same 5 columns, the exact
+  // pass pays the |cols|x Expand multi-distinct, the approx pass is ONE
+  // flat HLL++ aggregation — the ANALYZE default past fixture scale.
+  locally {
+    import graft.operators.Profile
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    li.count() // warm the cache so both arms time aggregation, not IO
+    val pcols = Seq(
+      "l_orderkey" -> Profile.Num, "l_quantity" -> Profile.Num,
+      "l_extendedprice" -> Profile.Num, "l_returnflag" -> Profile.Str,
+      "l_shipdate" -> Profile.Ts)
+    t("profile EXACT (600k x 5 cols)") {
+      Profile.profile(li, pcols).write.format("noop").mode("overwrite").save()
+    }
+    t("profile APPROX (600k x 5 cols)") {
+      Profile.profileApprox(li, pcols, rsd = 0.02)
+        .write.format("noop").mode("overwrite").save()
+    }
+    li.unpersist()
+    ()
+  }
   // Distributed connected components above the driver threshold: a 1M-node
   // random-ish graph (each node linked to node/2 → one giant component per
   // power-of-two chain) forces the min-label loop path at scale.

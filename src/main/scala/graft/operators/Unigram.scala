@@ -103,14 +103,20 @@ object Unigram {
       maxPieceLen: Int): Column = {
     require(scores.nonEmpty)
     // driver-literal budget (SCALE_NOTES): the vocab rides in the plan as
-    // a literal map — CreateMap codegen grows linearly with entries, so
-    // cap where janino/task-binary cost stays trivial; a larger tokenizer
-    // vocab should move to a broadcast-join segmentation instead
+    // ONE map Literal (typedLit — NOT CreateMap, whose |vocab|×2 children
+    // would be re-walked at every analysis/codegen visit; the r14 bench
+    // caught the CreateMap form costing ~100 s of PLAN time per train at
+    // a 260-piece vocab). A larger tokenizer vocab should move to a
+    // broadcast-join segmentation instead.
     require(scores.size <= 4096,
       s"vocab of ${scores.size} exceeds the 4096 scores-as-literal-map budget")
-    val smap = map(scores.flatMap { case (p, s) => Seq(lit(p), lit(s)) }: _*)
-    val nullS = lit(null).cast("struct<s:bigint,g:string>")
-    val init = array(struct(lit(0L).as("s"), lit("").as("g")))
+    val smap = typedLit(scores.toMap)
+    // candidate carries ns = -score so that ASCENDING struct order
+    // (ns, g) == (score DESC, seg ASC) — array_sort + first element IS
+    // the argmax with the lexicographic tie-break, without a reduce tree
+    // that would duplicate every candidate subtree 3× per combine
+    val nullS = lit(null).cast("struct<ns:bigint,g:string>")
+    val init = array(struct(lit(0L).as("ns"), lit("").as("g")))
     val folded = aggregate(
       sequence(lit(1), length(word)), init,
       (acc, i) => {
@@ -120,18 +126,12 @@ object Unigram {
           val su = element_at(smap, piece)
           val parent = element_at(acc, start) // position j = i-plen is index j+1
           when(i >= lit(plen) && su.isNotNull,
-            struct((parent.getField("s") + su).as("s"),
+            struct((parent.getField("ns") - su).as("ns"),
               concat(parent.getField("g"), lit(" "), piece).as("g")))
             .otherwise(nullS)
         }
-        val best = cands.reduce { (a, b) =>
-          when(a.isNull, b).when(b.isNull, a)
-            .when(b.getField("s") > a.getField("s") ||
-              (b.getField("s") === a.getField("s") &&
-                b.getField("g") < a.getField("g")), b)
-            .otherwise(a)
-        }
-        concat(acc, array(best))
+        // ascending sort, nulls last; element 1 = best (min ns, then min g)
+        concat(acc, array(element_at(array_sort(array(cands: _*)), 1)))
       })
     element_at(folded, -1).getField("g")
   }
