@@ -159,6 +159,16 @@ object Unigram {
     scored.select(col("piece"), col("su")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
 
+  /** Dictionaries up to this many distinct words train on the driver —
+    * the [[Bpe.DriverDictLimit]] cost-based pattern: the EM loop is ~12
+    * tiny Spark jobs whose fixed scheduling/planning overhead dominates
+    * at any realistic vocabulary, while the local mirror replays the
+    * identical arithmetic (spec-pinned ≡ the distributed loop AND gated
+    * against the DuckDB oracle). The distributed loop below remains the
+    * over-cap path — its driver state is only the O(seedSize) score
+    * list, so it scales to any dictionary. */
+  val DriverDictLimit: Int = 200000
+
   /** Train the unigram vocabulary. Returns (vocab table, final scores):
     * the table has (piece, n_uses, logprob) — final Viterbi usage counts
     * under the pruned vocabulary and its quantized log-probs — ordered by
@@ -170,8 +180,31 @@ object Unigram {
     *   → prune to top-K + chars on the LAST usage counts → scores sf
     *   → final E-step → n_uses. */
   def train(docs: DataFrame, cfg: Config = Config(),
-      textCol: String = "text"): (DataFrame, Seq[(String, Long)]) = {
+      textCol: String = "text",
+      driverDictLimit: Int = DriverDictLimit): (DataFrame, Seq[(String, Long)]) = {
     val spark = docs.sparkSession
+    if (driverDictLimit > 0) {
+      val probe = Bpe.wordFreq(docs, textCol)
+        .limit(driverDictLimit + 1).collect()
+      if (probe.length <= driverDictLimit) {
+        val wfSeq = probe.map(r => (r.getString(0), r.getLong(1))).toSeq
+        val maxLen = wfSeq.map(_._1.length).maxOption.getOrElse(0)
+        require(maxLen <= cfg.maxWordLen,
+          s"dictionary word of length $maxLen exceeds maxWordLen=${cfg.maxWordLen} " +
+            "(raise Config.maxWordLen — the oracle unrolls the DP to this depth)")
+        val (vocabRows, sf) = trainLocalWf(wfSeq, cfg)
+        val rows = vocabRows.map { case (p, n, su) =>
+          Row(p, n, java.math.BigDecimal.valueOf(su, 6))
+        }
+        val vocabTable = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("piece", StringType, nullable = false),
+            StructField("n_uses", LongType, nullable = false),
+            StructField("logprob", DecimalType(18, 6), nullable = false))))
+        return (vocabTable, sf.toSeq.sortBy(_._1))
+      }
+    }
     val wf = Bpe.wordFreq(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -277,18 +310,16 @@ object Unigram {
     best(n)._2.trim.split(" ").toSeq
   }
 
-  /** Local replay of [[train]]+[[encodeTokenCounts]]: returns
-    * (vocab (piece, n_uses, su), per-doc (n_tokens, n_chars)). */
-  private[graft] def trainLocal(docs: Seq[(Long, String)], cfg: Config)
-      : (Seq[(String, Long, Long)], Map[Long, (Long, Long)]) = {
-    val wf = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
-      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
-    val seed = wf.toSeq.flatMap { case (w, f) =>
+  /** The EM + prune loop over a word-frequency dictionary in plain Scala
+    * — BOTH the [[train]] driver fast path and the spec mirror. Returns
+    * (vocab (piece, n_uses, su) sorted by piece, final score map). */
+  private[graft] def trainLocalWf(wf: Seq[(String, Long)], cfg: Config)
+      : (Seq[(String, Long, Long)], Map[String, Long]) = {
+    val seed = wf.flatMap { case (w, f) =>
       for (i <- 0 until w.length; l <- 1 to math.min(cfg.maxPieceLen, w.length - i))
         yield (w.substring(i, i + l), f)
     }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
-    var vocab = capLocal(seed, cfg.seedSize)
-    var scores = scoresLocal(vocab)
+    var scores = scoresLocal(capLocal(seed, cfg.seedSize))
     var lastCounts: Map[String, Long] = null
     for (r <- 1 to cfg.emIters) {
       val u = scala.collection.mutable.HashMap.empty[String, Long]
@@ -299,15 +330,23 @@ object Unigram {
       lastCounts = scores.keys.map(p => p -> u.getOrElse(p, 0L)).toMap
       if (r < cfg.emIters) scores = scoresLocal(lastCounts)
     }
-    val pruned = capLocal(lastCounts, cfg.vocabSize)
-    val sf = scoresLocal(pruned)
+    val sf = scoresLocal(capLocal(lastCounts, cfg.vocabSize))
     val uF = scala.collection.mutable.HashMap.empty[String, Long]
-    val segCache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     wf.foreach { case (w, f) =>
-      val seg = segCache.getOrElseUpdate(w, viterbiLocal(w, sf, cfg.maxPieceLen))
-      seg.foreach(p => uF.update(p, uF.getOrElse(p, 0L) + f))
+      viterbiLocal(w, sf, cfg.maxPieceLen)
+        .foreach(p => uF.update(p, uF.getOrElse(p, 0L) + f))
     }
-    val vocabOut = sf.keys.toSeq.sorted.map(p => (p, uF.getOrElse(p, 0L), sf(p)))
+    (sf.keys.toSeq.sorted.map(p => (p, uF.getOrElse(p, 0L), sf(p))), sf)
+  }
+
+  /** Local replay of [[train]]+[[encodeTokenCounts]]: returns
+    * (vocab (piece, n_uses, su), per-doc (n_tokens, n_chars)). */
+  private[graft] def trainLocal(docs: Seq[(Long, String)], cfg: Config)
+      : (Seq[(String, Long, Long)], Map[Long, (Long, Long)]) = {
+    val wf = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }.toSeq
+    val (vocabOut, sf) = trainLocalWf(wf, cfg)
+    val segCache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     val perDoc = docs.map { case (id, t) =>
       val ws = t.split(" ").filter(_.nonEmpty)
       val toks = ws.map(w =>

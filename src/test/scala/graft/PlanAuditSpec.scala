@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "agg_sketches", // 1-row sketch/exact stats re-joined for the bound flags
     "agg_equidepth_hist", "agg_kmv_distinct", "agg_kmv_merge_daily",
     "agg_rfm_segments", "agg_theta_intersect", "agg_winsorized_monthly",
-    "ann_ivf_cell_stats", "events_ewma_hourly", "events_funnel",
+    "ann_ivf_cell_stats", "ann_ivf_append", // 1-row total re-joined for load factors
+    "text_unigram_vocab", // 1-row Σcnt+|V| scalar inside the score stage
+    "events_ewma_hourly", "events_funnel",
     "events_funnel_latency", "events_rolling_active_users",
     "profile_lineitem", "sample_dsir_importance", // 2x scoreSums vocab scalar
     "subquery_above_avg_orders", "text_bigram_lm",

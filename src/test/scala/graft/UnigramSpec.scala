@@ -35,7 +35,10 @@ class UnigramSpec extends SparkSpecBase {
       val docs = (0 until 30).map(i =>
         (i.toLong, (0 until (2 + rnd.nextInt(10))).map(_ => word()).mkString(" ")))
       val df = docs.toDF("doc_id", "text")
-      val (vocabDf, sf) = Unigram.train(df, cfgSmall)
+      // driverDictLimit = 0 forces the DISTRIBUTED loop — this is the
+      // distributed ≡ local-mirror pin (the driver fast path IS the
+      // mirror, so it is covered by construction + the oracle gate)
+      val (vocabDf, sf) = Unigram.train(df, cfgSmall, driverDictLimit = 0)
       val gotVocab = vocabDf.collect()
         .map(r => (r.getString(0), r.getLong(1),
           r.getDecimal(2).movePointRight(6).longValueExact())).toSeq
@@ -44,6 +47,14 @@ class UnigramSpec extends SparkSpecBase {
       val (expVocab, expCounts) = Unigram.trainLocal(docs, cfgSmall)
       assert(gotVocab == expVocab, s"trial $trial vocab mismatch")
       assert(gotCounts == expCounts, s"trial $trial token counts mismatch")
+      // the default (cost-based driver) path returns the same vocab table
+      // and the same scores
+      val (vocabDf2, sf2) = Unigram.train(df, cfgSmall)
+      val gotVocab2 = vocabDf2.collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).movePointRight(6).longValueExact())).toSeq
+      assert(gotVocab2 == expVocab, s"trial $trial driver-path vocab mismatch")
+      assert(sf2 == sf, s"trial $trial driver-path scores mismatch")
     }
   }
 
