@@ -274,17 +274,27 @@ object ScaleProbe extends App {
   // flat HLL++ aggregation — the ANALYZE default past fixture scale.
   locally {
     import graft.operators.Profile
-    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    // 6M rows (10x sf0.1 lineitem, ids re-keyed so distinct counts grow
+    // too) x the FULL 16-column schema — the real ANALYZE shape, where
+    // the exact pass's |cols|x Expand multi-distinct dominates and the
+    // one-pass HLL++ profile is the design point
+    val raw = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val li = raw.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("l_orderkey") * 10 + col("rep")).as("l_orderkey") +:
+        raw.columns.filterNot(_ == "l_orderkey").map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     li.count() // warm the cache so both arms time aggregation, not IO
     val pcols = Seq(
-      "l_orderkey" -> Profile.Num, "l_quantity" -> Profile.Num,
-      "l_extendedprice" -> Profile.Num, "l_returnflag" -> Profile.Str,
+      "l_orderkey" -> Profile.Num, "l_partkey" -> Profile.Num,
+      "l_suppkey" -> Profile.Num, "l_linenumber" -> Profile.Num,
+      "l_quantity" -> Profile.Num, "l_extendedprice" -> Profile.Num,
+      "l_discount" -> Profile.Num, "l_tax" -> Profile.Num,
+      "l_returnflag" -> Profile.Str, "l_linestatus" -> Profile.Str,
       "l_shipdate" -> Profile.Ts)
-    t("profile EXACT (600k x 5 cols)") {
+    t("profile EXACT (6M x 11 cols)") {
       Profile.profile(li, pcols).write.format("noop").mode("overwrite").save()
     }
-    t("profile APPROX (600k x 5 cols)") {
+    t("profile APPROX (6M x 11 cols)") {
       Profile.profileApprox(li, pcols, rsd = 0.02)
         .write.format("noop").mode("overwrite").save()
     }

@@ -353,6 +353,20 @@ object ScaleProbe10M extends App {
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
     }
     assert(batchedMerges == seqMerges, "batched BPE diverged from sequential at scale")
+    // Unigram distributed loop over the same over-cap 2.5M-word dictionary
+    // (r14): the driver fast path is refused (driverDictLimit=0), so this
+    // exercises the scale shape — seed aggregation over ~100M substring
+    // occurrences, one Viterbi job per EM round, driver state O(seedSize).
+    val uniCfg = graft.operators.Unigram.Config(
+      maxPieceLen = 4, seedSize = 512, vocabSize = 128, emIters = 2,
+      maxWordLen = 16)
+    val (uniVocab, uniScores) = t("unigram train, 2.5M-word dict, distributed loop") {
+      val (v, s) = graft.operators.Unigram.train(bpeDocs, uniCfg, driverDictLimit = 0)
+      (v.collect(), s)
+    }
+    assert(uniVocab.nonEmpty && uniScores.nonEmpty)
+    println(s"SCALE   unigram vocab ${uniVocab.length} pieces, " +
+      s"top piece ${uniVocab.maxBy(_.getLong(1)).getString(0)}")
     bpeDocs.unpersist(false)
   }
   spark.stop()

@@ -82,7 +82,14 @@ object Profile {
     * flag device (compute exact alongside at gate scale, emit a
     * within-3·rsd flag; `profile_approx` in SparkEntry, the
     * `agg_sketches` precedent) so a sketch drifting out of its error
-    * contract FAILS the gate while the output stays engine-portable. */
+    * contract FAILS the gate while the output stays engine-portable.
+    *
+    * Like [[profile]], the stats and the sketches aggregate in SEPARATE
+    * jobs: HLL++ is an imperative aggregate, and ONE aggregate mixing it
+    * with the declarative min/max family drops the WHOLE operator out of
+    * codegen (measured: the fused form ran 14.3 s vs 15.0 s exact at
+    * 6M×11 cols — no win at all; split, the stats pass stays codegen'd
+    * and only the fixed-width sketch updates run imperative). */
   def profileApprox(df: DataFrame, cols: Seq[(String, Kind)],
       rsd: Double = 0.05): DataFrame = {
     def mnum(c: String, k: Kind, f: Column => Column): Column = k match {
@@ -94,11 +101,13 @@ object Profile {
       case Str => f(col(c))
       case _   => lit(null).cast("string")
     }
-    val aggs = cols.flatMap { case (c, k) => Seq(
+    val statAggs = cols.flatMap { case (c, k) => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      approx_count_distinct(col(c), rsd).as(s"${c}__adct"),
       mnum(c, k, min).as(s"${c}__min_num"), mnum(c, k, max).as(s"${c}__max_num"),
       mstr(c, k, min).as(s"${c}__min_str"), mstr(c, k, max).as(s"${c}__max_str"))
+    }
+    val hllAggs = cols.map { case (c, _) =>
+      approx_count_distinct(col(c), rsd).as(s"${c}__adct")
     }
     val rows = cols.map { case (c, _) =>
       struct(lit(c).as("col_name"),
@@ -106,7 +115,8 @@ object Profile {
         col(s"${c}__min_num").as("min_num"), col(s"${c}__max_num").as("max_num"),
         col(s"${c}__min_str").as("min_str"), col(s"${c}__max_str").as("max_str"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    df.agg(statAggs.head, statAggs.tail: _*)
+      .crossJoin(df.agg(hllAggs.head, hllAggs.tail: _*))
       .select(explode(array(rows: _*)).as("p"))
       .select(col("p.*"))
   }

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpecBase {
     "text_unigram_vocab", // 1-row Σcnt+|V| scalar inside the score stage
     "events_ewma_hourly", "events_funnel",
     "events_funnel_latency", "events_rolling_active_users",
-    "profile_lineitem", "sample_dsir_importance", // 2x scoreSums vocab scalar
+    "profile_lineitem", "profile_approx", // 1-row stats x 1-row sketch aggregates
+    "sample_dsir_importance", // 2x scoreSums vocab scalar
     "subquery_above_avg_orders", "text_bigram_lm",
     "text_bm25_topk", "text_chi2_lang_source", "text_chunk_bm25_doc",
     "text_nb_confusion", "text_perplexity_buckets", // scoreSums vocab scalar
