@@ -3095,6 +3095,15 @@ object SparkEntry {
     "text_unigram_token_counts" -> ((s, d) =>
       graft.operators.Unigram.trainAndEncode(par(s, docs(s, d)))
         .orderBy(col("doc_id"))),
+    // unigram-vocab fertility by source — the same tokenizer-efficiency
+    // row for the SECOND tokenizer family, so the data card can compare
+    // BPE vs unigram compression on each source
+    "text_unigram_fertility" -> ((s, d) => {
+      val all = par(s, docs(s, d))
+      val (_, sf) = graft.operators.Unigram.train(all)
+      graft.operators.Unigram.fertilityByGroup(all, sf)
+        .orderBy(col("source"))
+    }),
     // per-source tokenizer fertility (tokens/word, chars/token) under the
     // learned merges — the tokenizer-efficiency row of the corpus data
     // card; |sources| output rows at any corpus size
@@ -3993,6 +4002,26 @@ object SparkEntry {
     // shuffle — never the corpus; StreamSampleSpec pins the streaming
     // state form EXACTLY equal under any arrival order (the priority is a
     // pure row function, so the sample is a function of the set)
+    // k-ANONYMITY privacy audit (r14): every released row must share its
+    // quasi-identifier combination (nation, market segment, account-
+    // balance bucket) with >= k-1 others. One map-side-combinable
+    // aggregation to the bounded group table + a 1-row summary; the
+    // fixture has real under-k groups at BOTH SFs (891 at sf0.01, 29 at
+    // sf0.1), so the gate exercises a failing audit, not a vacuous pass
+    "governance_k_anonymity" -> ((s, d) =>
+      graft.operators.Governance.kAnonymityReport(
+        Tables.customer(s, d)
+          .withColumn("ab_bucket", floor(col("c_acctbal") / 1000).cast("int")),
+        Seq("c_nationkey", "c_mktsegment", "ab_bucket"), k = 5L)),
+    // the violating-combination detail a release pipeline would
+    // generalize or suppress (smallest = most identifying, first)
+    "governance_k_anon_violations" -> ((s, d) =>
+      graft.operators.Governance.kAnonymityViolations(
+          Tables.customer(s, d)
+            .withColumn("ab_bucket", floor(col("c_acctbal") / 1000).cast("int")),
+          Seq("c_nationkey", "c_mktsegment", "ab_bucket"), k = 5L)
+        .orderBy(col("group_size"), col("c_nationkey"), col("c_mktsegment"),
+          col("ab_bucket"))),
     "sample_priority_per_source" -> ((s, d) =>
       graft.streaming.StreamSample.prioritySample(
           docs(s, d), col("source"), col("doc_id"),
@@ -7203,6 +7232,7 @@ object SparkEntry {
       "text_unigram_vocab" -> graft.operators.Unigram.vocabOracleSql(),
       "text_unigram_token_counts" -> graft.operators.Unigram.encodeOracleSql(),
       "text_token_fertility" -> graft.operators.Bpe.fertilityOracleSql(4),
+      "text_unigram_fertility" -> graft.operators.Unigram.fertilityOracleSql(),
       "events_hourly_anomaly" ->
         """WITH hourly AS (
           |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -8170,6 +8200,25 @@ object SparkEntry {
            |$sel
            |ORDER BY step""".stripMargin
       },
+      "governance_k_anonymity" ->
+        """WITH g AS (
+          |  SELECT c_nationkey, c_mktsegment,
+          |    CAST(FLOOR(c_acctbal / 1000) AS INT) AS ab_bucket,
+          |    COUNT(*) AS gn
+          |  FROM customer GROUP BY 1, 2, 3)
+          |SELECT CAST(5 AS BIGINT) AS k,
+          |  COUNT(*) AS n_groups,
+          |  CAST(SUM(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+          |  CAST(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+          |  CAST(MIN(gn) AS BIGINT) AS min_group_size,
+          |  CASE WHEN MIN(gn) >= 5 THEN 1 ELSE 0 END AS anonymous
+          |FROM g""".stripMargin,
+      "governance_k_anon_violations" ->
+        """SELECT c_nationkey, c_mktsegment,
+          |  CAST(FLOOR(c_acctbal / 1000) AS INT) AS ab_bucket,
+          |  COUNT(*) AS group_size
+          |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+          |ORDER BY group_size, c_nationkey, c_mktsegment, ab_bucket""".stripMargin,
       "sample_priority_per_source" ->
         s"""WITH scored AS (
            |  SELECT source, doc_id,

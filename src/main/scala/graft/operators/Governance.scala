@@ -287,4 +287,34 @@ object Governance {
       .drop("__idx", "__lo", "__hi", "__frac", "__s1", "__e1", "__s2", "__e2",
         "__v_lo", "__v_hi", "__n_total", "pct_below", "pct_n")
   }
+
+  /** k-ANONYMITY audit over quasi-identifier columns — the privacy gate a
+    * governed corpus release runs: every row must share its
+    * quasi-identifier combination with at least k−1 others, else the
+    * combination re-identifies. One hash aggregation to the
+    * (|combinations|-row) group table, then a 1-row summary:
+    * (k, n_groups, n_violating_groups, n_rows_at_risk, min_group_size,
+    * anonymous flag). `n_rows_at_risk` counts the rows in under-k groups
+    * — the records a release would have to generalize or suppress.
+    * Scale: the corpus shuffles once on the quasi key (map-side
+    * combinable); the summary aggregates the group table, bounded by the
+    * quasi-identifier domain, not the corpus. */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty && k >= 1L)
+    val groups = df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("__gn"))
+    groups.agg(
+      lit(k).as("k"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__gn") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("__gn") < k, col("__gn")).otherwise(0L)).as("n_rows_at_risk"),
+      min(col("__gn")).as("min_group_size"),
+      when(min(col("__gn")) >= k, 1).otherwise(0).as("anonymous"))
+  }
+
+  /** The violating-combination detail behind [[kAnonymityReport]] — what a
+    * release pipeline would generalize away (ordered by size, smallest =
+    * most identifying, first). */
+  def kAnonymityViolations(df: DataFrame, quasi: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
 }

@@ -264,6 +264,33 @@ object Unigram {
     encodeTokenCounts(docs, sf, cfg, textCol, idCol)
   }
 
+  /** Per-group tokenizer fertility under the trained unigram vocab
+    * (tokens/word, chars/token) — the [[Bpe.fertilityByGroup]] statistic
+    * for the second tokenizer family, same broadcast-dictionary shape:
+    * the Viterbi fold runs over |vocab| distinct words, the corpus pays a
+    * broadcast hash probe and ONE group aggregation. */
+  def fertilityByGroup(docs: DataFrame, scores: Seq[(String, Long)],
+      cfg: Config = Config(), groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val dict = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(split(ltrim(viterbiBest(col("word"), scores, cfg.maxPieceLen)), " "))
+          .as("n_tok"),
+        length(col("word")).as("n_chr"))
+    words.join(broadcast(dict), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
   // ---------------------------------------------------------------------
   // Local mirror (spec pin): the identical algorithm in plain Scala.
   // Score quantization replays Spark's round(log, 6) → Decimal chain:
@@ -460,6 +487,22 @@ object Unigram {
       |SELECT n.piece, n.cnt AS n_uses, s.logprob
       |FROM nuses n JOIN sf s ON n.piece = s.piece
       |ORDER BY n.piece""".stripMargin
+
+  /** DuckDB mirror of [[fertilityByGroup]] grouped by `source`. */
+  def fertilityOracleSql(cfg: Config = Config()): String =
+    chainSql(cfg) + s"""
+      |SELECT source, n_words, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / n_words AS tokens_per_word,
+      |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+      |FROM (
+      |  SELECT w.source, COUNT(*) AS n_words,
+      |    CAST(SUM(len(string_split(d.g, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(length(w.word)) AS BIGINT) AS n_chars
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) w
+      |  JOIN ef_seg d ON w.word = d.word
+      |  WHERE w.word <> ''
+      |  GROUP BY w.source)
+      |ORDER BY source""".stripMargin
 
   /** DuckDB mirror of [[trainAndEncode]]. */
   def encodeOracleSql(cfg: Config = Config()): String =

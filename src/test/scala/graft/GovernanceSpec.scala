@@ -176,4 +176,22 @@ class GovernanceSpec extends SparkSpecBase {
     }.size
     assert(nEx == 0, "epochUpsample must not shuffle")
   }
+
+  test("k-anonymity report and violations agree with a hand-counted table") {
+    // groups: (de,A)x5  (de,B)x2  (fr,A)x1  -> k=3 violates on 2 groups, 3 rows
+    val rows = Seq.fill(5)(("de", "A")) ++ Seq.fill(2)(("de", "B")) ++ Seq(("fr", "A"))
+    val df = rows.zipWithIndex.map { case ((c1, c2), i) => (i.toLong, c1, c2) }
+      .toDF("id", "country", "segment")
+    val rep = Governance.kAnonymityReport(df, Seq("country", "segment"), k = 3L).head()
+    assert(rep.getLong(0) == 3L && rep.getLong(1) == 3L)
+    assert(rep.getLong(2) == 2L, "two violating groups")
+    assert(rep.getLong(3) == 3L, "three rows at risk")
+    assert(rep.getLong(4) == 1L && rep.getInt(5) == 0)
+    val viol = Governance.kAnonymityViolations(df, Seq("country", "segment"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viol == Set(("de", "B", 2L), ("fr", "A", 1L)))
+    // raising every group to k flips the flag
+    val ok = Governance.kAnonymityReport(df, Seq("country"), k = 1L).head()
+    assert(ok.getInt(5) == 1)
+  }
 }
