@@ -4022,6 +4022,26 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment", "ab_bucket"), k = 5L)
         .orderBy(col("group_size"), col("c_nationkey"), col("c_mktsegment"),
           col("ab_bucket"))),
+    // ENFORCEMENT: suppress under-k rows, re-audit the released table —
+    // the output is the re-audit report, which must come back
+    // anonymous=1 with zero rows at risk (k-anonymity by construction)
+    "governance_k_suppress_audit" -> ((s, d) => {
+      import graft.operators.Governance
+      val quasi = Seq("c_nationkey", "c_mktsegment", "ab_bucket")
+      val cust = Tables.customer(s, d)
+        .withColumn("ab_bucket", floor(col("c_acctbal") / 1000).cast("int"))
+      val released = Governance.kSuppress(cust, quasi, k = 5L)
+      Governance.kAnonymityReport(released, quasi, k = 5L)
+        .withColumn("n_released", lit(1L) * released.count())
+    }),
+    // l-diversity: within every (nation, balance-bucket) group the
+    // market segment must take >= 2 distinct values, else membership in
+    // the group leaks the segment — k-anonymity's stronger sibling
+    "governance_l_diversity" -> ((s, d) =>
+      graft.operators.Governance.lDiversityReport(
+        Tables.customer(s, d)
+          .withColumn("ab_bucket", floor(col("c_acctbal") / 1000).cast("int")),
+        Seq("c_nationkey", "ab_bucket"), "c_mktsegment", l = 2L)),
     "sample_priority_per_source" -> ((s, d) =>
       graft.streaming.StreamSample.prioritySample(
           docs(s, d), col("source"), col("doc_id"),
@@ -8219,6 +8239,43 @@ object SparkEntry {
           |  COUNT(*) AS group_size
           |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
           |ORDER BY group_size, c_nationkey, c_mktsegment, ab_bucket""".stripMargin,
+      "governance_k_suppress_audit" ->
+        """WITH q AS (
+          |  SELECT c_custkey, c_nationkey, c_mktsegment,
+          |    CAST(FLOOR(c_acctbal / 1000) AS INT) AS ab_bucket
+          |  FROM customer),
+          |viol AS (
+          |  SELECT c_nationkey, c_mktsegment, ab_bucket
+          |  FROM q GROUP BY 1, 2, 3 HAVING COUNT(*) < 5),
+          |released AS (
+          |  SELECT * FROM q WHERE NOT EXISTS (
+          |    SELECT 1 FROM viol v
+          |    WHERE v.c_nationkey = q.c_nationkey
+          |      AND v.c_mktsegment = q.c_mktsegment
+          |      AND v.ab_bucket = q.ab_bucket)),
+          |g AS (
+          |  SELECT c_nationkey, c_mktsegment, ab_bucket, COUNT(*) AS gn
+          |  FROM released GROUP BY 1, 2, 3)
+          |SELECT CAST(5 AS BIGINT) AS k,
+          |  COUNT(*) AS n_groups,
+          |  CAST(SUM(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+          |  CAST(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+          |  CAST(MIN(gn) AS BIGINT) AS min_group_size,
+          |  CASE WHEN MIN(gn) >= 5 THEN 1 ELSE 0 END AS anonymous,
+          |  (SELECT COUNT(*) FROM released) AS n_released
+          |FROM g""".stripMargin,
+      "governance_l_diversity" ->
+        """WITH g AS (
+          |  SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS INT) AS ab_bucket,
+          |    COUNT(*) AS gn, COUNT(DISTINCT c_mktsegment) AS gl
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT CAST(2 AS BIGINT) AS l,
+          |  COUNT(*) AS n_groups,
+          |  CAST(SUM(CASE WHEN gl < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+          |  CAST(SUM(CASE WHEN gl < 2 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+          |  CAST(MIN(gl) AS BIGINT) AS min_diversity,
+          |  CASE WHEN MIN(gl) >= 2 THEN 1 ELSE 0 END AS diverse
+          |FROM g""".stripMargin,
       "sample_priority_per_source" ->
         s"""WITH scored AS (
            |  SELECT source, doc_id,

@@ -317,4 +317,36 @@ object Governance {
   def kAnonymityViolations(df: DataFrame, quasi: Seq[String], k: Long): DataFrame =
     df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
+
+  /** ENFORCEMENT of k-anonymity by suppression: drop every row whose
+    * quasi-identifier combination has fewer than k members — the simplest
+    * release transform (generalization hierarchies are corpus-specific;
+    * suppression is the universal floor). One anti-join against the
+    * (tiny) violating-combination list; AQE broadcasts it. The released
+    * frame is k-anonymous by construction — re-auditing it with
+    * [[kAnonymityReport]] must return anonymous = 1 (spec-pinned). */
+  def kSuppress(df: DataFrame, quasi: Seq[String], k: Long): DataFrame =
+    df.join(kAnonymityViolations(df, quasi, k).select(quasi.map(col): _*),
+      quasi, "left_anti")
+
+  /** l-DIVERSITY audit — k-anonymity's stronger sibling: within every
+    * quasi-identifier group, the SENSITIVE attribute must take at least
+    * l distinct values, else group membership leaks it (a k-anonymous
+    * group that is 100% one diagnosis still discloses the diagnosis).
+    * One aggregation with a per-group distinct count (two-phase,
+    * map-side partial distinct) to the quasi-domain-bounded group table,
+    * then a 1-row summary mirroring [[kAnonymityReport]]'s shape. */
+  def lDiversityReport(df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty && l >= 1L && !quasi.contains(sensitive))
+    val groups = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__gn"), countDistinct(col(sensitive)).as("__gl"))
+    groups.agg(
+      lit(l).as("l"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__gl") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("__gl") < l, col("__gn")).otherwise(0L)).as("n_rows_at_risk"),
+      min(col("__gl")).as("min_diversity"),
+      when(min(col("__gl")) >= l, 1).otherwise(0).as("diverse"))
+  }
 }

@@ -194,4 +194,20 @@ class GovernanceSpec extends SparkSpecBase {
     val ok = Governance.kAnonymityReport(df, Seq("country"), k = 1L).head()
     assert(ok.getInt(5) == 1)
   }
+
+  test("kSuppress releases a k-anonymous table; lDiversity counts sensitive leakage") {
+    val rows = Seq.fill(5)(("de", "A")) ++ Seq.fill(2)(("de", "B")) ++ Seq(("fr", "A"))
+    val df = rows.zipWithIndex.map { case ((c1, c2), i) => (i.toLong, c1, c2) }
+      .toDF("id", "country", "segment")
+    val released = Governance.kSuppress(df, Seq("country", "segment"), k = 3L)
+    assert(released.count() == 5L, "only the (de,A) group survives")
+    val re = Governance.kAnonymityReport(released, Seq("country", "segment"), k = 3L).head()
+    assert(re.getInt(5) == 1 && re.getLong(3) == 0L,
+      "released table must be k-anonymous by construction")
+    // l-diversity: group (de) has segments {A,B} (l=2); (fr) only {A} (l=1)
+    val ld = Governance.lDiversityReport(df, Seq("country"), "segment", l = 2L).head()
+    assert(ld.getLong(0) == 2L && ld.getLong(1) == 2L)
+    assert(ld.getLong(2) == 1L && ld.getLong(3) == 1L, "fr leaks its only segment")
+    assert(ld.getLong(4) == 1L && ld.getInt(5) == 0)
+  }
 }
