@@ -87,11 +87,29 @@ object PlanAudit {
       ("k-center coverage summary: one scan with the codegen'd argmin/" +
         "min-distance expressions (centers are plan literals - no join to " +
         "a center table), partial HashAggregate before the single k-row " +
-        "exchange."))
+        "exchange."),
+    "text_unigram_token_counts" ->
+      ("Unigram encode (r14): the Viterbi fold runs over the DISTINCT-" +
+        "word dictionary only; the corpus side joins it via " +
+        "BroadcastHashJoin (never shuffles on the word) and the per-doc " +
+        "aggregation is the single exchange; the vocab is ONE map " +
+        "Literal, not a CreateMap tree."),
+    "ann_ivf_append" ->
+      ("Incremental IVF admission (r14): the batch side pays one " +
+        "codegen'd argmin assignment scan; the report is two partial " +
+        "HashAggregates to |cells| rows plus a broadcast of the 1-row " +
+        "total - the store is unioned, never re-assigned."),
+    "profile_approx" ->
+      ("Approximate ANALYZE (r14): the OPERATOR side (stats + HLL " +
+        "sketches) has no Expand and keeps the min/max pass inside " +
+        "WholeStageCodegen by aggregating the sketches in a SEPARATE " +
+        "job; the extra aggregates in this gated plan are the gate's " +
+        "exact-distinct VALIDATION side (fixture-scale only - it flags " +
+        "sketch drift and is exactly what profileApprox avoids at scale)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outFile = if (args.length > 1) args(1) else "PLANS_r13.md"
+    val outFile = if (args.length > 1) args(1) else "PLANS_r14.md"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -101,7 +119,7 @@ object PlanAudit {
     try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
 
     val sb = new StringBuilder
-    sb.append("# Physical-plan audit (round 13)\n\n")
+    sb.append("# Physical-plan audit (round 14)\n\n")
     sb.append(s"Generated by `runMain graft.PlanAudit $sfDir` at sf dir `$sfDir`.\n")
     sb.append("Each section: what the plan MUST show for the design to hold at ")
     sb.append("100 TB / 1000 executors, the extracted plan facts, then the full ")
