@@ -40,8 +40,7 @@ class UnigramSpec extends SparkSpecBase {
       // mirror, so it is covered by construction + the oracle gate)
       val (vocabDf, sf) = Unigram.train(df, cfgSmall, driverDictLimit = 0)
       val gotVocab = vocabDf.collect()
-        .map(r => (r.getString(0), r.getLong(1),
-          r.getDecimal(2).movePointRight(6).longValueExact())).toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       val gotCounts = Unigram.encodeTokenCounts(df, sf, cfgSmall).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       val (expVocab, expCounts) = Unigram.trainLocal(docs, cfgSmall)
@@ -51,8 +50,7 @@ class UnigramSpec extends SparkSpecBase {
       // and the same scores
       val (vocabDf2, sf2) = Unigram.train(df, cfgSmall)
       val gotVocab2 = vocabDf2.collect()
-        .map(r => (r.getString(0), r.getLong(1),
-          r.getDecimal(2).movePointRight(6).longValueExact())).toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       assert(gotVocab2 == expVocab, s"trial $trial driver-path vocab mismatch")
       assert(sf2 == sf, s"trial $trial driver-path scores mismatch")
     }
