@@ -8,11 +8,38 @@ package graft
   * kmeans-trained / engine-specific-sketch six. */
 class ContractSpec extends SparkSpecBase {
 
-  test("every declared query analyzes against the smoke fixture") {
+  test("every declared query analyzes against the smoke fixture, " +
+    "and no gated output schema carries a hash-hazardous type") {
+    // Hash-surface invariant (r14 judge lesson): the driver hashes each
+    // query's output values, and types that canonicalize differently
+    // across harnesses break the compare even when the VALUES are equal —
+    //  - DecimalType: trailing-zero scale renders differently (the
+    //    text_unigram_vocab r14 red row — 7/48 logprobs had trailing-zero
+    //    micro-units; rows/schema matched, hash didn't),
+    //  - FloatType: float→string/double widening differs across engines,
+    //  - MapType: key order is unspecified on both engines.
+    // Gated projections must emit BIGINT/DOUBLE/STRING/DATE/TIMESTAMP/
+    // arrays-of-those instead. Exceptions need a justified entry here.
+    import org.apache.spark.sql.types._
+    def hazards(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(s"$path: ${dt.simpleString}")
+      case FloatType => Seq(s"$path: float")
+      case _: MapType => Seq(s"$path: ${dt.simpleString}")
+      case ArrayType(et, _) => hazards(et, s"$path[]")
+      case StructType(fs) => fs.flatMap(f => hazards(f.dataType, s"$path.${f.name}")).toSeq
+      case _ => Nil
+    }
+    val justified = Set.empty[String]
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, sfDir).queryExecution.assertAnalyzed(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.assertAnalyzed()
+          if (justified(name)) Nil
+          else df.schema.fields.toSeq
+            .flatMap(f => hazards(f.dataType, f.name))
+            .map(h => s"$name has a hash-hazardous output column ($h)")
+        } catch { case e: Throwable => Seq(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
@@ -33,7 +60,7 @@ class ContractSpec extends SparkSpecBase {
     // flag list must stay empty — a creeper either gets fixed or gets a
     // justified entry HERE with its cause.
     val justified = Set.empty[String]
-    val p = java.nio.file.Paths.get("CROSS_SF_AUDIT_r14.json")
+    val p = java.nio.file.Paths.get("CROSS_SF_AUDIT_r15.json")
     assume(java.nio.file.Files.exists(p), "audit artifact not generated yet")
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readAllBytes(p))
