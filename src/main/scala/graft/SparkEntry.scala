@@ -4034,6 +4034,30 @@ object SparkEntry {
       Governance.kAnonymityReport(released, quasi, k = 5L)
         .withColumn("n_released", lit(1L) * released.count())
     }),
+    // GENERALIZE-then-suppress (r15): coarsen the numeric quasi-identifier
+    // (account-balance bucket 1000 -> 4000) BEFORE suppressing — the
+    // standard release flow when suppression alone loses too many rows.
+    // Output: one re-audit row per strategy; both come back anonymous=1
+    // by construction, and the generalized flow releases strictly more
+    // rows (the point of generalization), which the gate hash-pins
+    "governance_k_generalize" -> ((s, d) => {
+      import graft.operators.Governance
+      val quasi = Seq("c_nationkey", "c_mktsegment", "ab_bucket")
+      def flow(bucketWidth: Int, step: String) = {
+        val cust = Tables.customer(s, d)
+          .withColumn("ab_bucket", floor(col("c_acctbal") / bucketWidth).cast("int"))
+        val released = Governance.kSuppress(cust, quasi, k = 5L)
+        Governance.kAnonymityReport(released, quasi, k = 5L)
+          .withColumn("step", lit(step))
+          .withColumn("n_released", lit(1L) * released.count())
+      }
+      flow(1000, "suppress_only")
+        .unionByName(flow(4000, "generalize_then_suppress"))
+        .select(col("step"), col("k"), col("n_groups"), col("n_violating_groups"),
+          col("n_rows_at_risk"), col("min_group_size"), col("anonymous"),
+          col("n_released"))
+        .orderBy(col("step"))
+    }),
     // l-diversity: within every (nation, balance-bucket) group the
     // market segment must take >= 2 distinct values, else membership in
     // the group leaks the segment — k-anonymity's stronger sibling
@@ -8250,9 +8274,9 @@ object SparkEntry {
           |released AS (
           |  SELECT * FROM q WHERE NOT EXISTS (
           |    SELECT 1 FROM viol v
-          |    WHERE v.c_nationkey = q.c_nationkey
-          |      AND v.c_mktsegment = q.c_mktsegment
-          |      AND v.ab_bucket = q.ab_bucket)),
+          |    WHERE v.c_nationkey IS NOT DISTINCT FROM q.c_nationkey
+          |      AND v.c_mktsegment IS NOT DISTINCT FROM q.c_mktsegment
+          |      AND v.ab_bucket IS NOT DISTINCT FROM q.ab_bucket)),
           |g AS (
           |  SELECT c_nationkey, c_mktsegment, ab_bucket, COUNT(*) AS gn
           |  FROM released GROUP BY 1, 2, 3)
@@ -8264,6 +8288,38 @@ object SparkEntry {
           |  CASE WHEN MIN(gn) >= 5 THEN 1 ELSE 0 END AS anonymous,
           |  (SELECT COUNT(*) FROM released) AS n_released
           |FROM g""".stripMargin,
+      "governance_k_generalize" -> {
+        def flowSql(w: Int, tag: String, step: String) =
+          s"""q_$tag AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(FLOOR(c_acctbal / $w) AS INT) AS ab_bucket
+             |  FROM customer),
+             |viol_$tag AS (
+             |  SELECT c_nationkey, c_mktsegment, ab_bucket
+             |  FROM q_$tag GROUP BY 1, 2, 3 HAVING COUNT(*) < 5),
+             |rel_$tag AS (
+             |  SELECT * FROM q_$tag q WHERE NOT EXISTS (
+             |    SELECT 1 FROM viol_$tag v
+             |    WHERE v.c_nationkey IS NOT DISTINCT FROM q.c_nationkey
+             |      AND v.c_mktsegment IS NOT DISTINCT FROM q.c_mktsegment
+             |      AND v.ab_bucket IS NOT DISTINCT FROM q.ab_bucket)),
+             |g_$tag AS (
+             |  SELECT c_nationkey, c_mktsegment, ab_bucket, COUNT(*) AS gn
+             |  FROM rel_$tag GROUP BY 1, 2, 3),
+             |r_$tag AS (
+             |  SELECT '$step' AS step, CAST(5 AS BIGINT) AS k,
+             |    COUNT(*) AS n_groups,
+             |    CAST(SUM(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+             |    CAST(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+             |    CAST(MIN(gn) AS BIGINT) AS min_group_size,
+             |    CASE WHEN MIN(gn) >= 5 THEN 1 ELSE 0 END AS anonymous,
+             |    (SELECT COUNT(*) FROM rel_$tag) AS n_released
+             |  FROM g_$tag)""".stripMargin
+        s"""WITH ${flowSql(1000, "s", "suppress_only")},
+           |${flowSql(4000, "g", "generalize_then_suppress")}
+           |SELECT * FROM r_g UNION ALL SELECT * FROM r_s
+           |ORDER BY step""".stripMargin
+      },
       "governance_l_diversity" ->
         """WITH g AS (
           |  SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS INT) AS ab_bucket,

@@ -324,10 +324,19 @@ object Governance {
     * suppression is the universal floor). One anti-join against the
     * (tiny) violating-combination list; AQE broadcasts it. The released
     * frame is k-anonymous by construction — re-auditing it with
-    * [[kAnonymityReport]] must return anonymous = 1 (spec-pinned). */
-  def kSuppress(df: DataFrame, quasi: Seq[String], k: Long): DataFrame =
-    df.join(kAnonymityViolations(df, quasi, k).select(quasi.map(col): _*),
-      quasi, "left_anti")
+    * [[kAnonymityReport]] must return anonymous = 1 (spec-pinned).
+    *
+    * The anti-join compares each quasi column NULL-SAFELY (`<=>`):
+    * [[kAnonymityReport]]'s groupBy counts a NULL quasi value as a group
+    * of its own, so an under-k NULL-group must suppress like any other —
+    * a plain-equality anti-join would silently release those
+    * re-identifiable rows (r14 ADVICE). */
+  def kSuppress(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    val viol = kAnonymityViolations(df, quasi, k)
+      .select(quasi.map(c => col(c).as(s"__viol_$c")): _*)
+    val cond = quasi.map(c => col(c) <=> col(s"__viol_$c")).reduce(_ && _)
+    df.join(viol, cond, "left_anti")
+  }
 
   /** l-DIVERSITY audit — k-anonymity's stronger sibling: within every
     * quasi-identifier group, the SENSITIVE attribute must take at least
@@ -335,7 +344,15 @@ object Governance {
     * group that is 100% one diagnosis still discloses the diagnosis).
     * One aggregation with a per-group distinct count (two-phase,
     * map-side partial distinct) to the quasi-domain-bounded group table,
-    * then a 1-row summary mirroring [[kAnonymityReport]]'s shape. */
+    * then a 1-row summary mirroring [[kAnonymityReport]]'s shape.
+    *
+    * Scale note: `countDistinct` holds each group's distinct SENSITIVE
+    * values exactly — fine while the sensitive domain is bounded (enums,
+    * diagnoses, segments: the governed-release case). For an unbounded
+    * sensitive column swap in `approx_count_distinct` (HLL++, kB-bounded
+    * buffers crossing the exchange) — the [[Profile.profileApprox]]
+    * precedent; the l >= threshold test tolerates HLL error at any
+    * realistic l. */
   def lDiversityReport(df: DataFrame, quasi: Seq[String], sensitive: String,
       l: Long): DataFrame = {
     require(quasi.nonEmpty && l >= 1L && !quasi.contains(sensitive))

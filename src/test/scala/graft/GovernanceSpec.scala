@@ -210,4 +210,20 @@ class GovernanceSpec extends SparkSpecBase {
     assert(ld.getLong(2) == 1L && ld.getLong(3) == 1L, "fr leaks its only segment")
     assert(ld.getLong(4) == 1L && ld.getInt(5) == 0)
   }
+
+  test("kSuppress suppresses under-k NULL-quasi groups (null-safe anti-join)") {
+    // r14 ADVICE: kAnonymityReport's groupBy counts NULL as a group of
+    // its own, so the enforcement anti-join must match NULLs too — a
+    // plain-equality join would release the two (NULL, A) rows below.
+    val rows: Seq[(Long, String, String)] =
+      Seq.fill(5)(("de", "A")).zipWithIndex.map { case ((c1, c2), i) => (i.toLong, c1, c2) } ++
+        Seq((5L, null, "A"), (6L, null, "A"), (7L, "fr", null))
+    val df = rows.toDF("id", "country", "segment")
+    val released = Governance.kSuppress(df, Seq("country", "segment"), k = 3L)
+    assert(released.count() == 5L,
+      "both the (NULL,A) x2 and (fr,NULL) x1 under-k groups must be suppressed")
+    val re = Governance.kAnonymityReport(released, Seq("country", "segment"), k = 3L).head()
+    assert(re.getInt(5) == 1 && re.getLong(3) == 0L,
+      "re-audit must be anonymous even with NULL quasi values in the input")
+  }
 }
