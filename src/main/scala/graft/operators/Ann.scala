@@ -390,9 +390,17 @@ object Ann {
   def admissionReport(before: DataFrame, after: DataFrame, nCells: Int,
       maxLoad: Double): DataFrame = {
     val spark = before.sparkSession
-    def counted(df: DataFrame, ncol: String) =
-      df.groupBy(col("ivf_cell").cast("int").as("ivf_cell"))
-        .agg(count(lit(1)).as(ncol))
+    // in-plan guards (r14 ADVICE), zero extra jobs: an out-of-range cell
+    // id means nCells is misconfigured — fail loudly instead of silently
+    // dropping the cell from the report; an empty/NULL total would
+    // otherwise yield NULL load factors and retrain_flag=0 rows.
+    def counted(df: DataFrame, ncol: String) = {
+      val c = col("ivf_cell").cast("int")
+      val guarded = when(c >= 0 && c < nCells, c).otherwise(raise_error(concat(
+        lit("admissionReport: ivf_cell "), c.cast("string"),
+        lit(s" out of range [0, $nCells) — nCells misconfigured"))))
+      df.groupBy(guarded.as("ivf_cell")).agg(count(lit(1)).as(ncol))
+    }
     val cells = spark.range(0, nCells.toLong)
       .select(col("id").cast("int").as("ivf_cell"))
     val joined = cells
@@ -402,13 +410,16 @@ object Ann {
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
     val tot = joined.agg(sum(col("n_after")).as("total"))
+    val totalG = when(col("total").isNotNull && col("total") > 0, col("total"))
+      .otherwise(raise_error(
+        lit("admissionReport: empty 'after' store — no population to report load over")))
     joined.crossJoin(broadcast(tot))
       .select(col("ivf_cell"), col("n_before"), col("n_after"),
         (col("n_after") - col("n_before")).as("n_admitted"),
         round((col("n_after") * nCells).cast("double") /
-          col("total").cast("double"), 9).as("load_factor"),
+          totalG.cast("double"), 9).as("load_factor"),
         when((col("n_after") * nCells).cast("double") >
-          col("total").cast("double") * maxLoad, 1).otherwise(0)
+          totalG.cast("double") * maxLoad, 1).otherwise(0)
           .as("retrain_flag"))
       .orderBy(col("ivf_cell"))
   }

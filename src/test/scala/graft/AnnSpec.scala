@@ -109,4 +109,24 @@ class AnnSpec extends SparkSpecBase {
       .collect()
     assert(rep2.exists(_.getInt(5) == 1), "skewed load must raise the retrain flag")
   }
+
+  test("admissionReport fails loudly on out-of-range cells and an empty after store") {
+    val base = emb.limit(20)
+    val cents = Ann.sampleCentroids(base, 4)
+    val assigned = Ann.assign(base, cents)
+    // nCells smaller than the real codebook -> cells out of [0, nCells)
+    // must abort, not silently vanish from the report (r14 ADVICE)
+    val eTrunc = intercept[Exception] {
+      Ann.admissionReport(assigned, assigned, nCells = 2, maxLoad = 2.0).collect()
+    }
+    assert(eTrunc.getMessage.contains("out of range") ||
+      Option(eTrunc.getCause).exists(_.getMessage.contains("out of range")))
+    // empty 'after' store -> NULL total must abort, not emit NULL load rows
+    val empty = assigned.filter(lit(false))
+    val eEmpty = intercept[Exception] {
+      Ann.admissionReport(empty, empty, nCells = 4, maxLoad = 2.0).collect()
+    }
+    assert(eEmpty.getMessage.contains("empty 'after' store") ||
+      Option(eEmpty.getCause).exists(_.getMessage.contains("empty 'after' store")))
+  }
 }
