@@ -3354,16 +3354,41 @@ object SparkEntry {
           "l_returnflag" -> graft.operators.Profile.Str,
           "l_shipdate" -> graft.operators.Profile.Ts))
         .orderBy(col("col_name"))),
-    // the APPROXIMATE sibling (r14): profileApprox is ONE flat pass — HLL++
-    // distinct instead of the Expand-based exact multi-distinct, which
-    // replicates the input |cols|× and makes profile_lineitem the sweep's
-    // slowest query. The HLL estimate is engine-specific, so the gate uses
-    // the agg_sketches self-validation device: exact distincts computed
-    // alongside (gate-scale only — the operator itself never pays them)
-    // and a within-3·rsd flag emitted per column; a sketch drifting out of
-    // its error contract flips the flag and FAILS the hash gate. rsd=0.02
-    // puts the 15% gate bound at 7.5σ.
+    // the APPROXIMATE sibling (r14, split in r15): profileApprox is the
+    // 100 TB ANALYZE — HLL++ distinct instead of the Expand-based exact
+    // multi-distinct, which replicates the input |cols|× and makes
+    // profile_lineitem the sweep's slowest query. The BENCHED query is now
+    // the pure scale plan (r14 verdict #3): no exact distincts anywhere.
+    // The HLL estimate itself is engine-specific, so the hashed surface
+    // carries only portable columns plus a LOOSE in-plan sanity flag
+    // (1 <= estimate <= non-null rows × (1+3·rsd)) that keeps the sketch
+    // un-prunable; the tight sketch-vs-exact 3·rsd bounds check lives in
+    // profile_approx_audit, which stays under the hash gate.
     "profile_approx" -> ((s, d) => {
+      import graft.operators.Profile
+      val li = Tables.lineitem(s, d)
+      val profCols = Seq(
+        "l_orderkey" -> Profile.Num, "l_quantity" -> Profile.Num,
+        "l_extendedprice" -> Profile.Num, "l_returnflag" -> Profile.Str,
+        "l_shipdate" -> Profile.Ts)
+      val ap = Profile.profileApprox(li, profCols, rsd = 0.02)
+      val nrows = li.agg(count(lit(1)).as("__n_rows"))
+      ap.crossJoin(broadcast(nrows))
+        .select(col("col_name"), col("n_nulls"),
+          when(col("n_distinct_approx") >= least(lit(1L), col("__n_rows") - col("n_nulls")) &&
+            col("n_distinct_approx").cast("double") <=
+              (col("__n_rows") - col("n_nulls")).cast("double") * 1.06, 1)
+            .otherwise(0).as("approx_sane"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        .orderBy(col("col_name"))
+    }),
+    // the AUDIT arm of the split: exact distincts computed alongside the
+    // sketch (gate-scale only — the ANALYZE plan above never pays them)
+    // and a within-3·rsd flag per column; a sketch drifting out of its
+    // error contract flips the flag and FAILS the hash gate (the
+    // agg_sketches self-validation device). rsd=0.02 puts the 15% gate
+    // bound at 7.5σ.
+    "profile_approx_audit" -> ((s, d) => {
       import graft.operators.Profile
       val li = Tables.lineitem(s, d)
       val profCols = Seq(
@@ -7509,9 +7534,33 @@ object SparkEntry {
           str("l_returnflag"), ts("l_shipdate"))
           .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
       },
-      // approx profile: exact stats + literal within-bound flags (the
-      // agg_sketches device — the Spark side computes the real flag)
+      // approx profile (scale plan): portable stats + literal sanity flag
+      // (the Spark side computes the real flag from the live sketch)
       "profile_approx" -> {
+        def row(c: String, minNum: String, maxNum: String,
+            minStr: String, maxStr: String) =
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  1 AS approx_sane,
+             |  $minNum AS min_num, $maxNum AS max_num,
+             |  $minStr AS min_str, $maxStr AS max_str
+             |FROM lineitem""".stripMargin
+        def num(c: String) = row(c,
+          s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        def str(c: String) = row(c,
+          "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"MIN($c)", s"MAX($c)")
+        def ts(c: String) = row(c,
+          s"CAST(CAST(epoch(MIN($c)) AS BIGINT) AS DOUBLE)",
+          s"CAST(CAST(epoch(MAX($c)) AS BIGINT) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+          str("l_returnflag"), ts("l_shipdate"))
+          .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+      },
+      // audit arm: exact stats + literal within-bound flags (the
+      // agg_sketches device — the Spark side computes the real flag)
+      "profile_approx_audit" -> {
         def row(c: String, minNum: String, maxNum: String,
             minStr: String, maxStr: String) =
           s"""SELECT '$c' AS col_name,
