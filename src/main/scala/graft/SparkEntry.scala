@@ -1547,10 +1547,15 @@ object SparkEntry {
           nShards = graft.operators.Governance.shardCountFor(docCount(s, d)))
         .orderBy(col("doc_id"))
     }),
-    // --- multimodal plumbing (north star): binary payload + stub decode.
-    // Checksum/decode are JVM-side (mapPartitions) — rows-only check.
+    // --- multimodal plumbing (north star): binary payload, REAL decoder
+    // first (r15 — javax.imageio attempts every image row; the stub is
+    // the documented fallback for undecodable payloads and kinds with no
+    // JDK codec). Over the text-payload corpus nothing decodes, so the
+    // byte-exact stub-replay oracle still holds; the genuinely-decoding
+    // arm gates in media_decode_real / media_frame_sample_real /
+    // media_embed_knn / media_phash_real.
     "media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(par(s, docs(s, d))))
+      Multimodal.extractFeaturesReal(Multimodal.mediaFromDocuments(par(s, docs(s, d))))
         .toDF().orderBy(col("media_id"))),
     // exact media dedup over the BINARY payload column (md5 of raw bytes —
     // the digest a 100 TB blob store dedups on; portable because md5 of a
@@ -1590,12 +1595,24 @@ object SparkEntry {
         .limit(5)
     }),
     // video frame-sampling plan: stride-spaced frame indices per video
-    // payload (the fan-out manifest a decode stage consumes; decode itself
-    // is the documented stub — rows-only check on the JVM-side plumbing)
+    // payload (the fan-out manifest a decode stage consumes; video has no
+    // JDK codec, so these counts ride the documented stub fallback — the
+    // REAL-frame-count arm is media_frame_sample_real below)
     "media_frame_sample_plan" -> ((s, d) =>
       Multimodal.frameSamplePlan(
-          Multimodal.extractFeatures(Multimodal.mediaFromDocuments(par(s, docs(s, d)))),
+          Multimodal.extractFeaturesReal(Multimodal.mediaFromDocuments(par(s, docs(s, d)))),
           stride = 10)
+        .orderBy(col("media_id"), col("frame_idx"))),
+    // REAL multi-frame sampling (r15): animated GIFs — the one multi-frame
+    // format with a JDK codec — encoded driver-side with known frame
+    // counts, frame counts read on executors from the actual container
+    // (ImageReader.getNumImages, header-only, no pixel decoded), then the
+    // same stride plan. Junk bytes pin the stub fallback (1 frame). The
+    // oracle is the fixture's expected-value table
+    "media_frame_sample_real" -> ((s, d) =>
+      Multimodal.frameSamplePlan(
+          Multimodal.extractFeaturesReal(Multimodal.gifFixture(s)),
+          stride = 2, kinds = Seq("image"))
         .orderBy(col("media_id"), col("frame_idx"))),
     // --- streaming-equivalent windowed aggregation (window() function; the
     // streaming variant with watermark runs in StreamingSpec)
@@ -5152,6 +5169,18 @@ object SparkEntry {
            |FROM ($mediaFeaturesSql)
            |WHERE kind = 'video'
            |ORDER BY media_id, frame_idx""".stripMargin,
+      // expected-value table: REAL frame counts of the gifFixture rows
+      // (7- and 3-frame animated GIFs, a 1-frame still, junk -> stub 1)
+      // unrolled through the stride-2 plan
+      "media_frame_sample_real" ->
+        """SELECT media_id, n_frames, frame_idx FROM (VALUES
+          |  (CAST(1 AS BIGINT), 7, 0), (CAST(1 AS BIGINT), 7, 2),
+          |  (CAST(1 AS BIGINT), 7, 4), (CAST(1 AS BIGINT), 7, 6),
+          |  (CAST(2 AS BIGINT), 3, 0), (CAST(2 AS BIGINT), 3, 2),
+          |  (CAST(3 AS BIGINT), 1, 0),
+          |  (CAST(4 AS BIGINT), 1, 0)
+          |) AS t(media_id, n_frames, frame_idx)
+          |ORDER BY media_id, frame_idx""".stripMargin,
       // expected-value embeddings of the real-decode retrieval fixture:
       // per-image luminance masses from the documented pixel patterns
       // (k/1024 — dyadic, float==double) and the junk row's byte

@@ -105,8 +105,12 @@ object Multimodal {
     * payloads that don't decode — and non-image kinds, which have no JDK
     * codec — keep the deterministic stub's pseudo-dimensions, so a mixed
     * corpus never throws. Same schema, same partition-parallel batch
-    * shape; the DECLARED `media_features` query stays on [[extractFeatures]]
-    * (the stub is what the DuckDB oracle can replay — a codec is not SQL). */
+    * shape. The DECLARED `media_features` query runs THIS path (r15): the
+    * real codec attempts first on every image row and the stub is the
+    * documented fallback — over the text-payload corpus the outputs
+    * coincide with [[extractFeatures]] (nothing decodes), which is what
+    * keeps the DuckDB stub-replay oracle exact; `media_frame_sample_real`
+    * gates the genuinely-decoding arm on an animated-GIF fixture. */
   def extractFeaturesReal(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -114,14 +118,64 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
           val checksum = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-          val decoded = if (kind == "image") decodeImage(payload) else None
+          val decoded = if (kind == "image") decodeImageMeta(payload) else None
           val (w, h, f) = decoded match {
-            case Some(img) => (img.getWidth, img.getHeight, 1)
+            case Some((wd, ht, nf)) => (wd, ht, nf)
             case None => stubDecode(payload, kind)
           }
           MediaFeatures(id, kind, payload.length.toLong, checksum, w, h, f)
         }
       }
+  }
+
+  /** Header-level REAL decode metadata: (width, height, n_frames) with the
+    * frame count read from the container (`ImageReader.getNumImages` —
+    * REAL multi-frame counting for animated GIFs, the one multi-frame
+    * format with a JDK codec; stills report 1). Parses metadata only —
+    * no pixel is decoded — so it is the cheap pass a 100 TB manifest
+    * build runs before any sampling/decode stage. Same bomb guards as
+    * [[decodeImage]]. */
+  def decodeImageMeta(payload: Array[Byte],
+      maxBytes: Int = 64 << 20,
+      maxPixels: Long = 64L << 20): Option[(Int, Int, Int)] =
+    if (payload.length > maxBytes) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly = false: getNumImages(true) must search the
+            // whole stream to count frames
+            reader.setInput(iis, false, true)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w.toLong * h.toLong > maxPixels) None
+            else Some((w, h, math.max(1, reader.getNumImages(true))))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Throwable => None }
+
+  /** Multi-frame animated-GIF encoder for the real-frame fixtures: each
+    * frame is appended as its own image block via `writeToSequence`, so
+    * the REAL codec path ([[decodeImageMeta]]'s `getNumImages`) counts
+    * exactly `frames.size`. */
+  def encodeAnimatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Per-payload REAL-decode stats for the gated `media_decode_real` query:
@@ -493,13 +547,48 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling plan for video-ish payloads: every `stride`-th frame
-    * index — pure plan, no decode. */
-  def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
+  /** Frame sampling plan for multi-frame payloads: every `stride`-th frame
+    * index — pure plan, no decode. `kinds` selects which media kinds are
+    * frame-addressable (default video; pass `Seq("image")` for animated
+    * GIFs whose REAL frame counts come from [[decodeImageMeta]]). */
+  def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int,
+      kinds: Seq[String] = Seq("video")): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
-    features.filter(_.kind == "video")
+    val ks = kinds.toSet
+    features.filter(f => ks.contains(f.kind))
       .select(col("media_id"), col("n_frames"))
       .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+  }
+
+  /** Deterministic multi-frame fixture for the REAL frame-count path:
+    * animated GIFs with known frame counts (encoded driver-side with the
+    * JDK's own GIF writer, decoded on executors by [[decodeImageMeta]]'s
+    * `getNumImages`), one still PNG (1 frame), and one junk-bytes row
+    * that falls back to [[stubDecode]] (image kind → 1 frame). Expected
+    * frame counts are the fixture constants, so the sampling plan's
+    * oracle is a literal table. */
+  def gifFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 4) { var x = 0; while (x < 4) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      img
+    }
+    def anim(n: Int): Array[Byte] =
+      encodeAnimatedGif((0 until n).map(i => frame(0x111111 * (i % 8))))
+    def still(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(frame(0x808080), "png", bos), "no png writer")
+      bos.toByteArray
+    }
+    Seq(
+      (1L, "image", anim(7)),
+      (2L, "image", anim(3)),
+      (3L, "image", still()),
+      (4L, "image", "not an image at all".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
   }
 }

@@ -86,6 +86,29 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     assert(feats.filter(col("kind") === "video").count() > 0)
   }
 
+  test("multimodal REAL frame counts: animated GIFs report their true frame count header-only") {
+    import spark.implicits._
+    val fx = Multimodal.gifFixture(spark)
+    val f = Multimodal.extractFeaturesReal(fx).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).n_frames == 7 && f(1L).width == 4 && f(1L).height == 4)
+    assert(f(2L).n_frames == 3)
+    assert(f(3L).n_frames == 1, "a still PNG is one frame")
+    // junk bytes: stub fallback, image kind -> 1 frame
+    assert(f(4L).n_frames == 1)
+    // decodeImageMeta is header-only and honors the same bomb guards
+    val gif7 = fx.filter(col("media_id") === 1L).collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.decodeImageMeta(gif7).contains((4, 4, 7)))
+    assert(Multimodal.decodeImageMeta(gif7, maxBytes = 4).isEmpty)
+    assert(Multimodal.decodeImageMeta(gif7, maxPixels = 8L).isEmpty)
+    // the stride plan over the real counts: 7 frames @ stride 2 -> 0,2,4,6
+    val plan = Multimodal.frameSamplePlan(
+        Multimodal.extractFeaturesReal(fx), stride = 2, kinds = Seq("image"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(plan.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 2, 4, 6))
+    assert(plan.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0, 2))
+    assert(plan.filter(_._1 == 3L).map(_._2).toSeq == Seq(0))
+  }
+
   test("multimodal REAL decode: PNG/JPEG bytes yield true dimensions and pixel embeddings; others fall back to the stub") {
     import spark.implicits._
     def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
