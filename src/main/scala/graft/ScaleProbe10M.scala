@@ -367,6 +367,27 @@ object ScaleProbe10M extends App {
     assert(uniVocab.nonEmpty && uniScores.nonEmpty)
     println(s"SCALE   unigram vocab ${uniVocab.length} pieces, " +
       s"top piece ${uniVocab.maxBy(_.getLong(1)).getString(0)}")
+    // Unigram ENCODE at corpus scale (r15, verdict #7 — BPE's analog of
+    // the daily-drop tokenize): 10M docs / 100M word instances drawn from
+    // the SAME 2.5M-word vocabulary, encoded under the scores trained
+    // above. The Viterbi fold runs once per DISTINCT word (2.5M rows,
+    // distributed); the corpus pays one broadcast-dictionary hash probe
+    // per word and one per-doc aggregation. Driver state stays the
+    // O(vocab) typedLit score map — nothing grows with the corpus.
+    val encDocs = spark.range(10000000L).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        lower(conv(((col("id") * 10 + j) % nWords).cast("string"), 10, 36))): _*)
+        .as("text"))
+    val enc = graft.operators.Unigram.encodeTokenCounts(encDocs, uniScores, uniCfg)
+    val encStats = t("unigram encode, 10M docs / 100M words") {
+      enc.agg(sum(col("n_tokens")).as("toks"), sum(col("n_chars")).as("chrs"),
+        count(lit(1)).as("docs")).head()
+    }
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert(encPlan.contains("BroadcastHashJoin") || encPlan.contains("BroadcastExchange"),
+      "unigram encode lost the broadcast-dictionary plan shape")
+    println(s"SCALE   unigram encoded ${encStats.getLong(2)} docs, " +
+      s"${encStats.getLong(0)} tokens from ${encStats.getLong(1)} chars")
     bpeDocs.unpersist(false)
   }
   spark.stop()
