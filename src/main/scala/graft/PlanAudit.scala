@@ -100,16 +100,26 @@ object PlanAudit {
         "HashAggregates to |cells| rows plus a broadcast of the 1-row " +
         "total - the store is unioned, never re-assigned."),
     "profile_approx" ->
-      ("Approximate ANALYZE (r14): the OPERATOR side (stats + HLL " +
-        "sketches) has no Expand and keeps the min/max pass inside " +
-        "WholeStageCodegen by aggregating the sketches in a SEPARATE " +
-        "job; the extra aggregates in this gated plan are the gate's " +
-        "exact-distinct VALIDATION side (fixture-scale only - it flags " +
-        "sketch drift and is exactly what profileApprox avoids at scale)."))
+      ("Approximate ANALYZE (r14, split r15): the gated plan IS the scale " +
+        "plan - stats + HLL sketches with NO Expand and NO exact " +
+        "count_distinct anywhere (the sketch-vs-exact validation moved to " +
+        "profile_approx_audit); min/max stay inside WholeStageCodegen by " +
+        "aggregating the sketches in a SEPARATE job, and only kB sketch " +
+        "buffers cross the exchange."),
+    "governance_k_generalize" ->
+      ("Generalize-then-suppress release (r15): each arm is one map-side-" +
+        "combinable groupBy to the quasi-domain-bounded group table; the " +
+        "suppression anti-join null-safely broadcasts the tiny violating " +
+        "list (AQE) - nothing shuffles twice, output rows = 2."),
+    "media_frame_sample_real" ->
+      ("REAL frame sampling (r15): header-only getNumImages inside ONE " +
+        "mapPartitions decode pass (the documented multimodal escape " +
+        "hatch), then a codegen'd sequence/explode - no shuffle at all; " +
+        "at 100 TB the decode cost is the floor, the plan adds nothing."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outFile = if (args.length > 1) args(1) else "PLANS_r14.md"
+    val outFile = if (args.length > 1) args(1) else "PLANS_r15.md"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -119,7 +129,7 @@ object PlanAudit {
     try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
 
     val sb = new StringBuilder
-    sb.append("# Physical-plan audit (round 14)\n\n")
+    sb.append("# Physical-plan audit (round 15)\n\n")
     sb.append(s"Generated by `runMain graft.PlanAudit $sfDir` at sf dir `$sfDir`.\n")
     sb.append("Each section: what the plan MUST show for the design to hold at ")
     sb.append("100 TB / 1000 executors, the extracted plan facts, then the full ")

@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpecBase {
     "events_ewma_hourly", "events_funnel",
     "events_funnel_latency", "events_rolling_active_users",
     "profile_lineitem", "profile_approx", // 1-row stats x 1-row sketch aggregates
+    "profile_approx_audit", // 1-row exact-distinct aggregate re-joined for the 3rsd flags
     "sample_dsir_importance", // 2x scoreSums vocab scalar
     "subquery_above_avg_orders", "text_bigram_lm",
     "text_bm25_topk", "text_chi2_lang_source", "text_chunk_bm25_doc",
