@@ -190,7 +190,19 @@ object Unigram {
     if (driverDictLimit > 0) {
       val probe = Bpe.wordFreq(docs, textCol)
         .limit(driverDictLimit + 1).collect()
-      if (probe.length <= driverDictLimit) {
+      // BMP-only precondition on the DRIVER path (r14 ADVICE): the local
+      // mirror indexes words by UTF-16 units (String.substring/length)
+      // while Spark's substr/length and DuckDB's substring count CODE
+      // POINTS — for Basic-Multilingual-Plane text the two coincide
+      // (1 unit = 1 code point, and UTF-16 unit order = UTF-8 byte
+      // order), but a supplementary-plane character (emoji, rare CJK) is
+      // 2 units vs 1 code point and would segment at different
+      // granularity. Such corpora fall through to the distributed loop,
+      // which is code-point-exact against the oracle.
+      val allBmp = probe.forall { r =>
+        val w = r.getString(0); w.codePointCount(0, w.length) == w.length
+      }
+      if (probe.length <= driverDictLimit && allBmp) {
         val wfSeq = probe.map(r => (r.getString(0), r.getLong(1))).toSeq
         val maxLen = wfSeq.map(_._1.length).maxOption.getOrElse(0)
         require(maxLen <= cfg.maxWordLen,

@@ -56,6 +56,31 @@ class UnigramSpec extends SparkSpecBase {
     }
   }
 
+  test("non-BMP corpora skip the driver fast path and stay code-point-exact") {
+    import spark.implicits._
+    // one word carries a supplementary-plane char (2 UTF-16 units, 1 code
+    // point): the local mirror indexes by UTF-16 units, so the driver
+    // fast path must refuse and route to the distributed loop — default
+    // and forced-distributed training must agree exactly
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq(
+      (0L, s"ab${emoji}a ab ab"),
+      (1L, s"ba a${emoji} ab"),
+      (2L, "aa ab ba")).toDF("doc_id", "text")
+    val cfg = Unigram.Config(maxPieceLen = 2, seedSize = 16, vocabSize = 8,
+      emIters = 1, maxWordLen = 6)
+    val dflt = Unigram.train(docs, cfg)
+    val dist = Unigram.train(docs, cfg, driverDictLimit = 0)
+    assert(dflt._2 == dist._2, "scores must come from the distributed loop")
+    assert(dflt._1.collect().toSeq == dist._1.collect().toSeq)
+    // the supplementary char is a single vocab piece (code point), and
+    // every word still encodes
+    val pieces = dflt._2.map(_._1)
+    assert(pieces.contains(emoji), s"emoji must be a single-char piece in $pieces")
+    val enc = Unigram.encodeTokenCounts(docs, dflt._2, cfg).collect()
+    assert(enc.length == 3 && enc.forall(_.getLong(1) > 0))
+  }
+
   test("vocab invariants: chars always present, size bounded, encode covers every word") {
     val docs = Seq(
       (1L, "banana bandana banana cabana"),
