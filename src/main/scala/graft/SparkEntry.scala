@@ -1550,13 +1550,21 @@ object SparkEntry {
     // --- multimodal plumbing (north star): binary payload, REAL decoder
     // first (r15 — javax.imageio attempts every image row; the stub is
     // the documented fallback for undecodable payloads and kinds with no
-    // JDK codec). Over the text-payload corpus nothing decodes, so the
-    // byte-exact stub-replay oracle still holds; the genuinely-decoding
-    // arm gates in media_decode_real / media_frame_sample_real /
-    // media_embed_knn / media_phash_real.
-    "media_features" -> ((s, d) =>
-      Multimodal.extractFeaturesReal(Multimodal.mediaFromDocuments(par(s, docs(s, d))))
-        .toDF().orderBy(col("media_id"))),
+    // JDK codec). The corpus is the text-payload media table UNIONed with
+    // the id-shifted real-decode fixture, so the codec genuinely FIRES
+    // inside this gated query: fixture image rows land their REAL decoded
+    // dims (oracle rows carry the known-by-construction dims; checksums/
+    // byte counts derive from the same deterministic payload bytes),
+    // document rows and the junk/audio fixture rows replay the stub
+    // fallback byte-exactly as before.
+    "media_features" -> ((s, d) => {
+      val corpus = Multimodal.mediaFromDocuments(par(s, docs(s, d)))
+      val fx = Multimodal.realDecodeFixture(s)
+        .select((col("media_id") + 1000000000L).as("media_id"),
+          col("kind"), col("payload"))
+      Multimodal.extractFeaturesReal(corpus.unionByName(fx))
+        .toDF().orderBy(col("media_id"))
+    }),
     // exact media dedup over the BINARY payload column (md5 of raw bytes —
     // the digest a 100 TB blob store dedups on; portable because md5 of a
     // UTF-8 payload equals DuckDB's md5 of the source text). The fixture
@@ -5146,9 +5154,28 @@ object SparkEntry {
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 3)
           |SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
           |FROM alldocs GROUP BY digest HAVING COUNT(*) >= 2 ORDER BY digest""".stripMargin,
-      "media_features" ->
-        s"""$mediaFeaturesSql
-           |ORDER BY media_id""".stripMargin,
+      "media_features" -> {
+        // fixture expected rows (r15): REAL-decoding image rows carry the
+        // known-by-construction dims (frames = 1 stills); the junk and
+        // non-image rows fall back to the stub, replayed driver-side over
+        // the same deterministic payload bytes (which also supply
+        // n_bytes and the polynomial checksum — payload identity, not
+        // decode logic).
+        val knownDims = Map(1L -> (8, 5, 1), 2L -> (20, 10, 1),
+          3L -> (12, 7, 1), 4L -> (9, 9, 1), 5L -> (16, 4, 1))
+        val fxRows = Multimodal.realDecodeFixtureRows.map { case (id, kind, payload) =>
+          val checksum = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+          val (w, h, f) = knownDims.getOrElse(id, Multimodal.stubDecode(payload, kind))
+          s"(CAST(${id + 1000000000L} AS BIGINT), '$kind', " +
+            s"CAST(${payload.length} AS BIGINT), CAST($checksum AS BIGINT), $w, $h, $f)"
+        }.mkString(",\n  ")
+        s"""SELECT * FROM (
+           |$mediaFeaturesSql
+           |UNION ALL
+           |SELECT * FROM (VALUES
+           |  $fxRows) AS fx(media_id, kind, n_bytes, checksum, width, height, n_frames)
+           |) ORDER BY media_id""".stripMargin
+      },
       // expected-value table for the REAL-decode fixture: solid colors in
       // lossless formats decode to exactly the drawn pixels, so integer
       // ITU-R 601 luminance is a constant per row ((299R+587G+114B)/1000)

@@ -222,8 +222,12 @@ object Multimodal {
     * decodable-bytes-but-non-image-kind row for the fallback contract.
     * Feeds the declared `media_decode_real` query, whose oracle is the
     * corresponding expected-value table. */
-  def realDecodeFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
+  /** The [[realDecodeFixture]] rows as plain data — callable driver-side
+    * so oracle builders can derive expected checksums/byte counts from
+    * the SAME payload bytes the executors decode (the encoder output is
+    * deterministic within one JVM run, which is the scope of a Verify
+    * round-trip). Declared dims per row: 8x5, 20x10, 12x7, 9x9, 16x4. */
+  def realDecodeFixtureRows: Seq[(Long, String, Array[Byte])] = {
     def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -241,7 +245,12 @@ object Multimodal {
       (5L, "image", encode("png", 16, 4, 0x123456)),  // luma 45710/1000 = 45
       (6L, "image", "definitely not an image payload".getBytes("UTF-8")),
       (7L, "audio", encode("png", 6, 6, 0xFFFFFF))    // non-image kind: no codec
-    ).toDF("media_id", "kind", "payload")
+    )
+  }
+
+  def realDecodeFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    realDecodeFixtureRows.toDF("media_id", "kind", "payload")
   }
 
   final case class MediaPHash(media_id: Long, decoded: Int, phash: Long)
