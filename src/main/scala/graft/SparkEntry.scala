@@ -4116,6 +4116,18 @@ object SparkEntry {
         Tables.customer(s, d)
           .withColumn("ab_bucket", floor(col("c_acctbal") / 1000).cast("int")),
         Seq("c_nationkey", "ab_bucket"), "c_mktsegment", l = 2L)),
+    // the unbounded-sensitive-domain scale path (r15): per-group HLL++
+    // distinct audited against exact at gate scale — a sketch out of its
+    // 3-rsd contract in ANY group flips hll_all_within and fails the
+    // hash gate; the summary columns stay the exact, engine-portable
+    // report. Sensitive column = c_name (one distinct value per customer
+    // — the unbounded-domain cardinality where exact per-group
+    // distinct sets start to hurt)
+    "governance_l_diversity_approx" -> ((s, d) =>
+      graft.operators.Governance.lDiversityApproxAudit(
+        Tables.customer(s, d)
+          .withColumn("ab_bucket", floor(col("c_acctbal") / 1000).cast("int")),
+        Seq("c_nationkey", "ab_bucket"), "c_name", l = 2L)),
     "sample_priority_per_source" -> ((s, d) =>
       graft.streaming.StreamSample.prioritySample(
           docs(s, d), col("source"), col("doc_id"),
@@ -8436,6 +8448,21 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN gl < 2 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
           |  CAST(MIN(gl) AS BIGINT) AS min_diversity,
           |  CASE WHEN MIN(gl) >= 2 THEN 1 ELSE 0 END AS diverse
+          |FROM g""".stripMargin,
+      // exact replay + literal flag (the Spark side computes the real
+      // per-group sketch-vs-exact flag — the agg_sketches device)
+      "governance_l_diversity_approx" ->
+        """WITH g AS (
+          |  SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS INT) AS ab_bucket,
+          |    COUNT(*) AS gn, COUNT(DISTINCT c_name) AS gl
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT CAST(2 AS BIGINT) AS l,
+          |  COUNT(*) AS n_groups,
+          |  CAST(SUM(CASE WHEN gl < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+          |  CAST(SUM(CASE WHEN gl < 2 THEN gn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+          |  CAST(MIN(gl) AS BIGINT) AS min_diversity,
+          |  CASE WHEN MIN(gl) >= 2 THEN 1 ELSE 0 END AS diverse,
+          |  1 AS hll_all_within
           |FROM g""".stripMargin,
       "sample_priority_per_source" ->
         s"""WITH scored AS (

@@ -366,4 +366,40 @@ object Governance {
       min(col("__gl")).as("min_diversity"),
       when(min(col("__gl")) >= l, 1).otherwise(0).as("diverse"))
   }
+
+  /** The unbounded-sensitive-domain l-diversity AUDIT (the HLL fallback
+    * [[lDiversityReport]]'s scaladoc promises, gated with the
+    * [[Profile.profileApprox]] self-validation device): per quasi-group
+    * `approx_count_distinct` (HLL++, fixed kB buffers crossing the
+    * exchange — the plan that survives a sensitive column with millions
+    * of values) computed ALONGSIDE the exact distinct at gate scale, and
+    * a `hll_all_within` flag that is the MIN over groups of a per-group
+    * within-bound test (|approx − exact| ≤ max(1, exact × 3·rsd·2.5));
+    * any group's sketch drifting out of contract flips the flag and
+    * fails the hash gate. Summary columns are the EXACT report (engine-
+    * portable) — the sketch contributes only the validated flag. */
+  def lDiversityApproxAudit(df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Long, rsd: Double = 0.02): DataFrame = {
+    require(quasi.nonEmpty && l >= 1L && !quasi.contains(sensitive))
+    val exact = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__gn"), countDistinct(col(sensitive)).as("__gl"))
+    val approx = df.groupBy(quasi.map(col): _*)
+      .agg(approx_count_distinct(col(sensitive), rsd).as("__gla"))
+    val within = when(
+      abs(col("__gla") - col("__gl")).cast("double") <=
+        greatest(lit(1.0), col("__gl").cast("double") * (rsd * 7.5)), 1).otherwise(0)
+    // null-safe group join (the kSuppress lesson): a NULL quasi value is a
+    // group of its own in BOTH aggregations and must pair up, not drop out
+    val ap = approx.select(
+      (quasi.map(c => col(c).as(s"__a_$c")) :+ col("__gla")): _*)
+    val cond = quasi.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _)
+    exact.join(ap, cond).agg(
+      lit(l).as("l"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__gl") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("__gl") < l, col("__gn")).otherwise(0L)).as("n_rows_at_risk"),
+      min(col("__gl")).as("min_diversity"),
+      when(min(col("__gl")) >= l, 1).otherwise(0).as("diverse"),
+      min(within).as("hll_all_within"))
+  }
 }

@@ -211,6 +211,25 @@ class GovernanceSpec extends SparkSpecBase {
     assert(ld.getLong(4) == 1L && ld.getInt(5) == 0)
   }
 
+  test("lDiversityApproxAudit: exact summary, sketch flag, NULL quasi groups pair up") {
+    // small domains: HLL++ is exact well below its sparse threshold, so
+    // the flag must be 1 and the summary must equal the exact report —
+    // including a NULL quasi group (the null-safe group join)
+    val rows: Seq[(Long, String, String)] =
+      Seq((0L, "de", "s1"), (1L, "de", "s2"), (2L, "de", "s3"),
+        (3L, "fr", "s1"), (4L, "fr", "s1"),
+        (5L, null, "s1"), (6L, null, "s2"))
+    val df = rows.toDF("id", "country", "segment")
+    val got = Governance.lDiversityApproxAudit(df, Seq("country"), "segment", l = 2L)
+      .head()
+    val exact = Governance.lDiversityReport(df, Seq("country"), "segment", l = 2L)
+      .head()
+    assert((0 until 6).forall(i => got.get(i) == exact.get(i)),
+      s"approx audit summary must equal the exact report: $got vs $exact")
+    assert(got.getLong(1) == 3L, "NULL-country group must be counted")
+    assert(got.getInt(6) == 1, "sketches exact at this cardinality -> flag 1")
+  }
+
   test("kSuppress suppresses under-k NULL-quasi groups (null-safe anti-join)") {
     // r14 ADVICE: kAnonymityReport's groupBy counts NULL as a group of
     // its own, so the enforcement anti-join must match NULLs too — a
