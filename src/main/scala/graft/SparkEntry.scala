@@ -1455,6 +1455,33 @@ object SparkEntry {
         .toDF("stage_idx", "stage", "n_rows")
         .orderBy(col("stage_idx"))
     }),
+    // GOVERNED-RELEASE funnel (r15): the privacy-gated publication flow a
+    // corpus release runs end-to-end — quality/language gate (map-side)
+    // → exact dedup (one hash shuffle) → k-anonymity SUPPRESSION on the
+    // release quasi-identifiers (source, length bucket; null-safe
+    // anti-join against the tiny violating list) → per-step row counts.
+    // Each count is an independent aggregation job (the Profile.audit
+    // shape); nothing in the chain holds driver state
+    "pipeline_release_funnel" -> ((s, d) => {
+      import graft.operators.{Dedup, Governance, TextAnalysis}
+      val all = par(s, docs(s, d))
+      val gated = all
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
+        .filter(col("quality") >= 0.3 && col("lang_pred") === "en")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val deduped = Dedup.exactDedup(gated)
+      val withQ = deduped
+        .withColumn("cb", floor(col("n_chars") / 50).cast("int"))
+      val released = Governance.kSuppress(withQ, Seq("source", "cb"), k = 5L)
+      Seq(
+        "1_input" -> all, "2_quality_lang" -> gated,
+        "3_exact_dedup" -> deduped, "4_k_anon_release" -> released)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("step"), col("n_rows"))
+        }
+        .reduce(_ unionByName _).orderBy(col("step"))
+    }),
     // banding recall eval: LSH near-dup pairs vs exact ground truth,
     // restricted to pairs INCIDENT to a SIZE-TARGETED probe sample (~25
     // probes at any SF; the r7 fixed `% 20` fraction grew the probe set —
@@ -5590,6 +5617,32 @@ object SparkEntry {
            |    (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) FROM lsh_drops)
            |) ORDER BY stage_idx""".stripMargin
       },
+      "pipeline_release_funnel" ->
+        s"""WITH gated AS (
+           |  SELECT d.doc_id, d.text, d.source, d.n_chars
+           |  FROM (
+           |  ${qualityGateSql(0.3, "en")}
+           |  ) g JOIN documents d ON d.doc_id = g.doc_id),
+           |dedup AS (
+           |  SELECT doc_id, source, n_chars FROM (
+           |    SELECT doc_id, source, n_chars,
+           |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM gated) WHERE rn = 1),
+           |withq AS (
+           |  SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS INT) AS cb FROM dedup),
+           |viol AS (
+           |  SELECT source, cb FROM withq GROUP BY 1, 2 HAVING COUNT(*) < 5),
+           |released AS (
+           |  SELECT * FROM withq q WHERE NOT EXISTS (
+           |    SELECT 1 FROM viol v
+           |    WHERE v.source IS NOT DISTINCT FROM q.source
+           |      AND v.cb IS NOT DISTINCT FROM q.cb))
+           |SELECT * FROM (
+           |  SELECT '1_input' AS step, (SELECT COUNT(*) FROM documents) AS n_rows
+           |  UNION ALL SELECT '2_quality_lang', (SELECT COUNT(*) FROM gated)
+           |  UNION ALL SELECT '3_exact_dedup', (SELECT COUNT(*) FROM dedup)
+           |  UNION ALL SELECT '4_k_anon_release', (SELECT COUNT(*) FROM released)
+           |) ORDER BY step""".stripMargin,
       "sample_documents_hashmod" ->
         "SELECT doc_id, n_chars FROM documents WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10 ORDER BY doc_id",
       "sample_weighted_bernoulli" ->
