@@ -164,7 +164,8 @@ object Bench {
       "media_embed_knn",
       // round-15 flagships
       "governance_k_generalize", "media_frame_sample_real",
-      "text_unigram_vocab")
+      "text_unigram_vocab", "pipeline_release_funnel",
+      "governance_l_diversity_approx")
     val resMap = results.toMap
     val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
     // stop FIRST, print LAST: the driver keeps only the tail of stdout, so
