@@ -47,6 +47,7 @@ object ScaleProbe10M extends App {
   val runDsir = stages == "all" || stages == "dsir"
   val runQgrid = stages == "all" || stages == "qgrid"
   val runBpe = stages == "all" || stages == "bpe"
+  val runGov = stages == "all" || stages == "gov"
 
   val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     .select(col("doc_id"), col("text"))
@@ -389,6 +390,39 @@ object ScaleProbe10M extends App {
     println(s"SCALE   unigram encoded ${encStats.getLong(2)} docs, " +
       s"${encStats.getLong(0)} tokens from ${encStats.getLong(1)} chars")
     bpeDocs.unpersist(false)
+  }
+
+  // r15 — k-anonymity enforcement at corpus scale: 10M rows over a
+  // bounded quasi domain (1000 sources x 40 length buckets) with a
+  // deterministic long tail (quasi combos whose hash lands under the
+  // threshold get only 1-4 rows). The audit is ONE map-side-combinable
+  // aggregation to the 40k-combo group table; suppression anti-joins the
+  // (tiny) violating list null-safely — AQE broadcasts it — and the
+  // released re-audit MUST come back anonymous=1 at any scale.
+  if (runGov) {
+    import graft.operators.Governance
+    val n = 10000000L
+    val rows = spark.range(n).select(col("id"),
+      concat(lit("src_"), (col("id") % 1000).cast("string")).as("source"),
+      // hash-derived bucket: ~1% of combos become under-k singletons by
+      // construction (ids beyond the dense range land in sparse buckets)
+      when(pmod(hash(col("id")), lit(100)) < 1,
+        (lit(40) + pmod(hash(col("id") * 7), lit(100000))).cast("int"))
+        .otherwise(pmod(col("id") / 1000, lit(40)).cast("int")).as("cb"))
+    val quasi = Seq("source", "cb")
+    val audit = t("k-anonymity audit (10M rows, 40k+ combos)") {
+      Governance.kAnonymityReport(rows, quasi, k = 5L).head()
+    }
+    println(s"SCALE   groups=${audit.getLong(1)} violating=${audit.getLong(2)} " +
+      s"rows_at_risk=${audit.getLong(3)}")
+    assert(audit.getLong(2) > 0, "fixture must have under-k combos")
+    val (released, reAudit) = t("k-suppression + re-audit (10M rows)") {
+      val rel = Governance.kSuppress(rows, quasi, k = 5L)
+      (rel.count(), Governance.kAnonymityReport(rel, quasi, k = 5L).head())
+    }
+    println(s"SCALE   released=$released of $n, re-audit anonymous=${reAudit.getInt(5)}")
+    assert(reAudit.getInt(5) == 1, "released frame must be k-anonymous")
+    assert(released == n - audit.getLong(3), "suppressed exactly the rows at risk")
   }
   spark.stop()
 }
