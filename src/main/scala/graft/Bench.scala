@@ -72,11 +72,15 @@ object Bench {
     def sentinel(pos: String): String = {
       val fn = SparkEntry.queries("knn_l2_brute")
       val la = loadAvg()
+      // a run that THROWS records -1, never its time-to-failure — else a
+      // failing sentinel (the very trouble it exists to surface) would
+      // read as a fast, quiet host in the artifact
       val runs = Seq.fill(2) {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       }
       f"""{"pos":"$pos","loadavg":$la%.2f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}]}"""
     }

@@ -1463,12 +1463,9 @@ object SparkEntry {
     // Each count is an independent aggregation job (the Profile.audit
     // shape); nothing in the chain holds driver state
     "pipeline_release_funnel" -> ((s, d) => {
-      import graft.operators.{Dedup, Governance, TextAnalysis}
+      import graft.operators.{Dedup, Governance}
       val all = par(s, docs(s, d))
-      val gated = all
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
-        .filter(col("quality") >= 0.3 && col("lang_pred") === "en")
+      val gated = graft.pipeline.Curation.qualityLangGate(all)
         .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
       val deduped = Dedup.exactDedup(gated)
       val withQ = deduped
@@ -1527,10 +1524,7 @@ object SparkEntry {
     // DuckDB mirror chains the proven per-stage SQL fragments
     "pipeline_pretrain" -> ((s, d) => {
       val all = par(s, docs(s, d))
-      val gated = all
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
-        .filter(col("quality") >= 0.3 && col("lang_pred") === "en")
+      val gated = graft.pipeline.Curation.qualityLangGate(all)
         .select(col("doc_id"), col("text"))
       val bench = all.filter(col("doc_id") % 50 === 0)
       val train = gated.filter(col("doc_id") % 50 =!= 0)

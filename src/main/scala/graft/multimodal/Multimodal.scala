@@ -78,13 +78,22 @@ object Multimodal {
     *     BufferedImage inside `ImageIO.read` — the header check refuses it
     *     without decoding a pixel. 64 MPix ≈ 256 MB of ARGB raster, the
     *     per-task ceiling a real ingest pipeline budgets for. */
+  /** Image input stream over in-memory bytes WITHOUT ImageIO's default
+    * disk cache: `createImageInputStream` would build a
+    * FileCacheImageInputStream (a temp-file create/delete per call) even
+    * for a ByteArrayInputStream — pure waste when every payload is
+    * already a byte array, and a per-row executor-disk hit on the corpus
+    * paths (media_features runs this over every image-kind row). */
+  private def memStream(payload: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
   def decodeImage(payload: Array[Byte],
       maxBytes: Int = 64 << 20,
       maxPixels: Long = 64L << 20): Option[java.awt.image.BufferedImage] =
     if (payload.length > maxBytes) None
     else try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val iis = memStream(payload)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -140,8 +149,7 @@ object Multimodal {
       maxPixels: Long = 64L << 20): Option[(Int, Int, Int)] =
     if (payload.length > maxBytes) None
     else try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val iis = memStream(payload)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None

@@ -381,19 +381,19 @@ object Governance {
   def lDiversityApproxAudit(df: DataFrame, quasi: Seq[String], sensitive: String,
       l: Long, rsd: Double = 0.02): DataFrame = {
     require(quasi.nonEmpty && l >= 1L && !quasi.contains(sensitive))
-    val exact = df.groupBy(quasi.map(col): _*)
-      .agg(count(lit(1)).as("__gn"), countDistinct(col(sensitive)).as("__gl"))
-    val approx = df.groupBy(quasi.map(col): _*)
-      .agg(approx_count_distinct(col(sensitive), rsd).as("__gla"))
+    // ONE aggregation: approx_count_distinct is a regular (non-distinct)
+    // aggregate, so it rides the same groupBy as count + countDistinct —
+    // one scan, no group re-join, and NULL quasi groups trivially carry
+    // both values (a second scan + null-safe join was measured out in
+    // review). The exact countDistinct is the gate-scale validation cost
+    // this audit exists to pay; the pure scale plan keeps only the HLL.
+    val groups = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__gn"), countDistinct(col(sensitive)).as("__gl"),
+        approx_count_distinct(col(sensitive), rsd).as("__gla"))
     val within = when(
       abs(col("__gla") - col("__gl")).cast("double") <=
         greatest(lit(1.0), col("__gl").cast("double") * (rsd * 7.5)), 1).otherwise(0)
-    // null-safe group join (the kSuppress lesson): a NULL quasi value is a
-    // group of its own in BOTH aggregations and must pair up, not drop out
-    val ap = approx.select(
-      (quasi.map(c => col(c).as(s"__a_$c")) :+ col("__gla")): _*)
-    val cond = quasi.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _)
-    exact.join(ap, cond).agg(
+    groups.agg(
       lit(l).as("l"),
       count(lit(1)).as("n_groups"),
       sum(when(col("__gl") < l, 1L).otherwise(0L)).as("n_violating_groups"),

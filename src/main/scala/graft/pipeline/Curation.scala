@@ -24,6 +24,18 @@ object Curation {
       bands: Int = 4,
       nearDupThreshold: Double = 0.5)
 
+  /** The quality + language gate (per-row, shuffle-free) — THE shared
+    * Spark-side implementation of the `qualityGateSql` oracle fragment.
+    * Every gated pipeline that filters on (quality, lang_pred) must go
+    * through here so the formula/threshold can never silently diverge
+    * between queries mirroring the same SQL. Appends the two gate
+    * columns; callers project them away if unwanted. */
+  def qualityLangGate(docs: DataFrame, minQuality: Double = 0.3,
+      lang: String = "en", textCol: String = "text"): DataFrame =
+    docs.withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col(textCol)))
+      .filter(col("quality") >= minQuality && col("lang_pred") === lang)
+
   /** @param withFunnel false skips the per-stage counts (4 extra jobs) —
     *                    use for fire-and-forget runs where only the curated
     *                    output matters
@@ -44,10 +56,8 @@ object Curation {
     stage("input", docs)
 
     // 1. quality + language gate (per-row, shuffle-free)
-    val gated = stage("quality_lang_gate", docs
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col(textCol)))
-      .filter(col("quality") >= cfg.minQuality && col("lang_pred") === cfg.lang))
+    val gated = stage("quality_lang_gate",
+      qualityLangGate(docs, cfg.minQuality, cfg.lang, textCol))
 
     // 2. exact dedup (one hash shuffle); cached once — the survivors feed
     // BOTH the LSH candidate pass and the final anti-join. persist (not
