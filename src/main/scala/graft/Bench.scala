@@ -171,11 +171,35 @@ object Bench {
       "text_unigram_vocab", "pipeline_release_funnel",
       "governance_l_diversity_approx")
     val resMap = results.toMap
-    val qs = jmap(headline.flatMap(h => resMap.get(h).map(h -> _)))
+    // r16: the printed line must fit the driver's 2000-char stdout tail
+    // WITH margin — r15 grew it to ~1657 by duplicating the full sentinel
+    // array (now detail-file-only; the line keeps just the three loadavg
+    // readings) and the headline list gains entries every round. Belt and
+    // suspenders: if the composed line still exceeds the budget, drop
+    // headline entries from the END (newest flagships first — the stable
+    // early names are what makes rounds comparable) and say how many.
+    val loads = sentinels.map { sj =>
+      val m = """"loadavg":(-?[0-9.]+)""".r.findFirstMatchIn(sj)
+      m.map(_.group(1)).getOrElse("-1")
+    }.mkString("[", ",", "]")
+    val maxLine = 1800
+    def line(hs: Seq[String], omitted: Int): String = {
+      val qs = jmap(hs.flatMap(h => resMap.get(h).map(h -> _)))
+      val om = if (omitted > 0) s""","omitted_headline":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"detail":"BENCH_DETAIL.json","load":$loads$om,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    var keep = headline.size
+    var out = line(headline, 0)
+    while (out.length > maxLine && keep > 1) {
+      keep -= 1
+      out = line(headline.take(keep), headline.size - keep)
+    }
+    if (out.length > maxLine)
+      System.err.println(s"[bench] metric line still ${out.length} chars after trim")
     // stop FIRST, print LAST: the driver keeps only the tail of stdout, so
     // nothing (shutdown warnings included) may follow the metric line
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"detail":"BENCH_DETAIL.json","sentinel":$sentinelJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(out)
     System.out.flush()
   }
 }

@@ -1569,9 +1569,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     // --- multimodal plumbing (north star): binary payload, REAL decoder
-    // first (r15 — javax.imageio attempts every image row; the stub is
-    // the documented fallback for undecodable payloads and kinds with no
-    // JDK codec). The corpus is the text-payload media table UNIONed with
+    // on the id-shifted decode-fixture rows (media_id >= RealDecodeIdMin),
+    // stub contract on corpus rows BY CONSTRUCTION (r16 — the r15 form
+    // attempted the header-only decode on every image row, so the
+    // stub-replay oracle held only because no corpus text payload happened
+    // to start with an image magic; the id gate makes the choice
+    // structural). The corpus is the text-payload media table UNIONed with
     // the id-shifted real-decode fixture, so the codec genuinely FIRES
     // inside this gated query: fixture image rows land their REAL decoded
     // dims (oracle rows carry the known-by-construction dims; checksums/
@@ -1640,7 +1643,10 @@ object SparkEntry {
     // oracle is the fixture's expected-value table
     "media_frame_sample_real" -> ((s, d) =>
       Multimodal.frameSamplePlan(
-          Multimodal.extractFeaturesReal(Multimodal.gifFixture(s)),
+          // realIdMin = 0: the input is ENTIRELY the decode fixture, so the
+          // real codec fires on every image row (the junk-bytes row still
+          // pins the stub fallback by genuinely failing the header parse)
+          Multimodal.extractFeaturesReal(Multimodal.gifFixture(s), realIdMin = 0L),
           stride = 2, kinds = Seq("image"))
         .orderBy(col("media_id"), col("frame_idx"))),
     // --- streaming-equivalent windowed aggregation (window() function; the

@@ -109,25 +109,39 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case _: Throwable => None }
 
+  /** Id floor above which [[extractFeaturesReal]] attempts the real codec
+    * by default: the declared gated queries union text-payload corpus rows
+    * (stub contract, ids < 1e9) with id-shifted decode fixtures (+1e9), and
+    * the stub-vs-real choice must be STRUCTURAL, not data luck — a corpus
+    * text payload that happens to start with an image magic ('BM', 'GIF8')
+    * can satisfy the header-only decoder with garbage dims and diverge
+    * from the stub-replay oracle (r15 advisor finding). */
+  val RealDecodeIdMin: Long = 1000000000L
+
   /** [[extractFeatures]] with the REAL decoder on the image path: width/
     * height come from the actual decoded raster (frames = 1 for stills);
     * payloads that don't decode — and non-image kinds, which have no JDK
     * codec — keep the deterministic stub's pseudo-dimensions, so a mixed
     * corpus never throws. Same schema, same partition-parallel batch
-    * shape. The DECLARED `media_features` query runs THIS path (r15): the
-    * real codec attempts first on every image row and the stub is the
-    * documented fallback — over the text-payload corpus the outputs
-    * coincide with [[extractFeatures]] (nothing decodes), which is what
-    * keeps the DuckDB stub-replay oracle exact; `media_frame_sample_real`
-    * gates the genuinely-decoding arm on an animated-GIF fixture. */
-  def extractFeaturesReal(media: DataFrame): Dataset[MediaFeatures] = {
+    * shape. The DECLARED `media_features` query runs THIS path: the real
+    * codec fires on the id-shifted decode-fixture rows (`media_id >=
+    * realIdMin`) and corpus rows ride the stub contract BY CONSTRUCTION —
+    * not because their text payloads happen to fail the header parse
+    * (r16: the r15 form attempted the header-only decode on every image
+    * row, so a text payload starting with an image magic would have
+    * produced garbage real dims and a hash-gate divergence).
+    * `media_frame_sample_real` passes `realIdMin = 0` — its input is
+    * entirely the decode fixture. */
+  def extractFeaturesReal(media: DataFrame,
+      realIdMin: Long = RealDecodeIdMin): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
           val checksum = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-          val decoded = if (kind == "image") decodeImageMeta(payload) else None
+          val decoded =
+            if (kind == "image" && id >= realIdMin) decodeImageMeta(payload) else None
           val (w, h, f) = decoded match {
             case Some((wd, ht, nf)) => (wd, ht, nf)
             case None => stubDecode(payload, kind)
@@ -146,7 +160,8 @@ object Multimodal {
     * [[decodeImage]]. */
   def decodeImageMeta(payload: Array[Byte],
       maxBytes: Int = 64 << 20,
-      maxPixels: Long = 64L << 20): Option[(Int, Int, Int)] =
+      maxPixels: Long = 64L << 20,
+      maxFrames: Int = 4096): Option[(Int, Int, Int)] =
     if (payload.length > maxBytes) None
     else try {
       val iis = memStream(payload)
@@ -156,12 +171,32 @@ object Multimodal {
         else {
           val reader = readers.next()
           try {
-            // seekForwardOnly = false: getNumImages(true) must search the
-            // whole stream to count frames
+            // seekForwardOnly = false: frame counting walks the container
             reader.setInput(iis, false, true)
             val w = reader.getWidth(0); val h = reader.getHeight(0)
             if (w.toLong * h.toLong > maxPixels) None
-            else Some((w, h, math.max(1, reader.getNumImages(true))))
+            else {
+              // r16 frame-bomb guard: the r15 form called
+              // getNumImages(true), which scans the WHOLE stream before
+              // any check — an animated GIF with a tiny first frame but
+              // many/huge later frames bypassed the pixel guard (bounded
+              // only by maxBytes). Count frames incrementally instead:
+              // every frame's declared dims are checked against maxPixels,
+              // and counting stops at maxFrames — both bombs now reject
+              // to the stub fallback (None) with bounded work.
+              var n = 1; var bomb = false; var done = false
+              while (!done && !bomb && n < maxFrames) {
+                val dims =
+                  try Some((reader.getWidth(n).toLong, reader.getHeight(n).toLong))
+                  catch { case _: IndexOutOfBoundsException => None }
+                dims match {
+                  case Some((wi, hi)) =>
+                    if (wi * hi > maxPixels) bomb = true else n += 1
+                  case None => done = true
+                }
+              }
+              if (bomb || n >= maxFrames) None else Some((w, h, n))
+            }
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()

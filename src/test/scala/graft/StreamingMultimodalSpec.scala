@@ -89,7 +89,8 @@ class StreamingMultimodalSpec extends SparkSpecBase {
   test("multimodal REAL frame counts: animated GIFs report their true frame count header-only") {
     import spark.implicits._
     val fx = Multimodal.gifFixture(spark)
-    val f = Multimodal.extractFeaturesReal(fx).collect().map(x => x.media_id -> x).toMap
+    val f = Multimodal.extractFeaturesReal(fx, realIdMin = 0L)
+      .collect().map(x => x.media_id -> x).toMap
     assert(f(1L).n_frames == 7 && f(1L).width == 4 && f(1L).height == 4)
     assert(f(2L).n_frames == 3)
     assert(f(3L).n_frames == 1, "a still PNG is one frame")
@@ -102,11 +103,38 @@ class StreamingMultimodalSpec extends SparkSpecBase {
     assert(Multimodal.decodeImageMeta(gif7, maxPixels = 8L).isEmpty)
     // the stride plan over the real counts: 7 frames @ stride 2 -> 0,2,4,6
     val plan = Multimodal.frameSamplePlan(
-        Multimodal.extractFeaturesReal(fx), stride = 2, kinds = Seq("image"))
+        Multimodal.extractFeaturesReal(fx, realIdMin = 0L), stride = 2, kinds = Seq("image"))
       .collect().map(r => (r.getLong(0), r.getInt(2)))
     assert(plan.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 2, 4, 6))
     assert(plan.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0, 2))
     assert(plan.filter(_._1 == 3L).map(_._2).toSeq == Seq(0))
+  }
+
+  test("multimodal r16 guards: frame-count bomb cap, per-frame pixel check, structural id gate") {
+    import spark.implicits._
+    val fx = Multimodal.gifFixture(spark)
+    val gif7 = fx.filter(col("media_id") === 1L).collect()(0).getAs[Array[Byte]]("payload")
+    // maxFrames cap: a 7-frame GIF under a 4-frame cap rejects to the stub
+    // (None) instead of counting the whole container
+    assert(Multimodal.decodeImageMeta(gif7, maxFrames = 4).isEmpty)
+    assert(Multimodal.decodeImageMeta(gif7, maxFrames = 8).contains((4, 4, 7)))
+    // per-frame pixel guard: maxPixels = 15 < 16 = 4x4 rejects frame 0;
+    // the later-frames check is covered by the incremental loop sharing
+    // the exact same wi*hi > maxPixels predicate per frame index
+    assert(Multimodal.decodeImageMeta(gif7, maxPixels = 15L).isEmpty)
+    // structural gate: with the default realIdMin, fixture-range ids decode
+    // for real while low ids — even with VALID image payloads — ride the
+    // stub contract, so a corpus text payload can never override it
+    val shifted = Seq((1L, "image", gif7),
+        (Multimodal.RealDecodeIdMin + 1L, "image", gif7))
+      .toDF("media_id", "kind", "payload")
+    val byId = Multimodal.extractFeaturesReal(shifted)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(byId(Multimodal.RealDecodeIdMin + 1L).n_frames == 7,
+      "fixture-range id must really decode")
+    val stub = Multimodal.extractFeatures(shifted.filter(col("media_id") === 1L))
+      .collect()(0)
+    assert(byId(1L) == stub, "low id must equal the stub path byte-exactly")
   }
 
   test("multimodal REAL decode: PNG/JPEG bytes yield true dimensions and pixel embeddings; others fall back to the stub") {
@@ -128,7 +156,7 @@ class StreamingMultimodalSpec extends SparkSpecBase {
       (4L, "image", junk),                             // undecodable → stub
       (5L, "video", videoPng)                          // non-image kind → stub
     ).toDF("media_id", "kind", "payload")
-    val f = Multimodal.extractFeaturesReal(media).collect()
+    val f = Multimodal.extractFeaturesReal(media, realIdMin = 0L).collect()
       .map(x => x.media_id -> x).toMap
     assert(f(1L).width == 20 && f(1L).height == 10 && f(1L).n_frames == 1)
     assert(f(2L).width == 7 && f(2L).height == 5)
