@@ -4,7 +4,7 @@ import graft.core.{Fixtures, Tables}
 import graft.functions.Distances
 import graft.index.{Grid, GridConfig}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, AsOfJoin, CosineJoin, Dedup, Knn, KnnJoin, KnnTopK, Mips, SaltedJoin, Snapshot, TextAnalysis}
+import graft.operators.{Ann, AsOfJoin, CosineJoin, Dedup, GraphAnn, Knn, KnnJoin, KnnTopK, Mips, SaltedJoin, Snapshot, TextAnalysis}
 import graft.oracle.DuckSql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -22,6 +22,13 @@ object SparkEntry {
 
   private val K = 10
   private val Q8 = Q64.take(8)
+  /** Graph-ANN (NSW) hyperparameters shared by the Spark queries and their
+    * oracle replays: out-degree, beam width, expansion hops, entry-set
+    * size (the `nEntry` lowest vec_ids — fixed and replayable). */
+  private val GraphM = 12
+  private val GraphBeam = 16
+  private val GraphHops = 4
+  private val GraphEntries = 8
   /** Query histogram for media_embed_knn (= fixture image 1's embedding). */
   private val MediaQ8: Array[Double] =
     Array(0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5)
@@ -1417,6 +1424,61 @@ object SparkEntry {
       Ann.lshBandedNearDupPairs(par(s, emb(s, d).filter(col("vec_id") % 5 === 0)), Planes16, Dim,
           bandBits = 4, minCosine = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
+    // --- graph-based ANN (NSW family, GraphAnn.scala — r16): the
+    // most-deployed ANN index shape, completing the IVF/PQ/LSH/MIPS set.
+    // Exact |V|² graph build — the correctness anchor; the scale build is
+    // ann_graph_edges_ivf below
+    "ann_graph_edges" -> ((s, d) =>
+      GraphAnn.knnGraph(emb(s, d), m = GraphM, Dim)
+        .orderBy(col("src"), col("rn"))),
+    // 100 TB build path: candidates only from each node's nprobe nearest
+    // trained-IVF cells (cell-key equi-join, co-partitioned — never |V|²);
+    // the edge set it loses vs ann_graph_edges is the measured IVF recall
+    // dial, not silent truncation
+    "ann_graph_edges_ivf" -> ((s, d) => {
+      val db = emb(s, d)
+      val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
+      GraphAnn.knnGraphIvf(Ann.assign(db, cents), cents,
+          m = GraphM, nprobe = 3, Dim)
+        .orderBy(col("src"), col("rn"))
+    }),
+    // NSW beam search for a literal query: fixed entry set (lowest 4 ids),
+    // 3 expansion hops, beam 12 → top-10. Deterministic end to end, so the
+    // oracle replays build + every hop and the result hash-checks
+    "ann_graph_topk" -> ((s, d) => {
+      val db = emb(s, d)
+      // persist: each of the 3 hops joins the edge table; unpersist is the
+      // ContextCleaner's (returned-DataFrame contract, same reliance as
+      // ann_ivf_recall_curve's scored-candidate persist)
+      val graph = GraphAnn.knnGraph(db, m = GraphM, Dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      GraphAnn.searchLit(graph, db, Q64, k = K,
+        beam = GraphBeam, hops = GraphHops, nEntry = GraphEntries)
+    }),
+    // recall@k of the beam search against exact brute force over the
+    // held-out query page — the monitoring surface for the graph path
+    // (same shape as ann_ivf_recall)
+    "ann_graph_recall" -> ((s, d) => {
+      val db = emb(s, d)
+      val mq = math.max(1L, (embCount(s, d) + 19) / 20)
+      val q = db.filter(col("vec_id") % mq === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val graph = GraphAnn.knnGraph(db, m = GraphM, Dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approx = GraphAnn.searchJoin(graph, db, q, k = K,
+          beam = GraphBeam, hops = GraphHops, nEntry = GraphEntries, dim = Dim)
+        .select(col("query_id"), col("vec_id"))
+      val exact = KnnJoin.join(q, db, K, Dim)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      val hits = approx.join(exact,
+          col("query_id") === col("eq") && col("vec_id") === col("ev"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(K.toDouble)).as("recall_at_k"))
+        .orderBy(col("query_id"))
+    }),
     // end-to-end curation: quality/lang gate → exact dedup → LSH near-dup
     // clustering → canonical keep. The WHOLE pipeline is oracle-checked —
     // the DuckDB mirror composes the proven per-stage SQL fragments.
@@ -4719,6 +4781,89 @@ object SparkEntry {
       s"($dfr * $dfr)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB replay of [[GraphAnn.knnGraph]]: the exact top-m edge list.
+    * MATERIALIZED — the beam-search oracles reference it once per hop, and
+    * DuckDB inlines plain CTEs per reference (the exponential-CTE trap);
+    * dist is computed once in the inner select so the window doesn't
+    * re-evaluate the 64-term expression. */
+  private def graphEdgesCte(m: Int): String = {
+    val d2 = DuckSql.squaredL2Cols("a.embedding", "b.embedding", Dim)
+    s"""edges AS MATERIALIZED (
+       |  SELECT src, dst, dist, rn FROM (
+       |    SELECT src, dst, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+       |    FROM (SELECT a.vec_id AS src, b.vec_id AS dst, $d2 AS dist
+       |          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id))
+       |  WHERE rn <= $m)""".stripMargin
+  }
+
+  /** SYMMETRIZED search edges over [[graphEdgesCte]]'s `edges` — mirrors
+    * [[GraphAnn.symmetrize]] (UNION ALL of out- and reversed in-edges;
+    * duplicates collapse in the hops' DISTINCT). */
+  private val graphSymCte: String =
+    """sym AS MATERIALIZED (
+      |  SELECT src, dst FROM edges
+      |  UNION ALL
+      |  SELECT dst AS src, src AS dst FROM edges)""".stripMargin
+
+  /** DuckDB replay of [[GraphAnn.searchLit]] over [[graphEdgesCte]]: entry
+    * beam = the `nEntry` lowest vec_ids, then `hops` unrolled
+    * expand-score-shrink CTE pairs (every beam MATERIALIZED — each is
+    * referenced twice by the next hop). Emits a complete SELECT. */
+  private def graphBeamLitSql(q: Array[Double], k: Int, beam: Int,
+      hops: Int, nEntry: Int): String = {
+    val dq = DuckSql.squaredL2Lit("embedding", q)
+    val hopsSql = (1 to hops).map { h =>
+      s"""cand$h AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS vec_id
+         |  FROM beam${h - 1} b JOIN sym e ON b.vec_id = e.src),
+         |beam$h AS MATERIALIZED (
+         |  SELECT vec_id, MIN(dist) AS dist FROM (
+         |    SELECT vec_id, dist FROM beam${h - 1}
+         |    UNION ALL
+         |    SELECT c.vec_id, $dq AS dist
+         |    FROM cand$h c JOIN embeddings e2 ON e2.vec_id = c.vec_id)
+         |  GROUP BY vec_id ORDER BY dist ASC, vec_id ASC LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphEdgesCte(GraphM)},
+       |$graphSymCte,
+       |beam0 AS MATERIALIZED (
+       |  SELECT vec_id, $dq AS dist FROM embeddings ORDER BY vec_id ASC LIMIT $nEntry),
+       |$hopsSql
+       |SELECT vec_id, dist FROM beam$hops ORDER BY dist ASC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Batch form of [[graphBeamLitSql]] for [[GraphAnn.searchJoin]]: expects
+    * a CTE `qs(qid, q_embedding)` already defined by the caller; emits the
+    * entry + per-qid beam chain CTEs `beam0..beam<hops>`. */
+  private def graphBeamJoinCtes(beam: Int, hops: Int, nEntry: Int): String = {
+    val dqe = DuckSql.squaredL2Cols("q.q_embedding", "e2.embedding", Dim)
+    val hopsSql = (1 to hops).map { h =>
+      s"""cand$h AS MATERIALIZED (
+         |  SELECT DISTINCT b.qid, e.dst AS vec_id
+         |  FROM beam${h - 1} b JOIN sym e ON b.vec_id = e.src),
+         |beam$h AS MATERIALIZED (
+         |  SELECT qid, vec_id, dist FROM (
+         |    SELECT qid, vec_id, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+         |    FROM (
+         |      SELECT qid, vec_id, MIN(dist) AS dist FROM (
+         |        SELECT qid, vec_id, dist FROM beam${h - 1}
+         |        UNION ALL
+         |        SELECT c.qid, c.vec_id, $dqe AS dist
+         |        FROM cand$h c JOIN qs q ON q.qid = c.qid
+         |        JOIN embeddings e2 ON e2.vec_id = c.vec_id)
+         |      GROUP BY qid, vec_id))
+         |  WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphSymCte,
+       |entrys AS (
+       |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $nEntry),
+       |beam0 AS MATERIALIZED (
+       |  SELECT q.qid, e2.vec_id, $dqe AS dist FROM qs q CROSS JOIN entrys e2),
+       |$hopsSql""".stripMargin
+  }
+
   /** DuckDB replay of [[Pq.trainSeededExact]] + encode + ADC + refine +
     * exact re-rank for a literal query — the trained-PQ oracle. Emits a
     * complete SELECT. Training CTEs mirror ivfTrainedCtes in long form
@@ -5879,6 +6024,62 @@ object SparkEntry {
       },
       "ann_pq_topk" ->
         pqTrainedSql(Fixtures.PqSeeds, iters = 2, Q64, k = K, refine = 100),
+      // --- graph ANN (r16): the oracle replays the exact |V|² build and
+      // every beam hop — see graphEdgesCte/graphBeamLitSql/graphBeamJoinCtes
+      "ann_graph_edges" ->
+        s"""WITH ${graphEdgesCte(GraphM)}
+           |SELECT src, dst, dist, CAST(rn AS INT) AS rn FROM edges
+           |ORDER BY src, rn""".stripMargin,
+      "ann_graph_edges_ivf" -> {
+        val pd = DuckSql.squaredL2Cols("q.q_embedding", "a.embedding", Dim)
+        s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
+           |allq AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings),
+           |qprobe AS (
+           |  SELECT qid, cell FROM (
+           |    SELECT q.qid, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
+           |    FROM allq q CROSS JOIN c2 c)
+           |  WHERE rnp <= 3),
+           |cand AS (
+           |  SELECT qp.qid AS src, a.vec_id AS dst, MIN($pd) AS dist
+           |  FROM qprobe qp JOIN allq q ON q.qid = qp.qid
+           |  JOIN af f USING (cell) JOIN embeddings a ON a.vec_id = f.vec_id
+           |  WHERE a.vec_id <> qp.qid
+           |  GROUP BY qp.qid, a.vec_id)
+           |SELECT src, dst, dist, CAST(rn AS INT) AS rn FROM (
+           |  SELECT src, dst, dist,
+           |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rn
+           |  FROM cand)
+           |WHERE rn <= $GraphM ORDER BY src, rn""".stripMargin
+      },
+      "ann_graph_topk" ->
+        graphBeamLitSql(Q64, k = K, beam = GraphBeam, hops = GraphHops,
+          nEntry = GraphEntries),
+      "ann_graph_recall" -> {
+        val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)
+        s"""WITH ${graphEdgesCte(GraphM)},
+           |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % ${modSql(20)} = 0),
+           |${graphBeamJoinCtes(beam = GraphBeam, hops = GraphHops, nEntry = GraphEntries)},
+           |approx AS (
+           |  SELECT qid AS query_id, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+           |    FROM beam$GraphHops)
+           |  WHERE rn <= $K),
+           |exact AS (
+           |  SELECT eq, ev FROM (
+           |    SELECT q.qid AS eq, d.vec_id AS ev,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
+           |    FROM qs q CROSS JOIN embeddings d)
+           |  WHERE rn <= $K),
+           |hits AS (
+           |  SELECT query_id, COUNT(*) AS n_hits FROM approx
+           |  JOIN exact ON query_id = eq AND vec_id = ev GROUP BY query_id)
+           |SELECT q.qid AS query_id,
+           |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
+           |FROM qs q LEFT JOIN hits h ON q.qid = h.query_id
+           |ORDER BY query_id""".stripMargin
+      },
       "ann_ivf_recall_curve" -> {
         val pd = DuckSql.squaredL2Cols("q.q_embedding", "a.embedding", Dim)
         val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.Distances
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest neighbor — the NSW/HNSW family, the
+  * most-deployed ANN index shape (Malkov & Yashunin, IEEE TPAMI 2020;
+  * single-layer NSW here: the fixture corpora are flat enough that the
+  * hierarchy adds nothing a fixed hop budget doesn't). Complements the
+  * IVF/PQ/LSH/MIPS paths in [[Ann]]/[[Pq]]/[[Mips]].
+  *
+  * Two halves, both declarative DataFrame plans:
+  *
+  *  - GRAPH BUILD: each node's top-`m` neighbors by (squared-L2 ASC,
+  *    id ASC). [[knnGraph]] is the exact |V|² build (correctness anchor,
+  *    fixture scale); [[knnGraphIvf]] is the 100 TB path — candidates come
+  *    only from each node's `nprobe` nearest IVF cells, so the pair count
+  *    is Σ|cell|·|probers| instead of |V|² and the join co-partitions on
+  *    the cell key (this is the standard bucketed construction; NN-descent
+  *    refinement would start from exactly this graph).
+  *
+  *  - BEAM SEARCH: from a fixed entry set, repeatedly expand the current
+  *    beam's out-edges, score the frontier against the query, and keep the
+  *    best `beam` nodes — `hops` supersteps of joins. The beam is tiny
+  *    (|queries|·beam rows) and is BROADCAST into the edge/corpus joins,
+  *    so each hop scans the big tables but never shuffles them; per-hop
+  *    `localCheckpoint` pins the materialized beam and stops the plan tree
+  *    doubling per superstep (each hop references the previous beam twice:
+  *    expansion + union). On a cluster the graph would be bucketed by
+  *    `src` so the expansion join is a bucket-local probe.
+  *
+  * Everything is deterministic — exact arithmetic, total (dist, id)
+  * orders, fixed entry rule (lowest `nEntry` vec_ids) — so the DuckDB
+  * oracle replays build + all hops exactly and the results hash-check.
+  * There is no reference counterpart (the reference's index is an exact
+  * kd-tree, vectordb/kd_tree_database.py); this is a brief north-star
+  * family ("similarity search: ... LSH-bucketed variant as the scale
+  * path" — graphs are the third, most-used scale path).
+  */
+object GraphAnn {
+
+  /** Exact k-NN graph: for every node, its `m` nearest OTHER nodes by
+    * (squared L2 ASC, vec_id ASC). |V|² pairs — the correctness anchor;
+    * use [[knnGraphIvf]] at scale. Output: (src, dst, dist, rn). */
+  def knnGraph(db: DataFrame, m: Int, dim: Int): DataFrame = {
+    val qs = db.select(col("vec_id").as("src"), col("embedding").as("src_embedding"))
+    val pairs = db.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("src"))
+      .withColumn("dist",
+        Distances.squaredL2Cols(col("src_embedding"), col("embedding"), dim))
+    val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("vec_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
+      .select(col("src"), col("vec_id").as("dst"), col("dist"), col("rn"))
+  }
+
+  /** Scale-path k-NN graph build: candidate pairs come only from each
+    * node's `nprobe` nearest IVF cells over a trained codebook (the same
+    * probe ranking as [[Ann.ivfJoin]]), so the build is a cell-key
+    * equi-join — co-partitioned, never |V|². Neighbors missed because they
+    * share no probed cell are exactly the recall the IVF dial controls;
+    * `ann_graph_edges_ivf` vs `ann_graph_edges` makes that loss a measured
+    * quantity. `assigned` is [[Ann.assign]] output (embedding + ivf_cell).
+    * Output: (src, dst, dist, rn) with rn ranked within the probed
+    * candidates. */
+  def knnGraphIvf(assigned: DataFrame, cents: Array[Array[Double]],
+      m: Int, nprobe: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val probeCells = ColumnBridge.column(graft.functions.VecArgTopNL2(
+      ColumnBridge.expression(col("src_embedding")), cents, nprobe))
+    val qs = assigned
+      .select(col("vec_id").as("src"), col("embedding").as("src_embedding"))
+      .withColumn("ivf_cell", explode(probeCells))
+    val pairs = qs.join(assigned, Seq("ivf_cell"))
+      .filter(col("vec_id") =!= col("src"))
+      .withColumn("dist",
+        Distances.squaredL2Cols(col("src_embedding"), col("embedding"), dim))
+      // a (src, dst) pair can arrive via several shared probed cells —
+      // collapse before ranking (dist is functionally determined)
+      .groupBy(col("src"), col("vec_id")).agg(min(col("dist")).as("dist"))
+    val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("vec_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
+      .select(col("src"), col("vec_id").as("dst"), col("dist"), col("rn"))
+  }
+
+  /** Search-time edge set: the k-NN graph SYMMETRIZED (out-edges plus
+    * reversed in-edges). A directed k-NN graph is not navigable — a tight
+    * cluster's members' top-m lists never point OUT of the cluster, so a
+    * beam entering from elsewhere can be absorbed (GraphAnnSpec pins the
+    * failure); NSW/HNSW links are undirected for exactly this reason.
+    * Duplicate (src,dst) rows from mutual neighbors are fine — the hop
+    * dedups candidates before scoring. */
+  private def symmetrize(graph: DataFrame): DataFrame = {
+    val e = graph.select(col("src"), col("dst"))
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Beam search for one driver-known query vector. Entry set = the
+    * `nEntry` lowest vec_ids (fixed, replayable); `hops` expansion
+    * supersteps over the symmetrized graph; final answer = top-`k` of the
+    * last beam. Output: (vec_id, dist). */
+  def searchLit(graph: DataFrame, db: DataFrame, q: Array[Double], k: Int,
+      beam: Int, hops: Int, nEntry: Int): DataFrame = {
+    val edges = symmetrize(graph)
+    var beamDf = db.orderBy(col("vec_id").asc).limit(nEntry)
+      .select(col("vec_id"), Distances.squaredL2Lit(col("embedding"), q).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val frontier = beamDf.select(col("vec_id").as("src"))
+      val cand = edges.join(broadcast(frontier), "src")
+        .select(col("dst").as("vec_id")).distinct()
+      val scored = db.join(broadcast(cand), "vec_id")
+        .select(col("vec_id"), Distances.squaredL2Lit(col("embedding"), q).as("dist"))
+      beamDf = beamDf.unionByName(scored)
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(beam)
+        .localCheckpoint(true)
+    }
+    beamDf.orderBy(col("dist").asc, col("vec_id").asc).limit(k)
+  }
+
+  /** Batch beam search: every row of `queries` (query_id, embedding) runs
+    * the SAME entry set and hop budget; beams are per-query (window rank
+    * over (dist, id)). Output: (query_id, vec_id, dist, rn ≤ k). */
+  def searchJoin(graph: DataFrame, db: DataFrame, queries: DataFrame, k: Int,
+      beam: Int, hops: Int, nEntry: Int, dim: Int): DataFrame = {
+    val edges = symmetrize(graph)
+    val qs = queries.select(col("query_id"), col("embedding").as("q_embedding"))
+    val entry = db.orderBy(col("vec_id").asc).limit(nEntry)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    var beamDf = qs.crossJoin(broadcast(entry))
+      .select(col("query_id"), col("vec_id"),
+        Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val frontier = beamDf.select(col("query_id"), col("vec_id").as("src"))
+      val cand = edges.join(broadcast(frontier), "src")
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+      val scored = db.join(broadcast(cand), "vec_id")
+        .join(broadcast(qs), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
+      beamDf = beamDf.unionByName(scored)
+        .groupBy(col("query_id"), col("vec_id")).agg(min(col("dist")).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= beam)
+        .select(col("query_id"), col("vec_id"), col("dist"))
+        .localCheckpoint(true)
+    }
+    beamDf.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}
