@@ -84,11 +84,11 @@ object Bench {
       }
       f"""{"pos":"$pos","loadavg":$la%.2f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}]}"""
     }
-    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel("start"))
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val midAt = sorted.size / 2
-    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == midAt) sentinels += sentinel("middle")
+    /** min-of-`nRuns` measurement of one query, with the store-root and
+      * cache teardown that keeps each query's timing independent of its
+      * neighbors (see the inline notes). Shared by the main sweep and the
+      * contamination-retry pass so both measure the same thing. */
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
         // untimed setup: every rep starts from empty store roots, so all
         // three reps measure the same clean-directory cost (clearing only
@@ -125,9 +125,56 @@ object Bench {
       // Bucketed fixture tables (graft_<appId>_*) are prep state, NOT torn
       // down — they're written once outside the timed region.
       perQueryStoreRoots.foreach(deleteRecursively)
-      name -> best
+      best
+    }
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel("start"))
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midAt = sorted.size / 2
+    val firstPass = sorted.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == midAt) sentinels += sentinel("middle")
+      name -> measure(fn)
     }
     sentinels += sentinel("end")
+    // CONTAMINATION-RETRY PASS (r16): the r15 headline artifact shipped
+    // sample_coreset_kcenter at 9.025 s where the quiet host measures
+    // 0.284 s — a multi-second external burst covers all three
+    // back-to-back reps of a sub-second query, so min-of-3 cannot save it,
+    // and neither loadavg nor the sentinel spread detects it (the sweep's
+    // own 32 threads dominate loadavg — quiet r15 sweeps ended at 9.87 —
+    // and the bursts missed the three sentinel windows entirely). What
+    // DOES work is measuring the suspect queries again at a DIFFERENT
+    // time: re-run (a) the sweep's top-8 most expensive queries — a burst
+    // inflates its victim into the top — and (b) any query measured >3×
+    // its committed quiet-host reference (BENCH_REF.json, same-sf only),
+    // then keep the min of the two passes. A genuine regression survives
+    // the retry (it re-measures the same); only transient contention is
+    // corrected. Cap at 20 retries so a globally-loaded host can't double
+    // the sweep.
+    val refQueries: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_REF.json"))
+      val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => k != "sf" && k != "n_queries" && k != "total_sec" }
+        .toMap
+    } catch { case _: Throwable => Map.empty }
+    val byName = firstPass.toMap
+    val topExpensive = firstPass.sortBy(-_._2).take(8).map(_._1)
+    val refSuspects = firstPass.collect {
+      case (n, t) if refQueries.get(n).exists(r => r > 0 && t > 3.0 * r) => n
+    }
+    val retryNames = (topExpensive ++ refSuspects).distinct
+      .sortBy(n => -byName(n)).take(20)
+    val retried: Seq[(String, Double, Double)] = retryNames.map { n =>
+      (n, byName(n), measure(SparkEntry.queries(n)))
+    }
+    val retryFix = retried.map { case (n, first, again) => n -> math.min(first, again) }.toMap
+    val results = firstPass.map { case (n, t) => n -> retryFix.getOrElse(n, t) }
+    val retrySaved = retried.map { case (_, f, a) => math.max(0.0, f - a) }.sum
+    val retriedJson = retried
+      .map { case (n, f, a) => f""""$n":{"first":$f%.3f,"retry":$a%.3f}""" }
+      .mkString("{", ",", "}")
     val sentinelJson = sentinels.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     def jmap(rs: Seq[(String, Double)]): String =
@@ -143,7 +190,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
-      f"""{"sf":"$sfDir","n_queries":${results.size},"n_runs":$nRuns,"total_sec":$total%.3f,"sentinel":$sentinelJson,"queries":${jmap(results)}}""")
+      f"""{"sf":"$sfDir","n_queries":${results.size},"n_runs":$nRuns,"total_sec":$total%.3f,"sentinel":$sentinelJson,"retried":$retriedJson,"retry_saved_sec":$retrySaved%.3f,"queries":${jmap(results)}}""")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val headline = Seq(
       "knn_l2_brute", "knn_l2_pruned", "knn_join_l2_cells", "knn_join_l2_agg",
@@ -186,7 +233,7 @@ object Bench {
     def line(hs: Seq[String], omitted: Int): String = {
       val qs = jmap(hs.flatMap(h => resMap.get(h).map(h -> _)))
       val om = if (omitted > 0) s""","omitted_headline":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"detail":"BENCH_DETAIL.json","load":$loads$om,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"detail":"BENCH_DETAIL.json","load":$loads,"n_retried":${retried.size},"retry_saved":$retrySaved%.3f$om,"queries":$qs,"sf":"$sfDir"}"""
     }
     var keep = headline.size
     var out = line(headline, 0)
