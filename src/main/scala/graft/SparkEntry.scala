@@ -3195,6 +3195,19 @@ object SparkEntry {
     "text_bpe_token_counts" -> ((s, d) =>
       graft.operators.Bpe.trainAndEncode(par(s, docs(s, d)), nMerges = 4)
         .orderBy(col("doc_id"))),
+    // byte-level BPE (r16, GPT-2 family): the symbol alphabet is the UTF-8
+    // BYTE sequence (hex-pair symbols), so any string decomposes and the
+    // tokenizer has no OOV hole — the byte fallback the code-point
+    // tokenizers lack. Same unrolled-training-loop oracle contract as
+    // text_bpe_merges (ByteBpe.oracleSql)
+    "text_bytebpe_merges" -> ((s, d) =>
+      graft.operators.ByteBpe.train(par(s, docs(s, d)), nMerges = 4)),
+    // byte-level encode: per-doc token/byte counts under the learned
+    // merges — n_bytes is the no-OOV invariant ceiling (zero merges ⇒
+    // n_tokens == n_bytes for EVERY document, unseen scripts included)
+    "text_bytebpe_token_counts" -> ((s, d) =>
+      graft.operators.ByteBpe.trainAndEncode(par(s, docs(s, d)), nMerges = 4)
+        .orderBy(col("doc_id"))),
     // unigram-LM (SentencePiece-family) tokenizer training (r14): seed
     // substring counts → hard-EM Viterbi rounds with micro-unit quantized
     // log-probs → prune to target vocab + chars → final usage counts.
@@ -7620,6 +7633,8 @@ object SparkEntry {
       "text_bm25_topk" -> bm25ScoredSql(K),
       "text_bpe_merges" -> graft.operators.Bpe.oracleSql(4),
       "text_bpe_token_counts" -> graft.operators.Bpe.encodeOracleSql(4),
+      "text_bytebpe_merges" -> graft.operators.ByteBpe.oracleSql(4),
+      "text_bytebpe_token_counts" -> graft.operators.ByteBpe.encodeOracleSql(4),
       "text_unigram_vocab" -> graft.operators.Unigram.vocabOracleSql(),
       "text_unigram_token_counts" -> graft.operators.Unigram.encodeOracleSql(),
       "text_token_fertility" -> graft.operators.Bpe.fertilityOracleSql(4),

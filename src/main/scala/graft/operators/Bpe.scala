@@ -201,7 +201,19 @@ object Bpe {
     * distributed dictionary loop below handles the pathological case. */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
       driverDictLimit: Int = DriverDictLimit,
-      batchTopK: Int = DefaultBatchTopK): DataFrame = {
+      batchTopK: Int = DefaultBatchTopK): DataFrame =
+    trainWith(docs, nMerges, textCol, driverDictLimit, batchTopK,
+      toSymbols, w => w.split("").filter(_.nonEmpty))
+
+  /** [[train]] with a pluggable initial symbolization — the ONLY thing
+    * that differs between character-level BPE and [[ByteBpe]]'s byte-level
+    * variant (hex-pair symbols, no OOV). `symCol` must be the exact
+    * cluster-side mirror of `symLocal` (space-joined symbol sequence);
+    * every downstream stage (pair counting, batch admission, merge folds)
+    * is symbolization-agnostic. */
+  private[operators] def trainWith(docs: DataFrame, nMerges: Int,
+      textCol: String, driverDictLimit: Int, batchTopK: Int,
+      symCol: Column => Column, symLocal: String => Array[String]): DataFrame = {
     val spark = docs.sparkSession
     val probe =
       if (driverDictLimit > 0)
@@ -209,7 +221,8 @@ object Bpe {
       else Array.empty[Row]
     if (driverDictLimit > 0 && probe.length <= driverDictLimit)
       return mergeTable(spark,
-        trainDriver(probe.map(r => (r.getString(0), r.getLong(1))), nMerges))
+        trainDriver(probe.map(r => (r.getString(0), r.getLong(1))), nMerges,
+          symLocal))
     // each iteration's state is a |vocab|-row dictionary; eager
     // localCheckpoint (not cache) TRUNCATES the lineage so iteration i's
     // pair-count argmax plans over a one-scan tree instead of re-optimizing
@@ -223,7 +236,7 @@ object Bpe {
     // vocabulary pays 2 jobs per BATCH instead of 2 per merge. batchTopK=1
     // reproduces the old per-merge loop exactly (the spec pin).
     var wf = wordFreq(docs, textCol)
-      .select(toSymbols(col("word")).as("sym"), col("freq"))
+      .select(symCol(col("word")).as("sym"), col("freq"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var learned = 0
@@ -292,9 +305,10 @@ object Bpe {
     * BpeSpec against both the recount shape and the distributed loop) —
     * but a 1000-merge run over a 20k-word dictionary drops from ~110 s of
     * all-pairs rehashing to the cost of scanning for pair adjacency. */
-  private def trainDriver(wf: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+  private def trainDriver(wf: Array[(String, Long)], nMerges: Int,
+      symLocal: String => Array[String]): Seq[Merge] = {
     var dict: Array[(Array[String], Long)] =
-      wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+      wf.map { case (w, f) => (symLocal(w), f) }
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     def add(syms: Array[String], f: Long): Unit = {
       var j = 0
@@ -461,9 +475,16 @@ object Bpe {
       |WHERE w.word <> ''
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DuckDB expression mirroring [[toSymbols]] over a `word` column. */
+  private[operators] val CharSymExpr: String =
+    "array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')"
+
   /** Shared CTE chain: wf0 (word, freq, sym) .. plus m1..mN picks and the
-    * fold states needed (all N states when `buildLast`). */
-  private def cteChain(nMerges: Int, buildLast: Boolean): String = {
+    * fold states needed (all N states when `buildLast`). `symExpr` is the
+    * DuckDB initial-symbolization of `word` — char-level by default,
+    * hex-byte for [[ByteBpe]]. */
+  private[operators] def cteChain(nMerges: Int, buildLast: Boolean,
+      symExpr: String = CharSymExpr): String = {
     def pairsOf(wfRel: String): String =
       s"""SELECT w[i] AS p1, w[i+1] AS p2, SUM(freq) AS cnt
          |    FROM (SELECT string_split(sym, ' ') AS w, freq FROM $wfRel),
@@ -485,9 +506,9 @@ object Bpe {
          |  FROM $prev LEFT JOIN $m ON TRUE""".stripMargin
     val sb = new StringBuilder
     sb.append(
-      """WITH wf0 AS (
+      s"""WITH wf0 AS (
         |  SELECT word, freq,
-        |         array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ') AS sym
+        |         $symExpr AS sym
         |  FROM (SELECT word, COUNT(*) AS freq
         |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |        WHERE word <> '' GROUP BY word))""".stripMargin)
