@@ -4147,6 +4147,13 @@ object SparkEntry {
     // 2-approximates
     "sample_coreset_assign" -> ((s, d) =>
       graft.operators.Coreset.kCenterAssignSummary(emb(s, d), k = 8)),
+    // sampled-page k-center (r16): ONE scan draws the 64-row deterministic
+    // md5-ordered candidate page, the greedy's 8 rounds then run against
+    // the page — bounding the exact path's k corpus scans at one + k page
+    // passes (the 100 TB form; CoresetSpec pins the corpus-objective
+    // quality bound vs exact greedy). Oracle replays page + greedy chain
+    "sample_coreset_kcenter_page" -> ((s, d) =>
+      graft.operators.Coreset.kCenterSelectSampled(emb(s, d), k = 8, page = 64)),
     // per-source bounded A-ES priority sample (Efraimidis-Spirakis
     // without replacement): top-20 by the deterministic -ln(u)/w key per
     // source. Planned as the map-side-combinable bounded aggregator (the
@@ -4998,11 +5005,14 @@ object SparkEntry {
     * argmax-of-min-distance steps, each LEAST-folding the new center's
     * left-assoc squared L2 into the running min — bit-equal to
     * VecMinDistL2's recomputed min (min is associative and exact).
-    * Assumes ≥ k distinct vectors (the suite pins early-stop Scala-side). */
-  private def kcenterChainSql(k: Int): String = {
+    * Assumes ≥ k distinct vectors (the suite pins early-stop Scala-side).
+    * `baseSql` is the candidate relation — the full corpus by default, the
+    * md5-ordered page for the sampled variant. */
+  private def kcenterChainSql(k: Int,
+      baseSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def sq(a: String, b: String) = DuckSql.squaredL2Cols(a, b, Dim)
     val parts = Seq(
-      "e AS (SELECT vec_id, embedding FROM embeddings)",
+      s"e AS MATERIALIZED ($baseSql)",
       "c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id ASC LIMIT 1)",
       s"d1 AS (SELECT e.vec_id, e.embedding, ${sq("e.embedding", "c0.embedding")} AS md FROM e CROSS JOIN c0)") ++
       (1 until k).flatMap { i =>
@@ -8586,6 +8596,18 @@ object SparkEntry {
           else s"SELECT CAST($i AS INT) AS step, vec_id, md AS r_cov FROM c$i"
         }.mkString("\nUNION ALL ")
         s"WITH ${kcenterChainSql(8)}\n$steps\nORDER BY step"
+      },
+      "sample_coreset_kcenter_page" -> {
+        val idH = Dedup.md5Int32Sql("CAST(vec_id AS VARCHAR)")
+        val pageSql =
+          s"""SELECT vec_id, embedding FROM embeddings
+             |  ORDER BY $idH ASC, vec_id ASC LIMIT 64""".stripMargin
+        val steps = (0 until 8).map { i =>
+          if (i == 0)
+            s"SELECT CAST(0 AS INT) AS step, vec_id, ${DuckSql.fmt(-1.0)} AS r_cov FROM c0"
+          else s"SELECT CAST($i AS INT) AS step, vec_id, md AS r_cov FROM c$i"
+        }.mkString("\nUNION ALL ")
+        s"WITH ${kcenterChainSql(8, pageSql)}\n$steps\nORDER BY step"
       },
       "sample_coreset_assign" -> {
         val dists = (0 until 8)

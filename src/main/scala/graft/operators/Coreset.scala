@@ -62,6 +62,39 @@ object Coreset {
     val base = emb
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    greedyOver(base, k)
+  }
+
+  /** Sampled-page greedy k-center (r16): the exact greedy is k sequential
+    * FULL-CORPUS scans — bounded and fine at gate scale, but at 100 TB
+    * that is k corpus passes. This variant bounds the passes at ONE: a
+    * single scan draws a deterministic candidate page (the `page` lowest
+    * (md5(vec_id), vec_id) rows — the repo's hash-order sampling device,
+    * uniform w.r.t. any data order and replayable in DuckDB), then the
+    * same greedy loop runs its k rounds against the persisted page.
+    * Quality: farthest-first on a uniform sample still 2-approximates the
+    * SAMPLE's optimal radius; the corpus-level objective degrades only by
+    * the sample's covering slack (CoresetSpec pins an empirical bound vs
+    * the exact selection on the fixture corpus). Exact path stays the
+    * gate-scale default. */
+  def kCenterGreedySampled(emb: DataFrame, k: Int, page: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Seq[Center] = {
+    require(page >= k, s"page=$page must be >= k=$k")
+    require(page <= 4194304,
+      s"page=$page exceeds the 4M-row candidate-page budget " +
+        "(the page persists on the cluster; the driver still holds only k centers)")
+    val base = emb
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
+        Dedup.md5Int32(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(page)
+      .select(col("vec_id"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    greedyOver(base, k)
+  }
+
+  /** The shared greedy loop over a persisted (vec_id, v) table — exact
+    * over the full corpus, sampled when handed a candidate page. */
+  private def greedyOver(base: DataFrame, k: Int): Seq[Center] = {
     try {
       def vecOf(r: Row): Array[Double] =
         r.getSeq[Float](1).map(_.toDouble).toArray
@@ -101,6 +134,18 @@ object Coreset {
     val spark = emb.sparkSession
     import spark.implicits._
     kCenterGreedy(emb, k, vecCol, idCol)
+      .map(c => (c.step, c.vecId, c.rCov))
+      .toDF("step", "vec_id", "r_cov")
+  }
+
+  /** [[kCenterGreedySampled]] as a DataFrame — same schema as
+    * [[kCenterSelect]]; r_cov is relative to the PAGE (the distances the
+    * sampled greedy actually saw). */
+  def kCenterSelectSampled(emb: DataFrame, k: Int, page: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    kCenterGreedySampled(emb, k, page, vecCol, idCol)
       .map(c => (c.step, c.vecId, c.rCov))
       .toDF("step", "vec_id", "r_cov")
   }

@@ -95,4 +95,38 @@ class CoresetSpec extends SparkSpecBase {
     assert(sum.map(_.getDouble(2)).toSeq === expMax)
     assert(sum.map(_.getLong(1)).toSeq === (0 until k).map(st => byStep(st).size.toLong))
   }
+
+  test("sampled-page greedy: deterministic, page-restricted, corpus objective within bound of exact") {
+    val rnd = new scala.util.Random(97)
+    val pts = (0 until 300).map(i => (i.toLong, Array.fill(4)(rnd.nextFloat() * 4f - 2f)))
+    val k = 6
+    val page = 80
+    val sampled = Coreset.kCenterGreedySampled(df(pts), k, page)
+    val sampled2 = Coreset.kCenterGreedySampled(df(pts), k, page)
+    assert(sampled.map(c => (c.step, c.vecId, c.rCov)) ===
+      sampled2.map(c => (c.step, c.vecId, c.rCov)), "md5-page selection must be replayable")
+    assert(sampled.size == k)
+    val exact = Coreset.kCenterGreedy(df(pts), k)
+    // k-center objective over the FULL corpus under each center set
+    def sq(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    def objective(cs: Seq[Coreset.Center]): Double =
+      pts.map { case (_, v) => cs.map(c => sq(v, c.vec)).min }.max
+    val objSampled = objective(sampled)
+    val objExact = objective(exact)
+    // exact greedy saw every point, so it cannot be worse on its own
+    // objective; the sampled set's corpus radius degrades only by the
+    // page's covering slack — empirically well within 3x on this fixture
+    // (squared distances, so 3x squared radius ~ 1.73x radius)
+    assert(objExact > 0.0)
+    assert(objSampled <= 3.0 * objExact,
+      s"sampled objective $objSampled vs exact $objExact")
+    // page restriction: a page >= corpus is EXACTLY the exact greedy
+    val full = Coreset.kCenterGreedySampled(df(pts), k, page = pts.size)
+    assert(full.map(c => (c.step, c.vecId, c.rCov)) ===
+      exact.map(c => (c.step, c.vecId, c.rCov)))
+  }
 }
