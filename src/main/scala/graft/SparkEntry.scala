@@ -1348,6 +1348,42 @@ object SparkEntry {
           (coalesce(col("n_hits"), lit(0L)) / lit(K.toDouble)).as("recall_at_k"))
         .orderBy(col("query_id"))
     }),
+    // FILTERED-ANN recall eval (r16): recall@k per selectivity band —
+    // the classic filtered-ANN failure mode is a selective predicate
+    // emptying the probed cells (the survivors live in unprobed cells),
+    // and nothing measured that degradation. Four label-predicate bands
+    // (~10/30/50/100% selectivity), each band = filtered IVF arm vs
+    // filtered exact ground truth over the SAME held-out query page; one
+    // summary row per band (hits are integers; the one division is by a
+    // driver-constant double — hash-portable)
+    "ann_ivf_filtered_recall" -> ((s, d) => {
+      val db = emb(s, d)
+      val mq = math.max(1L, (embCount(s, d) + 19) / 20)
+      val q = db.filter(col("vec_id") % mq === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Ann.lloydSeededExact(db, IvfSeeds, iters = 2)
+      val assigned = Ann.assign(db, cents)
+      val bands: Seq[(String, Column)] = Seq(
+        ("p010_label_eq3", col("label") === 3),
+        ("p030_label_lt3", col("label") < 3),
+        ("p050_label_lt5", col("label") < 5),
+        ("p100_all", lit(true)))
+      val per = bands.map { case (name, pred) =>
+        val approx = Ann.ivfJoin(q, assigned.filter(pred), cents, k = K, nprobe = 4)
+          .select(col("query_id"), col("vec_id"))
+        val exact = KnnJoin.join(q, db.filter(pred), K, Dim)
+          .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+        approx.join(exact,
+            col("query_id") === col("eq") && col("vec_id") === col("ev"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(name).as("band"), col("n_hits"))
+      }
+      val nq = q.count() // |page| ~ 20 at any SF; one slim count job
+      per.reduce(_ unionByName _)
+        .select(col("band"), lit(nq).as("n_queries"), col("n_hits"),
+          (col("n_hits") / lit(K * nq.toDouble)).as("recall_at_k"))
+        .orderBy(col("band"))
+    }),
     // recall@k CURVE over nprobe — the accuracy/cost dial an ANN deploy
     // publishes: one trained index, one exact ground truth, four probe
     // widths sharing the probe RANKING (each width is a filter on the
@@ -6044,6 +6080,52 @@ object SparkEntry {
            |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
            |FROM qs q LEFT JOIN hits h ON q.qid = h.query_id
            |ORDER BY query_id""".stripMargin
+      },
+      "ann_ivf_filtered_recall" -> {
+        val pd = DuckSql.squaredL2Cols("q.q_embedding", "a.embedding", Dim)
+        val ed = DuckSql.squaredL2Cols("q.q_embedding", "d.embedding", Dim)
+        val bands = Seq(
+          ("p010_label_eq3", "label = 3"),
+          ("p030_label_lt3", "label < 3"),
+          ("p050_label_lt5", "label < 5"),
+          ("p100_all", "TRUE"))
+        def qual(t: String, pred: String) =
+          if (pred == "TRUE") "TRUE" else s"$t.$pred"
+        val bandCtes = bands.zipWithIndex.map { case ((_, pred), i) =>
+          s"""approx$i AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT qp.qid AS query_id, a.vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY $pd ASC, a.vec_id ASC) AS rn
+             |    FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
+             |    JOIN embeddings a ON a.vec_id = f.vec_id WHERE ${qual("a", pred)})
+             |  WHERE rn <= $K),
+             |exact$i AS (
+             |  SELECT eq, ev FROM (
+             |    SELECT q.qid AS eq, d.vec_id AS ev,
+             |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
+             |    FROM qs q CROSS JOIN embeddings d WHERE ${qual("d", pred)})
+             |  WHERE rn <= $K),
+             |hits$i AS (
+             |  SELECT COUNT(*) AS n_hits FROM approx$i
+             |  JOIN exact$i ON query_id = eq AND vec_id = ev)""".stripMargin
+        }.mkString(",\n")
+        val sel = bands.zipWithIndex.map { case ((name, _), i) =>
+          s"""SELECT '$name' AS band, (SELECT COUNT(*) FROM qs) AS n_queries,
+             |  CAST(n_hits AS BIGINT) AS n_hits,
+             |  CAST(n_hits AS DOUBLE) / CAST($K * (SELECT COUNT(*) FROM qs) AS DOUBLE) AS recall_at_k
+             |FROM hits$i""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${ivfTrainedCtes(IvfSeeds, 2)},
+           |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % ${modSql(20)} = 0),
+           |qprobe AS MATERIALIZED (
+           |  SELECT qid, cell FROM (
+           |    SELECT q.qid, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
+           |    FROM qs q CROSS JOIN c2 c)
+           |  WHERE rnp <= 4),
+           |$bandCtes
+           |$sel
+           |ORDER BY band""".stripMargin
       },
       "ann_pq_topk" ->
         pqTrainedSql(Fixtures.PqSeeds, iters = 2, Q64, k = K, refine = 100),
