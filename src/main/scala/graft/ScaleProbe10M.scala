@@ -48,6 +48,7 @@ object ScaleProbe10M extends App {
   val runQgrid = stages == "all" || stages == "qgrid"
   val runBpe = stages == "all" || stages == "bpe"
   val runGov = stages == "all" || stages == "gov"
+  val runHeavy = stages == "all" || stages == "heavy"
 
   val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     .select(col("doc_id"), col("text"))
@@ -423,6 +424,92 @@ object ScaleProbe10M extends App {
     println(s"SCALE   released=$released of $n, re-audit anonymous=${reAudit.getInt(5)}")
     assert(reAudit.getInt(5) == 1, "released frame must be k-anonymous")
     assert(released == n - audit.getLong(3), "suppressed exactly the rows at risk")
+  }
+
+  // r16 — the three most expensive GATED queries one decade harder: the
+  // sf0.1 lineitem amplified to ~10M rows (orderkeys re-keyed per rep so
+  // distinct counts scale too; partkeys kept so the dimension join stays
+  // realistic), then each query's exact plan shape re-run with its
+  // scale-critical property ASSERTED, not eyeballed.
+  if (runHeavy) {
+    import org.apache.spark.sql.types.DecimalType
+    val sfDir = "/root/testdata/sf0.1"
+    val liStore = "/tmp/graft_scale10m_lineitem"
+    val liBase = graft.core.Tables.lineitem(spark, sfDir)
+    val nLi = liBase.count()
+    val liReps = math.max(1L, targetRows / nLi)
+    t(s"heavy: materialize ${nLi * liReps} lineitem rows") {
+      liBase.repartition(64)
+        .select(col("*"), explode(sequence(lit(0L), lit(liReps - 1))).as("rep"))
+        .withColumn("l_orderkey", col("l_orderkey") * liReps + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(liStore)
+    }
+    val li = spark.read.parquet(liStore)
+
+    // agg_promo_revenue_share shape: the join MUST broadcast the part
+    // side — a sort-merge here shuffles the 10M fact rows for a 20k dim
+    val part = graft.core.Tables.part(spark, sfDir)
+    val revDec = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1.0).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    val promo = li
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revDec)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("promo_dec"),
+        sum(revDec).as("total_dec"), count(lit(1)).as("n"))
+      .select(col("month"),
+        (col("promo_dec").cast("double") / col("total_dec").cast("double") * lit(100.0))
+          .as("promo_share"), col("n"))
+    val promoPlan = promo.queryExecution.executedPlan.toString
+    assert(promoPlan.contains("BroadcastHashJoin"),
+      "promo share must broadcast the part dimension")
+    assert(!promoPlan.contains("SortMergeJoin"),
+      "promo share must not sort-merge the 10M fact side")
+    val promoRows = t("heavy: promo revenue share (10M fact x 20k dim)") {
+      promo.collect()
+    }
+    println(s"SCALE   promo months=${promoRows.length}, " +
+      s"n_total=${promoRows.map(_.getLong(2)).sum}")
+    assert(promoRows.map(_.getLong(2)).sum == nLi * liReps)
+
+    // profile_approx shape: the one-pass HLL profile must carry NO Expand
+    // (the exact multi-distinct replicates input |cols|x — the very plan
+    // the split exists to avoid at scale)
+    val profCols = Seq(
+      "l_orderkey" -> graft.operators.Profile.Num,
+      "l_quantity" -> graft.operators.Profile.Num,
+      "l_extendedprice" -> graft.operators.Profile.Num,
+      "l_returnflag" -> graft.operators.Profile.Str,
+      "l_shipdate" -> graft.operators.Profile.Ts)
+    val ap = graft.operators.Profile.profileApprox(li, profCols, rsd = 0.02)
+    assert(!ap.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must stay Expand-free (one-pass HLL)")
+    val apRows = t("heavy: profile_approx (10M one-pass HLL, 5 cols)") {
+      ap.collect()
+    }
+    val okDistinct = apRows.find(_.getString(0) == "l_orderkey").get.getLong(2)
+    println(s"SCALE   l_orderkey distinct_approx=$okDistinct of ${nLi * liReps} rows")
+    assert(okDistinct > 0 && okDistinct <= nLi * liReps)
+
+    // agg_exact_median_bisect shape: histogram bisection finds an EXACT
+    // order statistic in O(log range) range-predicate passes — verified
+    // here by the rank property at 10M rows, never a global sort
+    val n10 = nLi * liReps
+    val med = t("heavy: exact median bisect (10M rows)") {
+      graft.operators.OrderStat.kthSmallest(
+        li, col("l_extendedprice"), (n10 + 1) / 2, collectThreshold = 4096).get
+    }
+    val ranks = li.agg(
+      sum(when(col("l_extendedprice") < med, 1L).otherwise(0L)).as("n_lt"),
+      sum(when(col("l_extendedprice") <= med, 1L).otherwise(0L)).as("n_le"),
+      sum(when(col("l_extendedprice") === med, 1L).otherwise(0L)).as("n_eq")).head()
+    val (nLt, nLe, nEq) = (ranks.getLong(0), ranks.getLong(1), ranks.getLong(2))
+    println(s"SCALE   median=$med n_lt=$nLt n_le=$nLe")
+    assert(nEq > 0, "median must be an element of the column")
+    assert(nLt < (n10 + 1) / 2 && (n10 + 1) / 2 <= nLe,
+      "bisected median must satisfy the exact rank property")
   }
   spark.stop()
 }
