@@ -60,6 +60,26 @@ object SparkEntry {
     qgridCache.computeIfAbsent(d, _ => graft.index.QuantileGrid.calibrate(
       emb(s, d), "embedding", partsPerDim = 4, gridDims = 3, dim = Dim))
 
+  /** Memoized exact k-NN graph per fixture dir (r16): the NSW index is
+    * built ONCE and searched many times — the deployment contract — and
+    * three gated queries (edges, topk, recall) share the identical build.
+    * The typed-aggregator build plan contains per-construction lambda
+    * instances, so the CacheManager's canonicalized-plan matching can
+    * never share it across separately constructed DataFrames (the
+    * window-form plan did — which is what made cross-rep bench caching
+    * look free before r16); memoizing the DataFrame object is the
+    * explicit version. `storageLevel` re-check re-arms the persist after
+    * a bench-teardown clearCache. */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def knnGraphCached(s: SparkSession, d: String): DataFrame = {
+    val g = graphCache.computeIfAbsent(s"graph:$d",
+      _ => GraphAnn.knnGraph(emb(s, d), m = GraphM, Dim))
+    if (g.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g
+  }
+
   /** Fixed literal codebook for the incremental-IVF demo: the LSH planes
     * scaled into the fixture's data range (‖0.05·plane‖ ≈ 0.4 vs raw ≈ 8,
     * which would collapse every row into one or two cells). */
@@ -1465,8 +1485,7 @@ object SparkEntry {
     // Exact |V|² graph build — the correctness anchor; the scale build is
     // ann_graph_edges_ivf below
     "ann_graph_edges" -> ((s, d) =>
-      GraphAnn.knnGraph(emb(s, d), m = GraphM, Dim)
-        .orderBy(col("src"), col("rn"))),
+      knnGraphCached(s, d).orderBy(col("src"), col("rn"))),
     // 100 TB build path: candidates only from each node's nprobe nearest
     // trained-IVF cells (cell-key equi-join, co-partitioned — never |V|²);
     // the edge set it loses vs ann_graph_edges is the measured IVF recall
@@ -1483,12 +1502,7 @@ object SparkEntry {
     // oracle replays build + every hop and the result hash-checks
     "ann_graph_topk" -> ((s, d) => {
       val db = emb(s, d)
-      // persist: each of the 3 hops joins the edge table; unpersist is the
-      // ContextCleaner's (returned-DataFrame contract, same reliance as
-      // ann_ivf_recall_curve's scored-candidate persist)
-      val graph = GraphAnn.knnGraph(db, m = GraphM, Dim)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      GraphAnn.searchLit(graph, db, Q64, k = K,
+      GraphAnn.searchLit(knnGraphCached(s, d), db, Q64, k = K,
         beam = GraphBeam, hops = GraphHops, nEntry = GraphEntries)
     }),
     // recall@k of the beam search against exact brute force over the
@@ -1499,8 +1513,7 @@ object SparkEntry {
       val mq = math.max(1L, (embCount(s, d) + 19) / 20)
       val q = db.filter(col("vec_id") % mq === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val graph = GraphAnn.knnGraph(db, m = GraphM, Dim)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val graph = knnGraphCached(s, d)
       val approx = GraphAnn.searchJoin(graph, db, q, k = K,
           beam = GraphBeam, hops = GraphHops, nEntry = GraphEntries, dim = Dim)
         .select(col("query_id"), col("vec_id"))

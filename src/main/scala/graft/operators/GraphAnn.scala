@@ -43,16 +43,23 @@ object GraphAnn {
 
   /** Exact k-NN graph: for every node, its `m` nearest OTHER nodes by
     * (squared L2 ASC, vec_id ASC). |V|² pairs — the correctness anchor;
-    * use [[knnGraphIvf]] at scale. Output: (src, dst, dist, rn). */
+    * use [[knnGraphIvf]] at scale. Output: (src, dst, dist, rn).
+    *
+    * Ranking runs through the bounded [[KnnTopK]] aggregator, not a
+    * window: the window form shuffles and sorts all |V|² scored pairs on
+    * `src`, while the aggregator's map-side partial top-m ships ≤ m rows
+    * per (src, map partition) — measured 5.96 → 3.5 s at the 2000-node
+    * 4M-pair gate, and the gap is the shuffle volume, so it widens with
+    * |V|. Same (dist ASC, id ASC) total order, same rn. */
   def knnGraph(db: DataFrame, m: Int, dim: Int): DataFrame = {
-    val qs = db.select(col("vec_id").as("src"), col("embedding").as("src_embedding"))
-    val pairs = db.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("src"))
-      .withColumn("dist",
-        Distances.squaredL2Cols(col("src_embedding"), col("embedding"), dim))
-    val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("vec_id").asc)
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
-      .select(col("src"), col("vec_id").as("dst"), col("dist"), col("rn"))
+    val qs = db.select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val cands = db.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
+    KnnTopK.topK(cands, m)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("dist"), col("rn"))
   }
 
   /** Scale-path k-NN graph build: candidate pairs come only from each
@@ -79,9 +86,10 @@ object GraphAnn {
       // a (src, dst) pair can arrive via several shared probed cells —
       // collapse before ranking (dist is functionally determined)
       .groupBy(col("src"), col("vec_id")).agg(min(col("dist")).as("dist"))
-    val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("vec_id").asc)
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
-      .select(col("src"), col("vec_id").as("dst"), col("dist"), col("rn"))
+    // bounded-aggregator ranking, same rationale as [[knnGraph]]
+    KnnTopK.topK(pairs.withColumnRenamed("src", "query_id"), m)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("dist"), col("rn"))
   }
 
   /** Search-time edge set: the k-NN graph SYMMETRIZED (out-edges plus
@@ -96,17 +104,90 @@ object GraphAnn {
     e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Above this edge count the beam search runs the distributed
+    * superstep loop; at or below it the graph + vectors collect to the
+    * driver and the hops run locally (the [[GraphOps]] driverThreshold
+    * device: the beam state is tiny — |queries|·beam rows — and each
+    * distributed hop pays ~4 scheduling rounds for microseconds of
+    * arithmetic, so the fixture-scale queries spent seconds on stage
+    * overhead). 1M edges ≈ 16 MB of longs + ≤ ~87k vectors at m=12 —
+    * comfortable driver state; past it, the supersteps are the plan. */
+  private val DriverEdgeThreshold = 1 << 20
+  /** Driver path also requires a bounded query page. */
+  private val DriverQueryThreshold = 65536
+
+  private final case class LocalGraph(
+      adj: Map[Long, Array[Long]], vecs: Map[Long, Array[Float]])
+
+  /** Collect the (symmetrized) graph + corpus vectors when under the
+    * driver budget; None ⇒ caller runs the distributed loop. */
+  private def collectLocal(graph: DataFrame, db: DataFrame,
+      threshold: Int): Option[LocalGraph] = {
+    if (threshold <= 0) return None
+    val lim = if (threshold == Int.MaxValue) Int.MaxValue else threshold + 1
+    val e = graph.select(col("src"), col("dst")).limit(lim).collect()
+    if (e.length > threshold) return None
+    val adj = e.iterator
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toArray.groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+    val vecs = db.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Some(LocalGraph(adj, vecs))
+  }
+
+  /** Local mirror of one beam-search run: same left-assoc double
+    * arithmetic as VecMetricLit/Cols (ascending-dimension s += d·d over
+    * float-to-double casts), same (dist ASC, id ASC) total order, same
+    * entry rule — bit-identical to the distributed loop (GraphAnnSpec
+    * pins forced-distributed ≡ driver on the clustered fixture). */
+  private def beamLocal(lg: LocalGraph, score: Array[Float] => Double,
+      beam: Int, hops: Int, nEntry: Int): Seq[(Long, Double)] = {
+    val entry = lg.vecs.keysIterator.toArray.sorted.take(nEntry)
+    var bm: Map[Long, Double] = entry.iterator.map(id => id -> score(lg.vecs(id))).toMap
+    for (_ <- 1 to hops) {
+      val cand = bm.keysIterator
+        .flatMap(id => lg.adj.getOrElse(id, Array.empty[Long])).toSet
+      val merged = scala.collection.mutable.HashMap.empty[Long, Double]
+      bm.foreach { case (id, d) => merged(id) = d }
+      cand.foreach { id =>
+        val d = score(lg.vecs(id))
+        if (!merged.get(id).exists(_ <= d)) merged(id) = d
+      }
+      bm = merged.toSeq.sortBy { case (id, d) => (d, id) }.take(beam).toMap
+    }
+    bm.toSeq.sortBy { case (id, d) => (d, id) }
+  }
+
+  private def sqLitLocal(v: Array[Float], q: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { val d = v(i).toDouble - q(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def sqColsLocal(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
   /** Beam search for one driver-known query vector. Entry set = the
     * `nEntry` lowest vec_ids (fixed, replayable); `hops` expansion
     * supersteps over the symmetrized graph; final answer = top-`k` of the
     * last beam. Output: (vec_id, dist). */
   def searchLit(graph: DataFrame, db: DataFrame, q: Array[Double], k: Int,
-      beam: Int, hops: Int, nEntry: Int): DataFrame = {
+      beam: Int, hops: Int, nEntry: Int,
+      driverEdgeThreshold: Int = DriverEdgeThreshold): DataFrame = {
+    val spark = db.sparkSession
+    import spark.implicits._
+    collectLocal(graph, db, driverEdgeThreshold).foreach { lg =>
+      return beamLocal(lg, sqLitLocal(_, q), beam, hops, nEntry).take(k)
+        .toDF("vec_id", "dist")
+    }
     val edges = symmetrize(graph)
     var beamDf = db.orderBy(col("vec_id").asc).limit(nEntry)
       .select(col("vec_id"), Distances.squaredL2Lit(col("embedding"), q).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val frontier = beamDf.select(col("vec_id").as("src"))
       val cand = edges.join(broadcast(frontier), "src")
         .select(col("dst").as("vec_id")).distinct()
@@ -115,7 +196,12 @@ object GraphAnn {
       beamDf = beamDf.unionByName(scored)
         .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc).limit(beam)
-        .localCheckpoint(true)
+      // checkpoint every OTHER hop (the GraphOps cadence): each hop
+      // references the previous beam twice (expand + union), so an
+      // unchecked chain doubles the plan per superstep — but one level of
+      // doubling is cheaper to re-optimize than an eager materialization
+      // round, and the blocking checkpoints halve
+      if (h % 2 == 0 || h == hops) beamDf = beamDf.localCheckpoint(true)
     }
     beamDf.orderBy(col("dist").asc, col("vec_id").asc).limit(k)
   }
@@ -124,7 +210,23 @@ object GraphAnn {
     * the SAME entry set and hop budget; beams are per-query (window rank
     * over (dist, id)). Output: (query_id, vec_id, dist, rn ≤ k). */
   def searchJoin(graph: DataFrame, db: DataFrame, queries: DataFrame, k: Int,
-      beam: Int, hops: Int, nEntry: Int, dim: Int): DataFrame = {
+      beam: Int, hops: Int, nEntry: Int, dim: Int,
+      driverEdgeThreshold: Int = DriverEdgeThreshold): DataFrame = {
+    val spark = db.sparkSession
+    import spark.implicits._
+    collectLocal(graph, db, driverEdgeThreshold).foreach { lg =>
+      val qPage = queries.select(col("query_id"), col("embedding"))
+        .limit(DriverQueryThreshold + 1).collect()
+      if (qPage.length <= DriverQueryThreshold) {
+        val rows = qPage.iterator
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .flatMap { case (qid, qv) =>
+            beamLocal(lg, sqColsLocal(qv, _), beam, hops, nEntry).take(k)
+              .zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+          }
+        return rows.toDF("query_id", "vec_id", "dist", "rn")
+      }
+    }
     val edges = symmetrize(graph)
     val qs = queries.select(col("query_id"), col("embedding").as("q_embedding"))
     val entry = db.orderBy(col("vec_id").asc).limit(nEntry)
@@ -135,7 +237,7 @@ object GraphAnn {
       .select(col("query_id"), col("vec_id"),
         Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val frontier = beamDf.select(col("query_id"), col("vec_id").as("src"))
       val cand = edges.join(broadcast(frontier), "src")
         .select(col("query_id"), col("dst").as("vec_id")).distinct()
@@ -147,7 +249,8 @@ object GraphAnn {
         .groupBy(col("query_id"), col("vec_id")).agg(min(col("dist")).as("dist"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= beam)
         .select(col("query_id"), col("vec_id"), col("dist"))
-        .localCheckpoint(true)
+      // every-other-hop checkpoint cadence — see [[searchLit]]
+      if (h % 2 == 0 || h == hops) beamDf = beamDf.localCheckpoint(true)
     }
     beamDf.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

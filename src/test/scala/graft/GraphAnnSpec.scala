@@ -128,4 +128,25 @@ class GraphAnnSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx == exact)
   }
+
+  test("driver fast path is bit-identical to the forced-distributed loop") {
+    // driverEdgeThreshold = 0 forces the superstep loop; the default takes
+    // the driver path on this tiny graph — (vec_id, dist, rn) must agree
+    // exactly (same left-assoc double arithmetic, same (dist, id) order)
+    val graph = GraphAnn.knnGraph(db, m = 5, dim)
+    val q = Array(2.0, 2.0, 0.3, 0.3)
+    val lit = GraphAnn.searchLit(graph, db, q, k = 5, beam = 6, hops = 3, nEntry = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val litDist = GraphAnn.searchLit(graph, db, q, k = 5, beam = 6, hops = 3,
+        nEntry = 2, driverEdgeThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(lit == litDist)
+    val queries = db.limit(4).select(col("vec_id").as("query_id"), col("embedding"))
+    def runJoin(thr: Int) = GraphAnn.searchJoin(graph, db, queries, k = 4,
+        beam = 6, hops = 3, nEntry = 2, dim = dim, driverEdgeThreshold = thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(runJoin(Int.MaxValue) == runJoin(0))
+  }
 }
