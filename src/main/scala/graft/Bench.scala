@@ -216,7 +216,10 @@ object Bench {
       // round-15 flagships
       "governance_k_generalize", "media_frame_sample_real",
       "text_unigram_vocab", "pipeline_release_funnel",
-      "governance_l_diversity_approx")
+      "governance_l_diversity_approx",
+      // round-16 flagships (the length trimmer drops from the end first)
+      "ann_graph_topk", "text_bytebpe_token_counts",
+      "ann_ivf_filtered_recall", "sample_coreset_kcenter_page")
     val resMap = results.toMap
     // r16: the printed line must fit the driver's 2000-char stdout tail
     // WITH margin — r15 grew it to ~1657 by duplicating the full sentinel

@@ -115,7 +115,30 @@ object PlanAudit {
       ("REAL frame sampling (r15): header-only getNumImages inside ONE " +
         "mapPartitions decode pass (the documented multimodal escape " +
         "hatch), then a codegen'd sequence/explode - no shuffle at all; " +
-        "at 100 TB the decode cost is the floor, the plan adds nothing."))
+        "at 100 TB the decode cost is the floor, the plan adds nothing."),
+    "ann_graph_edges" ->
+      ("NSW graph build (r16): ranking through the bounded KnnTopK " +
+        "aggregator - ObjectHashAggregate with a partial_ map-side phase, " +
+        "so at most m rows per (src, map partition) cross the shuffle; " +
+        "never a window sort of the |V|^2 scored pairs. The memoized " +
+        "graph serves the search queries from InMemory scan."),
+    "ann_graph_edges_ivf" ->
+      ("NSW scale build (r16): candidates come only from each node's " +
+        "nprobe nearest trained-IVF cells - the pair generation is a " +
+        "cell-key equi hash join (co-partitioned at scale), never a " +
+        "cross product; dedup-by-min then bounded top-m aggregation."),
+    "text_bytebpe_token_counts" ->
+      ("Byte-level BPE encode (r16): the merge fold runs over the " +
+        "DISTINCT-word dictionary only (|vocab| rows); the corpus side " +
+        "pays a BroadcastHashJoin probe per word and ONE per-doc " +
+        "aggregation - same broadcast-dictionary shape as the char-level " +
+        "and unigram encodes."),
+    "ann_ivf_filtered_recall" ->
+      ("Filtered-ANN recall eval (r16): the trained index is shared " +
+        "across all four selectivity bands; each band's approx arm " +
+        "filters the assigned store BEFORE cell probing, and the exact " +
+        "arm crossJoins only the ~20-row broadcast query page (the " +
+        "documented bounded-broadcast exception)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
