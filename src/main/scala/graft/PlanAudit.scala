@@ -142,7 +142,7 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outFile = if (args.length > 1) args(1) else "PLANS_r15.md"
+    val outFile = if (args.length > 1) args(1) else "PLANS.md"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -152,7 +152,10 @@ object PlanAudit {
     try SparkEntry.prepareFixtures(spark, sfDir) catch { case _: Throwable => () }
 
     val sb = new StringBuilder
-    sb.append("# Physical-plan audit (round 15)\n\n")
+    // title derives from the artifact name (PLANS_r16.md -> "round 16")
+    sb.append("# Physical-plan audit" +
+      "_r(\\d+)".r.findFirstMatchIn(outFile).map(m => s" (round ${m.group(1)})").getOrElse("") +
+      "\n\n")
     sb.append(s"Generated by `runMain graft.PlanAudit $sfDir` at sf dir `$sfDir`.\n")
     sb.append("Each section: what the plan MUST show for the design to hold at ")
     sb.append("100 TB / 1000 executors, the extracted plan facts, then the full ")

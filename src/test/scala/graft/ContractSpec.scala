@@ -60,7 +60,7 @@ class ContractSpec extends SparkSpecBase {
     // flag list must stay empty — a creeper either gets fixed or gets a
     // justified entry HERE with its cause.
     val justified = Set.empty[String]
-    val p = java.nio.file.Paths.get("CROSS_SF_AUDIT_r15.json")
+    val p = java.nio.file.Paths.get("CROSS_SF_AUDIT_r16.json")
     assume(java.nio.file.Files.exists(p), "audit artifact not generated yet")
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readAllBytes(p))
