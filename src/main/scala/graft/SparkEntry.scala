@@ -71,10 +71,15 @@ object SparkEntry {
     * explicit version. `storageLevel` re-check re-arms the persist after
     * a bench-teardown clearCache. */
   private val graphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
   private def knnGraphCached(s: SparkSession, d: String): DataFrame = {
-    val g = graphCache.computeIfAbsent(s"graph:$d",
-      _ => GraphAnn.knnGraph(emb(s, d), m = GraphM, Dim))
+    // unlike countCache/qgridCache (plain values), the cached object is
+    // SESSION-BOUND — rebuild when the caller's session differs from the
+    // builder's or the builder's context has stopped, else a later
+    // session would get a DataFrame wired to a dead SparkContext
+    val (_, g) = graphCache.compute(s"graph:$d", (_, old) =>
+      if (old != null && (old._1 eq s) && !s.sparkContext.isStopped) old
+      else (s, GraphAnn.knnGraph(emb(s, d), m = GraphM, Dim)))
     if (g.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     g
@@ -1497,8 +1502,9 @@ object SparkEntry {
           m = GraphM, nprobe = 3, Dim)
         .orderBy(col("src"), col("rn"))
     }),
-    // NSW beam search for a literal query: fixed entry set (lowest 4 ids),
-    // 3 expansion hops, beam 12 → top-10. Deterministic end to end, so the
+    // NSW beam search for a literal query: fixed entry set (the lowest
+    // GraphEntries ids), GraphHops expansion hops, beam GraphBeam →
+    // top-K. Deterministic end to end, so the
     // oracle replays build + every hop and the result hash-checks
     "ann_graph_topk" -> ((s, d) => {
       val db = emb(s, d)

@@ -179,12 +179,14 @@ object Bpe {
   /** One learned merge. */
   final case class Merge(idx: Int, p1: String, p2: String, cnt: Long)
 
-  /** Dictionaries up to this many distinct words train on the driver. */
-  private val DriverDictLimit = 2000000
+  /** Dictionaries up to this many distinct words train on the driver
+    * (shared with [[ByteBpe]] so the two tokenizers' path choice can
+    * never silently diverge). */
+  private[operators] val DriverDictLimit = 2000000
 
   /** Ranked count-table slice collected per distributed round; the slice's
     * tail count is the `floor` bounding every invisible pair. */
-  private val DefaultBatchTopK = 512
+  private[operators] val DefaultBatchTopK = 512
 
   /** Train `nMerges` BPE merges from the corpus. The returned DataFrame is
     * the merge table (merge_idx, p1, p2, merged, pair_count) — the

@@ -44,7 +44,8 @@ object ByteBpe {
     * driver/distributed path choice with the byte symbolizer. Output
     * schema is [[Bpe.train]]'s merge table (p1/p2/merged in hex). */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
-      driverDictLimit: Int = 2000000, batchTopK: Int = 512): DataFrame =
+      driverDictLimit: Int = Bpe.DriverDictLimit,
+      batchTopK: Int = Bpe.DefaultBatchTopK): DataFrame =
     Bpe.trainWith(docs, nMerges, textCol, driverDictLimit,
       batchTopK, toByteSymbols, localByteSymbols)
 

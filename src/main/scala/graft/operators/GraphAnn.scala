@@ -214,10 +214,15 @@ object GraphAnn {
       driverEdgeThreshold: Int = DriverEdgeThreshold): DataFrame = {
     val spark = db.sparkSession
     import spark.implicits._
-    collectLocal(graph, db, driverEdgeThreshold).foreach { lg =>
-      val qPage = queries.select(col("query_id"), col("embedding"))
-        .limit(DriverQueryThreshold + 1).collect()
-      if (qPage.length <= DriverQueryThreshold) {
+    // probe the CHEAP budget first: an over-threshold query page must not
+    // pay the edge-list + corpus-vector collect just to discard it
+    val qPage =
+      if (driverEdgeThreshold > 0)
+        queries.select(col("query_id"), col("embedding"))
+          .limit(DriverQueryThreshold + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (qPage.nonEmpty && qPage.length <= DriverQueryThreshold) {
+      collectLocal(graph, db, driverEdgeThreshold).foreach { lg =>
         val rows = qPage.iterator
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
           .flatMap { case (qid, qv) =>
@@ -237,12 +242,18 @@ object GraphAnn {
       .select(col("query_id"), col("vec_id"),
         Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
       .localCheckpoint(true)
+    // no broadcast hints here: this loop only runs past the driver-path
+    // budgets (>64k queries or >1M edges), where the frontier is
+    // |queries|·beam rows and qs is the full query table — broadcasting
+    // either breaks at exactly the scale this branch exists for. Plain
+    // equi-joins let AQE pick sizes; on a cluster the graph would be
+    // bucketed by src so the expansion join is a bucket-local probe.
     for (h <- 1 to hops) {
       val frontier = beamDf.select(col("query_id"), col("vec_id").as("src"))
-      val cand = edges.join(broadcast(frontier), "src")
+      val cand = edges.join(frontier, "src")
         .select(col("query_id"), col("dst").as("vec_id")).distinct()
-      val scored = db.join(broadcast(cand), "vec_id")
-        .join(broadcast(qs), "query_id")
+      val scored = db.join(cand, "vec_id")
+        .join(qs, "query_id")
         .select(col("query_id"), col("vec_id"),
           Distances.squaredL2Cols(col("q_embedding"), col("embedding"), dim).as("dist"))
       beamDf = beamDf.unionByName(scored)
