@@ -401,6 +401,9 @@ object SparkEntry {
     * builder itself only falls back to this when called standalone against
     * a session that never prepared — a robustness path, not the design. */
   def prepareFixtures(s: SparkSession, d: String): Unit = {
+    // scan-parallelism re-layout FIRST, so the bucketed layouts below are
+    // built from (and all queries read) the split copies
+    graft.store.SplitLayout.prepare(s, d)
     graft.store.Bucketed.writeBucketedIfAbsent(
       Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
       "graft_orders_bk", "o_custkey", nBuckets = 8)

@@ -11,8 +11,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read-path overrides installed by [[graft.store.SplitLayout]]: a
+    * content-identical, multi-split copy of a fixture table, keyed by
+    * (applicationId, dir, name) so nothing leaks across sessions or
+    * scale-factor dirs. Purely a physical-layout redirect — values are
+    * byte-identical to the original file. */
+  private val pathOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def overrideKey(spark: SparkSession, dir: String, name: String): String =
+    s"${spark.sparkContext.applicationId}:$dir:$name"
+  def hasOverride(key: String): Boolean = pathOverrides.containsKey(key)
+  def registerOverride(key: String, path: String): Unit =
+    pathOverrides.put(key, path): Unit
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = pathOverrides.get(overrideKey(spark, dir, name))
+    spark.read.parquet(if (p != null) p else s"$dir/$name.parquet")
+  }
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
