@@ -489,7 +489,11 @@ object SparkEntry {
       // one directory instead of accumulating temp copies of the store
       val dir = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_store_roundtrip").getPath
+      // cluster by the partition column before the partitioned write
+      // (guide §6): an N-split input otherwise opens one writer per
+      // (task × cell) — N×64 tiny files and N× writer overhead
       Grid.withCellId(emb(s, d), "embedding", gridCfg)
+        .repartition(col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       val loaded = s.read.parquet(dir)
         .withColumn("cell_id", col("cell_id").cast("long"))
@@ -2951,6 +2955,7 @@ object SparkEntry {
       val twoD = emb(s, d).select(col("vec_id"), col("label"),
         slice(col("embedding"), 1, 2).as("embedding"))
       Grid.withCellId(twoD, "embedding", cfg2)
+        .repartition(col("cell_id")) // cluster-by-cell before partitioned write (guide §6)
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       graft.plans.GridRadiusPruning.register(s, cfg2, dir)
       Knn.radiusSearch(s.read.parquet(dir),
@@ -2974,6 +2979,7 @@ object SparkEntry {
         graft.index.QuantileGrid.calibrate(twoD, "embedding",
           partsPerDim = 8, gridDims = 2, dim = 2))
       graft.index.QuantileGrid.withCellId(twoD, "embedding", qc)
+        .repartition(col("cell_id")) // cluster-by-cell before partitioned write (guide §6)
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       graft.plans.QuantileGridRadiusPruning.register(s, qc, dir)
       Knn.radiusSearch(s.read.parquet(dir),
@@ -3283,22 +3289,16 @@ object SparkEntry {
     // unigram-vocab fertility by source — the same tokenizer-efficiency
     // row for the SECOND tokenizer family, so the data card can compare
     // BPE vs unigram compression on each source
-    "text_unigram_fertility" -> ((s, d) => {
-      val all = par(s, docs(s, d))
-      val (_, sf) = graft.operators.Unigram.train(all)
-      graft.operators.Unigram.fertilityByGroup(all, sf)
-        .orderBy(col("source"))
-    }),
+    "text_unigram_fertility" -> ((s, d) =>
+      graft.operators.Unigram.trainAndFertility(par(s, docs(s, d)))
+        .orderBy(col("source"))),
     // per-source tokenizer fertility (tokens/word, chars/token) under the
     // learned merges — the tokenizer-efficiency row of the corpus data
     // card; |sources| output rows at any corpus size
-    "text_token_fertility" -> ((s, d) => {
-      val all = par(s, docs(s, d))
-      val merges = graft.operators.Bpe.train(all, nMerges = 4).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.operators.Bpe.fertilityByGroup(all, merges, "source")
-        .orderBy(col("source"))
-    }),
+    "text_token_fertility" -> ((s, d) =>
+      graft.operators.Bpe.trainAndFertility(par(s, docs(s, d)), nMerges = 4,
+          groupCol = "source")
+        .orderBy(col("source"))),
     // trailing-window anomaly detection on the event stream: hourly counts
     // vs their own trailing-24-HOUR mean. The frame is a value-based RANGE
     // over hour_epoch (a ROWS frame would skip empty hours and stretch the

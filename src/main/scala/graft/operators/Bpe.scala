@@ -215,11 +215,21 @@ object Bpe {
     * is symbolization-agnostic. */
   private[operators] def trainWith(docs: DataFrame, nMerges: Int,
       textCol: String, driverDictLimit: Int, batchTopK: Int,
+      symCol: Column => Column, symLocal: String => Array[String]): DataFrame =
+    trainFromWf(wordFreq(docs, textCol), nMerges, driverDictLimit, batchTopK,
+      symCol, symLocal)
+
+  /** [[trainWith]] starting from an ALREADY-BUILT (word, freq) dictionary —
+    * the r16 pass-sharing entry: trainAndEncode computes the corpus-scale
+    * word-frequency aggregation ONCE and feeds it to both training and the
+    * encode dictionary, instead of re-exploding the corpus per stage. */
+  private[operators] def trainFromWf(wfIn: DataFrame, nMerges: Int,
+      driverDictLimit: Int, batchTopK: Int,
       symCol: Column => Column, symLocal: String => Array[String]): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = wfIn.sparkSession
     val probe =
       if (driverDictLimit > 0)
-        wordFreq(docs, textCol).limit(driverDictLimit + 1).collect()
+        wfIn.limit(driverDictLimit + 1).collect()
       else Array.empty[Row]
     if (driverDictLimit > 0 && probe.length <= driverDictLimit)
       return mergeTable(spark,
@@ -237,7 +247,7 @@ object Bpe {
     // and applies it in one fold pass ([[applyMerges]]) — so an over-cap
     // vocabulary pays 2 jobs per BATCH instead of 2 per merge. batchTopK=1
     // reproduces the old per-merge loop exactly (the spec pin).
-    var wf = wordFreq(docs, textCol)
+    var wf = wfIn
       .select(symCol(col("word")).as("sym"), col("freq"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
@@ -403,12 +413,33 @@ object Bpe {
   }
 
   /** [[train]] + [[encodeTokenCounts]] in one call (merges re-derived from
-    * the same corpus — the self-contained form the oracle mirrors). */
+    * the same corpus — the self-contained form the oracle mirrors).
+    *
+    * r16 pass sharing: the corpus-scale word-frequency aggregation is
+    * computed ONCE (persisted — an intra-query intermediate, freed with
+    * the plan) and feeds BOTH the training probe and the encode
+    * dictionary; the only other corpus pass is the final per-doc
+    * aggregation. The previous form exploded the corpus three times
+    * (train probe, dict distinct, doc agg) for identical results. */
   def trainAndEncode(docs: DataFrame, nMerges: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val merges = train(docs, nMerges, textCol).collect()
+    val wf = wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = trainFromWf(wf, nMerges, DriverDictLimit, DefaultBatchTopK,
+        toSymbols, w => w.split("").filter(_.nonEmpty)).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    encodeTokenCounts(docs, merges, textCol, idCol)
+    val sym = merges.foldLeft(toSymbols(col("word"))) {
+      case (s, (p1, p2)) => applyMerge(s, p1, p2)
+    }
+    // the dictionary IS the word-frequency table's key set — no second
+    // corpus explode+distinct; the fold still runs over |vocab| rows only
+    val dict = wf.select(col("word"), size(split(sym, " ")).as("n_tok"),
+      length(col("word")).as("n_chr"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict), "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tok")).as("n_tokens"), sum(col("n_chr")).as("n_chars"))
   }
 
   /** Per-group tokenizer fertility under the learned merges: tokens/word
@@ -430,6 +461,35 @@ object Bpe {
       .select(col("word"), size(split(sym, " ")).as("n_tok"),
         length(col("word")).as("n_chr"))
     words.join(broadcast(dict), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
+  /** [[train]] + [[fertilityByGroup]] with the r16 pass sharing: one
+    * word-frequency aggregation feeds the training probe AND the fertility
+    * dictionary (the standalone pair paid three corpus explodes). Results
+    * identical to `fertilityByGroup(docs, train(docs).collect…)`. */
+  def trainAndFertility(docs: DataFrame, nMerges: Int, groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val wf = wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = trainFromWf(wf, nMerges, DriverDictLimit, DefaultBatchTopK,
+        toSymbols, w => w.split("").filter(_.nonEmpty)).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val sym = merges.foldLeft(toSymbols(col("word"))) {
+      case (s, (p1, p2)) => applyMerge(s, p1, p2)
+    }
+    val dict = wf.select(col("word"), size(split(sym, " ")).as("n_tok"),
+      length(col("word")).as("n_chr"))
+    docs.select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict), "word")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
         sum(col("n_chr")).as("n_chars"))

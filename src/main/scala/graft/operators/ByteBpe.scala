@@ -71,12 +71,26 @@ object ByteBpe {
   }
 
   /** [[train]] + [[encodeTokenCounts]] in one call (the self-contained
-    * form the oracle mirrors). */
+    * form the oracle mirrors). Same r16 pass sharing as
+    * [[Bpe.trainAndEncode]]: one word-frequency aggregation feeds the
+    * training probe AND the encode dictionary (was three corpus passes). */
   def trainAndEncode(docs: DataFrame, nMerges: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val merges = train(docs, nMerges, textCol).collect()
+    val wf = Bpe.wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Bpe.trainFromWf(wf, nMerges, Bpe.DriverDictLimit,
+        Bpe.DefaultBatchTopK, toByteSymbols, localByteSymbols).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    encodeTokenCounts(docs, merges, textCol, idCol)
+    val sym = merges.foldLeft(toByteSymbols(col("word"))) {
+      case (s, (p1, p2)) => Bpe.applyMerge(s, p1, p2)
+    }
+    val dict = wf.select(col("word"), size(split(sym, " ")).as("n_tok"),
+      octet_length(col("word")).as("n_byt"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict), "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tok")).as("n_tokens"), sum(col("n_byt")).as("n_bytes"))
   }
 
   /** Unrolled DuckDB mirror of [[train]] over `documents.text`. */

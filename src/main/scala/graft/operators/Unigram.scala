@@ -185,11 +185,19 @@ object Unigram {
     *   → final E-step → n_uses. */
   def train(docs: DataFrame, cfg: Config = Config(),
       textCol: String = "text",
+      driverDictLimit: Int = DriverDictLimit): (DataFrame, Seq[(String, Long)]) =
+    trainFromWf(Bpe.wordFreq(docs, textCol), cfg, driverDictLimit)
+
+  /** [[train]] from an already-built (word, freq) dictionary — the r16
+    * pass-sharing entry ([[Bpe.trainFromWf]] pattern): trainAndEncode /
+    * trainAndFertility compute the corpus word-frequency aggregation once
+    * and feed training AND the encode dictionary from it. The caller owns
+    * `wfIn`'s persistence. */
+  private[operators] def trainFromWf(wfIn: DataFrame, cfg: Config = Config(),
       driverDictLimit: Int = DriverDictLimit): (DataFrame, Seq[(String, Long)]) = {
-    val spark = docs.sparkSession
+    val spark = wfIn.sparkSession
     if (driverDictLimit > 0) {
-      val probe = Bpe.wordFreq(docs, textCol)
-        .limit(driverDictLimit + 1).collect()
+      val probe = wfIn.limit(driverDictLimit + 1).collect()
       // BMP-only precondition on the DRIVER path (r14 ADVICE): the local
       // mirror indexes words by UTF-16 units (String.substring/length)
       // while Spark's substr/length and DuckDB's substring count CODE
@@ -219,7 +227,7 @@ object Unigram {
         return (vocabTable, sf.toSeq.sortBy(_._1))
       }
     }
-    val wf = Bpe.wordFreq(docs, textCol)
+    val wf = wfIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val maxLen = wf.agg(max(length(col("word")))).head() match {
@@ -286,11 +294,49 @@ object Unigram {
   }
 
   /** [[train]] + [[encodeTokenCounts]] in one call — the self-contained
-    * form the encode oracle mirrors. */
+    * form the encode oracle mirrors. r16 pass sharing: one corpus
+    * word-frequency aggregation (persisted intra-query, freed with the
+    * plan) feeds the training probe AND the encode dictionary; the only
+    * other corpus pass is the per-doc aggregation. */
   def trainAndEncode(docs: DataFrame, cfg: Config = Config(),
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val (_, sf) = train(docs, cfg, textCol)
-    encodeTokenCounts(docs, sf, cfg, textCol, idCol)
+    val wf = Bpe.wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, sf) = trainFromWf(wf, cfg)
+    val dict = wf.select(guardWordLen(col("word"), cfg.maxWordLen).as("word"))
+      .select(col("word"),
+        size(split(ltrim(viterbiBest(col("word"), sf, cfg.maxPieceLen)), " "))
+          .as("n_tok"),
+        length(col("word")).as("n_chr"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict), "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tok")).as("n_tokens"), sum(col("n_chr")).as("n_chars"))
+  }
+
+  /** [[train]] + [[fertilityByGroup]] with the same r16 pass sharing. */
+  def trainAndFertility(docs: DataFrame, cfg: Config = Config(),
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val wf = Bpe.wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, sf) = trainFromWf(wf, cfg)
+    val dict = wf.select(guardWordLen(col("word"), cfg.maxWordLen).as("word"))
+      .select(col("word"),
+        size(split(ltrim(viterbiBest(col("word"), sf, cfg.maxPieceLen)), " "))
+          .as("n_tok"),
+        length(col("word")).as("n_chr"))
+    docs.select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
   }
 
   /** Per-group tokenizer fertility under the trained unigram vocab

@@ -29,21 +29,33 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object SplitLayout {
 
-  /** Tables worth re-laying out: the row-heavy relational fixtures whose
-    * single-task scans dominated the bench. The vector/text fixtures
-    * (embeddings 2k rows, documents 5k) stay on the original layout —
-    * their CPU-heavy stages are parallelized explicitly by the operators
-    * (repartition before per-row work), and at their row counts a split
-    * scan buys nothing (measured: 32-way split was NET SLOWER than 8-way
-    * from per-task overhead; tiny tables never win). */
-  private val candidates = Seq("lineitem", "orders", "events", "customer", "part")
+  /** Tables worth re-laying out, with a per-table rows-per-split target.
+    * Two regimes:
+    *   - row-heavy relational fixtures (lineitem/orders/events/…): cheap
+    *     per-row work, so splits are sized for scan+partial-agg balance
+    *     (~25k rows/split);
+    *   - CPU-heavy per-row fixtures (documents: ms-scale text/shingle
+    *     exprs per row; embeddings: 64-dim vector exprs fanned out by
+    *     cell joins): much smaller row targets, because Catalyst pushes
+    *     CPU-heavy filters/projections below the operators' explicit
+    *     repartition into the scan stage — measured single-task scan
+    *     stages of 0.6-0.9 s (pipeline_pretrain_v2, ann_graph_edges_ivf)
+    *     that a split scan runs wide.
+    * Split counts stay capped by `splitCap`/core count, so these targets
+    * only decide how early a growing table reaches full width (measured:
+    * 32-way split was NET SLOWER than 8-way from per-task overhead). */
+  private def envLong(k: String, dflt: Long): Long =
+    sys.env.get(k).map(_.toLong).getOrElse(dflt)
+  private val candidates: Seq[(String, Long)] = Seq(
+    "lineitem" -> 25000L, "orders" -> 25000L, "events" -> 25000L,
+    "customer" -> 25000L, "part" -> 25000L,
+    "documents" -> envLong("SPARK_GRAFT_SPLIT_DOCS_ROWS", 2500L),
+    "embeddings" -> envLong("SPARK_GRAFT_SPLIT_EMB_ROWS", 260L))
 
   /** Above this input size the rewrite is a real job, not prep — skip it
     * (production inputs that big arrive already split). */
   private val maxRelayoutBytes = 1L << 30
 
-  private val targetRowsPerSplit =
-    sys.env.getOrElse("SPARK_GRAFT_SPLIT_ROWS", "25000").toLong
   private val targetBytesPerSplit =
     sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", (2L << 20).toString).toLong
   /** Cap on split count. 8 measured best at sf0.1/local[32]: past it,
@@ -53,7 +65,8 @@ object SplitLayout {
   private val splitCap =
     sys.env.getOrElse("SPARK_GRAFT_SPLIT_CAP", "8").toInt
 
-  private def splitsFor(rows: Long, bytes: Long, parallelism: Int): Int = {
+  private def splitsFor(rows: Long, bytes: Long, parallelism: Int,
+      targetRowsPerSplit: Long): Int = {
     val byRows = (rows + targetRowsPerSplit - 1) / targetRowsPerSplit
     val byBytes = (bytes + targetBytesPerSplit - 1) / targetBytesPerSplit
     math.min(math.min(splitCap.toLong, parallelism.toLong),
@@ -67,7 +80,7 @@ object SplitLayout {
   def prepare(spark: SparkSession, dir: String): Unit = {
     val appId = spark.sparkContext.applicationId
     val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${appId}_split")
-    candidates.foreach { name =>
+    candidates.foreach { case (name, targetRows) =>
       val key = graft.core.Tables.overrideKey(spark, dir, name)
       if (!graft.core.Tables.hasOverride(key)) {
         val src = new java.io.File(dir, s"$name.parquet")
@@ -80,7 +93,8 @@ object SplitLayout {
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             val df = spark.read.parquet(src.getPath)
             val rows = df.count()
-            val n = splitsFor(rows, src.length(), spark.sparkContext.defaultParallelism)
+            val n = splitsFor(rows, src.length(),
+              spark.sparkContext.defaultParallelism, targetRows)
             if (n > 1) {
               val dst = new java.io.File(base, s"$name.parquet").getPath
               df.repartition(n).write.mode(SaveMode.Overwrite).parquet(dst)
