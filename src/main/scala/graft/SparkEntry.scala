@@ -1595,13 +1595,30 @@ object SparkEntry {
       val withQ = deduped
         .withColumn("cb", floor(col("n_chars") / 50).cast("int"))
       val released = Governance.kSuppress(withQ, Seq("source", "cb"), k = 5L)
-      Seq(
-        "1_input" -> all, "2_quality_lang" -> gated,
-        "3_exact_dedup" -> deduped, "4_k_anon_release" -> released)
-        .map { case (n, df) =>
-          df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("step"), col("n_rows"))
-        }
-        .reduce(_ unionByName _).orderBy(col("step"))
+      // r16 fused head (guide §1.2): steps 1-3 are conditional aggregates
+      // of ONE corpus scan (gate predicate evaluated once; exact-dedup
+      // survivors == countDistinct(md5(text)) over passers — the
+      // CurationSpec pin); only the k-anonymity step still needs its own
+      // branch (its count depends on the suppress anti-join). Previously
+      // four union branches re-scanned the corpus and re-ran the gate.
+      val pass = graft.pipeline.Curation.gatePassPredicate()
+      // two-level aggregation (groupBy dedup key, then totals) instead of
+      // countDistinct: avoids the mixed-distinct Expand; gate runs once/row
+      val head3 = all
+        .select(md5(col("text")).as("__k"), pass.cast("long").as("__p"))
+        .groupBy(col("__k"))
+        .agg(count(lit(1)).as("__c"), sum(col("__p")).as("__ps"))
+        .agg(sum(col("__c")).as("n1"), sum(col("__ps")).as("n2"),
+          sum((col("__ps") > 0).cast("long")).as("n3"))
+        .select(explode(array(
+          struct(lit("1_input").as("step"), col("n1").as("n_rows")),
+          struct(lit("2_quality_lang").as("step"), col("n2").as("n_rows")),
+          struct(lit("3_exact_dedup").as("step"), col("n3").as("n_rows")))).as("r"))
+        .select(col("r.step"), col("r.n_rows"))
+      head3.unionByName(
+          released.agg(count(lit(1)).as("n_rows"))
+            .select(lit("4_k_anon_release").as("step"), col("n_rows")))
+        .orderBy(col("step"))
     }),
     // banding recall eval: LSH near-dup pairs vs exact ground truth,
     // restricted to pairs INCIDENT to a SIZE-TARGETED probe sample (~25

@@ -36,6 +36,16 @@ object Curation {
       .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col(textCol)))
       .filter(col("quality") >= minQuality && col("lang_pred") === lang)
 
+  /** The gate's pass/fail PREDICATE as a single Column over the raw text —
+    * the same quality/langid expressions [[qualityLangGate]] filters on,
+    * usable inside a fused aggregation (conditional counts) where a filter
+    * stage would force one job per funnel step. Pinned equal to
+    * `qualityLangGate(df).count` in CurationSpec. */
+  def gatePassPredicate(minQuality: Double = 0.3, lang: String = "en",
+      textCol: String = "text"): org.apache.spark.sql.Column =
+    TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+      TextAnalysis.langIdHeuristic(col(textCol)) === lang
+
   /** @param withFunnel false skips the per-stage counts (4 extra jobs) —
     *                    use for fire-and-forget runs where only the curated
     *                    output matters
@@ -49,30 +59,51 @@ object Curation {
       textCol: String = "text", idCol: String = "doc_id",
       withFunnel: Boolean = true): (DataFrame, Seq[(String, Long)]) = {
     val funnel = Seq.newBuilder[(String, Long)]
-    def stage(name: String, df: DataFrame): DataFrame = {
-      if (withFunnel) funnel += name -> df.count()
-      df
-    }
-    stage("input", docs)
 
     // 1. quality + language gate (per-row, shuffle-free)
-    val gated = stage("quality_lang_gate",
-      qualityLangGate(docs, cfg.minQuality, cfg.lang, textCol))
+    val gated = qualityLangGate(docs, cfg.minQuality, cfg.lang, textCol)
+
+    // FUSED funnel head (r16, guide §1.2 "don't compute things twice"):
+    // input/gate/exact-survivor counts are conditional aggregates of ONE
+    // corpus scan — the previous per-stage df.count() ran three jobs and
+    // evaluated the (CPU-heavy) gate expressions twice. exact-survivor
+    // count == countDistinct(md5(text)) over gate passers, because
+    // exactDedup keeps exactly one row per md5(text) group (pinned in
+    // CurationSpec).
+    val nExact =
+      if (!withFunnel) 0L
+      else {
+        val pass = gatePassPredicate(cfg.minQuality, cfg.lang, textCol)
+        // two-level aggregation, not countDistinct: a mixed
+        // distinct/non-distinct agg plans an Expand (2 copies of every
+        // row); grouping by the dedup key first is one map-side-combined
+        // shuffle of |vocab| keys and evaluates the gate once per row
+        val r = docs
+          .select(md5(col(textCol)).as("__k"), pass.cast("long").as("__p"))
+          .groupBy(col("__k"))
+          .agg(count(lit(1)).as("__c"), sum(col("__p")).as("__ps"))
+          .agg(sum(col("__c")).as("n_input"), sum(col("__ps")).as("n_gate"),
+            sum((col("__ps") > 0).cast("long")).as("n_exact")).head()
+        funnel += "input" -> r.getLong(0)
+        funnel += "quality_lang_gate" -> r.getLong(1)
+        funnel += "exact_dedup" -> r.getLong(2)
+        r.getLong(2)
+      }
 
     // 2. exact dedup (one hash shuffle); cached once — the survivors feed
     // BOTH the LSH candidate pass and the final anti-join. persist (not
     // localCheckpoint): lazy, spillable, and the lineage survives executor
     // loss; freed by the ContextCleaner with the returned plan.
-    val exact = stage("exact_dedup",
-      Dedup.exactDedup(gated, textCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val exact = Dedup.exactDedup(gated, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // survivor count for the near-dup pass's cost-based path choice: the
-    // funnel already counted `exact`; without the funnel, a bounded probe
-    // of the RAW input (upper bound of the survivors — probing `exact`
-    // itself would force its window shuffle just to count)
-    val survivorsHint = funnel.result().find(_._1 == "exact_dedup").map(_._2)
-      .getOrElse(docs.select(col(idCol))
-        .limit(Dedup.PrefilterMinDocs.toInt).count())
+    // fused head already counted the survivors; without the funnel, a
+    // bounded probe of the RAW input (upper bound of the survivors —
+    // probing `exact` itself would force its window shuffle just to count)
+    val survivorsHint =
+      if (withFunnel) nExact
+      else docs.select(col(idCol))
+        .limit(Dedup.PrefilterMinDocs.toInt).count()
 
     // 3. near-dup pairs on the survivors (banded MinHash-LSH, verified),
     // plus the hot-bucket drop report off the same cached signature table
@@ -83,15 +114,17 @@ object Curation {
     // 4. cluster and keep the canonical (min-id) member of each cluster
     val clusters = Dedup.connectedComponents(pairs)
     val dropIds = clusters.filter(col("id") =!= col("canonical")).select(col("id"))
-    val curated = stage("near_dup_dedup",
-      exact.join(dropIds, exact(idCol) === dropIds("id"), "left_anti"))
+    val curated = exact.join(dropIds, exact(idCol) === dropIds("id"), "left_anti")
 
-    // 5. IN-BAND drop accounting (r14): how much the LSH hot-bucket cap
-    // silently excluded from near-dup pairing — aggregated AFTER the
-    // near_dup_dedup count so the signature table is already cached (one
-    // cheap cache-side job, vs the measured-out observe() route's +55%).
-    // Zero in healthy corpora; a non-zero row is the retune-the-cap alarm.
+    // 5. near-dup survivor count + IN-BAND drop accounting (r14) in ONE
+    // job: every dropped id is a distinct exact-survivor id, so
+    // |near_dup_dedup| = n_exact − |dropIds| (no anti-join recount), and
+    // the drop stats ride the same aggregation pass over the (tiny)
+    // cluster/drop tables. Zero drops in healthy corpora; a non-zero row
+    // is the retune-the-cap alarm.
     if (withFunnel) {
+      val nDropped = dropIds.count()
+      funnel += "near_dup_dedup" -> (nExact - nDropped)
       val r = dropStats
         .agg(count(lit(1)).as("nb"), coalesce(sum(col("n_docs")), lit(0L)).as("nd"))
         .head()

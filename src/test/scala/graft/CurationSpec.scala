@@ -46,6 +46,27 @@ class CurationSpec extends SparkSpecBase {
     assert(pairs.count() <= pairsUncapped.count())
   }
 
+  test("fused funnel head equals the per-stage counts it replaced (r16)") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // gatePassPredicate sum == qualityLangGate row count
+    val gated = Curation.qualityLangGate(docs)
+    val fused = docs.agg(
+      sum(Curation.gatePassPredicate().cast("long")).as("n_gate"),
+      countDistinct(when(Curation.gatePassPredicate(), md5(col("text"))))
+        .as("n_exact")).head()
+    assert(fused.getLong(0) == gated.count())
+    // countDistinct(md5) over passers == exactDedup survivor count
+    assert(fused.getLong(1) == Dedup.exactDedup(gated).count())
+    // and the reported funnel equals a recount of each returned stage
+    val (curated, funnel) = Curation.curate(docs)
+    val m = funnel.toMap
+    assert(m("input") == docs.count())
+    assert(m("quality_lang_gate") == gated.count())
+    assert(m("exact_dedup") == Dedup.exactDedup(gated).count())
+    assert(m("near_dup_dedup") == curated.count())
+  }
+
   test("exact replicas and near-dups collapse to one canonical document") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank again and again"
     val docs = Seq(
