@@ -200,7 +200,7 @@ object GraphOps {
     *
     * Output: (node, pr) with pr floor-quantized to 9 decimals. */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, driverThreshold: Long = 100000L): DataFrame = {
     // hash-partitioned on src BEFORE the persist: every superstep joins
     // this table on src, and the cached partitioning is recognized by the
     // planner — so per iteration only the (|nodes|-row) rank side
@@ -210,6 +210,38 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cost-based driver path (r16 — the bfsHops/labelProp pattern finally
+    // applied to the third loop): on a driver-small edge list the
+    // distributed loop is pure job overhead (measured 29 stages for 3
+    // supersteps over a ~200-node similarity graph). The local loop
+    // replays the identical arithmetic — floor(pr/deg·1e9) per-edge
+    // contributions summed as exact longs, q9 fold per node — so the
+    // result is bit-identical (same IEEE ops, order-free integer sum);
+    // pinned against the distributed loop in GraphOpsSpec.
+    val nDir = dir.count()
+    if (nDir <= driverThreshold) {
+      val spark = edges.sparkSession
+      val adj = dir.collect().map(r => (r.getLong(0), r.getLong(1)))
+      dir.unpersist(false)
+      val degM = adj.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+      val n = degM.size
+      require(n > 0, "pageRank: empty graph")
+      val base = (1.0 - damping) / n
+      def q9(x: Double): Double = math.floor(x * 1e9) / 1e9
+      var pr: Map[Long, Double] = degM.map { case (k, _) => k -> q9(1.0 / n) }
+      for (_ <- 1 to iters) {
+        val c9 = scala.collection.mutable.Map.empty[Long, Long]
+        adj.foreach { case (src, dst) =>
+          val c = math.floor((pr(src) / degM(src).toDouble) * 1e9).toLong
+          c9.update(dst, c9.getOrElse(dst, 0L) + c)
+        }
+        pr = c9.iterator.map { case (node, s) =>
+          node -> q9(base + damping * (s.toDouble / 1e9))
+        }.toMap
+      }
+      import spark.implicits._
+      return pr.toSeq.toDF("node", "pr")
+    }
     val deg = dir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()

@@ -30,6 +30,14 @@ class GraphPropagationSpec extends SparkSpecBase {
       assert(rowsB(GraphOps.labelProp(edges, seeds, 2, driverThreshold = 0L)) ==
         rowsB(GraphOps.labelProp(edges, seeds, 2, driverThreshold = Long.MaxValue)),
         s"labelProp trial $trial")
+      // r16: pageRank's driver path must be BIT-identical to the
+      // distributed loop (same floor-quantized arithmetic, order-free
+      // integer contribution sums)
+      def rowsPr(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rowsPr(GraphOps.pageRank(edges, iters = 3, driverThreshold = 0L)) ==
+        rowsPr(GraphOps.pageRank(edges, iters = 3, driverThreshold = Long.MaxValue)),
+        s"pageRank trial $trial")
     }
   }
 
