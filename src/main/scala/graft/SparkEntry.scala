@@ -317,7 +317,7 @@ object SparkEntry {
        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |), sets AS (
        |  SELECT doc_id, $ssetSql AS sset FROM words_t
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM (
        |    SELECT id_a, id_b,
        |      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.sset, sb.sset))) AS DOUBLE) AS jac
@@ -4687,7 +4687,7 @@ object SparkEntry {
     val model = FixedPqModel
     def subDistSql(off: Int, cent: Array[Double]): String =
       cent.indices.map { i =>
-        val dd = s"(CAST(embedding[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
+        val dd = s"(embedding[${off + i + 1}]::DOUBLE - (${DuckSql.fmt(cent(i))}))"
         s"($dd * $dd)"
       }.mkString("(", " + ", ")")
     (0 until model.m).map { j =>
@@ -4756,15 +4756,19 @@ object SparkEntry {
     val om = DuckSql.fmt(1.0 - lambda)
     val cos = DuckSql.cosineSimLit("embedding", Q64)
     val pcos = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
+    // MATERIALIZED throughout: cand/pairs are referenced by every step and
+    // each s_i by all later steps (twice each: IN + NOT IN); plain CTEs are
+    // inlined per reference, so the un-hinted chain recomputed the 64-dim
+    // pair matrix exponentially (28 s in the r16 driver's sweep at 500 rows).
     val steps = (1 to k).map { i =>
       if (i == 1)
-        s"""s1 AS (
+        s"""s1 AS MATERIALIZED (
            |  SELECT vec_id, ($lam * simq - $om * CAST('0.0' AS DOUBLE)) AS score
            |  FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1)"""
           .stripMargin
       else {
         val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
-        s"""s$i AS (
+        s"""s$i AS MATERIALIZED (
            |  SELECT c.vec_id, ($lam * c.simq - $om * m.mx) AS score
            |  FROM cand c
            |  JOIN (SELECT p.i, MAX(p.s) AS mx FROM pairs p
@@ -4777,10 +4781,10 @@ object SparkEntry {
     val finalRows = (1 to k)
       .map(i => s"SELECT CAST($i AS INT) AS rank, vec_id, score AS mmr_score FROM s$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH cand AS (
+    s"""WITH cand AS MATERIALIZED (
        |  SELECT vec_id, embedding, ROUND($cos, 9) AS simq
        |  FROM embeddings ORDER BY simq DESC, vec_id ASC LIMIT $nCand),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.vec_id AS i, b.vec_id AS j, ROUND($pcos, 9) AS s
        |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
        |$steps
@@ -4804,7 +4808,7 @@ object SparkEntry {
       rel: String = "embeddings"): String = {
     def distToC(eCol: String): String =
       (0 until Dim).map { i =>
-        val dfr = s"(CAST($eCol[${i + 1}] AS DOUBLE) - c.c[${i + 1}])"
+        val dfr = s"($eCol[${i + 1}]::DOUBLE - c.c[${i + 1}])"
         s"($dfr * $dfr)"
       }.mkString("(", " + ", ")")
     val seedRows = seeds.zipWithIndex.map { case (cArr, j) =>
@@ -4815,10 +4819,14 @@ object SparkEntry {
     }.mkString("[", ",\n      ", "]")
     // Slim assignment: hash-agg to (vec_id, cell) via lexicographic
     // struct-MIN — same (dc, cell) tie-break as the windowed form, but
-    // the 64-double embedding array never enters a window/materialized
-    // CTE (peak allocation was starving the long-lived sweep connection).
+    // the 64-double embedding array never enters a window (peak
+    // allocation was starving the long-lived sweep connection).
+    // Every CTE is MATERIALIZED: c_{it-1} is referenced twice (by a_it
+    // and c_it) and `af` up to 4× by the recall-band oracles; plain CTEs
+    // are inlined per reference, so the un-hinted chain re-ran the whole
+    // Lloyd replay 2^iters × bands times (the r16 ann_* OOM/slow family).
     def assignCte(name: String, cents: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT vec_id, (MIN({'dc': dc, 'cell': cell})).cell AS cell FROM (
          |    SELECT e.vec_id, c.cell, ${distToC("e.embedding")} AS dc
          |    FROM $rel e CROSS JOIN $cents c)
@@ -4826,14 +4834,14 @@ object SparkEntry {
     val its = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""${assignCte(s"a$it", prev)},
-         |m$it AS (
+         |m$it AS MATERIALIZED (
          |  SELECT a.cell, $meanExprs AS c
          |  FROM a$it a JOIN $rel USING (vec_id) GROUP BY a.cell),
-         |c$it AS (
+         |c$it AS MATERIALIZED (
          |  SELECT p.cell, COALESCE(m.c, p.c) AS c
          |  FROM $prev p LEFT JOIN m$it m USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (
+    s"""c0 AS MATERIALIZED (
        |  SELECT cell, c FROM (VALUES
        |    $seedRows) AS t(cell, c)),
        |$its,
@@ -4846,10 +4854,10 @@ object SparkEntry {
     * already-trained codebook. */
   private def ivfAssignCte(name: String, rel: String, cents: String): String = {
     val distToC = (0 until Dim).map { i =>
-      val dfr = s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - c.c[${i + 1}])"
+      val dfr = s"(e.embedding[${i + 1}]::DOUBLE - c.c[${i + 1}])"
       s"($dfr * $dfr)"
     }.mkString("(", " + ", ")")
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT vec_id, (MIN({'dc': dc, 'cell': cell})).cell AS cell FROM (
        |    SELECT e.vec_id, c.cell, $distToC AS dc
        |    FROM $rel e CROSS JOIN $cents c)
@@ -4872,7 +4880,7 @@ object SparkEntry {
     * `q_embedding` vs centroid CTE alias `c`). */
   private def ivfDistQC: String =
     (0 until Dim).map { i =>
-      val dfr = s"(CAST(q.q_embedding[${i + 1}] AS DOUBLE) - c.c[${i + 1}])"
+      val dfr = s"(q.q_embedding[${i + 1}]::DOUBLE - c.c[${i + 1}])"
       s"($dfr * $dfr)"
     }.mkString("(", " + ", ")")
 
@@ -4970,7 +4978,7 @@ object SparkEntry {
       q: Array[Double], k: Int, refine: Int): String = {
     val m = seeds.length; val ksub = seeds(0).length; val dsub = Dim / m
     val svDist = (1 to dsub).map { i =>
-      val dfr = s"(CAST(s.sv[$i] AS DOUBLE) - c.c[$i])"
+      val dfr = s"(s.sv[$i]::DOUBLE - c.c[$i])"
       s"($dfr * $dfr)"
     }.mkString("(", " + ", ")")
     val seedRows = (for (j <- 0 until m; cc <- 0 until ksub) yield
@@ -4981,9 +4989,11 @@ object SparkEntry {
     }.mkString("[", ",\n      ", "]")
     // Slim assignment (see ivfTrainedCtes): hash-agg to (vec_id, j, code)
     // via lexicographic struct-MIN — identical (dc, code) tie-break, no
-    // subvector lists carried through windows/materialized CTEs.
+    // subvector lists carried through windows. MATERIALIZED chain for the
+    // same per-reference-inlining reason as ivfTrainedCtes (ps_{it-1} and
+    // sub are each referenced twice per iteration).
     def assignCte(name: String, cents: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT vec_id, j, (MIN({'dc': dc, 'code': code})).code AS code FROM (
          |    SELECT s.vec_id, s.j, c.code, $svDist AS dc
          |    FROM sub s JOIN $cents c ON s.j = c.j)
@@ -4991,11 +5001,11 @@ object SparkEntry {
     val its = (1 to iters).map { it =>
       val prev = s"ps${it - 1}"
       s"""${assignCte(s"pa$it", prev)},
-         |pm$it AS (
+         |pm$it AS MATERIALIZED (
          |  SELECT a.j, a.code, $meanExprs AS c
          |  FROM pa$it a JOIN sub s ON a.vec_id = s.vec_id AND a.j = s.j
          |  GROUP BY a.j, a.code),
-         |ps$it AS (
+         |ps$it AS MATERIALIZED (
          |  SELECT p.j, p.code, COALESCE(mm.c, p.c) AS c
          |  FROM $prev p LEFT JOIN pm$it mm ON p.j = mm.j AND p.code = mm.code)""".stripMargin
     }.mkString(",\n")
@@ -5010,10 +5020,10 @@ object SparkEntry {
     val pivotCols = (0 until m).map(j =>
       s"MAX(CASE WHEN j = $j THEN contrib END) AS t$j").mkString(",\n      ")
     val adcSum = (0 until m).map(j => s"t$j").mkString("(", " + ", ")")
-    s"""WITH ps0 AS (
+    s"""WITH ps0 AS MATERIALIZED (
        |  SELECT j, code, c FROM (VALUES
        |    $seedRows) AS t(j, code, c)),
-       |sub AS (
+       |sub AS MATERIALIZED (
        |  SELECT vec_id, CAST(t.j AS INT) AS j,
        |    list_slice(embedding, t.j * $dsub + 1, t.j * $dsub + $dsub) AS sv
        |  FROM embeddings, range($m) t(j)),
@@ -5086,14 +5096,19 @@ object SparkEntry {
   private def kcenterChainSql(k: Int,
       baseSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     def sq(a: String, b: String) = DuckSql.squaredL2Cols(a, b, Dim)
+    // Every d_i/c_i is MATERIALIZED: d_i is referenced twice (by c_i and
+    // d_{i+1}), and DuckDB inlines plain CTEs per reference, so the un-hinted
+    // chain re-evaluated d_1 2^(k-1) times — the r16 driver's oracle sweep
+    // spent 15-17 s per coreset query on a 500-row fixture (measured: 15.3 s
+    // → 0.56 s with the hints, byte-identical result).
     val parts = Seq(
       s"e AS MATERIALIZED ($baseSql)",
-      "c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id ASC LIMIT 1)",
-      s"d1 AS (SELECT e.vec_id, e.embedding, ${sq("e.embedding", "c0.embedding")} AS md FROM e CROSS JOIN c0)") ++
+      "c0 AS MATERIALIZED (SELECT vec_id, embedding FROM e ORDER BY vec_id ASC LIMIT 1)",
+      s"d1 AS MATERIALIZED (SELECT e.vec_id, e.embedding, ${sq("e.embedding", "c0.embedding")} AS md FROM e CROSS JOIN c0)") ++
       (1 until k).flatMap { i =>
-        Seq(s"c$i AS (SELECT vec_id, embedding, md FROM d$i ORDER BY md DESC, vec_id ASC LIMIT 1)") ++
+        Seq(s"c$i AS MATERIALIZED (SELECT vec_id, embedding, md FROM d$i ORDER BY md DESC, vec_id ASC LIMIT 1)") ++
           (if (i < k - 1)
-            Seq(s"d${i + 1} AS (SELECT d$i.vec_id, d$i.embedding, " +
+            Seq(s"d${i + 1} AS MATERIALIZED (SELECT d$i.vec_id, d$i.embedding, " +
               s"LEAST(d$i.md, ${sq(s"d$i.embedding", s"c$i.embedding")}) AS md " +
               s"FROM d$i CROSS JOIN c$i)")
           else Seq.empty)
@@ -5968,7 +5983,7 @@ object SparkEntry {
         val model = FixedPqModel
         def subDistSql(off: Int, cent: Array[Double]): String =
           cent.indices.map { i =>
-            val dd = s"(CAST(embedding[${off + i + 1}] AS DOUBLE) - (${DuckSql.fmt(cent(i))}))"
+            val dd = s"(embedding[${off + i + 1}]::DOUBLE - (${DuckSql.fmt(cent(i))}))"
             s"($dd * $dd)"
           }.mkString("(", " + ", ")")
         val branches = (0 until model.m).map { j =>
@@ -6075,9 +6090,9 @@ object SparkEntry {
            |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id < 5),
            |qprobe AS (
            |  SELECT qid, cell FROM (
-           |    SELECT q.qid, c.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
-           |    FROM qs q CROSS JOIN c2 c)
+           |    SELECT qid, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dqc ASC, cell ASC) AS rnp
+           |    FROM (SELECT q.qid, c.cell, $ivfDistQC AS dqc FROM qs q CROSS JOIN c2 c))
            |  WHERE rnp <= 4)
            |SELECT query_id, vec_id, dist, CAST(rn AS INT) AS rn FROM (
            |  SELECT query_id, vec_id, dist,
@@ -6095,22 +6110,24 @@ object SparkEntry {
            |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % ${modSql(20)} = 0),
            |qprobe AS (
            |  SELECT qid, cell FROM (
-           |    SELECT q.qid, c.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
-           |    FROM qs q CROSS JOIN c2 c)
+           |    SELECT qid, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dqc ASC, cell ASC) AS rnp
+           |    FROM (SELECT q.qid, c.cell, $ivfDistQC AS dqc FROM qs q CROSS JOIN c2 c))
            |  WHERE rnp <= 4),
            |approx AS (
            |  SELECT query_id, vec_id FROM (
-           |    SELECT qp.qid AS query_id, a.vec_id,
-           |      ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY $pd ASC, a.vec_id ASC) AS rn
-           |    FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
-           |    JOIN embeddings a ON a.vec_id = f.vec_id)
+           |    SELECT query_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dd ASC, vec_id ASC) AS rn
+           |    FROM (SELECT qp.qid AS query_id, a.vec_id, $pd AS dd
+           |          FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
+           |          JOIN embeddings a ON a.vec_id = f.vec_id))
            |  WHERE rn <= $K),
            |exact AS (
            |  SELECT eq, ev FROM (
-           |    SELECT q.qid AS eq, d.vec_id AS ev,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
-           |    FROM qs q CROSS JOIN embeddings d)
+           |    SELECT eq, ev,
+           |      ROW_NUMBER() OVER (PARTITION BY eq ORDER BY dd ASC, ev ASC) AS rn
+           |    FROM (SELECT q.qid AS eq, d.vec_id AS ev, $ed AS dd
+           |          FROM qs q CROSS JOIN embeddings d))
            |  WHERE rn <= $K),
            |hits AS (
            |  SELECT query_id, COUNT(*) AS n_hits FROM approx
@@ -6133,16 +6150,18 @@ object SparkEntry {
         val bandCtes = bands.zipWithIndex.map { case ((_, pred), i) =>
           s"""approx$i AS (
              |  SELECT query_id, vec_id FROM (
-             |    SELECT qp.qid AS query_id, a.vec_id,
-             |      ROW_NUMBER() OVER (PARTITION BY qp.qid ORDER BY $pd ASC, a.vec_id ASC) AS rn
-             |    FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
-             |    JOIN embeddings a ON a.vec_id = f.vec_id WHERE ${qual("a", pred)})
+             |    SELECT query_id, vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dd ASC, vec_id ASC) AS rn
+             |    FROM (SELECT qp.qid AS query_id, a.vec_id, $pd AS dd
+             |          FROM qprobe qp JOIN qs q USING (qid) JOIN af f USING (cell)
+             |          JOIN embeddings a ON a.vec_id = f.vec_id WHERE ${qual("a", pred)}))
              |  WHERE rn <= $K),
              |exact$i AS (
              |  SELECT eq, ev FROM (
-             |    SELECT q.qid AS eq, d.vec_id AS ev,
-             |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
-             |    FROM qs q CROSS JOIN embeddings d WHERE ${qual("d", pred)})
+             |    SELECT eq, ev,
+             |      ROW_NUMBER() OVER (PARTITION BY eq ORDER BY dd ASC, ev ASC) AS rn
+             |    FROM (SELECT q.qid AS eq, d.vec_id AS ev, $ed AS dd
+             |          FROM qs q CROSS JOIN embeddings d WHERE ${qual("d", pred)}))
              |  WHERE rn <= $K),
              |hits$i AS (
              |  SELECT COUNT(*) AS n_hits FROM approx$i
@@ -6158,9 +6177,9 @@ object SparkEntry {
            |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % ${modSql(20)} = 0),
            |qprobe AS MATERIALIZED (
            |  SELECT qid, cell FROM (
-           |    SELECT q.qid, c.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
-           |    FROM qs q CROSS JOIN c2 c)
+           |    SELECT qid, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dqc ASC, cell ASC) AS rnp
+           |    FROM (SELECT q.qid, c.cell, $ivfDistQC AS dqc FROM qs q CROSS JOIN c2 c))
            |  WHERE rnp <= 4),
            |$bandCtes
            |$sel
@@ -6180,9 +6199,9 @@ object SparkEntry {
            |allq AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings),
            |qprobe AS (
            |  SELECT qid, cell FROM (
-           |    SELECT q.qid, c.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
-           |    FROM allq q CROSS JOIN c2 c)
+           |    SELECT qid, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dqc ASC, cell ASC) AS rnp
+           |    FROM (SELECT q.qid, c.cell, $ivfDistQC AS dqc FROM allq q CROSS JOIN c2 c))
            |  WHERE rnp <= 3),
            |cand AS (
            |  SELECT qp.qid AS src, a.vec_id AS dst, MIN($pd) AS dist
@@ -6212,9 +6231,10 @@ object SparkEntry {
            |  WHERE rn <= $K),
            |exact AS (
            |  SELECT eq, ev FROM (
-           |    SELECT q.qid AS eq, d.vec_id AS ev,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
-           |    FROM qs q CROSS JOIN embeddings d)
+           |    SELECT eq, ev,
+           |      ROW_NUMBER() OVER (PARTITION BY eq ORDER BY dd ASC, ev ASC) AS rn
+           |    FROM (SELECT q.qid AS eq, d.vec_id AS ev, $ed AS dd
+           |          FROM qs q CROSS JOIN embeddings d))
            |  WHERE rn <= $K),
            |hits AS (
            |  SELECT query_id, COUNT(*) AS n_hits FROM approx
@@ -6235,9 +6255,9 @@ object SparkEntry {
            |qs AS (SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id % ${modSql(20)} = 0),
            |qprobe AS (
            |  SELECT qid, cell, rnp FROM (
-           |    SELECT q.qid, c.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ivfDistQC ASC, c.cell ASC) AS rnp
-           |    FROM qs q CROSS JOIN c2 c)
+           |    SELECT qid, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dqc ASC, cell ASC) AS rnp
+           |    FROM (SELECT q.qid, c.cell, $ivfDistQC AS dqc FROM qs q CROSS JOIN c2 c))
            |  WHERE rnp <= 8),
            |cand AS (
            |  SELECT qp.qid AS query_id, a.vec_id, qp.rnp, $pd AS dist
@@ -6245,9 +6265,10 @@ object SparkEntry {
            |  JOIN embeddings a ON a.vec_id = f.vec_id),
            |exact AS (
            |  SELECT eq, ev FROM (
-           |    SELECT q.qid AS eq, d.vec_id AS ev,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY $ed ASC, d.vec_id ASC) AS rn
-           |    FROM qs q CROSS JOIN embeddings d)
+           |    SELECT eq, ev,
+           |      ROW_NUMBER() OVER (PARTITION BY eq ORDER BY dd ASC, ev ASC) AS rn
+           |    FROM (SELECT q.qid AS eq, d.vec_id AS ev, $ed AS dd
+           |          FROM qs q CROSS JOIN embeddings d))
            |  WHERE rn <= $K),
            |ranked AS (
            |  SELECT np.nprobe, c.query_id, c.vec_id,
@@ -6449,7 +6470,7 @@ object SparkEntry {
         """WITH toks AS (
           |  SELECT term FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
           |  WHERE term <> ''
-          |), cells AS (
+          |), cells AS MATERIALIZED (
           |  SELECT i,
           |    CAST(('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT) % 512 AS cell,
           |    COUNT(*) AS n
@@ -6909,24 +6930,27 @@ object SparkEntry {
         // — and assignment = argmin over the 2 probed cells' fine
         // codebooks with the expression's (dist, probe rank, j) scan-order
         // tie-break, all via lexicographic struct-MIN.
-        s"""WITH RECURSIVE kk AS (
+        // kk..cem MATERIALIZED: co/ca/cem are each referenced 2-3x and plain
+        // CTEs are inlined per reference, compounding down the chain (the
+        // r16 driver sweep measured 6.4 s / near-OOM on the 500-row fixture).
+        s"""WITH RECURSIVE kk AS MATERIALIZED (
            |  SELECT k, CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS kc,
            |    (k + CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) - 1)
            |      // CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS kf
            |  FROM (SELECT GREATEST(8, (COUNT(*) + 63) // 64) AS k FROM embeddings)
-           |), co AS (
+           |), co AS MATERIALIZED (
            |  SELECT ROW_NUMBER() OVER (ORDER BY s) - 1 AS cidx, cemb FROM (
            |    SELECT s, cemb FROM (
            |      SELECT vec_id % (SELECT kc FROM kk) AS s, embedding AS cemb,
            |        ROW_NUMBER() OVER (PARTITION BY vec_id % (SELECT kc FROM kk)
            |          ORDER BY $md5v ASC, vec_id ASC) AS rn
            |      FROM embeddings) WHERE rn = 1)
-           |), ca AS (
+           |), ca AS MATERIALIZED (
            |  SELECT vec_id, (MIN({'d': dc, 'c': cidx})).c AS ccell FROM (
            |    SELECT e.vec_id, c.cidx, $d2c AS dc
            |    FROM embeddings e CROSS JOIN co c)
            |  GROUP BY vec_id
-           |), fseed AS (
+           |), fseed AS MATERIALIZED (
            |  SELECT ccell, fs, femb FROM (
            |    SELECT a.ccell, e.vec_id % (SELECT kf FROM kk) AS fs, e.embedding AS femb,
            |      ROW_NUMBER() OVER (PARTITION BY a.ccell, e.vec_id % (SELECT kf FROM kk)
@@ -6935,27 +6959,28 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT c.cidx AS ccell, -1 AS fs, c.cemb AS femb
            |  FROM co c WHERE NOT EXISTS (SELECT 1 FROM ca WHERE ca.ccell = c.cidx)
-           |), fg AS (
+           |), fg AS MATERIALIZED (
            |  SELECT ccell, femb,
            |    ROW_NUMBER() OVER (ORDER BY ccell, fs) - 1 AS gid,
            |    ROW_NUMBER() OVER (PARTITION BY ccell ORDER BY fs) - 1 AS j
            |  FROM fseed
-           |), pr AS (
+           |), pr AS MATERIALIZED (
            |  SELECT vec_id, cidx, prnk FROM (
-           |    SELECT e.vec_id, c.cidx,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY $d2c ASC, c.cidx ASC) AS prnk
-           |    FROM embeddings e CROSS JOIN co c) WHERE prnk <= 2
-           |), cells AS (
+           |    SELECT vec_id, cidx,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY dd ASC, cidx ASC) AS prnk
+           |    FROM (SELECT e.vec_id, c.cidx, $d2c AS dd
+           |          FROM embeddings e CROSS JOIN co c)) WHERE prnk <= 2
+           |), cells AS MATERIALIZED (
            |  SELECT vec_id, (MIN({'d': fd, 'p': prnk, 'j': j, 'g': gid})).g AS cell FROM (
            |    SELECT p.vec_id, p.prnk, f.j, f.gid, $d2f AS fd
            |    FROM pr p JOIN embeddings e USING (vec_id)
            |    JOIN fg f ON f.ccell = p.cidx)
            |  GROUP BY vec_id
-           |), cem AS (
+           |), cem AS MATERIALIZED (
            |  SELECT c.vec_id, c.cell, e.embedding
            |  FROM cells c JOIN embeddings e USING (vec_id)
-           |), edges AS (
+           |), edges AS MATERIALIZED (
            |  SELECT id_a AS src, id_b AS dst FROM (
            |    SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cs AS cos_sim
            |    FROM (SELECT vec_id, cell, embedding AS a_embedding FROM cem) a
@@ -8137,24 +8162,27 @@ object SparkEntry {
           // product is the identical IEEE op in both engines (ROUND is not
           // — Spark HALF_UPs the exact decimal, DuckDB scales-and-rounds,
           // and they split at half boundaries)
-          s"""it$i AS (
+          s"""it$i AS MATERIALIZED (
              |  SELECT d.dst AS node,
              |    SUM(CAST(FLOOR((p.pr / p.deg) * 1e9) AS BIGINT)) AS s9
              |  FROM dir d JOIN $prev p ON d.src = p.node GROUP BY 1),
-             |pr$i AS (
+             |pr$i AS MATERIALIZED (
              |  SELECT q.node, q.deg,
              |    (FLOOR(($baseSql + CAST('0.85' AS DOUBLE) * (CAST(t.s9 AS DOUBLE) / 1e9)) * 1e9) / 1e9) AS pr
              |  FROM it$i t JOIN deg q ON q.node = t.node)""".stripMargin
         }.mkString(",\n")
-        s"""WITH ve AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % ${modSql(200)} = 0),
-           |edges0 AS (
+        // MATERIALIZED: dir is referenced by deg + every it_i, edges0 twice
+        // by dir, deg by every pr_i — per-reference inlining re-ran the
+        // 64-dim similarity cross join ~8x (2.8 s in the r16 driver sweep).
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % ${modSql(200)} = 0),
+           |edges0 AS MATERIALIZED (
            |  SELECT a.vec_id AS src, b.vec_id AS dst
            |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
            |  WHERE $cs >= ${DuckSql.fmt(0.25)}),
-           |dir AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
-           |deg AS (SELECT src AS node, COUNT(*) AS deg FROM dir GROUP BY 1),
-           |nn AS (SELECT COUNT(*) AS n FROM deg),
-           |pr0 AS (
+           |dir AS MATERIALIZED (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+           |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM dir GROUP BY 1),
+           |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+           |pr0 AS MATERIALIZED (
            |  SELECT node, deg,
            |    (FLOOR((CAST(1 AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)) * 1e9) / 1e9) AS pr
            |  FROM deg),
@@ -8164,7 +8192,7 @@ object SparkEntry {
       "graph_bfs_hops" -> {
         val cs = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
         val steps = (1 to 3).map { i =>
-          s"""d$i AS (
+          s"""d$i AS MATERIALIZED (
              |  SELECT node, MIN(hop) AS hop FROM (
              |    SELECT node, hop FROM d${i - 1}
              |    UNION ALL
@@ -8173,13 +8201,13 @@ object SparkEntry {
              |      ON e.src = f.node)
              |  GROUP BY node)""".stripMargin
         }.mkString(",\n")
-        s"""WITH ve AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % ${modSql(250)} = 0),
-           |edges0 AS (
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % ${modSql(250)} = 0),
+           |edges0 AS MATERIALIZED (
            |  SELECT a.vec_id AS src, b.vec_id AS dst
            |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
            |  WHERE $cs >= ${DuckSql.fmt(0.25)}),
-           |dir AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
-           |d0 AS (SELECT DISTINCT vec_id AS node, CAST(0 AS BIGINT) AS hop FROM ve WHERE label = 1),
+           |dir AS MATERIALIZED (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+           |d0 AS MATERIALIZED (SELECT DISTINCT vec_id AS node, CAST(0 AS BIGINT) AS hop FROM ve WHERE label = 1),
            |$steps
            |SELECT node, hop FROM d3 ORDER BY node""".stripMargin
       },
@@ -8187,27 +8215,27 @@ object SparkEntry {
         val cs = DuckSql.cosineSimCols("a.embedding", "b.embedding", Dim)
         val rounds = (1 to 2).map { i =>
           val prev = if (i == 1) "seeds" else s"l${i - 1}"
-          s"""v$i AS (
+          s"""v$i AS MATERIALIZED (
              |  SELECT d.dst, l.label, COUNT(*) AS cnt
              |  FROM dir d JOIN $prev l ON d.src = l.node GROUP BY d.dst, l.label),
-             |w$i AS (
+             |w$i AS MATERIALIZED (
              |  SELECT dst AS node, label FROM (
              |    SELECT dst, label,
              |      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
              |    FROM v$i) WHERE rn = 1),
-             |l$i AS (
+             |l$i AS MATERIALIZED (
              |  SELECT node, label FROM seeds
              |  UNION ALL
              |  SELECT node, label FROM w$i w
              |  WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.node = w.node))""".stripMargin
         }.mkString(",\n")
-        s"""WITH ve AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % ${modSql(250)} = 0),
-           |edges0 AS (
+        s"""WITH ve AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % ${modSql(250)} = 0),
+           |edges0 AS MATERIALIZED (
            |  SELECT a.vec_id AS src, b.vec_id AS dst
            |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
            |  WHERE $cs >= ${DuckSql.fmt(0.25)}),
-           |dir AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
-           |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS label
+           |dir AS MATERIALIZED (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+           |seeds AS MATERIALIZED (SELECT vec_id AS node, CAST(label AS BIGINT) AS label
            |          FROM ve WHERE vec_id % (4 * ${modSql(250)}) = 0),
            |$rounds
            |SELECT node, label FROM l2 ORDER BY node""".stripMargin
@@ -9015,18 +9043,33 @@ object SparkEntry {
       // brute replay of the suffix-array longest intra-doc repeat: a length
       // L repeats in a doc iff some L-gram occurs ≥ 2 times — enumerate
       // every (L, start) pair (O(m²) rows, bounded by the %5 doc subset)
+      // Suffix-sort + adjacent-LCP form (r17): the longest substring
+      // occurring at ≥2 distinct positions equals the max longest-common-
+      // prefix over ADJACENT suffixes in sorted order (any repeat of
+      // length L makes two suffixes share an L-prefix, and sorted order
+      // puts the maximizing pair next to each other; overlapping
+      // occurrences included — e.g. "aaa" → suffixes "aaa"/"aa", LCP 2).
+      // The previous all-grams form materialized every substring of every
+      // length — O(len³) characters, 22 s and a near-2GB spike in the r16
+      // driver's starved sweep; this is O(len²) and <0.2 s, same rows.
       "text_longest_repeat_sa" ->
         """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-          |lens AS (
-          |  SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 1)) AS L
-          |  FROM d WHERE length(text) >= 2),
-          |grams AS (
-          |  SELECT doc_id, L, substr(text, CAST(i AS INT), CAST(L AS INT)) AS g
-          |  FROM (SELECT doc_id, text, L,
-          |          UNNEST(generate_series(1, length(text) - L + 1)) AS i
-          |        FROM lens)),
-          |dups AS (SELECT doc_id, L FROM grams GROUP BY doc_id, L, g HAVING COUNT(*) > 1),
-          |best AS (SELECT doc_id, MAX(L) AS lr FROM dups GROUP BY doc_id)
+          |sfx AS (
+          |  SELECT doc_id, substr(text, CAST(i AS INT)) AS s
+          |  FROM (SELECT doc_id, text, UNNEST(generate_series(1, length(text))) AS i FROM d)),
+          |ord AS (
+          |  SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+          |  FROM sfx),
+          |adj AS (
+          |  SELECT a.doc_id, a.rn, a.s AS s1, b.s AS s2,
+          |    LEAST(length(a.s), length(b.s)) AS ml
+          |  FROM ord a JOIN ord b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+          |lcp AS (
+          |  SELECT doc_id, rn,
+          |    COALESCE(MIN(CASE WHEN substr(s1, CAST(i AS INT), 1) <> substr(s2, CAST(i AS INT), 1) THEN i END) - 1, ml) AS l
+          |  FROM (SELECT doc_id, rn, s1, s2, ml, UNNEST(generate_series(1, ml)) AS i FROM adj)
+          |  GROUP BY doc_id, rn, ml),
+          |best AS (SELECT doc_id, MAX(l) AS lr FROM lcp GROUP BY doc_id)
           |SELECT d.doc_id, CAST(COALESCE(b.lr, 0) AS BIGINT) AS longest_repeat
           |FROM d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
       // semantic decontam replay: the benchmark subquery joins the corpus

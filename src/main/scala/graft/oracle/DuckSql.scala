@@ -12,12 +12,24 @@ object DuckSql {
   /** Emit a double literal that DuckDB parses to the EXACT same double as
     * Scala's. DuckDB types plain decimal literals as DECIMAL (arbitrary
     * precision), which rounds high-precision values before the cast to
-    * DOUBLE — off by ULPs. A VARCHAR→DOUBLE cast is a correctly-rounded
-    * strtod of the shortest round-tripping repr, so it is bit-exact. */
+    * DOUBLE — off by ULPs — but literals with an EXPONENT are typed DOUBLE
+    * directly and parsed with the same correctly-rounded strtod as a
+    * VARCHAR→DOUBLE cast (verified bit-equal over 4k random doubles), so
+    * the shortest round-tripping repr plus `e0` is bit-exact AND ~16 chars
+    * shorter per literal than the old CAST('…' AS DOUBLE) form. Text size
+    * matters: the unrolled 64-dim oracles reached 370 KB of SQL and DuckDB
+    * spent multiple seconds per query just parsing/binding (r16 driver
+    * sweep starvation). Non-finite values keep the CAST form ('NaN'/'Inf'
+    * are not valid bare literals). */
   def fmt(d: Double): String =
-    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+    if (java.lang.Double.isFinite(d)) {
+      val s = java.lang.Double.toString(d)
+      if (s.indexOf('E') >= 0) s else s + "e0"
+    } else s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
 
-  def elem(col: String, i: Int): String = s"CAST($col[${i + 1}] AS DOUBLE)"
+  /** `::DOUBLE` is the same cast as CAST(… AS DOUBLE), 9 chars shorter —
+    * and these element casts appear twice per dim per distance term. */
+  def elem(col: String, i: Int): String = s"$col[${i + 1}]::DOUBLE"
 
   /** Σ (v_i - q_i)^2, left-assoc — mirrors Distances.squaredL2Lit. */
   def squaredL2Lit(col: String, q: Array[Double]): String =
