@@ -50,7 +50,14 @@ object SplitLayout {
     "lineitem" -> 25000L, "orders" -> 25000L, "events" -> 25000L,
     "customer" -> 25000L, "part" -> 25000L,
     "documents" -> envLong("SPARK_GRAFT_SPLIT_DOCS_ROWS", 2500L),
-    "embeddings" -> envLong("SPARK_GRAFT_SPLIT_EMB_ROWS", 260L))
+    // r17: the r16 260-rows/split setting was a driver-verified NET LOSS —
+    // every embeddings-scanning multi-job query (ann_ivf_topk, ann_ivf_append,
+    // ann_lsh_neardup, media_embed_knn, dedup_semantic_clusters) ran 28-64%
+    // slower at local[32] because dozens of sub-second jobs each paid 8 scan
+    // tasks' setup for ~250-row splits. The row target is now high enough
+    // that fixture-scale embeddings stay a single split; genuinely large
+    // inputs still split via the bytes-per-split term (scale-adaptive).
+    "embeddings" -> envLong("SPARK_GRAFT_SPLIT_EMB_ROWS", 100000L))
 
   /** Above this input size the rewrite is a real job, not prep — skip it
     * (production inputs that big arrive already split). */
@@ -73,6 +80,22 @@ object SplitLayout {
       math.max(byRows, byBytes)).toInt
   }
 
+  /** JVM-exit cleanup of the app-scoped split dir (r17, advisor): repeated
+    * bench/verify runs were each leaving up to ~7 bounded table copies under
+    * java.io.tmpdir. One hook per directory, registered only when something
+    * was actually written. */
+  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def registerCleanup(base: java.io.File): Unit =
+    if (cleanupRegistered.putIfAbsent(base.getPath, true) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(base) catch { case _: Throwable => () }
+      }))
+    }
+
   /** Re-layout the candidate tables of `dir` into split parquet copies
     * under an applicationId-scoped tmp directory and register them as
     * read-path overrides in [[graft.core.Tables]]. Idempotent per
@@ -89,17 +112,28 @@ object SplitLayout {
             // events may carry TIMESTAMP(NANOS); read raw with the same
             // escape hatch Tables.events uses, so the copy round-trips
             // (LongType nanos in → LongType nanos out; the reader's type
-            // dispatch then treats copy and original identically)
+            // dispatch then treats copy and original identically).
+            // Save/restore the previous value (r17, advisor): prep must not
+            // leak a session-wide legacy-reader flag to later raw reads.
+            val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            val df = spark.read.parquet(src.getPath)
-            val rows = df.count()
-            val n = splitsFor(rows, src.length(),
-              spark.sparkContext.defaultParallelism, targetRows)
-            if (n > 1) {
-              val dst = new java.io.File(base, s"$name.parquet").getPath
-              df.repartition(n).write.mode(SaveMode.Overwrite).parquet(dst)
-              graft.core.Tables.registerOverride(key, dst)
-            } else graft.core.Tables.registerOverride(key, src.getPath)
+            try {
+              val df = spark.read.parquet(src.getPath)
+              val rows = df.count()
+              val n = splitsFor(rows, src.length(),
+                spark.sparkContext.defaultParallelism, targetRows)
+              if (n > 1) {
+                val dst = new java.io.File(base, s"$name.parquet").getPath
+                df.repartition(n).write.mode(SaveMode.Overwrite).parquet(dst)
+                registerCleanup(base)
+                graft.core.Tables.registerOverride(key, dst)
+              } else graft.core.Tables.registerOverride(key, src.getPath)
+            } finally {
+              prevNanos match {
+                case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+                case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+              }
+            }
           } catch { case _: Throwable => () } // prep is best-effort; queries fall back to the original
         }
       }
