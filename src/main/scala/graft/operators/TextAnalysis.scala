@@ -15,11 +15,29 @@ object TextAnalysis {
   /** Whitespace tokens (fixture text is single-space separated). */
   def words(text: Column): Column = split(text, " ")
 
-  def nWords(text: Column): Column = size(words(text))
+  /** One-pass [n_chars, n_words, n_stopwords] — the codegen'd kernel every
+    * gate statistic below derives from (r17, guide §4): the old
+    * `filter(words, _.isInCollection(stops))` form was a CodegenFallback
+    * that dropped the whole gate projection out of whole-stage codegen and
+    * re-ran `split()` per derived column. Identical values are pinned by
+    * TextGateStatsSpec; repeated uses in one projection collapse via
+    * Spark's common-subexpression elimination. */
+  private def gateStats(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.TextGateStats(
+      ColumnBridge.expression(text), Fixtures.Stopwords))
+  }
 
-  /** Count of stopword tokens — the basis of the language-ID heuristic. */
+  /** INT like the original `size(split(...))` form — several gated queries
+    * emit these as output columns, so the type is part of the oracle
+    * schema contract. */
+  def nWords(text: Column): Column = gateStats(text).getItem(1).cast("int")
+
+  /** Count of stopword tokens — the basis of the language-ID heuristic.
+    * (Non-default stop lists keep the generic split/filter form.) */
   def nStopwords(text: Column, stops: Seq[String] = Fixtures.Stopwords): Column =
-    size(filter(words(text), w => w.isInCollection(stops)))
+    if (stops == Fixtures.Stopwords) gateStats(text).getItem(2).cast("int")
+    else size(filter(words(text), w => w.isInCollection(stops)))
 
   def stopwordRatio(text: Column): Column =
     nStopwords(text).cast("double") / nWords(text).cast("double")
