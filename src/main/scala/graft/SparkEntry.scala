@@ -123,12 +123,35 @@ object SparkEntry {
     off + fine(ci).indices.minBy(j => (d2(q, fine(ci)(j)), j))
   }
 
-  /** Spread a small-but-CPU-heavy input across all cores. The fixture
-    * parquet files are single-row-group (one split), so md5/shingle-heavy
-    * per-row stages would otherwise serialize on ONE task; at 100 TB inputs
-    * arrive in thousands of splits and this is a cheap pass-through. */
-  private def par(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+  /** Spread a small-but-CPU-heavy input across cores. The fixture parquet
+    * files arrive in 1-2 splits, so md5/shingle-heavy per-row stages would
+    * otherwise serialize on one or two tasks.
+    *
+    * r17 (guide §2.2 "fewer, larger partitions" / §1 measure first): the
+    * r16 form pinned `defaultParallelism` partitions, and AQE never
+    * coalesces an explicit repartition — so at local[32] EVERY par-wrapped
+    * query ran 32-task stages on KB-scale data. Thread-dump sampling showed
+    * those tasks dominated by shuffle-file open/mmap/commit (not compute):
+    * one data+index file per map task per shuffle, ~300 ms of filesystem
+    * metadata work per stage at 32 tasks. The driver's r16 scaling block
+    * measured the whole suite FASTER at 8 cores than 32 for exactly this
+    * reason (pipeline ratios 0.2-0.4). The partition count now scales with
+    * the optimizer's size estimate for the input plan (`parTargetBytes` per
+    * task, default 128 KB of compressed input — fixture docs ≈ 300-byte
+    * rows of ms-scale per-row work, so ~5 tasks at sf0.1), clamped to
+    * [1, defaultParallelism]: big inputs still fill the machine (at 100 TB
+    * the clamp keeps one task per core), small ones stop paying 32 tasks'
+    * shuffle-file setup for sub-millisecond work. */
+  private val parTargetBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_PAR_TARGET_BYTES", (128L << 10).toString).toLong
+  private def par(s: SparkSession, df: DataFrame): DataFrame = {
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    val byBytes = (bytes + parTargetBytes - 1) / parTargetBytes
+    val n = byBytes.min(BigInt(s.sparkContext.defaultParallelism)).max(BigInt(1)).toInt
+    df.repartition(n)
+  }
 
   /** Documents with deterministically INJECTED PII spans (the fixture
     * corpus is synthetic and PII-free): emails on doc_id % 7, phones on
