@@ -1412,6 +1412,7 @@ object SparkEntry {
     // summary row per band (hits are integers; the one division is by a
     // driver-constant double — hash-portable)
     "ann_ivf_filtered_recall" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
       val db = emb(s, d)
       val mq = math.max(1L, (embCount(s, d) + 19) / 20)
       val q = db.filter(col("vec_id") % mq === 0)
@@ -1423,20 +1424,50 @@ object SparkEntry {
         ("p030_label_lt3", col("label") < 3),
         ("p050_label_lt5", col("label") < 5),
         ("p100_all", lit(true)))
-      val per = bands.map { case (name, pred) =>
-        val approx = Ann.ivfJoin(q, assigned.filter(pred), cents, k = K, nprobe = 4)
-          .select(col("query_id"), col("vec_id"))
-        val exact = KnnJoin.join(q, db.filter(pred), K, Dim)
-          .select(col("query_id").as("eq"), col("vec_id").as("ev"))
-        approx.join(exact,
-            col("query_id") === col("eq") && col("vec_id") === col("ev"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(name).as("band"), col("n_hits"))
+      // r17 shared arms (VERDICT item 6, guide §1.2): the four bands used
+      // to re-run the probe join AND the |q|×|corpus| brute ground truth
+      // per band (8 corpus subtrees in one action). Both candidate sets
+      // are band-independent except for the label filter, so each is
+      // scored ONCE carrying `label`, and ONE window pass per arm computes
+      // every band's within-band rank simultaneously as a cumulative
+      // conditional count over the shared (dist, vec_id) order: for rows
+      // satisfying pred_i, count_if(pred_i) up to the current row ≡
+      // row_number over the pred_i-filtered set — the exact per-band
+      // top-K membership the old per-band subtrees computed. Hits for all
+      // four bands then come from one (query, vec) join + one aggregation.
+      val probeCells = ColumnBridge.column(graft.functions.VecArgTopNL2(
+        ColumnBridge.expression(col("q_embedding")), cents, 4))
+      val qs = q.select(col("query_id"), col("embedding").as("q_embedding"))
+        .withColumn("ivf_cell", explode(probeCells))
+      val cand = broadcast(qs).join(assigned, "ivf_cell")
+        .select(col("query_id"), col("vec_id"), col("label"),
+          Distances.squaredL2Cols(col("q_embedding"), col("embedding"), Dim).as("dist"))
+      val brute = db.crossJoin(broadcast(q.select(col("query_id").as("bq"),
+          col("embedding").as("q_embedding"))))
+        .select(col("bq").as("query_id"), col("vec_id"), col("label"),
+          Distances.squaredL2Cols(col("q_embedding"), col("embedding"), Dim).as("dist"))
+      def bandFlags(df: DataFrame, tag: String): DataFrame = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val flagged = df.select(Seq(col("query_id"), col("vec_id")) ++
+          bands.zipWithIndex.map { case ((_, pred), i) =>
+            (pred && sum(pred.cast("long")).over(w) <= K).as(s"$tag$i") }: _*)
+        flagged.filter(bands.indices.map(i => col(s"$tag$i")).reduce(_ || _))
+      }
+      val ap = bandFlags(cand, "a")
+      val ex = bandFlags(brute, "e")
+      val hitCols = bands.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("band"),
+          coalesce(sum((col(s"a$i") && col(s"e$i")).cast("long")), lit(0L))
+            .as("n_hits")).as(s"h$i")
       }
       val nq = q.count() // |page| ~ 20 at any SF; one slim count job
-      per.reduce(_ unionByName _)
-        .select(col("band"), lit(nq).as("n_queries"), col("n_hits"),
-          (col("n_hits") / lit(K * nq.toDouble)).as("recall_at_k"))
+      ap.join(ex, Seq("query_id", "vec_id"))
+        .agg(hitCols.head, hitCols.tail: _*)
+        .select(explode(array(bands.indices.map(i => col(s"h$i")): _*)).as("h"))
+        .select(col("h.band"), lit(nq).as("n_queries"), col("h.n_hits"),
+          (col("h.n_hits") / lit(K * nq.toDouble)).as("recall_at_k"))
         .orderBy(col("band"))
     }),
     // recall@k CURVE over nprobe — the accuracy/cost dial an ANN deploy
@@ -2857,8 +2888,11 @@ object SparkEntry {
       val batch = all.filter(col("vec_id") % 5 === 0)
       val cents = Ann.lloydSeededExact(base, IvfSeeds, iters = 2)
       val assignedBase = Ann.assign(base, cents)
-      val admitted = Ann.admitBatch(assignedBase, batch, cents)
-      Ann.admissionReport(assignedBase, admitted,
+      // r17: delta report — admitBatch's output is base ∪ assigned-batch,
+      // so per-cell counts add; the report scans the store assignment once
+      // and the small batch once instead of counting the store through
+      // both `before` AND the union (AnnSpec pins delta ≡ full report)
+      Ann.admissionReportDelta(assignedBase, Ann.assign(batch, cents),
         nCells = IvfSeeds.length, maxLoad = 2.0)
     }),
     // perceptual-hash near-dup over media payloads: binary payload →

@@ -282,16 +282,29 @@ object Ann {
     * 0.52]; out-of-range data fails loudly via the guard below. */
   def lloydSeededExact(db: DataFrame, seeds: Array[Array[Double]], iters: Int,
       vecCol: String = "embedding"): Array[Array[Double]] = {
-    requireDomainGeMinus2(db, vecCol)
+    // r17: the ≥ -2 domain guard rides the FIRST training aggregation
+    // (min over the (cell, pos) groups' mins ≡ global coordinate min)
+    // instead of its own full-scan job — seven declared queries train
+    // through here, and each was paying one extra corpus pass for the
+    // guard. Guard semantics unchanged: same value checked, same failure,
+    // still before any trained centroid is returned (and iters = 0 keeps
+    // the standalone scan).
+    if (iters == 0) requireDomainGeMinus2(db, vecCol)
     var cents = seeds.map(_.clone)
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val sums = assign(db, cents, vecCol)
         .select(col("ivf_cell"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
         .groupBy(col("ivf_cell"), col("pos"))
         .agg(sum(floor((col("v") + lit(2.0)) * lit(16777216.0)).cast("long")).as("s"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"), min(col("v")).as("mn"))
         .collect()
+      if (it == 0) {
+        val mn = sums.iterator.map(_.getDouble(4)).foldLeft(Double.PositiveInfinity)(math.min)
+        require(sums.isEmpty || mn >= -2.0,
+          f"seeded-exact training requires coordinates >= -2 (found $mn%.6f): " +
+            "the floor((v+2)*2^24) integer mean would round differently across engines")
+      }
       val next = cents.map(_.clone)
       sums.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) =
@@ -409,6 +422,47 @@ object Ann {
       .select(col("ivf_cell"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val tot = joined.agg(sum(col("n_after")).as("total"))
+    val totalG = when(col("total").isNotNull && col("total") > 0, col("total"))
+      .otherwise(raise_error(
+        lit("admissionReport: empty 'after' store — no population to report load over")))
+    joined.crossJoin(broadcast(tot))
+      .select(col("ivf_cell"), col("n_before"), col("n_after"),
+        (col("n_after") - col("n_before")).as("n_admitted"),
+        round((col("n_after") * nCells).cast("double") /
+          totalG.cast("double"), 9).as("load_factor"),
+        when((col("n_after") * nCells).cast("double") >
+          totalG.cast("double") * maxLoad, 1).otherwise(0)
+          .as("retrain_flag"))
+      .orderBy(col("ivf_cell"))
+  }
+
+  /** [[admissionReport]] when `after` IS `before ∪ admitted-batch` (the
+    * [[admitBatch]] output): per-cell counts of a union add, so the report
+    * derives `n_after = n_before + n_batch` from ONE pass over the store
+    * assignment and one over the (small) batch, instead of counting the
+    * store twice through the union (r17, guide §1.2 "don't compute things
+    * twice"). Same columns, same guards, same values — pinned equal to
+    * `admissionReport(before, before ∪ batch)` in AnnSpec. */
+  def admissionReportDelta(before: DataFrame, admittedBatch: DataFrame,
+      nCells: Int, maxLoad: Double): DataFrame = {
+    val spark = before.sparkSession
+    def counted(df: DataFrame, ncol: String) = {
+      val c = col("ivf_cell").cast("int")
+      val guarded = when(c >= 0 && c < nCells, c).otherwise(raise_error(concat(
+        lit("admissionReport: ivf_cell "), c.cast("string"),
+        lit(s" out of range [0, $nCells) — nCells misconfigured"))))
+      df.groupBy(guarded.as("ivf_cell")).agg(count(lit(1)).as(ncol))
+    }
+    val cells = spark.range(0, nCells.toLong)
+      .select(col("id").cast("int").as("ivf_cell"))
+    val joined = cells
+      .join(counted(before, "n_before"), Seq("ivf_cell"), "left")
+      .join(counted(admittedBatch, "n_batch"), Seq("ivf_cell"), "left")
+      .select(col("ivf_cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        (coalesce(col("n_before"), lit(0L)) + coalesce(col("n_batch"), lit(0L)))
+          .as("n_after"))
     val tot = joined.agg(sum(col("n_after")).as("total"))
     val totalG = when(col("total").isNotNull && col("total") > 0, col("total"))
       .otherwise(raise_error(

@@ -98,13 +98,19 @@ object Pq {
   def trainSeededExact(db: DataFrame, dim: Int,
       seeds: Array[Array[Array[Double]]], iters: Int,
       vecCol: String = "embedding"): PqModel = {
-    Ann.requireDomainGeMinus2(db, vecCol)
     val m = seeds.length
     val ksub = seeds(0).length
     val dsub = dim / m
     require(m * dsub == dim, s"dim $dim must divide into m=$m subspaces")
+    // r17: the ≥ -2 domain guard rides the first training aggregation
+    // (min over group mins ≡ global coordinate min — every coordinate of
+    // every subvector appears in exactly one (j, code, i) group), saving
+    // one full corpus pass per trained-PQ query; same value, same failure,
+    // checked before any trained codeword is built. iters = 0 keeps the
+    // standalone scan.
+    if (iters == 0) Ann.requireDomainGeMinus2(db, vecCol)
     var books = seeds.map(_.map(_.clone))
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val codes = (0 until m).map { j =>
         val sub = slice(col(vecCol), j * dsub + 1, dsub)
         ColumnBridge.column(VecArgMinL2(ColumnBridge.expression(sub), books(j)))
@@ -117,8 +123,14 @@ object Pq {
         .groupBy(col("j"), col("code"), col("i"))
         .agg(sum(floor((col("v").cast("double") + lit(2.0)) * lit(16777216.0))
             .cast("long")).as("s"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"), min(col("v").cast("double")).as("mn"))
         .collect()
+      if (it == 0) {
+        val mn = sums.iterator.map(_.getDouble(5)).foldLeft(Double.PositiveInfinity)(math.min)
+        require(sums.isEmpty || mn >= -2.0,
+          f"seeded-exact training requires coordinates >= -2 (found $mn%.6f): " +
+            "the floor((v+2)*2^24) integer mean would round differently across engines")
+      }
       val next = books.map(_.map(_.clone))
       sums.foreach { r =>
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =

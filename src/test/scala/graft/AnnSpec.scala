@@ -110,6 +110,21 @@ class AnnSpec extends SparkSpecBase {
     assert(rep2.exists(_.getInt(5) == 1), "skewed load must raise the retrain flag")
   }
 
+  test("admissionReportDelta(before, batch) == admissionReport(before, before ∪ batch) (r17)") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val cents = Ann.sampleCentroids(base, 8)
+    val assignedBase = Ann.assign(base, cents)
+    val assignedBatch = Ann.assign(batch, cents)
+    val full = Ann.admissionReport(assignedBase,
+        Ann.admitBatch(assignedBase, batch, cents), nCells = 8, maxLoad = 2.0)
+      .collect().map(_.toSeq).toSeq
+    val delta = Ann.admissionReportDelta(assignedBase, assignedBatch,
+        nCells = 8, maxLoad = 2.0)
+      .collect().map(_.toSeq).toSeq
+    assert(delta == full)
+  }
+
   test("admissionReport fails loudly on out-of-range cells and an empty after store") {
     val base = emb.limit(20)
     val cents = Ann.sampleCentroids(base, 4)
