@@ -515,8 +515,13 @@ object SparkEntry {
       // cluster by the partition column before the partitioned write
       // (guide §6): an N-split input otherwise opens one writer per
       // (task × cell) — N×64 tiny files and N× writer overhead
+      // repartition(64, cell_id), not repartition(cell_id): AQE coalesces
+      // the un-numbered form to ONE writer task at fixture scale, and that
+      // task creates all 64 cell files SEQUENTIALLY — profiled at ~1 s of
+      // pure file-metadata work; pinning the partition count keeps ~40
+      // writers creating their cell files in parallel (r17, guide §6)
       Grid.withCellId(emb(s, d), "embedding", gridCfg)
-        .repartition(col("cell_id"))
+        .repartition(64, col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       val loaded = s.read.parquet(dir)
         .withColumn("cell_id", col("cell_id").cast("long"))
@@ -3029,7 +3034,9 @@ object SparkEntry {
       val twoD = emb(s, d).select(col("vec_id"), col("label"),
         slice(col("embedding"), 1, 2).as("embedding"))
       Grid.withCellId(twoD, "embedding", cfg2)
-        .repartition(col("cell_id")) // cluster-by-cell before partitioned write (guide §6)
+        // pinned 64 so the 64 cell files are created in parallel, not by
+        // one AQE-coalesced writer (see store_roundtrip_knn)
+        .repartition(64, col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       graft.plans.GridRadiusPruning.register(s, cfg2, dir)
       Knn.radiusSearch(s.read.parquet(dir),
@@ -3053,7 +3060,8 @@ object SparkEntry {
         graft.index.QuantileGrid.calibrate(twoD, "embedding",
           partsPerDim = 8, gridDims = 2, dim = 2))
       graft.index.QuantileGrid.withCellId(twoD, "embedding", qc)
-        .repartition(col("cell_id")) // cluster-by-cell before partitioned write (guide §6)
+        // pinned 64: parallel cell-file creation (see store_roundtrip_knn)
+        .repartition(64, col("cell_id"))
         .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
       graft.plans.QuantileGridRadiusPruning.register(s, qc, dir)
       Knn.radiusSearch(s.read.parquet(dir),
