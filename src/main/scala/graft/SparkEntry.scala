@@ -424,6 +424,20 @@ object SparkEntry {
     * builder itself only falls back to this when called standalone against
     * a session that never prepared — a robustness path, not the design. */
   def prepareFixtures(s: SparkSession, d: String): Unit = {
+    // r17 engine default (guide §2.2 "let AQE coalesce small partitions"):
+    // several operators persist mid-plan tables (LSH signatures, candidate
+    // sets, dedup survivors), and Spark does NOT apply AQE partition
+    // coalescing under a cached plan unless this flag is on — so every
+    // exchange below a persist ran at the full spark.sql.shuffle.partitions
+    // width regardless of data size (32 tasks of KB-scale work per stage in
+    // the curation/dedup pipelines; thread dumps showed the tasks dominated
+    // by shuffle-file creation, not compute). With the flag on, AQE sizes
+    // those exchanges by bytes — scale-adaptive at any cluster size, not a
+    // local tuning constant. Trade-off per SPARK-38389 is possible extra
+    // shuffle for a downstream consumer expecting the full width; every
+    // consumer here aggregates or joins tiny outputs, so the coalesced
+    // width is strictly less work.
+    s.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // scan-parallelism re-layout FIRST, so the bucketed layouts below are
     // built from (and all queries read) the split copies
     graft.store.SplitLayout.prepare(s, d)

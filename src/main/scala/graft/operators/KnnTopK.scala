@@ -43,6 +43,42 @@ object KnnTopK {
       else buf
   }
 
+  /** [[TopKAgg]] that collapses duplicate candidate ids on insert/merge —
+    * for candidate sets where one (query, vec) pair can arrive several
+    * times WITH THE SAME dist (e.g. via multiple shared probe cells).
+    * Equivalent to groupBy(query, vec).min(dist) |> topK when dist is
+    * functionally determined by (query, vec), but without the extra
+    * full-candidate-set exchange that groupBy costs (r17, guide §2.4).
+    * The id-containment check is a linear scan of a ≤k buffer. */
+  class TopKDedupAgg(k: Int) extends Aggregator[Cand, Array[Neighbor], Array[Neighbor]] {
+    def zero: Array[Neighbor] = Array.empty
+    def reduce(buf: Array[Neighbor], c: Cand): Array[Neighbor] =
+      insert(buf, Neighbor(c.vec_id, c.dist))
+    def merge(a: Array[Neighbor], b: Array[Neighbor]): Array[Neighbor] =
+      b.foldLeft(a)(insert)
+    def finish(r: Array[Neighbor]): Array[Neighbor] = r
+    def bufferEncoder: Encoder[Array[Neighbor]] = Encoders.kryo[Array[Neighbor]]
+    def outputEncoder: Encoder[Array[Neighbor]] = Encoders.kryo[Array[Neighbor]]
+    private def insert(buf: Array[Neighbor], n: Neighbor): Array[Neighbor] =
+      if (buf.exists(_.id == n.id)) buf
+      else if (buf.length < k) (buf :+ n).sortBy(x => (x.dist, x.id))
+      else if (lt(n, buf(k - 1))) (buf.updated(k - 1, n)).sortBy(x => (x.dist, x.id))
+      else buf
+  }
+
+  /** [[topK]] with duplicate-id collapse (see [[TopKDedupAgg]]). */
+  def topKDedup(cands: DataFrame, k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col("query_id"), col("vec_id"), col("dist")).as[Cand]
+      .groupByKey(_.query_id)
+      .agg(new TopKDedupAgg(k).toColumn.name("topk"))
+      .flatMap { case (qid, arr) =>
+        arr.zipWithIndex.map { case (n, i) => Result(qid, n.id, n.dist, i + 1) }
+      }
+      .toDF()
+  }
+
   /** Bounded top-k over an arbitrary candidate set (columns query_id,
     * vec_id, dist) — the shuffle carries ≤ k rows per query per map task
     * instead of every candidate. */
