@@ -153,6 +153,16 @@ object SparkEntry {
     df.repartition(n)
   }
 
+  /** Full-width variant of [[par]] for inputs whose DOWNSTREAM explodes
+    * quadratically in compute (pairwise levenshtein/jaccard over a
+    * broadcast NLJ): the input is KB-scale — so the size-derived [[par]]
+    * width and AQE (which sizes by bytes) would both run the n²/2
+    * verification nearly serial — but the consumer's cost is pairs ×
+    * per-pair work, which only the call site knows (guide §8 "use what
+    * you know that the optimizer does not"). */
+  private def parCompute(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Documents with deterministically INJECTED PII spans (the fixture
     * corpus is synthetic and PII-free): emails on doc_id % 7, phones on
     * % 11, IPv4 on % 13 — shared by the redaction query and the exposure
@@ -1707,7 +1717,11 @@ object SparkEntry {
     "dedup_lsh_recall" -> ((s, d) => {
       val all = par(s, docs(s, d))
       val m = math.max(1L, (docCount(s, d) + 24) / 25) // = 20 at the 500-doc fixture
-      val sets = all.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sset"))
+      // parCompute: the brute arm below jaccard-verifies |probes|×|corpus|
+      // pairs off this table — width must track the pair count, not the
+      // KB-scale bytes the size-derived par sees
+      val sets = parCompute(s, all)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sset"))
       val psets = sets.filter(col("doc_id") % m === 0)
         .select(col("doc_id").as("pid"), col("sset").as("pset"))
       val brute = sets.crossJoin(broadcast(psets))
@@ -2984,10 +2998,10 @@ object SparkEntry {
     // fuzzy dedup by edit distance on document prefixes (candidate pairs
     // from a deterministic sample; at scale candidates come from LSH)
     "dedup_edit_distance" -> ((s, d) => {
-      // par(): the filtered side is one parquet split, and the broadcast
-      // NLJ streams it on a single core — spreading the ~n²/2 levenshtein
-      // evaluations across the executor threads is the whole cost here
-      val sd = par(s, docs(s, d).filter(col("lang") === "en" && col("doc_id") % 25 === 0))
+      // parCompute, not par: the filtered side is KB-scale, but the
+      // broadcast NLJ explodes it into ~n²/2 levenshtein evaluations —
+      // spreading those across every executor thread is the whole cost
+      val sd = parCompute(s, docs(s, d).filter(col("lang") === "en" && col("doc_id") % 25 === 0))
         .select(col("doc_id"), substring(col("text"), 1, 120).as("p"))
       sd.as("a").join(sd.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -54,11 +54,19 @@ object SetSimJoin {
       .filter(col("r") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select(col("id"), col("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explicit width on the candidate set (r17): it is the STREAMING side
+    // of the verification joins, whose cost is pairs × set-intersection
+    // work — AQE sizes the distinct's exchange by BYTES (KB here) and
+    // coalesces it to ~one partition, serializing the quadratic verify
+    // (user_behavior_simjoin 0.90 → 2.36 s when cached-plan coalescing
+    // landed). An explicit repartition is never coalesced; the width is
+    // the session's core count, the same 100 TB-safe clamp par() uses.
     val cands = prefixes.as("pa")
       .join(prefixes.as("pb"),
         col("pa.tok") === col("pb.tok") && col("pa.id") < col("pb.id"))
       .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
       .distinct()
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     cands
       .join(wsets.select(col("id").as("id_a"), col("wset").as("wa")), "id_a")
       .join(wsets.select(col("id").as("id_b"), col("wset").as("wb")), "id_b")
