@@ -120,3 +120,96 @@ case class MinHashSigExpr(child: Expression, w: Int,
     })
   }
 }
+
+/** One-pass Bloom-membership counter over a document's DISTINCT word
+  * n-grams (r17): builds each n-gram in a reused builder, dedups via a
+  * per-call hash set, computes the same two 32-bit md5 hashes as the
+  * unfused form (`md5Int32(g)` and `md5Int32("b:" + g)`), probes the k
+  * Kirsch–Mitzenmacher positions `(h1 + i·h2) mod mBits` against the
+  * driver-built bitmask, and counts grams with all k bits set — exactly
+  * `sum(member)` of Decontam.bloomNgramFlags' exploded form, without the
+  * shingle HOF (a CodegenFallback), the per-gram string rows, the explode,
+  * or the per-doc aggregation shuffle. Bit positions and dedup semantics
+  * are pinned equal in DecontamSpec. */
+object BloomNgramKernel extends Serializable {
+  private val mdLocal = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val sbLocal = ThreadLocal.withInitial[java.lang.StringBuilder](
+    () => new java.lang.StringBuilder(64))
+
+  private def h32(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Count of DISTINCT n-grams of `s` whose k Bloom positions are all set
+    * in `mask` (mBits must be a power of two). 0 for docs with no n-gram. */
+  def flaggedCount(s: UTF8String, n: Int, mask: Array[Long], mBits: Int,
+      k: Int): Long = {
+    if (s == null) return 0L
+    val words = s.toString.split(" ", -1)
+    val m = words.length - n + 1
+    if (m <= 0) return 0L
+    val seen = new java.util.HashSet[String]()
+    val md = mdLocal.get()
+    val sb = sbLocal.get()
+    var cnt = 0L
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      if (seen.add(g)) {
+        val h1 = h32(md, g)
+        val h2 = h32(md, "b:" + g)
+        var t = 0
+        var all = true
+        while (all && t < k) {
+          val p = ((h1 + t.toLong * h2) % mBits).toInt
+          all = (mask(p >> 6) & (1L << (p & 63))) != 0L
+          t += 1
+        }
+        if (all) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
+/** Codegen wrapper over [[BloomNgramKernel.flaggedCount]] — one static call
+  * per row, stays inside whole-stage codegen. `mask` is a Seq for value
+  * equality (semanticEquals / subexpression elimination — the
+  * MinHashSigExpr precedent). */
+case class BloomNgramFlagCount(child: Expression, n: Int, mask: Seq[Long],
+    mBits: Int, k: Int) extends UnaryExpression {
+
+  @transient private lazy val maskArr: Array[Long] = mask.toArray
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text must be STRING, got ${other.catalogString}")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomNgramFlagCount =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_ngram_flag_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomNgramKernel.flaggedCount(input.asInstanceOf[UTF8String], n, maskArr, mBits, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bloomMask", maskArr, "long[]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BloomNgramKernel.flaggedCount($t, $n, $mRef, $mBits, $k);")
+  }
+}

@@ -80,21 +80,17 @@ object Decontam {
       .distinct().collect().map(_.getLong(0).toInt)
     val mask = new Array[Long](mBits / 64)
     benchPos.foreach(p => mask(p >> 6) |= (1L << (p & 63)))
-    val maskLit = typedlit(mask.toSeq)
-    def member(h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column) =
-      positions(h1, h2).map { p =>
-        call_function("shiftright",
-            element_at(maskLit, (p / 64L).cast("int") + 1),
-            (p % 64L).cast("int"))
-          .bitwiseAND(lit(1L)) === lit(1L)
-      }.reduce(_ && _)
+    // r17 (guide §4): the probe side is ONE map-only codegen'd pass — the
+    // fused kernel dedups grams, hashes, and probes the k positions per
+    // document, replacing the shingle HOF (a CodegenFallback) + per-gram
+    // explode + md5-hex round trips + per-doc aggregation shuffle. Same
+    // hashes, same positions, same distinct-gram counting (DecontamSpec
+    // pins new ≡ old and the one-sided-error property).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cnt = ColumnBridge.column(graft.functions.BloomNgramFlagCount(
+      ColumnBridge.expression(col(textCol)), n, mask.toSeq, mBits, k))
     train
-      .select(col(idCol), explode_outer(Dedup.shingles(col(textCol), n)).as("g"))
-      .select(col(idCol), Dedup.md5Int32(col("g")).as("h1"),
-        Dedup.md5Int32(concat(lit("b:"), col("g"))).as("h2"))
-      .groupBy(col(idCol))
-      .agg(sum(when(member(col("h1"), col("h2")), 1L).otherwise(0L))
-        .as("n_flagged_ngrams"))
+      .select(col(idCol), coalesce(cnt, lit(0L)).as("n_flagged_ngrams"))
       .select(col(idCol), col("n_flagged_ngrams"),
         (col("n_flagged_ngrams") > 0L).as("contaminated_bloom"))
   }

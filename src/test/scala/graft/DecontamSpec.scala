@@ -92,4 +92,43 @@ class DecontamSpec extends SparkSpecBase {
     // verified pos {0, 5, 6} → spans [0,4) and [5,10): 2 spans, max 5, 3 grams
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 5L, 3L)))
   }
+
+  test("fused bloom kernel ≡ the exploded shingle/md5 formulation (r17)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // fixture corpus at sf0.001 — real text incl. docs with repeated grams
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val n = 4; val mBits = 1 << 16; val k = 3
+    val got = Decontam.bloomNgramFlags(train, bench, n = n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the pre-r17 exploded formulation, inlined
+    def positions(h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column) =
+      (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))
+    val benchPos = bench
+      .select(explode(Dedup.shingles(col("text"), n)).as("g"))
+      .select(Dedup.md5Int32(col("g")).as("h1"),
+        Dedup.md5Int32(concat(lit("b:"), col("g"))).as("h2"))
+      .select(explode(array(positions(col("h1"), col("h2")): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    val mask = new Array[Long](mBits / 64)
+    benchPos.foreach(p => mask(p >> 6) |= (1L << (p & 63)))
+    val maskLit = typedlit(mask.toSeq)
+    def member(h1: org.apache.spark.sql.Column, h2: org.apache.spark.sql.Column) =
+      positions(h1, h2).map { p =>
+        call_function("shiftright",
+            element_at(maskLit, (p / 64L).cast("int") + 1),
+            (p % 64L).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    val want = train
+      .select(col("doc_id"), explode_outer(Dedup.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), Dedup.md5Int32(col("g")).as("h1"),
+        Dedup.md5Int32(concat(lit("b:"), col("g"))).as("h2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(member(col("h1"), col("h2")), 1L).otherwise(0L)).as("nf"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(1) > 0L)).toMap
+    assert(got == want)
+  }
 }
